@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+The reference leaves ``spark.sql.shuffle.partitions`` at its default of 200
+and never enables AQE (no tuning keys anywhere in
+``k8s/spark-apps/steam-reviews-app.yaml:21-36``) — a known inefficiency.
+This factory bakes in the settings we want on a real cluster and on
+``local[*]``:
+
+- **AQE on** (coalesce post-shuffle partitions, runtime skew-join handling,
+  dynamic broadcast conversion).  At 100 TB the static shuffle-partition
+  count is always wrong for some stage; AQE re-plans per-stage.
+- **UTC session timezone** so timestamp semantics match the DuckDB oracle
+  and are stable across machines (SURVEY.md §7 risk #3).
+- **Arrow enabled** for the pandas-UDF extension operators (vectorized
+  batch transfer instead of pickled rows).
+- **Shuffle partitions sized to the test box** but overridable; on a
+  1000-executor cluster you would set this to ~2-4x total cores (or rely on
+  AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; production deployments
+# override via env or by passing extra_conf.
+_DEFAULTS = {
+    # --- adaptive execution: the core 100TB posture ------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- determinism / oracle parity ---------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # --- shuffle sizing ----------------------------------------------
+    "spark.sql.shuffle.partitions": "32",
+    # --- python interop ----------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: vectorized reader + pushdown are on by default in
+    # Spark 4 but we pin them so a misconfigured base image can't
+    # silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Streaming state store: RocksDB spills state to local disk instead of
+    # keeping it on-heap — required posture for unbounded/complete-mode
+    # aggregations at scale (SURVEY.md §4 "state management").
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # Quieter local runs; harmless on a cluster.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "bigdata-20251-steam-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster you omit it and let spark-submit supply the master.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
