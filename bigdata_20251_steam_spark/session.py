@@ -35,6 +35,12 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # --- shuffle sizing ----------------------------------------------
     "spark.sql.shuffle.partitions": "32",
+    # local-mode JVM sizing: the default 1g driver heap thrashes GC once
+    # 32 task threads shuffle concurrently. Ignored if the JVM already
+    # exists (getOrCreate on a live gateway) — e.g. when the driver
+    # harness owns the session.
+    "spark.driver.memory": "24g",
+    "spark.driver.maxResultSize": "4g",
     # --- python interop ----------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # parquet scans: vectorized reader + pushdown are on by default in
