@@ -1,0 +1,108 @@
+"""Streaming variants of the core analytics, wired into the registry.
+
+Each query executes a real Structured Streaming plan — file source ->
+watermarked windowed aggregation -> memory sink — driven to completion with
+``trigger(availableNow=True)`` (G4), then returns the sink contents as a
+batch DataFrame.  Because the aggregations run in **complete** output mode
+(the reference's hot-store mode, G3), the final state equals the batch
+result, so the *same* DuckDB oracle as the batch query applies — streaming
+/batch parity is checked by the driver itself.
+
+The testdata parquet stores ``events.ts`` as TIMESTAMP(NANOS), which the
+streaming file source can't consume; each query stages a normalized copy
+(proper micros timestamps) into a temp dir and streams from there.  The
+staging write is part of the harness, not the measured engine path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.core import sentiment_windows
+from ..sources.batch import load_table
+from ..streaming.engine import file_stream, run_available_now
+from .registry import QUERIES, register
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write a normalized (micros-timestamp) copy of events once per sf_dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "streaming_sentiment_hourly",
+    oracle=QUERIES["sentiment_hourly"].oracle,
+    doc="sentiment_hourly as a real Structured Streaming query: file source "
+    "-> watermark 10m (G1) -> 1h tumbling window agg -> complete-mode "
+    "memory sink, availableNow (G4). Same oracle as the batch query — "
+    "batch/stream parity is the assertion.",
+)
+def q_streaming_sentiment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    agg = sentiment_windows(
+        stream.withWatermark("ts", "10 minutes"),
+        ts_col="ts",
+        flag_col=F.col("event_type") != "error",
+        quality_col="value",
+        window_duration="1 hour",
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "streaming_player_windows",
+    oracle=QUERIES["player_windows"].oracle,
+    doc="player_windows as a streaming query: watermark 5m, 10-minute "
+    "tumbling windows per key, complete mode (kafka-spark-configmap.yaml:"
+    "259-265 mechanics).",
+)
+def q_streaming_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+            F.count("*").alias("n_samples"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            F.round("max_value", 6).alias("max_value"),
+            F.round("avg_value", 6).alias("avg_value"),
+            "n_samples",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")

@@ -1,0 +1,136 @@
+"""Structured Streaming layer.
+
+Re-expresses the reference's three streaming apps' *mechanics* (SURVEY.md
+§2.A/§2.G) with two deliberate architectural upgrades:
+
+1. **Parse once, fan out via foreachBatch** (fixes G8).  Each reference app
+   starts 2-3 independent ``writeStream`` queries on the same parsed Kafka
+   DataFrame (``kafka-spark-configmap.yaml:95-121``), so every sink re-reads
+   and re-parses the topic.  ``dual_sink_writer`` runs ONE streaming query
+   whose ``foreachBatch`` persists the micro-batch, appends it to the bronze
+   (cold) parquet table, and overwrites the serving (hot) snapshot — one
+   source read per trigger instead of three.
+
+2. **Complete-mode snapshots without MongoDB** (A5/G3).  The reference's
+   hot store is Mongo with ``outputMode("complete")`` — the whole aggregate
+   state rewritten every 10 s.  Capability-equivalent here: recompute the
+   aggregate over bronze inside ``foreachBatch`` and atomically overwrite a
+   parquet serving table.  Idempotent per epoch (overwrite), bounded state
+   (the aggregation state lives in the batch plan, not the stream state
+   store) — SURVEY.md §7 risks #1/#2.
+
+Determinism for tests comes from ``trigger(availableNow=True)`` (G4): all
+available input is processed then the query stops — the streaming
+equivalent of a batch run.
+
+Scale posture: the state store is RocksDB (set in ``session.py``) so
+watermarked window state spills to disk; checkpoints (A10) live per-sink;
+bronze is date-partitioned by the caller (see ``partition_cols``), fixing
+the reference's unpartitioned cold store (SURVEY.md §4 "partition pruning").
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source — the local stand-in for the Kafka source
+    (A1).  Same interface as the batch reader but incremental: new files
+    under ``path`` become micro-batches.  ``max_files_per_trigger``
+    throttles batch size (the file-source analogue of Kafka's
+    ``maxOffsetsPerTrigger``)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion and return the result.
+
+    Runs the query with ``trigger(availableNow=True)`` into an in-memory
+    sink, blocks until all available data is processed, and returns the
+    sink contents as a batch DataFrame.  This is the deterministic test
+    path for every streaming plan (G4: the reference's processing-time
+    triggers swap for availableNow in tests).
+    """
+    spark = df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@dataclass(frozen=True)
+class DualSinkPaths:
+    bronze_dir: str  #: append-only cold store (reference: HDFS archive)
+    serving_dir: str  #: complete-mode hot snapshot (reference: Mongo collection)
+    checkpoint_dir: str
+
+
+def dual_sink_writer(
+    parsed: DataFrame,
+    paths: DualSinkPaths,
+    serving_agg,
+    partition_cols: tuple[str, ...] = (),
+    trigger: dict | None = None,
+):
+    """One streaming query, two sinks (G8 fixed: single source read).
+
+    ``serving_agg`` is a batch transform ``DataFrame -> DataFrame`` (e.g.
+    ``operators.core.sentiment_windows`` partially applied) recomputed over
+    the full bronze table each epoch — complete-mode-equivalent snapshot
+    semantics with zero unbounded stream state (G5 reference semantics,
+    bounded implementation).
+
+    Returns the started StreamingQuery; caller decides await semantics (A6).
+    """
+    spark = parsed.sparkSession
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            w = batch_df.write.mode("append")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(paths.bronze_dir)
+            bronze = spark.read.parquet(paths.bronze_dir)
+            snapshot = serving_agg(bronze)
+            # Overwrite = idempotent per epoch: replaying an epoch after a
+            # crash rewrites the same snapshot (bronze append is the only
+            # at-least-once surface; dedup there via input_file_name lineage
+            # if exactly-once matters downstream).
+            snapshot.write.mode("overwrite").parquet(paths.serving_dir)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        parsed.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", paths.checkpoint_dir)
+    )
+    trigger = trigger or {"availableNow": True}
+    writer = writer.trigger(**trigger)
+    return writer.start()

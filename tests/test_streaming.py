@@ -1,0 +1,189 @@
+"""Streaming layer tests: batch/stream parity, dual-sink, watermarks.
+
+Input data is derived deterministically from the driver testdata (events
+table) mapped into the reference's Kafka-shaped JSON records — no
+synthesized distributions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from bigdata_20251_steam_spark.sources.batch import load_table
+from bigdata_20251_steam_spark.streaming.engine import (
+    DualSinkPaths,
+    dual_sink_writer,
+    file_stream,
+    run_available_now,
+)
+from bigdata_20251_steam_spark.streaming.pipelines import (
+    charts_pipeline,
+    players_pipeline,
+    reviews_pipeline,
+)
+
+from .conftest import SF_SMOKE
+
+RAW_SCHEMA = StructType([StructField("value", StringType(), True)])
+
+
+def _review_json_df(spark):
+    """events -> game_comments-shaped JSON records (A9: to_json(struct))."""
+    events = load_table(spark, SF_SMOKE, "events")
+    return events.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("app_id"),
+                F.col("event_id").cast("string").alias("review_id"),
+                F.lit("76561190000000000").alias("author_steamid"),
+                F.lit("english").alias("language"),
+                (F.col("event_type") != "error").alias("voted_up"),
+                F.lit(1).alias("votes_up"),
+                F.col("value").alias("weighted_vote_score"),
+                F.col("ts").cast("long").alias("timestamp_created"),
+                F.lit("ok").alias("review_text"),
+            )
+        ).alias("value")
+    )
+
+
+def test_reviews_pipeline_batch_stream_parity(spark, tmp_path):
+    raw = _review_json_df(spark)
+    src = str(tmp_path / "raw")
+    raw.write.parquet(src)
+
+    batch_out = reviews_pipeline(spark.read.parquet(src), watermark=None)
+    stream_raw = file_stream(spark, src, RAW_SCHEMA)
+    stream_out = reviews_pipeline(stream_raw, watermark="10 minutes")
+
+    got = run_available_now(stream_out["analytics"], "complete").toPandas()
+    exp = batch_out["analytics"].toPandas()
+    key = ["window_start", "recommended"]
+    got = got.sort_values(key, ignore_index=True)
+    exp = exp.sort_values(key, ignore_index=True)
+    assert got.shape == exp.shape
+    assert (got["total_reviews"] == exp["total_reviews"]).all()
+    assert (got["avg_quality"] - exp["avg_quality"]).abs().max() < 1e-9
+
+    bombs = run_available_now(stream_out["review_bomb"], "complete")
+    assert bombs.count() == batch_out["review_bomb"].count()
+
+
+def test_players_pipeline_stream(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    raw = events.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("int").alias("appid"),
+                F.col("value").cast("int").alias("player_count"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+                    "timestamp"
+                ),
+            )
+        ).alias("value")
+    )
+    src = str(tmp_path / "raw")
+    raw.write.parquet(src)
+
+    stream_out = players_pipeline(file_stream(spark, src, RAW_SCHEMA))
+    got = run_available_now(stream_out["activity"], "complete")
+    batch_out = players_pipeline(spark.read.parquet(src), watermark=None)
+    assert got.count() == batch_out["activity"].count()
+
+
+def test_charts_pipeline_explode_semantics(spark, tmp_path):
+    """Pin explode vs explode_outer: null/empty genre arrays drop rows
+    (SURVEY.md §7 risk #5; reference uses plain explode at
+    kafka-spark-configmap.yaml:182)."""
+    records = [
+        {"appid": 1, "name": "a", "type": "game", "genres": ["Action", "Indie"],
+         "timestamp_scraped": "2026-01-02T10:15:30.123456"},
+        {"appid": 2, "name": "b", "type": "game", "genres": [],
+         "timestamp_scraped": "2026-01-02T10:15:30.123456"},
+        {"appid": 3, "name": "c", "type": "game", "genres": None,
+         "timestamp_scraped": "2026-01-02T10:15:30.123456"},
+        {"appid": 4, "name": "d", "type": "dlc", "genres": ["Action"],
+         "timestamp_scraped": "2026-01-02T10:15:30.123456"},
+    ]
+    raw = spark.createDataFrame(
+        [(json.dumps(r),) for r in records], schema=RAW_SCHEMA
+    )
+    out = charts_pipeline(raw)
+    counts = {r["genre"]: r["total"] for r in out["genre_counts"].collect()}
+    assert counts == {"Action": 2, "Indie": 1}  # appids 2,3 contribute nothing
+    # ISO-8601 microsecond strings cast cleanly (B3)
+    ts = out["bronze"].select("timestamp").collect()[0][0]
+    assert ts is not None and ts.microsecond == 123456
+
+
+def test_dual_sink_writer_incremental(spark, tmp_path):
+    """foreachBatch dual sink: bronze appends, serving snapshot overwrites,
+    checkpoint makes the second run process only new files."""
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    first, second = events.filter("event_id % 2 = 0"), events.filter(
+        "event_id % 2 = 1"
+    )
+    first.write.parquet(src)
+
+    paths = DualSinkPaths(
+        bronze_dir=str(tmp_path / "bronze"),
+        serving_dir=str(tmp_path / "serving"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def serving_agg(bronze):
+        return bronze.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    schema = events.schema
+    q = dual_sink_writer(file_stream(spark, src, schema), paths, serving_agg)
+    q.awaitTermination()
+    n1 = spark.read.parquet(paths.bronze_dir).count()
+    assert n1 == first.count()
+
+    # drop new files in, resume from checkpoint
+    second.write.mode("append").parquet(src)
+    q = dual_sink_writer(file_stream(spark, src, schema), paths, serving_agg)
+    q.awaitTermination()
+    bronze = spark.read.parquet(paths.bronze_dir)
+    assert bronze.count() == events.count()  # appended exactly once
+    serving = spark.read.parquet(paths.serving_dir)
+    exp = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    assert {tuple(r) for r in serving.collect()} == {
+        tuple(r) for r in exp.collect()
+    }
+
+
+def test_watermark_append_mode_drops_open_windows(spark, tmp_path):
+    """Append mode emits only windows closed by the final watermark (G6).
+
+    With a single availableNow batch the watermark ends at max(ts) - delay,
+    so the trailing window(s) stay open and are not emitted."""
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "value")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = file_stream(spark, src, spark.read.parquet(src).schema)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.end").alias("window_end"), "n")
+    )
+    got = run_available_now(agg, "append", checkpoint_dir=str(tmp_path / "ck"))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    emitted_ends = [r["window_end"] for r in got.collect()]
+    total_windows = (
+        events.groupBy(F.window("ts", "1 hour")).count().count()
+    )
+    assert len(emitted_ends) < total_windows  # at least the last window held back
+    import datetime
+
+    watermark = max_ts - datetime.timedelta(minutes=10)
+    assert all(e <= watermark for e in emitted_ends)
