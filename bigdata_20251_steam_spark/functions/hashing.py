@@ -1,0 +1,74 @@
+"""Deterministic cross-engine hashing primitives.
+
+The dedup / fingerprint / LSH operators need a hash function that produces
+the *same value* in Spark and in the DuckDB oracle.  Spark's builtin
+``hash()`` (murmur3) and ``xxhash64`` have no DuckDB twins, so we derive a
+60-bit integer from the md5 hex digest — md5 is identical everywhere:
+
+- Spark : ``conv(substring(md5(s), 1, 15), 16, 10)`` cast to long
+- DuckDB : ``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``
+
+15 hex chars = 60 bits, comfortably inside a signed 64-bit integer, so both
+engines parse it without overflow.  Verified byte-identical for ASCII,
+UTF-8 multibyte, and empty strings.
+
+MinHash uses the classic universal-hash family h_j(x) = (a_j*x + b_j) mod P
+with P = 2^31 - 1 (Mersenne prime).  With x reduced mod P first, a_j*x <
+2^62: no 64-bit overflow in either engine.  The (a_j, b_j) table is a fixed
+deterministic sequence (Knuth multiplicative constants), inlined into both
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1 — the modulus for all minhash/fingerprint math.
+HASH_PRIME = 2_147_483_647
+
+#: Number of minhash functions (16 = 4 bands x 4 rows: detects J>=~0.5
+#: candidates with the standard S-curve; tune bands/rows per use case).
+MINHASH_K = 16
+
+# Deterministic (a, b) parameters — Knuth multiplicative hashing constants,
+# reduced mod P, 'a' forced odd/nonzero.  NOT runtime-random: correctness
+# oracles and resumability need identical values every run.
+MINHASH_PARAMS: list[tuple[int, int, int]] = [
+    (
+        j,
+        ((2 * j + 1) * 2_654_435_761) % HASH_PRIME,
+        (j * 40_503 + 17) % HASH_PRIME,
+    )
+    for j in range(MINHASH_K)
+]
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit deterministic hash of a string column (JVM-side, no UDF)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`md5_long`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for sign-LSH over embeddings.
+
+    Entry (j, i) is +1 iff the low bit of md5(f"plane_{j}_{i}") is set.
+    Generated driver-side (tiny: n_planes x dim ints) and inlined as
+    literals into both the Spark plan and the oracle SQL, so both engines
+    see the exact same planes with zero runtime randomness.
+    """
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"plane_{j}_{i}".encode()).digest()
+            row.append(1 if digest[-1] & 1 else -1)
+        planes.append(row)
+    return planes

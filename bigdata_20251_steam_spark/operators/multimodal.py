@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB:
+
+- media rows are ``(id, payload binary, media_type string, meta struct)`` —
+  the payload is never interpreted by Catalyst, only moved; metadata
+  (byte length, magic bytes, declared type) is extracted with JVM
+  built-ins so filtering/routing happens *before* any decode.
+- decode / feature-extraction runs as ``mapInPandas`` — Arrow-batched
+  iterator of pandas DataFrames, the only sane way to run a codec per row:
+  one Python worker per partition, zero-copy binary transfer, batch-sized
+  amortization of interpreter cost.  Partition sizing rule: payload bytes
+  per partition (not row count) bounds worker memory — repartition by
+  ``ceil(sum(n_bytes)/target)`` upstream.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+``decode_features`` ships a deterministic fake decoder behind the same
+signature, and ``decode_real`` raises NotImplementedError with the
+integration contract documented — the Spark-side plumbing (schema,
+batching, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the feature extractor — fixed and explicit, as every
+#: mapInPandas schema must be.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+        StructField("decoder", StringType(), False),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def to_media_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in media table: text bytes as the opaque payload.
+
+    With real media the payload comes from the storage layer (parquet
+    binary column / object-store pointers); everything downstream is
+    payload-agnostic.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata extraction without decoding: byte length + magic prefix.
+
+    Pure JVM (hex + substring on the binary) — this is the cheap routing
+    stage that decides which decoder pool a payload goes to.
+    """
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.substring(F.hex(F.col("payload")), 1, 8).alias("magic_hex"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec: FEATURE_DIM moments of the bytes."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload) % 997),
+        float(min(payload)),
+        float(max(payload)),
+        float(payload[n // 2]),
+        float(n % 251),
+    ]
+
+
+def decode_real(payload: bytes, media_type: str) -> list[float]:
+    """Integration point for real codecs.
+
+    Contract: bytes -> fixed-dim float feature vector.  Wire PIL for
+    image/*, ffmpeg/torchaudio for audio|video/* here; keep the output dim
+    equal to FEATURE_DIM or widen FEATURE_SCHEMA alongside.
+    """
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use decode_features(..., fake=True) for the deterministic stub"
+    )
+
+
+def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched: each ``pdf`` is a pandas DataFrame whose ``payload``
+    column holds raw bytes.  The iterator shape lets a real decoder hold
+    per-partition state (model weights, codec contexts) across batches.
+    """
+
+    decoder_name = "fake-moments" if fake else "real"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [
+                _fake_decode(p) if fake else decode_real(p, mt)
+                for p, mt in zip(payloads, pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "feature": feats,
+                    "decoder": decoder_name,
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)

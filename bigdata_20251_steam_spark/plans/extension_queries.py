@@ -1,0 +1,452 @@
+"""North-star extension queries: dedup, similarity search, text analysis,
+multimodal plumbing, session windows (BASELINE.json scope, beyond the
+reference's own surface).
+
+Every oracle reproduces the Spark plan's math exactly — the shared
+primitive is the 60-bit md5-derived hash (functions.hashing), verified
+byte-identical across engines, and all floating-point compositions
+(cosine, ratios) follow the same sequential evaluation order, confirmed
+by exact-equality tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    HASH_PRIME,
+    MINHASH_PARAMS,
+    md5_long_sql,
+    rademacher_planes,
+)
+from ..functions.text import STOPWORDS, clean_html, clean_html_sql
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..sources.batch import load_table
+from .registry import register
+
+P = HASH_PRIME
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_SHINGLES = f"""
+  toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+  grams AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           ELSE [] END AS sh
+    FROM toks)
+"""
+
+_PARAMS_VALUES = ", ".join(f"({j}, {a}, {b})" for j, a, b in MINHASH_PARAMS)
+
+_MINHASH_CTE = f"""
+  WITH params(h_idx, a, b) AS (VALUES {_PARAMS_VALUES}),
+  {_SHINGLES},
+  ex AS (SELECT doc_id, unnest(sh) AS s FROM grams),
+  hashed AS (SELECT doc_id, ({md5_long_sql('s')} % {P}) AS h
+             FROM ex WHERE s <> ''),
+  mh AS (SELECT doc_id, h_idx, min((a * h + b) % {P}) AS minhash
+         FROM hashed CROSS JOIN params GROUP BY 1, 2)
+"""
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH norm AS (
+      SELECT source,
+             {md5_long_sql(_NORM_TEXT)}
+               AS content_hash
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT content_hash) AS BIGINT) AS n_dup_docs
+    FROM norm GROUP BY source
+    """,
+    doc="Exact dedup accounting per source over normalized text: hash "
+    "shuffle carries 8-byte longs, never documents.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MINHASH_CTE + "SELECT doc_id, h_idx, minhash FROM mh",
+    headline=True,
+    doc="MinHash signature matrix (16 universal hashes over word "
+    "3-shingles): the LSH building block, entirely explode+groupBy.",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_dedup_pairs",
+    oracle=_MINHASH_CTE
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs via 4-band banding: shuffle on "
+    "(band_id, band_sig) buckets — O(true dups), never O(n^2).",
+)
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return dd.minhash_candidate_pairs(sigs)
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    hashed AS (SELECT doc_id, {md5_long_sql('w')} AS h FROM toks WHERE w <> ''),
+    votes AS (
+      SELECT doc_id, i, 2 * ((h >> i) & 1) - 1 AS vote
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 55)) AS i)),
+    bits AS (SELECT doc_id, i, CAST(sum(vote) AS BIGINT) AS s
+             FROM votes GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="56-bit frequency-weighted SimHash fingerprints (bit votes from "
+    "md5-derived token hashes).",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sets AS (SELECT doc_id, lang AS blk, list_sort(sh) AS sh
+             FROM grams WHERE len(sh) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+    FROM sets a JOIN sets b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) /
+                CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) >= 0.1
+    """,
+    doc="Exact word-3gram Jaccard over language-blocked pairs — the "
+    "verifier stage after LSH candidate generation.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+_PLANES = rademacher_planes(n_planes=8, dim=64)
+
+
+@register(
+    "embed_topk_bruteforce",
+    oracle="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    headline=True,
+    doc="Exact cosine top-5 for 10 query vectors: broadcast queries, corpus "
+    "never shuffles; JVM zip_with/aggregate dot products.",
+)
+def q_embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=_QUERY_IDS, k=5
+    )
+
+
+def _bucket_sql(vexpr: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        lits = ", ".join(str(float(p)) for p in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, [{lits}]) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "embed_topk_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_bucket_sql('CAST(embedding AS DOUBLE[])')} AS BIGINT) AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+          FROM base WHERE vec_id < 10),
+    cand AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM base b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM cand)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Sign-LSH bucketed ANN (8 deterministic Rademacher hyperplanes): "
+    "candidates are bucket-colocated — the O(n/2^bits) scale path.",
+)
+def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_QUERY_IDS,
+        planes=_PLANES,
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Token accounting: whitespace tokens + BPE-ish regex pre-tokens "
+    "(letter runs | digit runs | single symbols).",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        lits = ", ".join(f"'{w}'" for w in ws)
+        parts.append(
+            f"CAST(len(list_intersect(list_distinct("
+            f"string_split_regex(lower(trim(text)), '\\s+')), [{lits}])) AS INTEGER)"
+            f" AS score_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang, {_lang_scores_sql()}
+      FROM documents),
+    best AS (
+      SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best_score
+      FROM scored)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN score_de = best_score AND best_score > 0 THEN 'de'
+                WHEN score_en = best_score AND best_score > 0 THEN 'en'
+                WHEN score_es = best_score AND best_score > 0 THEN 'es'
+                WHEN score_fr = best_score AND best_score > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           best_score
+    FROM best
+    """,
+    doc="Stopword-hit heuristic language ID with deterministic "
+    "alphabetical tie-break.",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             punct / greatest(n_chars, 1) AS punct_ratio,
+             len(list_filter(toks, w -> list_contains(
+               [{", ".join(repr(w) for w in STOPWORDS["en"])}], w)))
+               / greatest(CAST(len(toks) AS BIGINT), 1) AS stop_ratio
+      FROM t)
+    SELECT doc_id, n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(least(greatest(
+             (0.5 * stop_ratio + 0.5 * (1 - punct_ratio)) *
+             least(n_tokens / 20.0, 1.0), 0.0), 1.0), 6) AS quality
+    FROM m
+    """,
+    doc="Heuristic quality scoring: punctuation ratio, stopword ratio, "
+    "length factor -> [0,1] score.",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_TOKS}) AS w,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents),
+    terms AS (
+      SELECT doc_id, pos * ({md5_long_sql('w')} % {P}) AS term
+      FROM toks WHERE w <> '')
+    SELECT doc_id,
+           CAST(CAST(sum(term) AS HUGEINT) % {P} AS BIGINT) AS fingerprint
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Position-weighted rolling-hash document fingerprint "
+    "(order-sensitive, bounded intermediates).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "clean_html_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {clean_html_sql("'<b>x</b> &amp; ' || text || '<br/>'")} AS cleaned
+    FROM documents
+    """,
+    doc="HTML strip + entity unescape as a builtin chain "
+    "(producers/steam_utils.py:38-42 re-expressed; B14).",
+)
+def q_clean_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<b>x</b> &amp; "), F.col("text"), F.lit("<br/>"))
+    return docs.select("doc_id", clean_html(wrapped).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           substr(hex(encode(text)), 1, 8) AS magic_hex
+    FROM documents
+    """,
+    doc="Metadata extraction from opaque binary payloads without decode: "
+    "byte length + magic prefix (routing stage before codec dispatch).",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
+    return mm.media_metadata(media)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas decode path — not SQL-expressible
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(deterministic stand-in decoder; real codec is the documented "
+    "NotImplementedError integration point). Rows-only driver check; "
+    "deterministic output is pinned by pytest instead.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
+    return mm.decode_features(media, fake=True).drop("feature").withColumn(
+        "decoder", F.col("decoder")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (G2 beyond-reference: reference uses tumbling only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-min gap) per user via F.session_window — the "
+    "windowing mode the reference lacks; oracle is the classic "
+    "gaps-and-islands formulation.",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
