@@ -27,6 +27,23 @@ from pyspark.sql import functions as F
 from ..functions.hashing import HASH_PRIME, MINHASH_PARAMS, md5_long
 
 
+def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition up to the session's default parallelism if the scan is
+    narrower than that.
+
+    Compute-heavy per-document operators (minhash, simhash, fingerprints)
+    are shuffle-free, so their parallelism equals the *input* partition
+    count — a single small parquet file would otherwise pin all hash work
+    to one core.  At real scale the input already has >= cores partitions
+    and this is a no-op; the condition keeps the extra shuffle off the
+    100 TB path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
+
+
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, strip punctuation,
     collapse whitespace."""
@@ -59,19 +76,20 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM lambda ops).
 
-    Guarded for short docs: Spark's ``sequence(0, -1)`` would *descend*
-    (step inferred as -1), so docs with < n tokens explicitly yield an
-    empty array instead.
+    Built by ``zip_with``-ing the token array against its own shifted
+    slices (n-1 linear passes), then truncating to the size-(n-1) full
+    n-grams.  Never index into the token array from inside a per-element
+    lambda: a captured column expression (the split) is re-evaluated *per
+    element* there — measured ~30x slower on 300-char docs.  Docs with
+    < n tokens yield an empty array.
     """
     toks = F.split(F.trim(col), "\\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    full = F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(full)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -81,29 +99,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h_idx, minhash) — the k-row-per-doc MinHash signature.
 
-    shingle -> 60-bit md5 hash -> k universal hashes -> min per function.
-    Entirely explode+groupBy: one shuffle keyed by (doc_id, h_idx).
+    shingle -> 60-bit md5 hash -> k universal hashes -> min per function,
+    computed as ONE ``aggregate`` pass over the per-doc shingle array: the
+    accumulator is the k-vector of running minima, updated per shingle with
+    ``zip_with(acc, candidates(h), least)``.  Zero shuffles, no row
+    explosion, and each md5 is evaluated exactly once — the k-fold work
+    happens on 8-byte longs inside codegen.  (A previous formulation
+    exploded shingles x k hash functions into a groupBy; that shuffled
+    |docs| * |shingles| * k rows and was ~50x slower at sf0.1.)
     Documents with < shingle_n tokens produce no rows (no shingles).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).filter(F.col("s") != "")
-    hashed = sh.select("doc_id", (md5_long(F.col("s")) % HASH_PRIME).alias("h"))
-    params = F.array(
+    params_arr = F.array(
         *[
-            F.struct(F.lit(j).alias("h_idx"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for j, a, b in MINHASH_PARAMS
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for _, a, b in MINHASH_PARAMS
         ]
     )
-    per_fn = hashed.select(
-        "doc_id", "h", F.explode(params).alias("p")
-    ).select(
+    sh = spread_partitions(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_remove(word_shingles(F.col(text_col), shingle_n), "").alias("shs"),
+    ).filter(F.size("shs") > 0)
+    hashed = sh.select(
         "doc_id",
-        F.col("p.h_idx").alias("h_idx"),
-        ((F.col("p.a") * F.col("h") + F.col("p.b")) % HASH_PRIME).alias("hv"),
+        F.transform("shs", lambda s: md5_long(s) % HASH_PRIME).alias("hs"),
     )
-    return per_fn.groupBy("doc_id", "h_idx").agg(F.min("hv").alias("minhash"))
+    init = F.array_repeat(F.lit(HASH_PRIME).cast("long"), len(MINHASH_PARAMS))
+    sig = F.aggregate(
+        "hs",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(params_arr, lambda p: (p["a"] * h + p["b"]) % HASH_PRIME),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return hashed.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
 
 
 def minhash_candidate_pairs(
@@ -152,37 +184,42 @@ def simhash_signatures(
 
     Each token votes ±1 per bit position of its 60-bit hash; the signature
     sets bit i where the vote sum is positive.  ``bits`` stays < 63 so the
-    signature fits a signed long in every engine.  explode(tokens) x
-    explode(bit positions) keeps it all in codegen; the groupBy shuffles
-    (doc_id, bit) pairs — fine because bits is a small constant.
+    signature fits a signed long in every engine.
+
+    Computed as ONE ``aggregate`` pass per document: the accumulator is the
+    per-bit vote vector, updated per token with ``zip_with(acc, votes(h),
+    +)`` against a literal bit-mask array — zero shuffles, no explosion,
+    one md5 per token.  (Previous formulation exploded tokens x bit
+    positions into a groupBy — |docs| * |tokens| * bits shuffled rows.)
     """
-    toks = docs.select(
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    toks = spread_partitions(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    hashed = toks.select("doc_id", md5_long(F.col("w")).alias("h"))
-    bits_arr = F.sequence(F.lit(0), F.lit(bits - 1))
-    # expr() because the pyspark shiftright/shiftleft wrappers only accept a
-    # Python int for numBits; the SQL functions take any expression.
-    votes = hashed.select(
-        "doc_id", "h", F.explode(bits_arr).alias("i")
-    ).select(
-        "doc_id",
-        "i",
-        (F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+        F.array_remove(F.split(F.trim(F.col(text_col)), "\\s+"), "").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    hashed = toks.select(
+        "doc_id", F.transform("ws", lambda w: md5_long(w)).alias("hs")
     )
-    return (
-        votes.groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, cast(i as int))")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
+    one, neg = F.lit(1).cast("long"), F.lit(-1).cast("long")
+    votes = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks, lambda m: F.when(h.bitwiseAND(m) != 0, one).otherwise(neg)
+            ),
+            lambda x, y: x + y,
+        ),
     )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_PRIME, md5_long
 from ..functions.text import STOPWORDS
+from .dedup import spread_partitions
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -101,14 +102,21 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     order-sensitive (unlike a bag-of-words hash) with bounded intermediate
     magnitude: i ≤ doc length, H mod P < 2^31, so each term < 2^51 and the
     running sum stays well inside int64 for any realistic document.
+
+    One ``aggregate`` pass over the per-doc token array (the (w, i)
+    two-arg ``transform`` lambda supplies positions) — zero shuffles, vs
+    the posexplode+groupBy formulation that shuffled every token.
+    Positions index the *raw* split (empty tokens keep their slot but
+    contribute 0), matching the oracle's ``generate_subscripts``.
     """
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    term = (F.col("pos") + 1) * (md5_long(F.col("w")) % HASH_PRIME)
-    return (
-        toks.select("doc_id", term.alias("term"))
-        .groupBy("doc_id")
-        .agg((F.sum("term") % HASH_PRIME).alias("fingerprint"))
+    toks = spread_partitions(docs, "doc_id").select(
+        "doc_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("ws")
+    ).filter(F.size(F.array_remove("ws", "")) > 0)
+    terms = F.transform(
+        "ws",
+        lambda w, i: F.when(
+            w != "", (i + 1).cast("long") * (md5_long(w) % HASH_PRIME)
+        ).otherwise(F.lit(0).cast("long")),
     )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return toks.select("doc_id", (fp % HASH_PRIME).alias("fingerprint"))

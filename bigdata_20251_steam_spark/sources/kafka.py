@@ -1,0 +1,106 @@
+"""Kafka source/sink adapters (SURVEY.md §2.A: A1, A9).
+
+The reference consumes three Kafka topics with ``spark.readStream
+.format("kafka")`` + SSL truststore options (``k8s/spark-apps/
+kafka-spark-configmap.yaml:42-54``) and produces JSON messages keyed by
+appid (``producers/steam_utils.py:90-97``).  These adapters re-express
+that surface; no broker exists in the test environment, so:
+
+- ``kafka_stream`` / ``kafka_batch`` only *construct* the reader (plan
+  building needs no connection; nothing is contacted until a query
+  starts).  They are exercised end-to-end only where a broker is
+  available — locally the file-stream adapter (streaming.engine) stands
+  in behind the same parse stage (``sources.batch.parse_json_records``).
+- ``to_kafka_records`` is a pure DataFrame transform (JVM ``to_json``)
+  and is fully tested without a broker: it produces the exact
+  ``(key, value)`` binary shape ``df.write.format("kafka")`` expects.
+
+At scale: one Kafka partition maps to one Spark task; parallelism comes
+from topic partitioning, so the reference's 3-partition topics cap map
+parallelism at 3 — a real deployment should partition topics >= executor
+cores.  ``minPartitions`` can oversplit when consumers lag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _apply_common(
+    reader,
+    brokers: str,
+    topic: str,
+    starting_offsets: str,
+    ssl_truststore: str | None,
+    ssl_password: str | None,
+    extra_options: dict[str, str] | None,
+):
+    reader = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if ssl_truststore:
+        # SSL shape mirrors kafka-spark-configmap.yaml:46-53.
+        reader = (
+            reader.option("kafka.security.protocol", "SSL")
+            .option("kafka.ssl.truststore.location", ssl_truststore)
+            .option("kafka.ssl.truststore.password", ssl_password or "")
+        )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ssl_truststore: str | None = None,
+    ssl_password: str | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming Kafka source (A1): raw (key, value binary, topic,
+    partition, offset, timestamp) rows; parse with
+    ``sources.batch.parse_json_records``."""
+    return _apply_common(
+        spark.readStream, brokers, topic, starting_offsets,
+        ssl_truststore, ssl_password, extra_options,
+    ).load()
+
+
+def kafka_batch(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+    ssl_truststore: str | None = None,
+    ssl_password: str | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Batch (bounded) read of a topic — the Kappa replay path: the same
+    parse + aggregate plans run over the retained log (7-day retention,
+    ``k8s/infrastructure/kafka.yaml:27``) to rebuild serving tables."""
+    return _apply_common(
+        spark.read, brokers, topic, starting_offsets,
+        ssl_truststore, ssl_password, extra_options,
+    ).option("endingOffsets", ending_offsets).load()
+
+
+def to_kafka_records(df: DataFrame, key_col: str) -> DataFrame:
+    """Serialize rows to Kafka's (key, value) wire shape (A9).
+
+    Re-expresses ``steam_utils.kafka_send`` (``producers/steam_utils.py:
+    90-97``: ``json.dumps(value)`` keyed by appid) as JVM ``to_json`` over
+    all non-key columns — write with ``.write.format("kafka")`` or assert
+    on the frame directly in tests.
+    """
+    payload_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
