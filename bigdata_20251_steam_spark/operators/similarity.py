@@ -58,17 +58,24 @@ def cosine_topk(
     Returns (query_id, vec_id, cos_sim, rank) with deterministic
     tie-breaking on vec_id.
     """
+    # Norms are precomputed per vector (corpus once, queries once in the
+    # broadcast) so the per-pair work is a single dot product — computing
+    # cosine() per pair would redo both norms |queries| times.
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -89,6 +96,45 @@ def bucket_of(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    (id_a, id_b, cos_sim) for same-bucket pairs with cosine >= threshold.
+    The self-join shuffles on the n-bit bucket id, so candidate volume is
+    O(sum bucket_size^2), not O(n^2) — identical scale posture to
+    MinHash-LSH banding (operators.dedup).  For recall-critical dedup run
+    multiple plane sets (probes) and union the pairs.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", bucket_of(F.col("v"), planes)).withColumn(
+        "vn", _norm(F.col("v"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -100,11 +146,14 @@ def lsh_bucketed_topk(
     """Approximate top-k: score only candidates in the query's LSH bucket."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", bucket_of(F.col("v"), planes))
+    ).withColumn("bucket", bucket_of(F.col("v"), planes)).withColumn(
+        "vn", _norm(F.col("v"))
+    )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("vn").alias("qn"),
     )
     cand = base.join(
         F.broadcast(q),
@@ -113,7 +162,9 @@ def lsh_bucketed_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()

@@ -240,6 +240,29 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embed_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_bucket_sql('CAST(embedding AS DOUBLE[])')} AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM base a JOIN base b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs, sign-LSH blocked: the "
+    "vector analogue of MinHash dedup — shuffle on bucket id, "
+    "O(sum bucket^2) candidates, never O(n^2).",
+)
+def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), planes=_PLANES, threshold=0.3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -403,6 +426,134 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
     return mm.decode_features(media, fake=True).drop("feature").withColumn(
         "decoder", F.col("decoder")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: pairs -> surviving documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_dedup_resolve",
+    oracle=_MINHASH_CTE
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    dups AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id)
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_b
+    WHERE dups.doc_b IS NULL
+    GROUP BY d.source
+    """,
+    doc="End-to-end near-dedup: LSH candidate pairs -> drop every doc that "
+    "appears as the higher id of a pair (lowest-id survivor policy) -> "
+    "surviving-doc count per source. The anti-join is the actual dedup "
+    "a training-data pipeline ships; pairs are its intermediate.",
+)
+def q_minhash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    kept = docs.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (the 100 TB substitutes for exact distinct/percentile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_stats",
+    oracle=None,  # HLL / KLL sketch results are engine-specific by design;
+    # tests/test_extensions_unit.py bounds them against exact values instead
+    doc="approx_count_distinct (HyperLogLog++) + percentile_approx (KLL) "
+    "per event_type — the sketches that replace exact distinct/percentile "
+    "at 100 TB (SURVEY.md §2.C gap note). Rows-only driver check; "
+    "pytest asserts HLL within 5% of exact and quantiles within rank "
+    "tolerance.",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL interface (same engine, spark.sql entry point)
+# ---------------------------------------------------------------------------
+
+_SQL_REVENUE = """
+    SELECT o_orderpriority AS priority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue,
+           round(avg(o_totalprice), 6) AS avg_order
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_interface",
+    oracle=_SQL_REVENUE,
+    doc="The spark.sql(...) entry point over registered views — the engine "
+    "is usable from pure SQL with the same table names as the oracle; "
+    "this query's text is literally identical in both engines.",
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.batch import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (G2 beyond-reference: reference uses tumbling only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_windows",
+    oracle="""
+    WITH w AS (
+      SELECT value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+               AS window_start
+      FROM events)
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*)              AS n_events,
+           round(avg(value), 6)  AS avg_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="1-hour windows sliding every 30 minutes (each event lands in "
+    "exactly 2 windows) — F.window's slideDuration arm, which the "
+    "reference never uses; oracle enumerates the 2 covering starts.",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
     )
 
 

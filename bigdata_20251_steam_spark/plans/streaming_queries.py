@@ -79,6 +79,63 @@ def q_streaming_sentiment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT c.c_mktsegment              AS segment,
+           count(*)                    AS n_events,
+           round(sum(e.value), 6)      AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static broadcast join (SURVEY.md §2.D streaming side): the "
+    "event stream enriched against the static customer dimension per "
+    "micro-batch — the appid->name join the reference's dashboards fake "
+    "with hyperlinked raw ids — then aggregated in complete mode.",
+)
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "streaming_running_totals",
+    oracle=None,  # custom stateful operator — not SQL-expressible; the
+    # batch-equivalence assertion lives in tests/test_stateful.py
+    doc="applyInPandasWithState per-key running totals: custom stateful "
+    "operator with explicit state (3 scalars/key in the state store), "
+    "emitting update-mode deltas only for keys touched per batch. "
+    "Final emission per key equals the batch groupBy — asserted in "
+    "pytest; driver records a rows-only check.",
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..streaming.stateful import running_totals
+
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    updates = run_available_now(running_totals(stream), output_mode="update")
+    # update-mode memory sink accumulates one row per (key, batch); keep
+    # each key's final state row
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "streaming_player_windows",
     oracle=QUERIES["player_windows"].oracle,
     doc="player_windows as a streaming query: watermark 5m, 10-minute "

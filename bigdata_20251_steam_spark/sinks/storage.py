@@ -1,0 +1,102 @@
+"""Cold-store (bronze) table maintenance: partitioned layout, small-file
+compaction, time-based retention.
+
+Fixes the reference's two documented physical-layout gaps (SURVEY.md §4):
+
+- its cold parquet is written **unpartitioned** (``kafka-spark-configmap
+  .yaml:95-101`` has no partitionBy), so every query scans everything —
+  ``write_partitioned`` date-partitions so partition pruning works;
+- its 1-minute streaming triggers produce many tiny files (the e2e test
+  literally counts them, ``test/test-e2e-pipeline.ps1:196-201``) —
+  ``compact_table`` rewrites partitions to target-sized files.
+
+Retention re-expresses the Mongo TTL index (30-day
+``expireAfterSeconds``, ``test/mongodb-indexes.js:16-23``) as partition
+drops — at 100 TB a retention delete must be a metadata operation on
+date partitions, never a row-level scan.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Partition directory name used for date partitioning.
+PART_COL = "p_date"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    mode: str = "append",
+) -> None:
+    """Append rows date-partitioned by ``ts_col`` (bronze layout I1/I2).
+
+    Queries filtering on ``{PART_COL}`` (or on ``ts_col`` through it) scan
+    only matching partition directories — partition pruning is the 100 TB
+    lever the reference's flat layout gives up.
+    """
+    (
+        df.withColumn(PART_COL, F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy(PART_COL)
+        .parquet(path)
+    )
+
+
+def _partition_dirs(path: str) -> list[Path]:
+    return sorted(p for p in Path(path).glob(f"{PART_COL}=*") if p.is_dir())
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Rewrite each date partition to ceil(bytes/target) files.
+
+    Returns {partition: n_files_after}.  Safe to run while readers are
+    active only on storage with atomic directory replace; on object
+    stores, compact to a new prefix and swap the table pointer.
+    """
+    out: dict[str, int] = {}
+    for part in _partition_dirs(path):
+        files = [f for f in part.glob("*.parquet") if f.is_file()]
+        n_bytes = sum(f.stat().st_size for f in files)
+        n_target = max(1, math.ceil(n_bytes / target_file_bytes))
+        if len(files) <= n_target:
+            out[part.name] = len(files)
+            continue
+        df = spark.read.parquet(str(part))
+        tmp = part.with_name(part.name + "._compact")
+        df.coalesce(n_target).write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(part)
+        tmp.rename(part)
+        out[part.name] = n_target
+    return out
+
+
+def retention_vacuum(
+    path: str, keep_days: int, today: date | None = None
+) -> list[str]:
+    """Drop date partitions older than ``keep_days`` (TTL semantics, G7).
+
+    Pure metadata/directory operation — O(partitions), no data scan.
+    Returns the dropped partition names.  ``today`` is injectable for
+    deterministic tests.
+    """
+    today = today or date.today()
+    cutoff = today - timedelta(days=keep_days)
+    dropped: list[str] = []
+    for part in _partition_dirs(path):
+        day = date.fromisoformat(part.name.split("=", 1)[1])
+        if day < cutoff:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped

@@ -1,0 +1,55 @@
+"""Unit-level checks for extension operators whose registry entries can't
+be oracle-checked exactly (sketches) or that aren't registry queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_20251_steam_spark.operators.dedup import simhash_near_pairs
+from bigdata_20251_steam_spark.plans import QUERIES
+from bigdata_20251_steam_spark.sources.batch import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_stats_bounds(spark):
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["approx_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("p"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"])
+        # KLL with accuracy 10000 on sf0.001 is exact at these sizes;
+        # allow a loose band anyway
+        for got, want in zip(a["approx_p50_p95"], e["p"]):
+            assert abs(got - want) <= 0.05 * max(abs(want), 1.0)
+
+
+def test_simhash_near_pairs_self_similarity(spark):
+    # identical texts must surface at hamming 0; unrelated texts shouldn't
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog again"),
+            (2, "en", "the quick brown fox jumps over the lazy dog again"),
+            (3, "en", "completely different unrelated content about databases"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

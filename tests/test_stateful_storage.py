@@ -1,0 +1,103 @@
+"""Custom stateful streaming (applyInPandasWithState) and bronze-table
+maintenance (partitioning / compaction / retention)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from bigdata_20251_steam_spark.sinks import (
+    compact_table,
+    retention_vacuum,
+    write_partitioned,
+)
+from bigdata_20251_steam_spark.sources.batch import load_table
+from bigdata_20251_steam_spark.streaming.engine import file_stream, run_available_now
+from bigdata_20251_steam_spark.streaming.stateful import running_totals
+
+from .conftest import SF_SMOKE
+
+
+def test_running_totals_matches_batch(spark, tmp_path):
+    # Stage events as 3 files -> 3 micro-batches, so state genuinely
+    # carries across batches (a single batch would never exercise
+    # state.exists).
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    stream = file_stream(
+        spark, src, events.schema, max_files_per_trigger=1
+    )
+    updates = run_available_now(
+        running_totals(stream), output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).cache()
+
+    n_batches = updates.select("key", "n_events").groupBy("key").count()
+    assert n_batches.agg(F.max("count")).collect()[0][0] > 1  # multi-batch state
+
+    finals = (
+        updates.groupBy("key")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+            F.max_by("max_value", "n_events").alias("max_value"),
+        )
+    )
+    expected = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    diff = finals.join(expected, "key").filter(
+        (finals.n_events != expected.n_events)
+        | (F.abs(finals.sum_value - expected.sum_value) > 1e-6)
+        | (F.abs(finals.max_value - expected.max_value) > 1e-9)
+    )
+    assert finals.count() == expected.count()
+    assert diff.count() == 0
+
+
+def test_partitioned_write_prunes_and_compacts(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "bronze")
+    # two appends -> multiple small files per partition
+    write_partitioned(events, path, ts_col="ts")
+    write_partitioned(events, path, ts_col="ts")
+
+    bronze = spark.read.parquet(path)
+    assert bronze.count() == 2 * events.count()
+
+    days = sorted(r["p_date"] for r in bronze.select("p_date").distinct().collect())
+    one_day = days[0].isoformat()
+    pruned = bronze.filter(F.col("p_date") == one_day)
+    # partition filter must reach the scan (pruning, not post-filter)
+    plan = pruned.queryExecution if hasattr(pruned, "queryExecution") else None
+    explain = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in explain and "p_date" in explain
+
+    before = {p.name: len(list(p.glob("*.parquet")))
+              for p in (tmp_path / "bronze").glob("p_date=*")}
+    assert max(before.values()) > 1
+    after = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert all(n == 1 for n in after.values())
+    assert spark.read.parquet(path).count() == 2 * events.count()
+
+
+def test_retention_vacuum(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "bronze")
+    write_partitioned(events, path, ts_col="ts")
+    days = sorted(
+        date.fromisoformat(p.name.split("=")[1])
+        for p in (tmp_path / "bronze").glob("p_date=*")
+    )
+    assert len(days) >= 2
+    # keep only the newest day
+    cutoff_today = days[-1]
+    dropped = retention_vacuum(path, keep_days=0, today=cutoff_today)
+    assert dropped == [f"p_date={d.isoformat()}" for d in days[:-1]]
+    left = spark.read.parquet(path).select("p_date").distinct().collect()
+    assert [r["p_date"] for r in left] == [days[-1]]
