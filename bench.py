@@ -38,10 +38,12 @@ def main() -> None:
     if headline:
         headline[0].fn(spark, sf_dir).count()
 
+    # min-of-3: the VM shows rare multi-second stalls (GC/noisy neighbor)
+    # that would otherwise masquerade as engine regressions.
     times: dict[str, float] = {}
     for q in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()

@@ -143,8 +143,15 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: (doc_a, doc_b) pairs sharing >=1 band signature.
 
-    Band signature = ordered concat of the band's minhashes; the self-join
-    shuffles on (band_id, band_sig) — bucket-local work only.
+    Band signature = ordered concat of the band's minhashes.  Pairs are
+    generated WITHOUT a self-join: group docs per (band_id, band_sig)
+    bucket, then enumerate intra-bucket pairs with array lambdas — one
+    aggregation pipeline instead of re-running the whole signature plan on
+    both join sides (Spark does not dedupe common subplans across a
+    self-join, so the join form computed every signature twice).  Bucket
+    membership lists are small by LSH design (a bucket IS a near-dup
+    group); a corpus with adversarial mega-buckets (e.g. empty docs)
+    should pre-filter or salt those keys upstream.
     """
     banded = (
         signatures.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
@@ -161,18 +168,27 @@ def minhash_candidate_pairs(
             ).alias("band_sig")
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # ids is a materialized attribute, so referencing it inside the lambda
+    # is free (unlike an inlined expression); ascending sort makes every
+    # (earlier, later) pair satisfy doc_a < doc_b by construction.
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -111,6 +112,88 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
         "media codecs are not available in this environment; "
         "use decode_features(..., fake=True) for the deterministic stub"
     )
+
+
+#: Output schema of resize/transcode-style payload->payload transforms.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+#: Output schema of frame sampling: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Payload -> resized payload (image resize / audio resample shape).
+
+    mapInPandas keeps payload bytes in Arrow buffers end to end; the fake
+    transform truncates/pads to width*height bytes so schema, batching and
+    row-count semantics (1:1) are real.  Wire PIL's ``Image.resize`` at the
+    marked point for real images.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize needs PIL; not in this container"
+                )
+            out = [
+                (bytes(p)[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """Payload -> sampled frames (video frame extraction shape): 1:N fan-out.
+
+    Demonstrates the generator-style mapInPandas contract (output rows !=
+    input rows).  The fake sampler emits one 16-byte "frame" every
+    ``every_n_bytes``; a real implementation dispatches to ffmpeg with the
+    same (doc_id, frame_idx, frame) output schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling needs ffmpeg; not in this container"
+                    )
+                b = bytes(p)
+                for i, off in enumerate(range(0, len(b), every_n_bytes)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[off : off + 16])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
 
 
 def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -415,6 +415,24 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+             (octet_length(payload) - 1) // 256)) AS INTEGER) AS frame_idx
+    FROM b
+    """,
+    doc="Frame-sampling plumbing (video shape): mapInPandas 1:N fan-out, "
+    "one row per 256-byte frame. Oracle checks the fan-out arithmetic "
+    "(doc_id x frame_idx); frame bytes themselves are pinned in pytest.",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, every_n_bytes=256).select("doc_id", "frame_idx")
+
+
+@register(
     "multimodal_features",
     oracle=None,  # mapInPandas decode path — not SQL-expressible
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "

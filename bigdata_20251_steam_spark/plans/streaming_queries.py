@@ -57,6 +57,28 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table (projected to the stream schema) once."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
 @register(
     "streaming_sentiment_hourly",
     oracle=QUERIES["sentiment_hourly"].oracle,
@@ -133,6 +155,50 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "streaming_genre_counts",
+    oracle=QUERIES["genre_distribution"].oracle,
+    doc="The charts app's running genre distribution as a stream: explode "
+    "(F1) + global grouped count in complete mode with NO watermark/window "
+    "(kafka-spark-configmap.yaml:179-185 mechanics — state is one row per "
+    "distinct key). Same oracle as the batch query.",
+)
+def q_streaming_genre_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    agg = (
+        stream.select(F.explode(F.split(F.col("text"), " ")).alias("genre"))
+        .groupBy("genre")
+        .agg(F.count("*").alias("total"))
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "streaming_session_windows",
+    oracle=QUERIES["session_windows"].oracle,
+    doc="Session windows on a real stream: watermark + F.session_window "
+    "(30-min gap) per user in complete mode — the stateful merging-window "
+    "mode the reference lacks entirely. Same oracle as the batch "
+    "session_windows query.",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
 
 
 @register(
