@@ -57,7 +57,13 @@ def to_media_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     With real media the payload comes from the storage layer (parquet
     binary column / object-store pointers); everything downstream is
-    payload-agnostic.
+    payload-agnostic.  Partitioning note: mapInPandas parallelism =
+    partition count = concurrent Python decode workers, but each worker
+    costs ~1s to fork+import — so do NOT blindly repartition small
+    inputs (measured: identity mapInPandas 0.5s at 1 partition, 3.9s at
+    32 on 5k rows).  At real scale, repartition upstream by payload
+    bytes (ceil(sum(n_bytes)/target)) so decode cost, which dwarfs
+    worker startup, spreads evenly.
     """
     return docs.select(
         "doc_id",

@@ -587,6 +587,93 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue_delta,
+           count(*)                                    AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate <  TIMESTAMP '2000-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+    doc="TPC-H Q6-style selective scan+agg: every predicate pushes to the "
+    "parquet reader, zero joins, one scalar row — pure scan throughput.",
+)
+def q_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "semi_join_orders",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+    doc="LEFT SEMI join (EXISTS decorrelation, TPC-H Q4 shape) — a join "
+    "type absent from the reference (§2.D): orders with at least one "
+    "late-shipping line item, counted by priority.",
+)
+def q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_no_big_order
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY 1
+    """,
+    doc="LEFT ANTI join (NOT EXISTS) — customers with no order above "
+    "400k per segment; the inactive/absent-entity query shape every "
+    "serving layer needs and the reference cannot express. (Every "
+    "testdata customer has >=1 order, so the anti-join is against the "
+    "filtered fact side to keep the check non-trivial.)",
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return inactive.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_no_big_order")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference analytics (SURVEY.md §2.C note): window functions,
 # grouping sets, exact percentiles — free capability from Spark, with oracles.
