@@ -23,8 +23,11 @@ lambda wins (no serialization).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -84,6 +87,30 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pandas_cosine_udf(query_vec: list[float]):
+    """Vectorized Arrow-batched cosine against a fixed query vector.
+
+    The scalar-``pandas_udf`` tier of the UDF story (SURVEY.md §2.H): for
+    high-dim embeddings the numpy matmul over a whole Arrow batch
+    amortizes Python dispatch to ~one call per 10k rows, vs per-row JVM
+    lambda evaluation.  At dim=64 the JVM ``zip_with``/``aggregate`` form
+    (:func:`cosine`) wins — no serialization; crossover is roughly
+    dim >= 512 with large batches.  Both paths produce identical floats
+    (same fp order: dot / (norm*norm)); equality is pinned in pytest.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())  # (batch, dim)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return cos
 
 
 def bucket_of(vec: Column, planes: list[list[int]]) -> Column:
