@@ -90,23 +90,6 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a codec: FEATURE_DIM moments of the bytes."""
-    if not payload:
-        return [0.0] * FEATURE_DIM
-    n = len(payload)
-    return [
-        float(n),
-        float(payload[0]),
-        float(payload[-1]),
-        float(sum(payload) % 997),
-        float(min(payload)),
-        float(max(payload)),
-        float(payload[n // 2]),
-        float(n % 251),
-    ]
-
-
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Integration point for real codecs.
 
@@ -211,14 +194,39 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """
 
     decoder_name = "fake-moments" if fake else "real"
+    dim = FEATURE_DIM
 
+    # The closure must be SELF-CONTAINED: cloudpickle serializes nested
+    # functions by value but module-level functions by *reference*, so a
+    # worker-side call to a module helper would require the engine package
+    # on every worker's import path — which an external driver launching
+    # from another cwd does not guarantee (observed: ModuleNotFoundError
+    # in the Python worker).  Hence the decode logic lives inline.
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> list[float]:
+            if not payload:
+                return [0.0] * dim
+            n = len(payload)
+            return [
+                float(n),
+                float(payload[0]),
+                float(payload[-1]),
+                float(sum(payload) % 997),
+                float(min(payload)),
+                float(max(payload)),
+                float(payload[n // 2]),
+                float(n % 251),
+            ]
+
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [
-                _fake_decode(p) if fake else decode_real(p, mt)
-                for p, mt in zip(payloads, pdf["media_type"])
-            ]
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs are not available in this environment; "
+                    "wire decode_real() and ship the package to workers "
+                    "(spark.submit.pyFiles) for the real path"
+                )
+            feats = [fake_decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -588,6 +588,64 @@ def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-03-01'
+    """,
+    doc="TPC-H Q14-style promo revenue share: fact x part dimension with a "
+    "conditional-sum ratio (B4/C4 over a join). part broadcasts; the "
+    "lineitem date filter pushes to the scan.",
+)
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-03-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "supplier_nation_stats",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           round(avg(s.s_acctbal), 6) AS avg_balance,
+           round(max(s.s_acctbal), 6) AS max_balance
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="Supplier dimension rollup by nation (completes table coverage: "
+    "every testdata table is now exercised by at least one oracle-backed "
+    "query).",
+)
+def q_supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_balance"),
+            F.round(F.max("s_acctbal"), 6).alias("max_balance"),
+        )
+    )
+
+
+@register(
     "q6_revenue_delta",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue_delta,

@@ -71,16 +71,27 @@ def run_available_now(
     """
     spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    writer = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
+    # Stateful streaming cost scales with state-store instances = shuffle
+    # partitions; an untuned session's default 200 means 200 state stores
+    # for a test-sized batch (measured ~40s/query on a bare session).
+    # Cap for the duration of this run, then restore.
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        if int(old) > 32:
+            spark.conf.set(key, "32")
+        writer = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     return spark.table(name)
 
 
