@@ -4,10 +4,35 @@ from .core import (
     explode_counts,
     activity_windows,
 )
+from .dedup import (
+    blocked_self_pairs,
+    exact_dedup_stats,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+    spread_partitions,
+    word_shingles,
+)
+from .ingest import flatten_app_details, valid_appids
+from .joins import salted_join
+from .similarity import (
+    cosine,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+    pandas_cosine_udf,
+)
+from .text_analysis import fingerprints, language_id, quality_scores, token_counts
 
 __all__ = [
-    "sentiment_windows",
-    "review_bomb",
-    "explode_counts",
-    "activity_windows",
+    "sentiment_windows", "review_bomb", "explode_counts", "activity_windows",
+    "blocked_self_pairs", "exact_dedup_stats", "minhash_candidate_pairs",
+    "minhash_signatures", "ngram_jaccard_pairs", "simhash_near_pairs",
+    "simhash_signatures", "spread_partitions", "word_shingles",
+    "flatten_app_details", "valid_appids", "salted_join",
+    "cosine", "cosine_near_dup_pairs", "cosine_topk", "lsh_bucketed_topk",
+    "pandas_cosine_udf",
+    "fingerprints", "language_id", "quality_scores", "token_counts",
 ]

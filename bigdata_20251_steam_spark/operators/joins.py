@@ -1,0 +1,45 @@
+"""Join helpers for skew beyond what AQE handles automatically.
+
+AQE's skew-join split (enabled in session.py) handles most skew by
+splitting oversized shuffle partitions, but it only works for sort-merge
+joins after stats exist.  ``salted_join`` is the explicit form for known
+pathological keys (the classic: one hot entity owning 10% of a 100 TB
+fact table): the skewed side spreads each key across ``n_salts``
+sub-partitions, the other side replicates its rows to every salt, and the
+join key becomes (key, salt) — hot keys now occupy n_salts tasks instead
+of one straggler.
+
+Replication multiplies the right side by n_salts, so use this when the
+right side is too big to broadcast but much smaller than the skewed left
+(the broadcast join already solves the small-dim case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to heavy key skew on the ``skewed`` side.
+
+    The salt on the skewed side is derived from a row hash (spreads a hot
+    key's rows uniformly); the other side explodes a salt array.  Output
+    columns match ``skewed.join(other, on, how)``.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    out = left.join(right, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -1,3 +1,10 @@
+from .bucketing import bucketed_join, write_bucketed
 from .storage import compact_table, retention_vacuum, write_partitioned
 
-__all__ = ["compact_table", "retention_vacuum", "write_partitioned"]
+__all__ = [
+    "bucketed_join",
+    "write_bucketed",
+    "compact_table",
+    "retention_vacuum",
+    "write_partitioned",
+]

@@ -53,3 +53,27 @@ def test_simhash_near_pairs_self_similarity(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F2
+
+    from bigdata_20251_steam_spark.operators.joins import salted_join
+
+    # skewed fact: one hot key holding most rows
+    fact = spark.range(0, 10000).select(
+        F2.when(F2.col("id") < 9000, F2.lit(7)).otherwise(F2.col("id") % 50)
+        .cast("long").alias("k"),
+        (F2.col("id") * 3).alias("v"),
+    )
+    dim = spark.range(0, 50).select(
+        F2.col("id").alias("k"), F2.concat(F2.lit("n"), F2.col("id")).alias("name")
+    )
+    got = salted_join(fact, dim, on="k", n_salts=8)
+    plain = fact.join(dim, "k")
+    assert got.count() == plain.count()
+    assert sorted(got.columns) == sorted(plain.columns)
+    d = got.groupBy("k").count().join(
+        plain.groupBy("k").agg(F2.count("*").alias("c2")), "k"
+    ).filter(F2.col("count") != F2.col("c2"))
+    assert d.count() == 0
