@@ -89,6 +89,123 @@ def cosine_topk(
     )
 
 
+def _sqdist_to(vec: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_clusters(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add a ``cluster`` column = index of the nearest centroid (L2).
+
+    argmin via ``array_position(d, array_min(d))`` — first occurrence wins,
+    so ties break deterministically toward the lower cluster id.
+    """
+    dists = F.array(*[_sqdist_to(F.col("v"), c) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return base.withColumn("cluster", cluster)
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic k-means-lite over the corpus.
+
+    Init = the ``n_centroids`` lowest-id vectors (deterministic; with a
+    shuffled corpus this is equivalent to random init), then ``n_iters``
+    Lloyd rounds: distributed assignment (narrow, JVM lambdas) + mean
+    recomputation via posexplode/groupBy.  Only the k x dim centroid
+    matrix ever reaches the driver — the corpus stays distributed; at
+    100 TB you train on a sample and assign the full corpus once.
+
+    Returns (assigned corpus with ``cluster`` column, centroids).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = [
+        list(r["v"])
+        for r in base.filter(F.col("vec_id") < n_centroids)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(n_iters):
+        assigned = _assign_clusters(base, cents)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(old) for c, old in enumerate(cents)}  # empty keeps old
+        for r in means:
+            new[r["cluster"]][r["pos"]] = r["m"]
+        cents = [new[c] for c in range(n_centroids)]
+    return _assign_clusters(base, cents), cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's ``nprobe`` nearest cells.
+
+    The third similarity tier (brute-force exact -> sign-LSH buckets ->
+    IVF coarse quantizer): candidate volume ~ nprobe/n_centroids of the
+    corpus, recall tunable via nprobe.  The probe list per query is a
+    deterministic argsort (array_sort on (dist, idx) structs).
+    """
+    assigned, cents = ivf_index(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assigned.withColumn("vn", _norm(F.col("v")))
+    dist_structs = F.array(
+        *[
+            F.struct(_sqdist_to(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(
+        F.transform(F.array_sort(dist_structs), lambda s: s["j"]), 1, nprobe
+    )
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        probes.alias("probes"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        F.array_contains(F.col("probes"), F.col("cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pandas_cosine_udf(query_vec: list[float]):
     """Vectorized Arrow-batched cosine against a fixed query vector.
 

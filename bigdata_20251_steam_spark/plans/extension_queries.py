@@ -241,6 +241,26 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_topk_ivf",
+    oracle=None,  # Lloyd-iteration float means don't reproduce bit-for-bit
+    # across engines; recall/determinism invariants are pinned in
+    # tests/test_extensions_unit.py instead
+    doc="IVF ANN top-5 (16-cell deterministic k-means-lite coarse "
+    "quantizer, nprobe=4): the third similarity tier after brute-force "
+    "and sign-LSH — candidates ~ nprobe/n_centroids of the corpus. "
+    "Rows-only driver check.",
+)
+def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_QUERY_IDS,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
+@register(
     "embed_near_dup_pairs",
     oracle=f"""
     WITH base AS (

@@ -77,3 +77,25 @@ def test_salted_join_matches_plain(spark):
         plain.groupBy("k").agg(F2.count("*").alias("c2")), "k"
     ).filter(F2.col("count") != F2.col("c2"))
     assert d.count() == 0
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from bigdata_20251_steam_spark.plans import QUERIES
+
+    brute = QUERIES["embed_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
+    ivf = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(got) == set(truth)  # every query answered
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    # random 64-d corpus, nprobe 4/16 -> recall well above the 25%
+    # random-cell floor; exact recall is data-dependent, bound loosely
+    assert hits / total >= 0.25, f"recall {hits}/{total}"
+    # deterministic: a second run reproduces the result exactly
+    again = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
