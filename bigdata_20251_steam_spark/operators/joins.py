@@ -31,8 +31,22 @@ def salted_join(
 
     The salt on the skewed side is derived from a row hash (spreads a hot
     key's rows uniformly); the other side explodes a salt array.  Output
-    columns match ``skewed.join(other, on, how)``.
+    matches ``skewed.join(other, on, how)`` for left-preserving joins only
+    (inner / left / left_semi / left_anti): because each ``other`` row is
+    replicated once per salt, a right or full outer join would emit every
+    unmatched right row ``n_salts`` times — those modes are rejected.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got how={how!r} (right/full outer would duplicate unmatched "
+            "right rows n_salts times)"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     ).cast("int")

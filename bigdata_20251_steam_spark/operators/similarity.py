@@ -118,23 +118,25 @@ def ivf_index(
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: deterministic k-means-lite over the corpus.
 
-    Init = the ``n_centroids`` lowest-id vectors (deterministic; with a
-    shuffled corpus this is equivalent to random init), then ``n_iters``
-    Lloyd rounds: distributed assignment (narrow, JVM lambdas) + mean
+    Init = the ``n_centroids`` lowest ids *actually present* (an
+    ``orderBy(vec_id).limit(k)`` sample — id-density independent, so
+    sparse or offset id spaces seed correctly; deterministic, and with a
+    shuffled corpus equivalent to random init), then ``n_iters`` Lloyd
+    rounds: distributed assignment (narrow, JVM lambdas) + mean
     recomputation via posexplode/groupBy.  Only the k x dim centroid
     matrix ever reaches the driver — the corpus stays distributed; at
     100 TB you train on a sample and assign the full corpus once.
 
-    Returns (assigned corpus with ``cluster`` column, centroids).
+    Returns (assigned corpus with ``cluster`` column, centroids).  The
+    centroid list is sized from the rows found, so corpora smaller than
+    ``n_centroids`` degrade to one cell per vector instead of erroring.
     """
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     cents = [
         list(r["v"])
-        for r in base.filter(F.col("vec_id") < n_centroids)
-        .orderBy("vec_id")
-        .collect()
+        for r in base.orderBy("vec_id").limit(n_centroids).collect()
     ]
     for _ in range(n_iters):
         assigned = _assign_clusters(base, cents)
@@ -147,7 +149,7 @@ def ivf_index(
         new = {c: list(old) for c, old in enumerate(cents)}  # empty keeps old
         for r in means:
             new[r["cluster"]][r["pos"]] = r["m"]
-        cents = [new[c] for c in range(n_centroids)]
+        cents = [new[c] for c in range(len(cents))]
     return _assign_clusters(base, cents), cents
 
 

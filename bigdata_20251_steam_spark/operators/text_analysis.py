@@ -100,8 +100,11 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     FP = ( Σ_i  i * (H(token_i) mod P) ) mod P  over 1-based positions —
     order-sensitive (unlike a bag-of-words hash) with bounded intermediate
-    magnitude: i ≤ doc length, H mod P < 2^31, so each term < 2^51 and the
-    running sum stays well inside int64 for any realistic document.
+    magnitude: the modulo is applied inside the aggregate merge step, so
+    the accumulator stays < P < 2^31 and each (acc + term) stays < 2^52 —
+    no int64 wrap at ANY document length (a raw running sum would silently
+    overflow past ~65k tokens and diverge from oracles that sum in
+    arbitrary precision).
 
     One ``aggregate`` pass over the per-doc token array (the (w, i)
     two-arg ``transform`` lambda supplies positions) — zero shuffles, vs
@@ -118,5 +121,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
             w != "", (i + 1).cast("long") * (md5_long(w) % HASH_PRIME)
         ).otherwise(F.lit(0).cast("long")),
     )
-    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return toks.select("doc_id", (fp % HASH_PRIME).alias("fingerprint"))
+    fp = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % HASH_PRIME
+    )
+    return toks.select("doc_id", fp.alias("fingerprint"))

@@ -245,6 +245,8 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # Lloyd-iteration float means don't reproduce bit-for-bit
     # across engines; recall/determinism invariants are pinned in
     # tests/test_extensions_unit.py instead
+    priority=90,  # rows-only driver row is redundant with the pytest
+    # recall/determinism pins — keep oracle-bearing checks in the window
     doc="IVF ANN top-5 (16-cell deterministic k-means-lite coarse "
     "quantizer, nprobe=4): the third similarity tier after brute-force "
     "and sign-LSH — candidates ~ nprobe/n_centroids of the corpus. "
@@ -455,6 +457,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle=None,  # mapInPandas decode path — not SQL-expressible
+    priority=90,  # rows-only; fully covered by tests/test_multimodal.py
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
     "(deterministic stand-in decoder; real codec is the documented "
     "NotImplementedError integration point). Rows-only driver check; "
@@ -519,13 +522,15 @@ def q_minhash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per event_type — the sketches that replace exact distinct/percentile "
     "at 100 TB (SURVEY.md §2.C gap note). Rows-only driver check; "
     "pytest asserts HLL within 5% of exact and quantiles within rank "
-    "tolerance.",
+    "tolerance.  Percentiles are emitted as two scalar columns (not one "
+    "array<double>) so row canonicalizers can sort/hash the output.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
     )
 
 

@@ -171,7 +171,7 @@ def q_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS window_end,
              user_id,
              max(value) AS max_value,
-             avg(value) AS avg_value
+             round(avg(value), 6) AS avg_value
       FROM events GROUP BY 1, 2, 3
     )
     SELECT user_id,
@@ -182,13 +182,20 @@ def q_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w GROUP BY user_id
     """,
     doc="Re-aggregation of the windowed table by key (demo-queries.js:98-110, C7): "
-    "peak/avg/window-count/latest per key.",
+    "peak/avg/window-count/latest per key.  The inner avg_value is rounded "
+    "to 6dp on BOTH sides before the outer avg — the two-level float "
+    "composition is otherwise summation-order-sensitive (Spark and DuckDB "
+    "sum window partials in different orders, flipping the outer 6dp "
+    "rounding at boundaries — the round-1 hash mismatch).",
 )
 def q_peak_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         events.groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
-        .agg(F.max("value").alias("max_value"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.max("value").alias("max_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
     )
     return (
         w.groupBy("user_id")
@@ -412,15 +419,17 @@ def q_epoch_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     headline=True,
-    doc="Broadcast equi-join of facts against a dimension — the appid->name "
+    doc="Equi-join of facts against a dimension — the appid->name "
     "join the reference works around (mongodb_dashboard.json:661,928; §2.D). "
-    "customer is broadcast: no shuffle of the fact side.",
+    "No forced broadcast: customer grows with scale factor, so an explicit "
+    "hint would override Spark's size check and OOM at 100x; AQE converts "
+    "to broadcast at runtime whenever the dim side is actually small.",
 )
 def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -487,7 +496,10 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     doc="TPC-H Q3-style shipping priority: selective filters on both fact "
-    "sides + broadcast dim + top-k. Exercises join order & pushdown.",
+    "sides + top-k. Exercises join order & pushdown. The filtered customer "
+    "side carries no broadcast hint — customer is unbounded in SF, so AQE's "
+    "runtime size check decides (it picks broadcast at test scale; at 100x "
+    "a forced hint would be the OOM).",
 )
 def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
@@ -501,7 +513,7 @@ def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -531,8 +543,10 @@ def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     headline=True,
-    doc="TPC-H Q5-style multi-join rollup: 4 joins, 3 broadcastable dims, "
-    "one fact-fact shuffle join. The join-reordering stress test.",
+    doc="TPC-H Q5-style multi-join rollup: 4 joins, 2 genuinely bounded dims "
+    "(nation=25, region=5 rows — broadcast-hinted), one fact-fact shuffle "
+    "join. The customer-derived side is NOT hinted: it scales with SF, so "
+    "AQE decides broadcast vs shuffle from runtime stats.",
 )
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -547,7 +561,7 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -570,13 +584,14 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="Top-k after join+agg (E1 over the implied dim join): top-10 "
-    "customers by total spend, deterministic tie-break.",
+    "customers by total spend, deterministic tie-break. customer is "
+    "unhinted (unbounded in SF) — AQE picks the join strategy.",
 )
 def q_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
         .agg(
             F.count("*").alias("n_orders"),

@@ -179,6 +179,8 @@ def q_streaming_genre_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_session_windows",
     oracle=QUERIES["session_windows"].oracle,
+    priority=90,  # oracle duplicates the driver-checked batch
+    # session_windows query; parity is still pytest-verified
     doc="Session windows on a real stream: watermark + F.session_window "
     "(30-min gap) per user in complete mode — the stateful merging-window "
     "mode the reference lacks entirely. Same oracle as the batch "
@@ -204,6 +206,8 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_player_windows",
     oracle=QUERIES["player_windows"].oracle,
+    priority=90,  # oracle duplicates the driver-checked batch
+    # player_windows query; parity is still pytest-verified
     doc="player_windows as a streaming query: watermark 5m, 10-minute "
     "tumbling windows per key, complete mode (kafka-spark-configmap.yaml:"
     "259-265 mechanics).",

@@ -27,6 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    ssl_truststore: str | None = None,
+    ssl_password: str | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The full DataSource option map for a Kafka reader (A1 surface).
+
+    Split out as a pure function so the option shape — broker list,
+    subscription, SSL truststore block (kafka-spark-configmap.yaml:46-53),
+    throughput caps like ``maxOffsetsPerTrigger`` via ``extra_options`` —
+    is testable without a broker: the readers below apply exactly this map.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if ssl_truststore:
+        # SSL shape mirrors kafka-spark-configmap.yaml:46-53.
+        opts["kafka.security.protocol"] = "SSL"
+        opts["kafka.ssl.truststore.location"] = ssl_truststore
+        opts["kafka.ssl.truststore.password"] = ssl_password or ""
+    opts.update(extra_options or {})
+    return opts
+
+
 def _apply_common(
     reader,
     brokers: str,
@@ -36,20 +65,11 @@ def _apply_common(
     ssl_password: str | None,
     extra_options: dict[str, str] | None,
 ):
-    reader = (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if ssl_truststore:
-        # SSL shape mirrors kafka-spark-configmap.yaml:46-53.
-        reader = (
-            reader.option("kafka.security.protocol", "SSL")
-            .option("kafka.ssl.truststore.location", ssl_truststore)
-            .option("kafka.ssl.truststore.password", ssl_password or "")
-        )
-    for k, v in (extra_options or {}).items():
+    reader = reader.format("kafka")
+    for k, v in kafka_options(
+        brokers, topic, starting_offsets, ssl_truststore, ssl_password,
+        extra_options,
+    ).items():
         reader = reader.option(k, v)
     return reader
 

@@ -33,7 +33,7 @@ def test_approx_stats_bounds(spark):
         assert abs(a["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"])
         # KLL with accuracy 10000 on sf0.001 is exact at these sizes;
         # allow a loose band anyway
-        for got, want in zip(a["approx_p50_p95"], e["p"]):
+        for got, want in zip((a["approx_p50"], a["approx_p95"]), e["p"]):
             assert abs(got - want) <= 0.05 * max(abs(want), 1.0)
 
 
@@ -77,6 +77,59 @@ def test_salted_join_matches_plain(spark):
         plain.groupBy("k").agg(F2.count("*").alias("c2")), "k"
     ).filter(F2.col("count") != F2.col("c2"))
     assert d.count() == 0
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.joins import salted_join
+
+    a = spark.range(3).select(F.col("id").alias("k"))
+    b = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "outer", "cross"):
+        with _pytest.raises(ValueError):
+            salted_join(a, b, on="k", how=how)
+    # left outer keeps unmatched-left semantics intact (no duplication)
+    left_only = spark.range(5).select(F.col("id").alias("k"))
+    got = salted_join(left_only, b, on="k", how="left")
+    assert got.count() == 5
+
+
+def test_ivf_index_sparse_ids(spark):
+    """Seeding must come from ids actually present, not ``id < k``."""
+    import random
+
+    from bigdata_20251_steam_spark.operators.similarity import ivf_index, ivf_topk
+
+    rng = random.Random(7)
+    # ids start at 1_000_000 with gaps — the old `vec_id < k` seed finds zero
+    rows = [
+        (1_000_000 + 7 * i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ivf_index(emb, n_centroids=4, n_iters=1)
+    assert len(cents) == 4
+    assert assigned.count() == 60
+    clusters = {r["cluster"] for r in assigned.select("cluster").distinct().collect()}
+    assert clusters <= set(range(4)) and len(clusters) > 1
+    # end-to-end: top-k over the sparse-id corpus answers every query
+    qids = [rows[0][0], rows[10][0]]
+    topk = ivf_topk(emb, qids, k=3, n_centroids=4, nprobe=2)
+    got = {r["query_id"] for r in topk.collect()}
+    assert got == set(qids)
+
+
+def test_ivf_index_corpus_smaller_than_k(spark):
+    from bigdata_20251_steam_spark.operators.similarity import ivf_index
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ivf_index(emb, n_centroids=8, n_iters=1)
+    assert len(cents) == 2
+    assert assigned.count() == 2
 
 
 def test_ivf_topk_recall_and_determinism(spark):

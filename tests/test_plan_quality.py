@@ -1,0 +1,146 @@
+"""Plan-shape and robustness assertions beyond value correctness.
+
+Covers the round-1 verdict items: no forced broadcast of unbounded
+relations (AQE must still pick broadcast at test scale), the Kafka
+reader's full option surface (testable without a broker), and the
+fingerprint aggregate staying bounded on pathologically long documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bigdata_20251_steam_spark.functions.hashing import HASH_PRIME
+from bigdata_20251_steam_spark.operators.text_analysis import fingerprints
+from bigdata_20251_steam_spark.plans import QUERIES
+from bigdata_20251_steam_spark.sources.kafka import kafka_options
+
+from .conftest import SF_SMOKE
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint hygiene (VERDICT r1 "What's wrong" #3)
+# ---------------------------------------------------------------------------
+
+# query -> number of ResolvedHints its plan is ALLOWED to carry (hints only
+# on genuinely bounded dims: nation=25 rows, region=5 rows).  customer /
+# customer-derived sides must carry none — they grow with scale factor, and
+# a forced hint overrides Spark's size check (OOM at 100x).
+_HINT_BUDGET = {
+    "dim_join": 0,
+    "q3_top_revenue": 0,
+    "q5_region_revenue": 2,  # nation + region only
+    "top_spenders": 0,
+}
+
+
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_forced_broadcast_of_unbounded_relations(spark):
+    for name, budget in _HINT_BUDGET.items():
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        n_hints = _analyzed_plan(df).count("ResolvedHint")
+        assert n_hints == budget, (
+            f"{name}: expected {budget} broadcast hints (bounded dims only), "
+            f"found {n_hints} — unbounded relations must not be force-broadcast"
+        )
+
+
+def test_aqe_still_broadcasts_small_sides_at_test_scale(spark):
+    # with the hints gone, AQE's runtime size check should still convert the
+    # (tiny at sf0.001) customer sides to broadcast joins
+    for name in _HINT_BUDGET:
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        df.collect()  # drive AQE to its final plan
+        final = _final_plan(df)
+        assert "BroadcastHashJoin" in final, (
+            f"{name}: AQE did not pick a broadcast join at test scale:\n{final[:2000]}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Kafka option surface (VERDICT r1 "Next round" #5)
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_options_plain():
+    opts = kafka_options("b1:9092,b2:9092", "steam-reviews")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "steam-reviews",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_kafka_options_ssl_and_extras():
+    # the reference's SSL truststore shape (kafka-spark-configmap.yaml:46-53)
+    # plus a throughput cap, exactly as a real deployment would set them
+    opts = kafka_options(
+        "broker:9093",
+        "steam-players",
+        starting_offsets="latest",
+        ssl_truststore="/etc/kafka/truststore.jks",
+        ssl_password="secret",
+        extra_options={"maxOffsetsPerTrigger": "10000", "minPartitions": "64"},
+    )
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.truststore.location"] == "/etc/kafka/truststore.jks"
+    assert opts["kafka.ssl.truststore.password"] == "secret"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["minPartitions"] == "64"
+
+
+def test_kafka_options_extra_overrides_default():
+    opts = kafka_options(
+        "b:9092", "t", extra_options={"startingOffsets": "latest"}
+    )
+    assert opts["startingOffsets"] == "latest"
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint overflow guard (ADVICE r1: >65k-token documents)
+# ---------------------------------------------------------------------------
+
+
+def _md5_long_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_fingerprint_long_document_no_overflow(spark):
+    # 70k tokens: a raw running sum of i*(H mod P) terms would exceed int64
+    # (~2^63) around 65k tokens; the mod-inside-merge form must not wrap.
+    n = 70_000
+    tokens = [f"w{i % 97}" for i in range(n)]
+    doc = spark.createDataFrame(
+        [(1, " ".join(tokens))], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(doc).collect()}
+    expect = (
+        sum((i + 1) * (_md5_long_py(w) % HASH_PRIME) for i, w in enumerate(tokens))
+        % HASH_PRIME
+    )
+    assert got[1] == expect
+    assert 0 <= got[1] < HASH_PRIME
+
+
+def test_fingerprint_short_document_parity(spark):
+    doc = spark.createDataFrame(
+        [(7, "alpha beta gamma")], "doc_id long, text string"
+    )
+    got = fingerprints(doc).collect()[0]["fingerprint"]
+    expect = (
+        sum(
+            (i + 1) * (_md5_long_py(w) % HASH_PRIME)
+            for i, w in enumerate(["alpha", "beta", "gamma"])
+        )
+        % HASH_PRIME
+    )
+    assert got == expect
