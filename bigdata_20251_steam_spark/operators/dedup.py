@@ -360,3 +360,66 @@ def ngram_jaccard_pairs(
         pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive closure of duplicate pairs: (doc_id, component_id).
+
+    ``minhash_candidate_pairs`` emits edges; dedup policy usually wants
+    *clusters* (A~B, B~C => {A,B,C} keep one).  This is iterative
+    min-label propagation — the simple variant of the large-star/small-
+    star map-reduce CC algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): every node repeatedly adopts
+    the minimum label in its closed neighborhood until fixpoint.
+
+    Each round is one join + one groupBy (two shuffles) over the EDGE
+    set, which for dedup graphs is O(true duplicates) — tiny relative to
+    the corpus.  Rounds = graph diameter (duplicate clusters are
+    near-cliques from LSH, so 2-4 in practice; ``max_iters`` bounds
+    pathological chains).  ``localCheckpoint`` cuts the growing lineage
+    so round N doesn't replan rounds 1..N-1.  Driver-side per round:
+    one boolean convergence count, never data.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -1,0 +1,79 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+Training-data plumbing that must be *reproducible across engines and
+re-runs*: every assignment derives from a content hash (``md5_long``, the
+repo's cross-engine hash), never from ``rand()`` — so the same row lands
+in the same split on Spark, in the DuckDB oracle, and on a re-run after a
+lost executor.  All JVM built-ins, zero shuffles: split assignment is a
+narrow projection, so at 100 TB it fuses into whatever scan or write
+surrounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def split_bucket(id_col: Column, n_buckets: int = 100, salt: str = "split") -> Column:
+    """Stable bucket in [0, n_buckets) from a row id — the split primitive.
+
+    Salted so independent splits (e.g. a later 5-fold CV over the same
+    corpus) decorrelate from this one.
+    """
+    return md5_long(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hashed id — deterministic dataset split.
+
+    The remaining ``100 - train_pct - val_pct`` percent is test.  Because
+    the bucket is a pure function of the id, the split is stable under
+    re-partitioning, engine changes, and incremental corpus growth
+    (existing docs never migrate between splits when new docs arrive —
+    the property random splits lack).
+    """
+    b = split_bucket(F.col(id_col), 100, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (``sampleBy`` without RNG).
+
+    Keeps a row iff its hash bucket (of 1e6) falls under the stratum's
+    fraction — e.g. rebalancing languages or sources in a pretraining
+    mix.  Unlike ``DataFrame.sampleBy``, re-runs and different partition
+    layouts keep exactly the same rows, and the oracle can reproduce the
+    selection bit-for-bit.
+    """
+    b = split_bucket(F.col(id_col), 1_000_000, salt)
+    frac = None
+    for k, v in sorted(fractions.items()):
+        cond = F.col(stratum_col) == k
+        frac = F.when(cond, v) if frac is None else frac.when(cond, v)
+    frac = (
+        frac.otherwise(default_fraction)
+        if frac is not None
+        else F.lit(default_fraction)
+    )
+    return df.filter(b < (frac * 1_000_000).cast("long"))

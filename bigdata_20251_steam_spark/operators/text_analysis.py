@@ -95,6 +95,63 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    The standard degenerate-text filters for pretraining corpora
+    (Rae et al. 2021 "Scaling Language Models", §A1.1 repetition rules):
+
+    - ``dup_token_ratio``   = 1 - distinct_tokens / n_tokens
+    - ``top_token_share``   = occurrences of the most frequent token / n
+    - ``max_run_len``       = longest run of consecutive identical tokens
+
+    All three are per-doc array computations — ``array_distinct`` for the
+    distinct count, and a single ``aggregate`` pass with a (prev, run,
+    best) struct accumulator over the sorted / raw token array for the
+    multiplicity and run metrics (longest run in the SORTED array ==
+    the most frequent token's multiplicity).  Zero shuffles, zero
+    Python: the scan is the only stage, so the operator runs at
+    parquet-read speed at any corpus size.
+    """
+
+    def _max_run(arr):
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, w):
+            run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                w.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+    toks = spread_partitions(docs, "doc_id").select(
+        "doc_id",
+        F.array_remove(
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), ""
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    n = F.size("ws")
+    nd = F.size(F.array_distinct("ws"))
+    return toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(1 - nd / n, 6).alias("dup_token_ratio"),
+        # longest run in the SORTED array == max multiplicity of any token
+        F.round(_max_run(F.array_sort("ws")) / n, 6).alias("top_token_share"),
+        _max_run(F.col("ws")).alias("max_run_len"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Position-weighted rolling hash fingerprint per document.
 

@@ -644,3 +644,282 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: relational extensions (as-of / range join), dataset
+# splits & stratified sampling, sequence packing, repetition quality,
+# dedup connected components.  Registered at priority 60: behind the 50
+# driver-checked queries (window composition is a deliberate allocation,
+# see registry.py), fully oracle-verified by tests/test_queries_vs_oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_good",
+    oracle="""
+    WITH good AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    m AS (
+      SELECT err.event_id, g.ts AS gts, g.value,
+             row_number() OVER (PARTITION BY err.event_id
+                                ORDER BY g.ts DESC) AS rn
+      FROM err JOIN good g
+        ON g.user_id = err.user_id AND g.ts <= err.ts)
+    SELECT e.event_id, e.user_id, e.ts,
+           round(m.value, 6) AS matched_value,
+           m.gts             AS matched_ts
+    FROM err e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON e.event_id = m.event_id
+    """,
+    priority=60,
+    doc="As-of join (operators.relational_ext.asof_join): for every error "
+    "event, the latest at-or-before non-error reading of the same user — "
+    "the time-series join Spark lacks (pandas merge_asof / DuckDB ASOF). "
+    "Union-and-carry-forward: ONE shuffle on user_id, no per-key state; "
+    "the oracle is the O(n*k) row_number formulation.",
+)
+def q_asof_join_last_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational_ext import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    good = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        err, good, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("value",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("matched_value", 6).alias("matched_value"),
+        "matched_ts",
+    )
+
+
+@register(
+    "interval_event_counts",
+    oracle="""
+    WITH anchors AS (
+      SELECT event_id AS interval_id, ts AS start_ts,
+             ts + INTERVAL 6 HOUR AS end_ts
+      FROM events WHERE event_id % 199 = 0)
+    SELECT a.interval_id,
+           count(*)                AS n_events,
+           round(sum(e.value), 6)  AS sum_value
+    FROM anchors a JOIN events e
+      ON e.ts >= a.start_ts AND e.ts < a.end_ts
+    GROUP BY 1
+    """,
+    priority=60,
+    doc="Keyless point-in-interval range join "
+    "(operators.relational_ext.range_join): events landing in 6-hour "
+    "windows anchored at sampled events.  Binned equi-join on bucket id "
+    "+ exact residual filter — the plan a raw inequality join would turn "
+    "into a BroadcastNestedLoopJoin; the oracle IS that naive form.",
+)
+def q_interval_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational_ext import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        ev.select("ts", "value"), anchors, "ts", "start_ts", "end_ts",
+        bucket="6 hours",
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "hash_split_assignments",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    priority=60,
+    doc="Deterministic 80/10/10 train/val/test split by salted content "
+    "hash (operators.sampling.hash_split): stable under repartitioning, "
+    "engine changes, and incremental corpus growth — rows never migrate "
+    "between splits.  Narrow projection, zero shuffles.",
+)
+def q_hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+_SAMPLE_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_SAMPLE_BUCKET_SQL} AS bucket FROM documents),
+    kept AS (
+      SELECT lang FROM b
+      WHERE bucket < CAST(CASE lang WHEN 'en' THEN 0.5
+                                    WHEN 'zh' THEN 0.25
+                                    ELSE 0.1 END * 1000000 AS BIGINT))
+    SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
+    """,
+    priority=60,
+    doc="Deterministic stratified downsampling "
+    "(operators.sampling.stratified_sample): per-language keep fractions "
+    "via hash buckets — sampleBy without RNG, reproducible bit-for-bit "
+    "across engines and re-runs.  The language-rebalancing primitive for "
+    "pretraining mixes.",
+)
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, stratum_col="lang", id_col="doc_id",
+        fractions={"en": 0.5, "zh": 0.25}, default_fraction=0.1,
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "packing_assignments",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS pack_offset
+      FROM tc)
+    SELECT doc_id, n_tokens,
+           CAST(pack_offset AS BIGINT)          AS pack_offset,
+           CAST(pack_offset // 1024 AS BIGINT)  AS pack_id
+    FROM c
+    """,
+    priority=60,
+    doc="Sequence packing (operators.packing.pack_documents): offset "
+    "packing of docs into 1024-token context windows via a running "
+    "prefix sum — pack_id = token_offset div budget.  Oracle-parity form "
+    "is the single-shard global order; the operator shards by hash for "
+    "the 1000-executor path.",
+)
+def q_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_documents
+    from ..operators.text_analysis import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts(docs).select("doc_id", F.col("ws_tokens").alias("n_tokens"))
+    packed = pack_documents(
+        tc, id_col="doc_id", token_count_col="n_tokens", budget=1024,
+        n_shards=1,
+    )
+    return packed.select("doc_id", "n_tokens", "pack_offset", "pack_id")
+
+
+@register(
+    "repetition_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> w <> '') AS l
+      FROM documents),
+    nz AS (
+      SELECT doc_id, l, len(l) AS n, len(list_distinct(l)) AS nd
+      FROM base WHERE len(l) > 0),
+    tok AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+      FROM nz),
+    counts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    topc AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+    runs AS (
+      SELECT doc_id, w,
+             pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos)
+               AS grp
+      FROM tok),
+    runlen AS (
+      SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, w, grp),
+    maxrun AS (SELECT doc_id, max(rl) AS mr FROM runlen GROUP BY 1)
+    SELECT nz.doc_id,
+           CAST(n AS INT)              AS n_tokens,
+           CAST(nd AS INT)             AS n_distinct,
+           round(1 - nd / n, 6)        AS dup_token_ratio,
+           round(topc / n, 6)          AS top_token_share,
+           CAST(mr AS BIGINT)          AS max_run_len
+    FROM nz JOIN topc USING (doc_id) JOIN maxrun USING (doc_id)
+    """,
+    priority=60,
+    doc="Gopher-style repetition quality signals "
+    "(operators.text_analysis.repetition_metrics): dup-token ratio, top "
+    "token share, longest identical-token run — per-doc array aggregates "
+    "with a struct accumulator, zero shuffles; the oracle is the "
+    "explode+gaps-and-islands formulation.",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_components",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    """,
+    priority=60,
+    doc="Transitive duplicate clusters over MinHash-LSH pairs "
+    "(operators.dedup.connected_components): iterative min-label "
+    "propagation, O(edges) per round, rounds = cluster diameter.  The "
+    "oracle is a recursive-CTE transitive closure.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    return dd.connected_components(pairs)

@@ -39,13 +39,22 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "?") -> None:
         f"{name}: column mismatch {list(got.columns)} vs {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
+    def _is_null(v) -> bool:
+        # scalar null in any of pandas' spellings: None, float nan, NaT
+        if v is None:
+            return True
+        if isinstance(v, (list, tuple)):
+            return False
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False
+
     for col in got.columns:
         g, e = got[col], exp[col]
         for i, (gv, ev) in enumerate(zip(g, e)):
-            if gv is None or (isinstance(gv, float) and math.isnan(gv)):
-                assert ev is None or (isinstance(ev, float) and math.isnan(ev)), (
-                    f"{name}.{col}[{i}]: {gv!r} vs {ev!r}"
-                )
+            if _is_null(gv):
+                assert _is_null(ev), f"{name}.{col}[{i}]: {gv!r} vs {ev!r}"
             elif isinstance(gv, float) and isinstance(ev, float):
                 assert gv == ev or math.isclose(gv, ev, rel_tol=1e-12, abs_tol=1e-12), (
                     f"{name}.{col}[{i}]: {gv!r} vs {ev!r}"

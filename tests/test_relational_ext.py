@@ -1,0 +1,186 @@
+"""Unit tests for the round-2 operator additions: as-of join, range join,
+hash split / stratified sample, packing, connected components."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_20251_steam_spark.operators.dedup import connected_components
+from bigdata_20251_steam_spark.operators.packing import pack_documents
+from bigdata_20251_steam_spark.operators.relational_ext import asof_join, range_join
+from bigdata_20251_steam_spark.operators.sampling import hash_split, stratified_sample
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T10:00:00")),  # after r2 -> 20.0
+            (2, "k1", _ts("2024-01-01T09:00:00")),  # ties r2 exactly -> 20.0
+            (3, "k1", _ts("2024-01-01T07:00:00")),  # before everything -> null
+            (4, "k2", _ts("2024-01-01T10:00:00")),  # other key -> 99.0
+            (5, "k3", _ts("2024-01-01T10:00:00")),  # key with no right rows
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T08:00:00"), 10.0),
+            ("k1", _ts("2024-01-01T09:00:00"), 20.0),
+            ("k1", _ts("2024-01-01T11:00:00"), 30.0),  # future: never matched
+            ("k2", _ts("2024-01-01T08:30:00"), 99.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["matched_v"], r["matched_ts"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=("v",),
+        ).collect()
+    }
+    assert got[1] == (20.0, _ts("2024-01-01T09:00:00"))
+    assert got[2] == (20.0, _ts("2024-01-01T09:00:00"))  # <= : tie matches
+    assert got[3] == (None, None)
+    assert got[4] == (99.0, _ts("2024-01-01T08:30:00"))
+    assert got[5] == (None, None)
+    assert len(got) == 5  # every left row exactly once
+
+
+def test_asof_join_rejects_forward(spark):
+    df = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))], "k long, ts timestamp")
+    with pytest.raises(ValueError):
+        asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
+                  value_cols=(), direction="forward")
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),  # == start: in
+            (2, _ts("2024-01-01T05:59:59")),  # just inside
+            (3, _ts("2024-01-01T06:00:00")),  # == end: out (exclusive)
+            (4, _ts("2023-12-31T23:59:59")),  # before: out
+            # crosses a 6h bucket boundary relative to the interval start
+            (5, _ts("2024-01-01T11:00:00")),
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T06:00:00")),
+            # interval spanning two buckets
+            (200, _ts("2024-01-01T05:00:00"), _ts("2024-01-01T12:00:00")),
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "start_ts", "end_ts", bucket="6 hours"
+        ).collect()
+    }
+    assert got == {(1, 100), (2, 100), (2, 200), (3, 200), (5, 200)}
+    # oracle cross-check: plain inequality join gives the identical set
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_hash_split_proportions_and_stability(spark):
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    split1 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    # deterministic: identical on re-run and under different partitioning
+    split2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert split1 == split2
+    from collections import Counter
+
+    c = Counter(split1.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 2000 - 0.80) < 0.04
+    assert abs(c["val"] / 2000 - 0.10) < 0.03
+    assert abs(c["test"] / 2000 - 0.10) < 0.03
+    # growth stability: the first 1000 docs keep their assignment
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.filter(F.col("doc_id") < 1000), "doc_id"
+        ).collect()
+    }
+    assert sub == {k: v for k, v in split1.items() if k < 1000}
+
+
+def test_stratified_sample_fractions(spark):
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "zh")
+        .otherwise("de")
+        .alias("lang"),
+    )
+    kept = stratified_sample(
+        docs, "lang", "doc_id", fractions={"en": 0.5, "zh": 0.2},
+        default_fraction=0.0,
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "de" not in counts  # default 0.0 drops the stratum entirely
+    assert abs(counts["en"] / 1000 - 0.5) < 0.06
+    assert abs(counts["zh"] / 1000 - 0.2) < 0.05
+
+
+def test_pack_documents_offsets(spark):
+    docs = spark.createDataFrame(
+        [(1, 500), (2, 400), (3, 300), (4, 900), (5, 100)],
+        "doc_id long, n long",
+    )
+    got = {
+        r["doc_id"]: (r["pack_offset"], r["pack_id"])
+        for r in pack_documents(docs, "doc_id", "n", budget=1000).collect()
+    }
+    # offsets are the exclusive prefix sum in doc_id order
+    assert got == {
+        1: (0, 0), 2: (500, 0), 3: (900, 0), 4: (1200, 1), 5: (2100, 2),
+    }
+
+
+def test_pack_documents_sharded_budget_invariant(spark):
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n")
+    )
+    packed = pack_documents(docs, "doc_id", "n", budget=256, n_shards=4)
+    # every doc appears once; within a shard, offsets are consistent with
+    # the per-shard prefix sum (pack_id = offset div budget by definition)
+    assert packed.count() == 500
+    bad = packed.filter(
+        F.col("pack_id") != F.expr("pack_offset div 256")
+    ).count()
+    assert bad == 0
+    shards = packed.select("shard").distinct().count()
+    assert shards == 4
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # island pair 10-11, untouched node never appears
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
