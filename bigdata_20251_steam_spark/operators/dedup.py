@@ -391,6 +391,11 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # materialize once: every propagation round (and its convergence
+        # count) re-reads the edge set, and `pairs` is usually the tail of
+        # an expensive candidate-generation pipeline (minhash -> banding
+        # -> bucket join) that must not re-execute per round
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -676,6 +676,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.event_id = m.event_id
     """,
     priority=60,
+    headline=True,
     doc="As-of join (operators.relational_ext.asof_join): for every error "
     "event, the latest at-or-before non-error reading of the same user — "
     "the time-series join Spark lacks (pandas merge_asof / DuckDB ASOF). "
@@ -881,6 +882,7 @@ def q_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nz JOIN topc USING (doc_id) JOIN maxrun USING (doc_id)
     """,
     priority=60,
+    headline=True,
     doc="Gopher-style repetition quality signals "
     "(operators.text_analysis.repetition_metrics): dup-token ratio, top "
     "token share, longest identical-token run — per-doc array aggregates "
@@ -914,6 +916,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
     """,
     priority=60,
+    headline=True,
     doc="Transitive duplicate clusters over MinHash-LSH pairs "
     "(operators.dedup.connected_components): iterative min-label "
     "propagation, O(edges) per round, rounds = cluster diameter.  The "

@@ -2,6 +2,7 @@ from .engine import (
     file_stream,
     run_available_now,
     dual_sink_writer,
+    await_streams,
     DualSinkPaths,
 )
 from .stateful import running_totals
@@ -10,6 +11,7 @@ __all__ = [
     "file_stream",
     "run_available_now",
     "dual_sink_writer",
+    "await_streams",
     "DualSinkPaths",
     "running_totals",
 ]

@@ -145,3 +145,66 @@ def dual_sink_writer(
     trigger = trigger or {"availableNow": True}
     writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def await_streams(
+    queries,
+    mode: str = "all",
+    poll_interval: float = 0.5,
+    timeout: float | None = None,
+):
+    """Multi-query orchestration (A6): supervise concurrent StreamingQueries.
+
+    The reference launches 2-3 ``writeStream`` queries per app and blocks on
+    ``awaitAnyTermination`` (kafka-spark-configmap.yaml:118-121), which has
+    two operational holes this fixes: a FAILED sibling leaves the others
+    running (silent partial pipeline), and the per-query exception is
+    swallowed until someone polls it.
+
+    - ``mode="all"``: block until every query terminates; on the first
+      failure, stop the healthy siblings and re-raise that query's
+      exception.
+    - ``mode="any"``: block until the first query terminates (the
+      reference's semantics); returns that query, re-raising if it failed.
+
+    Returns the list of terminated queries (``all``) or the first
+    terminated query (``any``).  ``timeout`` (seconds) raises
+    ``TimeoutError`` with all queries stopped — no leaked streams.
+    """
+    import time as _time
+
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    active = list(queries)
+    done: list = []
+
+    def _stop_all(qs) -> None:
+        for q in qs:
+            try:
+                q.stop()
+            except Exception:
+                pass  # already terminated / session tearing down
+
+    try:
+        while active:
+            for q in list(active):
+                if q.isActive:
+                    continue
+                active.remove(q)
+                done.append(q)
+                q.awaitTermination()  # re-raises StreamingQueryException
+                if mode == "any":
+                    _stop_all(active)
+                    return q
+            if active and deadline is not None and _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{len(active)} streaming queries still active after "
+                    f"{timeout}s: {[q.name or q.id for q in active]}"
+                )
+            if active:
+                _time.sleep(poll_interval)
+        return done
+    except BaseException:
+        _stop_all(active)
+        raise

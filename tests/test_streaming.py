@@ -187,3 +187,97 @@ def test_watermark_append_mode_drops_open_windows(spark, tmp_path):
 
     watermark = max_ts - datetime.timedelta(minutes=10)
     assert all(e <= watermark for e in emitted_ends)
+
+
+def test_await_streams_all_mode(spark, tmp_path):
+    """A6: concurrent queries supervised to completion."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.streaming.engine import await_streams, file_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(src)
+    schema = "id long, k long"
+    q1 = (
+        file_stream(spark, src, spark.createDataFrame([], schema).schema)
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("aw_a")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q2 = (
+        file_stream(spark, src, spark.createDataFrame([], schema).schema)
+        .writeStream.format("memory").queryName("aw_b")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    done = await_streams([q1, q2], mode="all", timeout=120)
+    assert len(done) == 2
+    assert spark.table("aw_a").count() == 7
+    assert spark.table("aw_b").count() == 100
+
+
+def test_await_streams_failure_stops_siblings(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bigdata_20251_steam_spark.streaming.engine import await_streams, file_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).write.parquet(src)
+    schema = spark.createDataFrame([], "id long").schema
+
+    def boom(batch_df, epoch_id):
+        raise ValueError("injected failure")
+
+    bad = (
+        file_stream(spark, src, schema)
+        .writeStream.foreachBatch(boom)
+        .trigger(availableNow=True).start()
+    )
+    # sibling keeps running until supervised shutdown
+    healthy = (
+        file_stream(spark, src, schema)
+        .writeStream.format("memory").queryName("aw_sib")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    with pytest.raises(StreamingQueryException):
+        await_streams([bad, healthy], mode="all", timeout=120)
+    assert not healthy.isActive  # no leaked stream after sibling failure
+
+
+def test_await_streams_timeout_stops_all(spark, tmp_path):
+    from bigdata_20251_steam_spark.streaming.engine import await_streams, file_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).write.parquet(src)
+    schema = spark.createDataFrame([], "id long").schema
+    q = (
+        file_stream(spark, src, schema)
+        .writeStream.format("memory").queryName("aw_t")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    with pytest.raises(TimeoutError):
+        await_streams([q], mode="all", timeout=2)
+    assert not q.isActive
+
+
+def test_await_streams_any_mode(spark, tmp_path):
+    from bigdata_20251_steam_spark.streaming.engine import await_streams, file_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).write.parquet(src)
+    schema = spark.createDataFrame([], "id long").schema
+    fast = (
+        file_stream(spark, src, schema)
+        .writeStream.format("memory").queryName("aw_fast")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    slow = (
+        file_stream(spark, src, schema)
+        .writeStream.format("memory").queryName("aw_slow")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    first = await_streams([fast, slow], mode="any", timeout=120)
+    assert first is fast
+    assert not slow.isActive  # 'any' shuts the rest down cleanly
