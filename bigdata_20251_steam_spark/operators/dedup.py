@@ -428,3 +428,46 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label each new document against an existing corpus: the ingest-time
+    dedup gate (new crawl snapshot vs what's already in the training set).
+
+    Returns (id, status): ``dup_of_corpus`` (normalized content hash
+    already present), ``dup_in_batch`` (first same-hash doc in this batch
+    wins by lowest id), or ``kept``.  Corpus precedence over batch: a doc
+    duplicated in both directions reports ``dup_of_corpus``.
+
+    Scale shape: the corpus side reduces to DISTINCT 60-bit hashes before
+    the join — the semi-join ships longs, never text; within-batch dedup
+    is a window min over the same hash.  At 100 TB the corpus hash set is
+    the thing you persist between ingest runs (it is this pipeline's
+    "bloom filter", exact instead of probabilistic).
+    """
+    from pyspark.sql.window import Window
+
+    h = md5_long(normalized_text(F.col(text_col))).alias("content_hash")
+    corpus_hashes = corpus.select(h).distinct()
+    batch = new_batch.select(F.col(id_col), h)
+    in_corpus = batch.join(
+        corpus_hashes, "content_hash", "left_semi"
+    ).select(id_col).withColumn("_in_corpus", F.lit(True))
+    w = Window.partitionBy("content_hash")
+    labeled = (
+        batch.withColumn("_min_id", F.min(id_col).over(w))
+        .join(in_corpus, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_in_corpus"), "dup_of_corpus")
+            .when(F.col(id_col) > F.col("_min_id"), "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return labeled

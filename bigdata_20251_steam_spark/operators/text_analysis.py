@@ -182,3 +182,55 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % HASH_PRIME
     )
     return toks.select("doc_id", fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1)   (sklearn's smooth idf)
+
+    Plan shape at 100 TB: term frequencies are one explode + groupBy
+    (the shuffle carries (doc_id, term) pairs); document frequencies
+    re-aggregate the tf table (already term-partitioned, so AQE plans a
+    shuffle-free partial agg); N joins in as a broadcast single-row
+    aggregate — no driver-side collect.  Ranking uses the ROUNDED score
+    with the term as tie-break, so ordering is deterministic and
+    engine-independent (raw float ln() can differ by 1 ulp across
+    engines).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(
+                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), ""
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -926,3 +926,83 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
     return dd.connected_components(pairs)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                w -> w <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    priority=60,
+    doc="Top-3 characteristic terms per doc by smoothed TF-IDF "
+    "(operators.text_analysis.tfidf_top_terms): explode+groupBy term "
+    "frequencies, re-aggregated document frequencies, broadcast corpus "
+    "size, rank on the ROUNDED score (raw ln() is 1-ulp "
+    "engine-dependent) with term tie-break.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+_INC_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "incremental_dedup_status",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_INC_BUCKET_SQL} AS bucket FROM documents),
+    corpus AS (
+      SELECT DISTINCT {md5_long_sql(_NORM_TEXT)} AS content_hash
+      FROM b WHERE bucket < 80),
+    batch AS (
+      SELECT doc_id, {md5_long_sql(_NORM_TEXT)} AS content_hash
+      FROM b WHERE bucket >= 80),
+    m AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY content_hash) AS min_id,
+             content_hash IN (SELECT content_hash FROM corpus) AS in_corpus
+      FROM batch)
+    SELECT doc_id,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN doc_id > min_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM m
+    """,
+    priority=60,
+    doc="Ingest-time incremental dedup (operators.dedup.incremental_dedup): "
+    "a hash-derived 'new batch' (20% of docs) labeled against the "
+    "'existing corpus' (80%) — dup_of_corpus via a longs-only semi-join "
+    "against distinct corpus hashes, dup_in_batch via lowest-id window "
+    "min, corpus precedence on both.  The persistent corpus hash set is "
+    "the exact analogue of an ingest bloom filter.",
+)
+def q_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = split_bucket(F.col("doc_id"), 100, salt="inc")
+    corpus = docs.filter(b < 80)
+    new_batch = docs.filter(b >= 80)
+    return dd.incremental_dedup(new_batch, corpus)

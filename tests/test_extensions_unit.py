@@ -152,3 +152,50 @@ def test_ivf_topk_recall_and_determinism(spark):
     # deterministic: a second run reproduces the result exactly
     again = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
+def test_incremental_dedup_precedence(spark):
+    from bigdata_20251_steam_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique old doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Hello, WORLD!"),   # normalizes to a corpus dup
+            (11, "fresh content a"),
+            (12, "fresh content a"),  # in-batch dup of 11 (lowest id wins)
+            (13, "hello world"),      # corpus dup AND batch-dup of 10 -> corpus wins
+            (14, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, corpus).collect()}
+    assert got == {
+        10: "dup_of_corpus",
+        11: "kept",
+        12: "dup_in_batch",
+        13: "dup_of_corpus",
+        14: "kept",
+    }
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    from bigdata_20251_steam_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common words here"),
+            (3, "common words there"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # equal tf=1 in doc 1: 'zebra' (df=1, idf=ln(2)+1) outranks 'common'
+    # (df=3, idf=ln(1)+1=1)
+    assert top1[1] == "zebra"
