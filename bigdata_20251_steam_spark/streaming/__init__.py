@@ -3,6 +3,7 @@ from .engine import (
     run_available_now,
     dual_sink_writer,
     await_streams,
+    dedup_stream,
     DualSinkPaths,
 )
 from .stateful import running_totals
@@ -12,6 +13,7 @@ __all__ = [
     "run_available_now",
     "dual_sink_writer",
     "await_streams",
+    "dedup_stream",
     "DualSinkPaths",
     "running_totals",
 ]

@@ -208,3 +208,28 @@ def await_streams(
     except BaseException:
         _stop_all(active)
         raise
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (the at-least-once fixer).
+
+    Kafka ingest is at-least-once: producer retries and consumer-group
+    rebalances re-deliver records, so the bronze layer needs dedup on the
+    message key.  Plain ``dropDuplicates`` on a stream keeps every key
+    seen FOREVER (unbounded state store — the classic production OOM);
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, which is the correct contract here: duplicate
+    deliveries arrive within seconds, not days.  State size =
+    keys-per-watermark-window, independent of stream lifetime.
+
+    Works on batch DataFrames too (falls back to dropDuplicates
+    semantics over the whole frame), so the same plan runs in the Kappa
+    replay path.
+    """
+    out = df.withWatermark(ts_col, delay)
+    return out.dropDuplicatesWithinWatermark(list(key_cols))

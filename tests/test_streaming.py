@@ -281,3 +281,37 @@ def test_await_streams_any_mode(spark, tmp_path):
     first = await_streams([fast, slow], mode="any", timeout=120)
     assert first is fast
     assert not slow.isActive  # 'any' shuts the rest down cleanly
+
+
+def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: at-least-once -> exactly-once bronze."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.streaming.engine import (
+        dedup_stream,
+        file_stream,
+        run_available_now,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10.0),
+        (2, base + dt.timedelta(seconds=30), 20.0),
+        (1, base, 10.0),                              # redelivery of id 1
+        (3, base + dt.timedelta(seconds=60), 30.0),
+        (2, base + dt.timedelta(seconds=30), 20.0),   # redelivery of id 2
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.parquet(src)
+    stream = file_stream(
+        spark, src, spark.createDataFrame([], "event_id long, ts timestamp, value double").schema
+    )
+    deduped = dedup_stream(stream, key_cols=("event_id",), ts_col="ts",
+                           delay="5 minutes")
+    got = run_available_now(deduped, output_mode="append").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+    assert {r["event_id"]: r["value"] for r in got} == {1: 10.0, 2: 20.0, 3: 30.0}
