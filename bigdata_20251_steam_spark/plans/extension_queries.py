@@ -1006,3 +1006,44 @@ def q_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(b < 80)
     new_batch = docs.filter(b >= 80)
     return dd.incremental_dedup(new_batch, corpus)
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 50),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS m
+      FROM base),
+    sc AS (
+      SELECT vec_id, v,
+             CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS scale
+      FROM s),
+    ex AS (
+      SELECT vec_id, scale,
+             unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+      FROM sc)
+    SELECT vec_id, pos,
+           round(scale, 6)                  AS scale,
+           CAST(round(x * scale) AS INT)    AS qval
+    FROM ex
+    """,
+    priority=60,
+    doc="Symmetric per-vector int8 quantization "
+    "(operators.similarity.quantize_embeddings): q = round(x * 127 / "
+    "max|x|) — the 4-8x storage compression for ANN corpora.  Emitted "
+    "exploded to scalar columns (vec_id, pos, scale, qval): array-typed "
+    "result columns break row canonicalizers (the round-1 approx_stats "
+    "lesson).  Both engines round half-away-from-zero.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    q = sim.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("q").alias("pos", "qval"),
+    ).select("vec_id", "pos", "scale", "qval")

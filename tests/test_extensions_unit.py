@@ -199,3 +199,31 @@ def test_tfidf_rare_term_ranks_first(spark):
     # equal tf=1 in doc 1: 'zebra' (df=1, idf=ln(2)+1) outranks 'common'
     # (df=3, idf=ln(1)+1=1)
     assert top1[1] == "zebra"
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    from bigdata_20251_steam_spark.operators.similarity import (
+        cosine,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 20)
+    q = quantize_embeddings(emb)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    import math
+
+    for vid, r in rows.items():
+        v, qv, scale = orig[vid], r["q"], r["scale"]
+        assert all(abs(x) <= 127 for x in qv)
+        assert max(abs(x) for x in qv) == 127 or all(x == 0 for x in v)
+        # reconstruction error bounded by half a quantization step per dim
+        for x, qx in zip(v, qv):
+            assert abs(x - qx / scale) <= (0.5 / scale) + 1e-12
+        # quantized cosine approximates exact cosine
+        na = math.sqrt(sum(x * x for x in v))
+        nq = math.sqrt(sum(x * x for x in qv))
+        if na > 0 and nq > 0:
+            exact = sum(x * x for x in v) / (na * na)  # cos(v, v) = 1
+            approx = sum(x * y for x, y in zip(qv, qv)) / (nq * nq)
+            assert abs(exact - approx) < 1e-9

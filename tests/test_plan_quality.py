@@ -144,3 +144,28 @@ def test_fingerprint_short_document_parity(spark):
         % HASH_PRIME
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes of the round-2 relational extensions
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The binned formulation must NOT fall back to a nested-loop join."""
+    df = QUERIES["interval_event_counts"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = _final_plan(df)
+    assert "NestedLoop" not in final and "CartesianProduct" not in final, (
+        f"range join degenerated to a nested loop:\n{final[:2000]}"
+    )
+    assert "HashJoin" in final  # equi-join on the bucket id
+
+
+def test_asof_join_single_window_exchange(spark):
+    """asof = one window over the union — no join operator, no explosion."""
+    df = QUERIES["asof_join_last_good"].fn(spark, SF_SMOKE)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in final
+    # the only join-free formulation: no Join node anywhere in the plan
+    assert "Join" not in final, f"asof should be join-free:\n{final[:2000]}"
