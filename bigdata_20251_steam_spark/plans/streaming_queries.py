@@ -109,17 +109,19 @@ def q_streaming_sentiment_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
-    doc="Stream-static broadcast join (SURVEY.md §2.D streaming side): the "
-    "event stream enriched against the static customer dimension per "
+    doc="Stream-static join (SURVEY.md §2.D streaming side): the event "
+    "stream enriched against the static customer dimension per "
     "micro-batch — the appid->name join the reference's dashboards fake "
-    "with hyperlinked raw ids — then aggregated in complete mode.",
+    "with hyperlinked raw ids — then aggregated in complete mode.  No "
+    "forced broadcast: customer grows with SF, and the per-batch planner "
+    "auto-broadcasts when the static side is under the size threshold.",
 )
 def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _staged_events_dir(spark, sf_dir)
     stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
-        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        stream.join(dim, stream.user_id == dim.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_events"),
