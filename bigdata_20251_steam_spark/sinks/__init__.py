@@ -1,10 +1,16 @@
 from .bucketing import bucketed_join, write_bucketed
-from .storage import compact_table, retention_vacuum, write_partitioned
+from .storage import (
+    compact_table,
+    retention_vacuum,
+    write_clustered,
+    write_partitioned,
+)
 
 __all__ = [
     "bucketed_join",
     "write_bucketed",
     "compact_table",
     "retention_vacuum",
+    "write_clustered",
     "write_partitioned",
 ]

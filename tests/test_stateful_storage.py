@@ -151,3 +151,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         for t in (t_orders, t_lineitem):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+def test_write_clustered_tightens_file_stats(spark, tmp_path):
+    """Clustered layout => disjoint per-file key ranges (file-level skip)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from bigdata_20251_steam_spark.sinks.storage import write_clustered
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    flat = str(tmp_path / "flat")
+    clustered = str(tmp_path / "clustered")
+    events.repartition(8).write.parquet(flat)  # layout a naive writer produces
+    write_clustered(events, clustered, cluster_cols=("user_id",), n_files_hint=8)
+
+    def ranges(path):
+        out = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # user_id
+                st = col.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out.append((lo, hi))
+        return sorted(out)
+
+    flat_r, clus_r = ranges(flat), ranges(clustered)
+    # naive files each span ~the whole key domain; clustered files are
+    # disjoint ranges, so a point predicate can skip all but one file
+    def overlaps(rs):
+        return sum(
+            1
+            for i, (lo1, hi1) in enumerate(rs)
+            for lo2, hi2 in rs[i + 1:]
+            if not (hi1 < lo2 or hi2 < lo1)
+        )
+
+    assert overlaps(clus_r) == 0, f"clustered ranges overlap: {clus_r}"
+    assert overlaps(flat_r) > 0  # the layout actually changed something
+    # same data either way
+    got = spark.read.parquet(clustered)
+    assert got.count() == events.count()
