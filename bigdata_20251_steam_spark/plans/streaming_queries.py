@@ -235,3 +235,62 @@ def q_streaming_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           e.event_id AS error_id,
+           c.user_id  AS user_id,
+           CAST(date_diff('second', c.ts, e.ts) AS BIGINT) AS lag_s
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL 6 HOUR
+    """,
+    priority=60,
+    doc="Watermarked stream-stream inner join (the Structured Streaming "
+    "capability beyond every G-row of the reference): clicks joined to "
+    "errors of the same user within the following 6 hours, both sides "
+    "watermarked 1h so join state is evicted as event time advances — "
+    "bounded state on unbounded streams.  availableNow processes the "
+    "backlog in one batch (no mid-stream eviction), so the batch "
+    "inequality-join oracle applies exactly.",
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    clicks = (
+        file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") < F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select(
+        "click_id",
+        "error_id",
+        "user_id",
+        F.col("e_ts").cast("long") - F.col("c_ts").cast("long"),
+    )
+    joined = joined.withColumnRenamed(joined.columns[-1], "lag_s")
+    return run_available_now(joined, output_mode="append")
