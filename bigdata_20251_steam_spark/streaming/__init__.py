@@ -4,6 +4,7 @@ from .engine import (
     dual_sink_writer,
     await_streams,
     dedup_stream,
+    idempotent_epoch_append,
     DualSinkPaths,
 )
 from .stateful import running_totals
@@ -14,6 +15,7 @@ __all__ = [
     "dual_sink_writer",
     "await_streams",
     "dedup_stream",
+    "idempotent_epoch_append",
     "DualSinkPaths",
     "running_totals",
 ]

@@ -102,12 +102,37 @@ class DualSinkPaths:
     checkpoint_dir: str
 
 
+def idempotent_epoch_append(
+    batch_df: DataFrame,
+    bronze_dir: str,
+    epoch_id: int,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Exactly-once bronze append: each epoch owns a partition directory.
+
+    ``foreachBatch`` is at-least-once — after a crash between the bronze
+    write and checkpoint commit, the epoch REPLAYS and a plain append
+    duplicates its rows.  Writing epoch ``n`` to ``bronze/epoch=n`` with
+    overwrite makes the replay rewrite the same directory instead: the
+    (epoch_id, deterministic batch) pair is the idempotency key, which is
+    exactly how the Delta/Iceberg txn-log approach achieves exactly-once
+    on top of at-least-once foreachBatch — here with plain parquet
+    partition dirs.  Readers see ``epoch`` as a partition column (drop
+    it for schema-stable consumption).
+    """
+    w = batch_df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(f"{bronze_dir}/epoch={epoch_id}")
+
+
 def dual_sink_writer(
     parsed: DataFrame,
     paths: DualSinkPaths,
     serving_agg,
     partition_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    exactly_once: bool = False,
 ):
     """One streaming query, two sinks (G8 fixed: single source read).
 
@@ -117,6 +142,12 @@ def dual_sink_writer(
     semantics with zero unbounded stream state (G5 reference semantics,
     bounded implementation).
 
+    ``exactly_once=True`` routes the bronze append through
+    :func:`idempotent_epoch_append` (epoch-keyed overwrite) so crash
+    replays cannot duplicate bronze rows; the serving snapshot was
+    already idempotent (overwrite).  The default stays plain append for
+    layout compatibility with date-partitioned bronze maintenance.
+
     Returns the started StreamingQuery; caller decides await semantics (A6).
     """
     spark = parsed.sparkSession
@@ -124,16 +155,20 @@ def dual_sink_writer(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            w = batch_df.write.mode("append")
-            if partition_cols:
-                w = w.partitionBy(*partition_cols)
-            w.parquet(paths.bronze_dir)
-            bronze = spark.read.parquet(paths.bronze_dir)
+            if exactly_once:
+                idempotent_epoch_append(
+                    batch_df, paths.bronze_dir, epoch_id, partition_cols
+                )
+                bronze = spark.read.parquet(paths.bronze_dir).drop("epoch")
+            else:
+                w = batch_df.write.mode("append")
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.parquet(paths.bronze_dir)
+                bronze = spark.read.parquet(paths.bronze_dir)
             snapshot = serving_agg(bronze)
             # Overwrite = idempotent per epoch: replaying an epoch after a
-            # crash rewrites the same snapshot (bronze append is the only
-            # at-least-once surface; dedup there via input_file_name lineage
-            # if exactly-once matters downstream).
+            # crash rewrites the same snapshot.
             snapshot.write.mode("overwrite").parquet(paths.serving_dir)
         finally:
             batch_df.unpersist()

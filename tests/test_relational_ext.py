@@ -184,3 +184,48 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Property test: asof_join == pandas merge_asof on randomized inputs.
+
+    pandas' merge_asof is the independent reference implementation of
+    backward as-of semantics; hypothesis-style randomized trials (fixed
+    seeds for reproducibility) cover tie, gap, empty-key, and
+    duplicate-left-ts shapes that a hand-built fixture might miss.
+    """
+    import random
+
+    import pandas as pd
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        keys = ["a", "b", "c"]
+        left_rows = [
+            (i, rng.choice(keys), rng.randint(0, 1000))
+            for i in range(60)
+        ]
+        right_rows_raw = {
+            (rng.choice(keys), rng.randint(0, 1000)): float(rng.randint(1, 99))
+            for _ in range(40)
+        }  # dict => unique (key, ts), the operator's documented requirement
+        right_rows = [(k, t, v) for (k, t), v in right_rows_raw.items()]
+
+        left = spark.createDataFrame(left_rows, "id long, k string, ts long")
+        right = spark.createDataFrame(right_rows, "k string, ts long, v double")
+        got = {
+            r["id"]: r["matched_v"]
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="ts",
+                value_cols=("v",),
+            ).collect()
+        }
+
+        lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+        merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        want = {
+            int(r.id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want, f"seed {seed}: mismatch"

@@ -89,3 +89,43 @@ def test_checkpoint_restart_resume(spark, tmp_path):
     serving = spark.read.parquet(paths.serving_dir)
     total = serving.agg(F.sum("n")).collect()[0][0]
     assert total == 250  # serving snapshot covers all bronze exactly once
+
+
+def test_idempotent_epoch_append_replay(spark, tmp_path):
+    """A replayed epoch must not duplicate bronze rows (exactly-once)."""
+    from bigdata_20251_steam_spark.streaming.engine import idempotent_epoch_append
+
+    bronze = str(tmp_path / "bronze")
+    batch0 = spark.range(0, 100).select(F.col("id"))
+    idempotent_epoch_append(batch0, bronze, epoch_id=0)
+    # crash-replay of epoch 0: same data written again
+    idempotent_epoch_append(batch0, bronze, epoch_id=0)
+    assert spark.read.parquet(bronze).count() == 100  # not 200
+    # next epoch is additive
+    idempotent_epoch_append(spark.range(100, 150), bronze, epoch_id=1)
+    got = spark.read.parquet(bronze)
+    assert got.count() == 150
+    assert got.select("epoch").distinct().count() == 2
+
+
+def test_dual_sink_exactly_once_matches_plain(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    events.limit(200).write.parquet(src)
+    agg = lambda df: df.groupBy("user_id").agg(F.count("*").alias("n"))  # noqa: E731
+
+    paths = DualSinkPaths(
+        bronze_dir=str(tmp_path / "bronze"),
+        serving_dir=str(tmp_path / "serving"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = dual_sink_writer(
+        file_stream(spark, src, events.schema), paths, agg, exactly_once=True
+    )
+    q.awaitTermination()
+    bronze = spark.read.parquet(paths.bronze_dir)
+    assert bronze.count() == 200
+    assert "epoch" in bronze.columns  # partition column surfaces to readers
+    serving = spark.read.parquet(paths.serving_dir)
+    assert serving.agg(F.sum("n")).collect()[0][0] == 200
+    assert "epoch" not in serving.columns  # dropped before the agg
