@@ -1047,3 +1047,140 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.posexplode("q").alias("pos", "qval"),
     ).select("vec_id", "pos", "scale", "qval")
+
+
+# ---------------------------------------------------------------------------
+# Relational-algebra family completion: pivot, cube, moving windows,
+# set operations (priority 60, pytest-oracle-verified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    priority=60,
+    doc="Pivot (long->wide): per-user event-type count matrix via "
+    "groupBy().pivot() with the value list PINNED — an unpinned pivot "
+    "runs an extra distinct-scan job to discover columns and makes the "
+    "output schema data-dependent, both wrong at 100 TB.  Oracle is the "
+    "equivalent FILTER aggregate.",
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null where a (user, type) pair never occurred
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 6)      AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    priority=60,
+    doc="CUBE grouping sets (all 2^k margin combinations — completes the "
+    "grouping-sets family next to rollup_orders).  Spark expands the "
+    "cube map-side: one shuffle regardless of the number of grouping "
+    "sets.",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "moving_avg_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, round(sum(value), 6) AS day_value
+      FROM events GROUP BY 1)
+    SELECT day, day_value,
+           round(avg(day_value) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+           round(day_value - lag(day_value, 1) OVER (ORDER BY day), 6)
+             AS delta_1d
+    FROM d
+    """,
+    priority=60,
+    doc="Moving-frame analytics: 7-day trailing average + day-over-day "
+    "delta via ROWS window frames and lag() — the dashboard-trend family "
+    "(lag/lead/sliding frames) the Mongo layer faked client-side.  One "
+    "shuffle to ~30 day rows; the frame scan is O(days).",
+)
+def q_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("day_value")
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w.rowsBetween(-6, 0)), 6).alias("ma7"),
+        F.round(
+            F.col("day_value") - F.lag("day_value", 1).over(w), 6
+        ).alias("delta_1d"),
+    )
+
+
+@register(
+    "set_ops_users",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    in_both AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT 'click_and_buy' AS cohort, CAST(count(*) AS BIGINT) AS n FROM in_both
+    UNION ALL
+    SELECT 'click_no_buy' AS cohort, CAST(count(*) AS BIGINT) AS n FROM only_click
+    """,
+    priority=60,
+    doc="Set operations (INTERSECT / EXCEPT — completes §2.D's 'set ops' "
+    "row beyond semi/anti joins): cohort sizes from distinct-user sets. "
+    "Both plan as hash aggregates + joins, no row explosion.",
+)
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).agg(F.count("*").alias("n")).select(
+        F.lit("click_and_buy").alias("cohort"), "n"
+    )
+    only = clickers.exceptAll(buyers).agg(F.count("*").alias("n")).select(
+        F.lit("click_no_buy").alias("cohort"), "n"
+    )
+    return both.unionByName(only)
