@@ -191,3 +191,70 @@ def test_reference_fixtures_full_streaming_round_trip(spark, tmp_path):
         "app_id", "total_reviews", "negative_count", "positive_count",
         "avg_quality", "negative_ratio", "positive_ratio", "is_review_bomb",
     ]
+
+
+_CHARTS_CSV = "/root/reference/inputs/charts/steamcharts_24h.csv"
+
+
+@needs_fixtures
+def test_charts_fixture_through_players_pipeline(spark, tmp_path):
+    """The players app path on the real charts fixture: CSV -> producer
+    JSON (producer_players.py shape: appid/player_count/timestamp) ->
+    wire -> players_pipeline -> activity windows (stream/batch parity)."""
+    import datetime as dt
+
+    from bigdata_20251_steam_spark.streaming.engine import run_available_now
+    from bigdata_20251_steam_spark.streaming.pipelines import players_pipeline
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    charts = (
+        spark.read.option("header", True).csv(_CHARTS_CSV)
+        .select(
+            F.col("appid").cast("int").alias("appid"),
+            F.col("player_count").cast("int").alias("player_count"),
+        )
+        # the producer samples every ~5 min and stamps scrape time; spread
+        # rows across two 10-minute windows deterministically by row hash
+        .withColumn(
+            "timestamp",
+            F.date_format(
+                F.lit(base)
+                + F.make_interval(
+                    mins=(F.crc32(F.col("appid").cast("string")) % 20).cast("int")
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ),
+        )
+    )
+    wire = to_kafka_records(
+        charts.withColumn("kafka_key", F.col("appid")), key_col="kafka_key"
+    )
+    staged = str(tmp_path / "charts_wire")
+    wire.write.parquet(staged)
+
+    stream = file_stream(spark, staged, wire.schema)
+    streamed = players_pipeline(stream)
+    got_bronze = run_available_now(streamed["bronze"], output_mode="append")
+    assert got_bronze.count() == 2578  # every fixture row parsed
+    got_windows = run_available_now(streamed["activity"], output_mode="complete")
+
+    batch = players_pipeline(wire, watermark=None)
+    want_windows = batch["activity"]
+    assert sorted(map(tuple, got_windows.collect())) == sorted(
+        map(tuple, want_windows.collect())
+    )
+    # demo-queries.js query 3 shape: per-app rollup of the windows table
+    trends = (
+        got_windows.groupBy("appid")
+        .agg(
+            F.count("*").alias("total_windows"),
+            F.max("max_players").alias("peak_players"),
+            F.round(F.avg("avg_players"), 6).alias("overall_avg_players"),
+            F.max("window_end").alias("latest_window"),
+        )
+        .orderBy(F.col("peak_players").desc(), F.col("appid").asc())
+        .limit(10)
+    )
+    rows = trends.collect()
+    assert len(rows) == 10
+    assert rows[0]["peak_players"] == charts.agg(F.max("player_count")).collect()[0][0]
