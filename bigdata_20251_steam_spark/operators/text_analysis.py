@@ -234,3 +234,52 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def sentence_split_udtf_cls():
+    """Python UDTF class for sentence splitting (the 4th UDF shape).
+
+    Completes the UDF tier next to pandas_udf / mapInPandas /
+    applyInPandasWithState (SURVEY.md §2.H): a table function emitting
+    0..n rows per input row.  The splitting rule is deliberately the
+    dumbest portable one — split on '.', trim, drop empties — so the
+    DuckDB oracle (string_split + unnest WITH ORDINALITY) reproduces it
+    exactly; real sentence segmentation would swap the body, not the
+    plumbing.
+
+    Defined inside a factory so the class closes over NOTHING module-
+    level (worker pickling self-containment; see repo worker-closure
+    rule).  At scale UDTFs pay the Python-worker tax like any Python
+    UDF — use for genuinely row-expanding logic built-ins can't express.
+    """
+
+    class SentenceSplit:
+        def eval(self, text):
+            if text is None:
+                return
+            idx = 0
+            for part in text.split("."):
+                s = part.strip()
+                if s:
+                    idx += 1
+                    yield idx, s
+
+    return SentenceSplit
+
+
+def sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sentence_idx, sentence) via a lateral-join Python UDTF.
+
+    The UDTF emits only the generated columns; the lateral join carries
+    ``doc_id`` from the outer side (emitting it from the UDTF too would
+    make the reference ambiguous).
+    """
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(
+        sentence_split_udtf_cls(),
+        returnType="sentence_idx int, sentence string",
+    )
+    return docs.lateralJoin(fn(F.col(text_col).outer())).select(
+        "doc_id", "sentence_idx", "sentence"
+    )

@@ -1184,3 +1184,31 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click_no_buy").alias("cohort"), "n"
     )
     return both.unionByName(only)
+
+
+@register(
+    "udtf_sentences",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id,
+             trim(unnest(string_split(text, '.')), ' ' || chr(9) || chr(10)
+                  || chr(13) || chr(12) || chr(11)) AS s,
+             generate_subscripts(string_split(text, '.'), 1) AS ord
+      FROM documents),
+    nonempty AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+               AS sentence_idx
+      FROM parts WHERE s <> '')
+    SELECT doc_id, CAST(sentence_idx AS INT) AS sentence_idx, s AS sentence
+    FROM nonempty
+    """,
+    priority=60,
+    doc="Python UDTF (operators.text_analysis.sentences): lateral-join "
+    "table function emitting 0..n sentence rows per document — the 4th "
+    "UDF shape (SURVEY.md §2.H) beside pandas_udf / mapInPandas / "
+    "applyInPandasWithState.  Deliberately-portable split rule so the "
+    "unnest WITH ORDINALITY oracle reproduces it exactly.",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.sentences(load_table(spark, sf_dir, "documents"))
