@@ -1125,19 +1125,27 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS day, round(sum(value), 6) AS day_value
-      FROM events GROUP BY 1)
+      FROM events GROUP BY 1),
+    m AS (SELECT day, day_value,
+                 CAST(round(day_value * 1000000) AS BIGINT) AS micro
+          FROM d)
     SELECT day, day_value,
-           round(avg(day_value) OVER (ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+           round(CAST(sum(micro) OVER w AS BIGINT)
+                 / count(*) OVER w / 1000000.0, 6) AS ma7,
            round(day_value - lag(day_value, 1) OVER (ORDER BY day), 6)
              AS delta_1d
-    FROM d
+    FROM m
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     priority=60,
     doc="Moving-frame analytics: 7-day trailing average + day-over-day "
     "delta via ROWS window frames and lag() — the dashboard-trend family "
     "(lag/lead/sliding frames) the Mongo layer faked client-side.  One "
-    "shuffle to ~30 day rows; the frame scan is O(days).",
+    "shuffle to ~30 day rows; the frame scan is O(days).  ma7 averages "
+    "ALREADY-ROUNDED day values, where exact .5e-6 ties are common (a "
+    "2-element frame of 6dp values ties 50% of the time), so the frame "
+    "average uses the exact integer micro-unit sum — the same "
+    "order/association-proof composition as peak_activity.",
 )
 def q_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1145,12 +1153,18 @@ def q_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     d = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("day_value")
-    )
+    ).withColumn("micro", F.round(F.col("day_value") * 1000000).cast("long"))
     w = Window.orderBy("day")
+    frame = w.rowsBetween(-6, 0)
     return d.select(
         "day",
         "day_value",
-        F.round(F.avg("day_value").over(w.rowsBetween(-6, 0)), 6).alias("ma7"),
+        F.round(
+            F.sum("micro").over(frame)
+            / F.count("*").over(frame)
+            / F.lit(1000000.0),
+            6,
+        ).alias("ma7"),
         F.round(
             F.col("day_value") - F.lag("day_value", 1).over(w), 6
         ).alias("delta_1d"),

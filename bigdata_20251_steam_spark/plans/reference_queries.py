@@ -176,17 +176,20 @@ def q_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            round(max(max_value), 6)   AS peak,
-           round(avg(avg_value), 6)   AS avg_active,
+           round(CAST(sum(CAST(round(avg_value * 1000000) AS BIGINT)) AS BIGINT)
+                 / count(*) / 1000000.0, 6) AS avg_active,
            count(*)                   AS total_windows,
            max(window_end)            AS latest
     FROM w GROUP BY user_id
     """,
     doc="Re-aggregation of the windowed table by key (demo-queries.js:98-110, C7): "
-    "peak/avg/window-count/latest per key.  The inner avg_value is rounded "
-    "to 6dp on BOTH sides before the outer avg — the two-level float "
-    "composition is otherwise summation-order-sensitive (Spark and DuckDB "
-    "sum window partials in different orders, flipping the outer 6dp "
-    "rounding at boundaries — the round-1 hash mismatch).",
+    "peak/avg/window-count/latest per key.  avg_active is computed as an "
+    "EXACT integer sum of micro-unit inner averages (inner avg rounded to "
+    "6dp, scaled to int64, summed, divided once): a float avg-of-avgs is "
+    "summation-order-dependent — Spark itself returned different 6th "
+    "decimals run-to-run at a half-boundary row, let alone vs DuckDB.  "
+    "Integer summation is order-independent; the single final division is "
+    "the same double op in both engines.",
 )
 def q_peak_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -196,12 +199,16 @@ def q_peak_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
+    ).withColumn(
+        "avg_micro", F.round(F.col("avg_value") * 1000000).cast("long")
     )
     return (
         w.groupBy("user_id")
         .agg(
             F.round(F.max("max_value"), 6).alias("peak"),
-            F.round(F.avg("avg_value"), 6).alias("avg_active"),
+            F.round(
+                F.sum("avg_micro") / F.count("*") / F.lit(1000000.0), 6
+            ).alias("avg_active"),
             F.count("*").alias("total_windows"),
             F.max(F.col("w.end")).alias("latest"),
         )
