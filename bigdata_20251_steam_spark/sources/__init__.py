@@ -1,4 +1,11 @@
-from .batch import load_table, load_tables, read_review_csv, parse_json_records
+from .batch import (
+    load_table,
+    load_tables,
+    parse_json_records,
+    read_jsonl,
+    read_review_csv,
+    write_jsonl,
+)
 from .kafka import kafka_batch, kafka_options, kafka_stream, to_kafka_records
 
 __all__ = [
@@ -6,6 +13,8 @@ __all__ = [
     "load_tables",
     "read_review_csv",
     "parse_json_records",
+    "read_jsonl",
+    "write_jsonl",
     "kafka_batch",
     "kafka_options",
     "kafka_stream",

@@ -94,3 +94,39 @@ def parse_json_records(
             F.from_json(F.col(value_col).cast("string"), schema).alias("data")
         ).select("data.*")
     )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Schema-first JSONL (one JSON object per line) reader.
+
+    The interchange format LLM training corpora actually ship in.  The
+    explicit schema keeps the 100 TB discipline: no inference pre-pass,
+    malformed lines degrade to null fields (PERMISSIVE) instead of
+    failing the job.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Sharded (optionally partitioned + gzipped) JSONL export.
+
+    One file per partition — shard count is controlled upstream with
+    ``repartition``/``repartitionByRange``, which is how a delivery job
+    sizes shards (e.g. ~250MB compressed) independent of cluster width.
+    Partitioning by a ``split`` column yields the
+    ``split=train/part-*.json.gz`` layout consumers expect.
+    """
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

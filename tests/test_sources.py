@@ -124,3 +124,51 @@ def test_valid_appids(spark):
     )
     got = sorted(r["appid"] for r in valid_appids(lines).collect())
     assert got == [440, 570, 730]
+
+
+def test_jsonl_round_trip_with_split_partitioning(spark, tmp_path):
+    """JSONL delivery: hash-split docs -> partitioned gzip shards -> read
+    back schema-first with full fidelity (incl. multiline-unsafe text)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from bigdata_20251_steam_spark.operators.sampling import hash_split
+    from bigdata_20251_steam_spark.sources.batch import read_jsonl, write_jsonl
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'text with "quotes" and\ttabs'),
+            (2, "unicode: привет 你好"),
+            (3, "newline\\n literal backslash"),
+        ] + [(i, f"doc {i}") for i in range(10, 40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "delivery")
+    write_jsonl(
+        hash_split(docs, "doc_id").repartition(2),
+        out,
+        partition_cols=("split",),
+    )
+    import glob
+
+    shards = glob.glob(f"{out}/split=*/part-*.json.gz")
+    assert shards, "expected partitioned gzip shards"
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == want
+    # malformed line degrades to nulls, never fails the read (PERMISSIVE)
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+    parsed = read_jsonl(spark, str(bad), schema).collect()
+    assert len(parsed) == 2
+    assert sorted([r["doc_id"] for r in parsed], key=lambda x: (x is None, x)) \
+        == [1, None]
