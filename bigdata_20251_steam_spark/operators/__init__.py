@@ -15,12 +15,13 @@ from .dedup import (
     spread_partitions,
     word_shingles,
 )
-from .dedup import connected_components
+from .dedup import connected_components, incremental_dedup
 from .ingest import flatten_app_details, valid_appids
 from .joins import salted_join
 from .packing import pack_documents
 from .relational_ext import asof_join, range_join
 from .sampling import hash_split, split_bucket, stratified_sample
+from .similarity import quantize_embeddings
 from .similarity import (
     cosine,
     cosine_near_dup_pairs,
@@ -33,12 +34,16 @@ from .text_analysis import (
     language_id,
     quality_scores,
     repetition_metrics,
+    sentences,
+    tfidf_top_terms,
     token_counts,
 )
 
 __all__ = [
-    "connected_components", "pack_documents", "asof_join", "range_join",
+    "connected_components", "incremental_dedup", "pack_documents",
+    "asof_join", "range_join",
     "hash_split", "split_bucket", "stratified_sample", "repetition_metrics",
+    "sentences", "tfidf_top_terms", "quantize_embeddings",
     "sentiment_windows", "review_bomb", "explode_counts", "activity_windows",
     "blocked_self_pairs", "exact_dedup_stats", "minhash_candidate_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "simhash_near_pairs",

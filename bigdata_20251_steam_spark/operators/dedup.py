@@ -383,7 +383,10 @@ def connected_components(
     near-cliques from LSH, so 2-4 in practice; ``max_iters`` bounds
     pathological chains).  ``localCheckpoint`` cuts the growing lineage
     so round N doesn't replan rounds 1..N-1.  Driver-side per round:
-    one boolean convergence count, never data.
+    one boolean convergence count, never data.  Raises ``RuntimeError``
+    if the propagation has not converged after ``max_iters`` rounds — a
+    silently-split component would make dedup keep multiple copies of
+    one cluster, which is strictly worse than failing loudly.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -425,6 +428,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds ({changed} labels still changing) — component ids "
+            "would be split; raise max_iters (rounds needed = graph "
+            "diameter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -76,4 +76,7 @@ def stratified_sample(
         if frac is not None
         else F.lit(default_fraction)
     )
-    return df.filter(b < (frac * 1_000_000).cast("long"))
+    # round, don't truncate: a bare cast truncates toward zero while SQL
+    # CAST(x AS BIGINT) rounds to nearest, so sub-1e-6 fractions would
+    # keep different boundary buckets across engines
+    return df.filter(b < F.round(frac * 1_000_000).cast("long"))

@@ -259,7 +259,10 @@ def sentence_split_udtf_cls():
                 return
             idx = 0
             for part in text.split("."):
-                s = part.strip()
+                # ASCII whitespace only: bare str.strip() also removes
+                # Unicode spaces (NBSP etc.), which SQL trim(s, <chars>)
+                # oracles cannot reproduce — pin the exact char set
+                s = part.strip(" \t\n\r\f\v")
                 if s:
                     idx += 1
                     yield idx, s

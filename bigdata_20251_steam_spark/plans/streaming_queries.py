@@ -290,7 +290,6 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "error_id",
         "user_id",
-        F.col("e_ts").cast("long") - F.col("c_ts").cast("long"),
+        (F.col("e_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_s"),
     )
-    joined = joined.withColumnRenamed(joined.columns[-1], "lag_s")
     return run_available_now(joined, output_mode="append")

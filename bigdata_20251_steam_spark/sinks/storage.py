@@ -124,12 +124,19 @@ def write_clustered(
     extra pass) — a cost paid once at write time, repaid on every read.
     """
     out = df
+    range_cols = [F.col(c) for c in cluster_cols]
     if ts_col is not None:
         out = out.withColumn(PART_COL, F.to_date(F.col(ts_col)))
-    cluster = [F.col(c) for c in cluster_cols]
+        # the date partition column must LEAD the range keys: ranging on
+        # cluster_cols alone spreads every date across every range task,
+        # and partitionBy then splits each task's output per date —
+        # n_files_hint x n_dates small files instead of ~n_files_hint
+        range_cols = [F.col(PART_COL)] + range_cols
     out = (
-        out.repartitionByRange(*(([n_files_hint] if n_files_hint else []) + cluster))
-        .sortWithinPartitions(*cluster)
+        out.repartitionByRange(
+            *(([n_files_hint] if n_files_hint else []) + range_cols)
+        )
+        .sortWithinPartitions(*range_cols)
     )
     writer = out.write.mode(mode)
     if ts_col is not None:

@@ -262,9 +262,12 @@ def dedup_stream(
     deliveries arrive within seconds, not days.  State size =
     keys-per-watermark-window, independent of stream lifetime.
 
-    Works on batch DataFrames too (falls back to dropDuplicates
-    semantics over the whole frame), so the same plan runs in the Kappa
-    replay path.
+    On a batch DataFrame (the Kappa replay path) this falls back to
+    plain ``dropDuplicates(key_cols)`` — ``dropDuplicatesWithinWatermark``
+    itself raises on batch inputs, and a bounded replay needs no state
+    TTL: whole-frame dedup gives the same keys-kept result.
     """
+    if not df.isStreaming:
+        return df.dropDuplicates(list(key_cols))
     out = df.withWatermark(ts_col, delay)
     return out.dropDuplicatesWithinWatermark(list(key_cols))

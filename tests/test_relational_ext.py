@@ -229,3 +229,12 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
             for r in merged.itertuples()
         }
         assert got == want, f"seed {seed}: mismatch"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 5-hop chain cannot converge in 1 round of min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1)

@@ -195,3 +195,24 @@ def test_write_clustered_tightens_file_stats(spark, tmp_path):
     # same data either way
     got = spark.read.parquet(clustered)
     assert got.count() == events.count()
+
+
+def test_write_clustered_with_dates_bounds_file_count(spark, tmp_path):
+    """Date-partitioned clustered writes must not explode into
+    n_ranges x n_dates files: the date leads the range keys."""
+    from pathlib import Path
+
+    from bigdata_20251_steam_spark.sinks.storage import write_clustered
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "ts")
+    n_dates = events.select(F.to_date("ts").alias("d")).distinct().count()
+    out = str(tmp_path / "clustered_dated")
+    write_clustered(
+        events, out, cluster_cols=("user_id",), ts_col="ts", n_files_hint=8
+    )
+    files = list(Path(out).glob("p_date=*/part-*.parquet"))
+    # each range task holds a few whole dates => file count stays near
+    # n_files_hint + n_dates, nowhere near the 8 x n_dates explosion
+    assert len(files) <= n_dates + 8, (len(files), n_dates)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()

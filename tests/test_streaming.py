@@ -315,3 +315,18 @@ def test_dedup_stream_drops_redelivered_records(spark, tmp_path):
     got = run_available_now(deduped, output_mode="append").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
     assert {r["event_id"]: r["value"] for r in got} == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_dedup_stream_batch_fallback(spark):
+    """Kappa replay: the same call works on a batch frame via dropDuplicates."""
+    import datetime as dt
+
+    from bigdata_20251_steam_spark.streaming.engine import dedup_stream
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, 1.0), (1, base, 1.0), (2, base, 2.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    got = dedup_stream(df, key_cols=("event_id",), ts_col="ts")
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
