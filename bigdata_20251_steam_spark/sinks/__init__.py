@@ -2,6 +2,7 @@ from .bucketing import bucketed_join, write_bucketed
 from .storage import (
     compact_table,
     retention_vacuum,
+    upsert_snapshot,
     write_clustered,
     write_partitioned,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "write_bucketed",
     "compact_table",
     "retention_vacuum",
+    "upsert_snapshot",
     "write_clustered",
     "write_partitioned",
 ]

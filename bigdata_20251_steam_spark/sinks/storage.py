@@ -142,3 +142,46 @@ def write_clustered(
     if ts_col is not None:
         writer = writer.partitionBy(PART_COL)
     writer.parquet(path)
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+) -> None:
+    """Keyed upsert into a parquet snapshot table (the Mongo upsert A5
+    analogue, incremental form).
+
+    The reference's hot store upserts per key (``replaceDocument`` into
+    Mongo collections); ``dual_sink_writer`` re-expresses that as a full
+    snapshot recompute, which is correct but O(all keys) per epoch.
+    This is the incremental form for when the serving aggregate is
+    per-key-replaceable: existing rows whose key appears in ``updates``
+    are dropped (anti-join), the union is written to a staging dir, and
+    the swap is a directory rename — readers never observe a partial
+    table.  At 100 TB you'd reach for a table format with real MERGE
+    (Delta/Iceberg); this is the plain-parquet equivalent with the same
+    idempotency contract (re-running the same updates is a no-op).
+    """
+    import os
+
+    keys = list(key_cols)
+    staging = snapshot_dir.rstrip("/") + "._staging"
+    backup = snapshot_dir.rstrip("/") + "._old"
+    if os.path.isdir(snapshot_dir):
+        existing = spark.read.parquet(snapshot_dir)
+        merged = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    merged.write.mode("overwrite").parquet(staging)
+    # atomic-enough swap on a local/HDFS-like fs: two renames
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    if os.path.isdir(snapshot_dir):
+        os.rename(snapshot_dir, backup)
+    os.rename(staging, snapshot_dir)
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)

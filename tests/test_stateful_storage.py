@@ -216,3 +216,25 @@ def test_write_clustered_with_dates_bounds_file_count(spark, tmp_path):
     assert len(files) <= n_dates + 8, (len(files), n_dates)
     got = spark.read.parquet(out)
     assert got.count() == events.count()
+
+
+def test_upsert_snapshot_replaces_by_key(spark, tmp_path):
+    from bigdata_20251_steam_spark.sinks.storage import upsert_snapshot
+
+    snap = str(tmp_path / "serving")
+    first = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    upsert_snapshot(spark, snap, first, key_cols=("k",))
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    # update key 2, insert key 4, leave 1 and 3 untouched
+    updates = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+    upsert_snapshot(spark, snap, updates, key_cols=("k",))
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)}
+    # idempotent: replaying the same updates changes nothing
+    upsert_snapshot(spark, snap, updates, key_cols=("k",))
+    again = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert again == got
