@@ -1,0 +1,116 @@
+"""Scale-up probe: measure headline-query scaling at 1x / 4x / 16x data.
+
+The correctness gate runs at sf0.01 and the bench at sf0.1; this script
+answers the next question — *how do the plans scale* — by materializing
+id-shifted unions of the sf0.1 tables (4x and 16x rows) and timing a
+representative query slice at each multiple.  A healthy plan scales
+~linearly in input rows (scan/agg/window) or better (selective filters);
+anything super-linear is a candidate quadratic (join explosion,
+unblocked self-join) that 100 TB would amplify.
+
+Usage:  python scaling_probe.py [multiples...]   (default: 1 4 16)
+Prints one JSON line per multiple plus a final summary with the
+observed log-slope per query (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: (query name, tables it reads) — a slice covering scan+agg, multi-join,
+#: window re-agg, text hashing, as-of window, and ANN scoring.
+PROBES = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "sentiment_hourly",
+    "peak_activity",
+    "minhash_signatures",
+    "asof_join_last_good",
+    "embed_topk_bruteforce",
+    "dedup_exact",
+]
+
+#: id columns to shift per table so multiplied rows stay unique/joinable.
+#: Keys referenced across tables shift together (custkey/orderkey pairs),
+#: so join fan-out per key is PRESERVED, not multiplied.
+SHIFT_COLS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+STATIC = ("region", "nation", "supplier", "part")
+
+
+def materialize(spark, mult: int, out_dir: str) -> None:
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in STATIC:
+        load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, cols in SHIFT_COLS.items():
+        base = load_table(spark, BASE_SF, t)
+        maxes = base.agg(
+            *[F.max(c).alias(c) for c in cols]
+        ).collect()[0]
+        copies = []
+        for i in range(mult):
+            c = base
+            for col in cols:
+                c = c.withColumn(col, F.col(col) + i * (maxes[col] + 1))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    from bigdata_20251_steam_spark.plans import QUERIES
+    from bigdata_20251_steam_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    for mult in mults:
+        d = os.path.join(tempfile.gettempdir(), f"scaleprobe_x{mult}")
+        materialize(spark, mult, d)
+        for q in PROBES:
+            best = math.inf
+            for _ in range(2):  # min-of-2: exclude JIT/VM stalls
+                t0 = time.perf_counter()
+                QUERIES[q].fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            results[q][mult] = round(best, 3)
+        print(json.dumps({"mult": mult, "times": {q: results[q][mult] for q in PROBES}}))
+        if mult != 1:
+            shutil.rmtree(d, ignore_errors=True)
+    slopes = {}
+    lo, hi = min(mults), max(mults)
+    for q in PROBES:
+        if results[q][lo] > 0 and hi > lo:
+            slopes[q] = round(
+                math.log(results[q][hi] / results[q][lo]) / math.log(hi / lo), 2
+            )
+    print(json.dumps({"metric": "scaling_log_slope", "slopes": slopes,
+                      "note": "1.0 = linear in rows; <1 = fixed-cost dominated"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
