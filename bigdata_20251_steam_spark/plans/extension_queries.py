@@ -1226,3 +1226,34 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.sentences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "user_value_quartiles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, round(sum(value), 6) AS total_value
+      FROM events GROUP BY user_id)
+    SELECT user_id, total_value,
+           CAST(ntile(4) OVER (ORDER BY total_value DESC, user_id ASC)
+                AS INT) AS quartile
+    FROM u
+    """,
+    priority=60,
+    doc="ntile(4) quartile assignment over per-user totals — completes "
+    "the ranking-function family (row_number/rank in daily_user_rank, "
+    "lag in moving_avg_daily).  Deterministic ordering via the user_id "
+    "tie-break; one shuffle to a single ordered partition (at 100 TB "
+    "you'd ntile within hash ranges or use approx percentile cuts).",
+)
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return u.select(
+        "user_id", "total_value", F.ntile(4).over(w).alias("quartile")
+    )
