@@ -16,7 +16,7 @@ from .dedup import (
     word_shingles,
 )
 from .dedup import connected_components, incremental_dedup
-from .ingest import flatten_app_details, valid_appids
+from .ingest import flatten_app_details, quarantine_invalid, valid_appids
 from .joins import salted_join
 from .packing import pack_documents
 from .relational_ext import asof_join, range_join
@@ -48,7 +48,7 @@ __all__ = [
     "blocked_self_pairs", "exact_dedup_stats", "minhash_candidate_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "simhash_near_pairs",
     "simhash_signatures", "spread_partitions", "word_shingles",
-    "flatten_app_details", "valid_appids", "salted_join",
+    "flatten_app_details", "quarantine_invalid", "valid_appids", "salted_join",
     "cosine", "cosine_near_dup_pairs", "cosine_topk", "lsh_bucketed_topk",
     "pandas_cosine_udf",
     "fingerprints", "language_id", "quality_scores", "token_counts",

@@ -123,3 +123,34 @@ def valid_appids(lines: DataFrame, col: str = "value") -> DataFrame:
         .filter(F.col("raw").rlike("^[0-9]+$"))
         .select(F.col("raw").cast("int").alias("appid"))
     )
+
+
+def quarantine_invalid(df, rules):
+    """Split rows into (valid, quarantined) by named data-quality rules.
+
+    ``rules`` maps rule name -> boolean Column that is True for GOOD
+    rows.  Valid rows pass every rule; quarantined rows carry a
+    ``failed_rules`` array naming each violated rule, which is what an
+    operator actually needs to triage a bad batch (vs a bare filter
+    that silently drops).  The classic serving-layer gate: bronze stays
+    raw, only validated rows reach the hot store, rejects land in a
+    quarantine table with reasons.
+
+    Single pass, no shuffle: both outputs are filters over the same
+    projection, and Spark reuses the scan across the two writes when
+    persisted by the caller.
+    """
+    from pyspark.sql import functions as F
+
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in sorted(rules.items())
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    valid = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.filter(F.size("failed_rules") > 0)
+    return valid, quarantined

@@ -129,3 +129,46 @@ def test_dual_sink_exactly_once_matches_plain(spark, tmp_path):
     serving = spark.read.parquet(paths.serving_dir)
     assert serving.agg(F.sum("n")).collect()[0][0] == 200
     assert "epoch" not in serving.columns  # dropped before the agg
+
+
+def test_quarantine_invalid_splits_with_reasons(spark):
+    from bigdata_20251_steam_spark.operators.ingest import quarantine_invalid
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "click"),
+            (2, -5.0, "click"),        # bad value
+            (3, 20.0, None),           # bad type
+            (4, -1.0, None),           # bad value AND type
+        ],
+        "event_id long, value double, event_type string",
+    )
+    valid, quarantined = quarantine_invalid(
+        df,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "event_type_present": F.col("event_type").isNotNull(),
+        },
+    )
+    assert [r["event_id"] for r in valid.orderBy("event_id").collect()] == [1]
+    q = {r["event_id"]: r["failed_rules"] for r in quarantined.collect()}
+    assert q[2] == ["value_non_negative"]
+    assert q[3] == ["event_type_present"]
+    assert q[4] == ["event_type_present", "value_non_negative"]
+
+
+def test_bronze_schema_evolution_merge(spark, tmp_path):
+    """Bronze must survive producer-side schema ADDITIONS: old files lack
+    the new column, mergeSchema reads the union with nulls backfilled."""
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, 10.0)], "event_id long, value double"
+    ).write.parquet(bronze)
+    # a later epoch starts shipping a new column
+    spark.createDataFrame(
+        [(2, 20.0, "eu-west")], "event_id long, value double, region string"
+    ).write.mode("append").parquet(bronze)
+    merged = spark.read.option("mergeSchema", True).parquet(bronze)
+    got = {r["event_id"]: r["region"] for r in merged.collect()}
+    assert got == {1: None, 2: "eu-west"}
+    assert set(merged.columns) == {"event_id", "value", "region"}
