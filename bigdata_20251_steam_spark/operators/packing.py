@@ -54,3 +54,43 @@ def pack_documents(
         )
         .withColumn("pack_id", F.expr(f"pack_offset div {budget}"))
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    text_col: str,
+    budget: int = 2048,
+    n_shards: int = 1,
+    sep: str = "<|doc|>",
+) -> DataFrame:
+    """Materialize packed training sequences: one row per (shard, pack).
+
+    Completes :func:`pack_documents` — that assigns docs to packs; this
+    builds the actual concatenated text each context window trains on:
+    docs of a pack joined with ``sep`` in deterministic ``id_col``
+    order, plus the doc count and token total.  Ordering inside the
+    group is enforced by sorting an array of (id, text) structs —
+    ``collect_list`` alone has NO ordering guarantee under shuffles.
+
+    One shuffle on (shard, pack_id); the concat is an array fold over
+    each group's few documents.
+    """
+    assigned = pack_documents(
+        docs, id_col=id_col, token_count_col=token_count_col,
+        budget=budget, n_shards=n_shards,
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+    )
+    return (
+        assigned.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_col).alias("total_tokens"),
+            F.concat_ws(sep, F.transform(ordered, lambda s: s["t"])).alias(
+                "packed_text"
+            ),
+        )
+    )

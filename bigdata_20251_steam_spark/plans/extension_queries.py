@@ -1257,3 +1257,41 @@ def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "user_id", "total_value", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, text, len({_TOKS}) AS n FROM documents),
+    c AS (
+      SELECT doc_id, text, n,
+             sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+      FROM tc)
+    SELECT CAST(0 AS INT)                AS shard,
+           CAST(off // 1024 AS BIGINT)   AS pack_id,
+           count(*)                      AS n_docs,
+           CAST(sum(n) AS BIGINT)        AS total_tokens,
+           string_agg(text, '<|doc|>' ORDER BY doc_id) AS packed_text
+    FROM c GROUP BY 2
+    """,
+    priority=60,
+    doc="Materialized packed training sequences "
+    "(operators.packing.materialize_packs): pack assignment -> "
+    "deterministic in-pack ordering (sorted struct array, because "
+    "collect_list has no ordering guarantee) -> separator-joined "
+    "context-window text with doc/token accounting.  The end-to-end "
+    "form of sequence packing; oracle via string_agg ORDER BY.",
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import materialize_packs
+    from ..operators.text_analysis import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    return materialize_packs(
+        tc, id_col="doc_id", token_count_col="n_tokens", text_col="text",
+        budget=1024, n_shards=1,
+    )
