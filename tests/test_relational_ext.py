@@ -238,3 +238,42 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=1)
+
+
+def test_range_join_matches_naive_randomized(spark):
+    """Randomized trials: binned range_join == naive inequality join."""
+    import datetime as dt
+    import random
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        t0 = dt.datetime(2024, 1, 1)
+        points = spark.createDataFrame(
+            [(i, t0 + dt.timedelta(seconds=rng.randint(0, 86400 * 3)))
+             for i in range(150)],
+            "pid long, ts timestamp",
+        )
+        intervals = []
+        for j in range(40):
+            s = t0 + dt.timedelta(seconds=rng.randint(0, 86400 * 3))
+            intervals.append(
+                (j, s, s + dt.timedelta(seconds=rng.randint(1, 86400)))
+            )
+        iv = spark.createDataFrame(
+            intervals, "iid long, start_ts timestamp, end_ts timestamp"
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, iv, "ts", "start_ts", "end_ts", bucket="6 hours"
+            ).collect()
+        }
+        naive = {
+            (r["pid"], r["iid"])
+            for r in points.join(
+                iv,
+                (F.col("ts") >= F.col("start_ts"))
+                & (F.col("ts") < F.col("end_ts")),
+            ).collect()
+        }
+        assert got == naive, f"seed {seed}: {len(got)} vs {len(naive)}"

@@ -330,3 +330,59 @@ def test_dedup_stream_batch_fallback(spark):
     )
     got = dedup_stream(df, key_cols=("event_id",), ts_col="ts")
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+
+def test_stateful_window_agg_checkpoint_resume(spark, tmp_path):
+    """A watermarked windowed agg must RESUME from checkpointed state:
+    windows spanning the restart emit once with counts from both runs."""
+    import datetime as dt
+
+    from bigdata_20251_steam_spark.streaming.engine import file_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = file_stream(spark, src, spark.createDataFrame([], schema).schema)
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").alias("ws"), "user_id", "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two events in window A; window stays OPEN (no later watermark)
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=1), 1.0),
+         (1, base + dt.timedelta(minutes=2), 1.0)], schema
+    ).write.parquet(src)
+    run_once()
+    # run 2: one MORE event in window A plus a far-future event that
+    # advances the watermark past A, forcing A to close and emit
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=3), 1.0),
+         (9, base + dt.timedelta(hours=2), 1.0)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r["ws"], r["user_id"]): r["n"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the restart-spanning window counts events from BOTH runs exactly
+    # once — state was restored from the checkpoint, not recomputed
+    assert got[(base, 1)] == 3, got
