@@ -35,18 +35,24 @@ def write_partitioned(
     path: str,
     ts_col: str,
     mode: str = "append",
+    fmt: str = "parquet",
 ) -> None:
     """Append rows date-partitioned by ``ts_col`` (bronze layout I1/I2).
 
     Queries filtering on ``{PART_COL}`` (or on ``ts_col`` through it) scan
     only matching partition directories — partition pruning is the 100 TB
     lever the reference's flat layout gives up.
+
+    ``fmt`` accepts any Spark batch sink format; parquet (default) and
+    orc both get vectorized reads, column pruning, and predicate
+    pushdown — orc matters for Hive-ecosystem consumers.
     """
     (
         df.withColumn(PART_COL, F.to_date(F.col(ts_col)))
         .write.mode(mode)
         .partitionBy(PART_COL)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
