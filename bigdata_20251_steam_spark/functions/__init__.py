@@ -10,8 +10,16 @@ from .text import (
     clean_html,
     tokens_col,
 )
+from .timeutil import (
+    epoch_seconds,
+    epoch_seconds_sql,
+    normalize_ntz,
+)
 
 __all__ = [
+    "epoch_seconds",
+    "epoch_seconds_sql",
+    "normalize_ntz",
     "HASH_PRIME",
     "MINHASH_PARAMS",
     "md5_long",

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_seconds_sql
+
 
 def asof_join(
     left: DataFrame,
@@ -34,28 +36,42 @@ def asof_join(
     value_cols: tuple[str, ...],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row at-or-before it.
+    """For each left row, attach the matching right row per ``direction``.
 
     The time-series join Spark has no operator for (pandas ``merge_asof``,
-    DuckDB/QuestDB ``ASOF JOIN``).  ``direction="backward"`` (the only
-    mode implemented) matches the latest right row with
-    ``right_ts <= left_ts`` per key; unmatched left rows keep nulls.
+    DuckDB/QuestDB ``ASOF JOIN``).  Directions follow pandas semantics:
 
-    Mechanics: tag and union both sides, then a single per-key window
-    ordered by (ts, side) carries the right side's values forward with
-    ``last(..., ignorenulls=True)``; right rows sort BEFORE left rows at
-    equal timestamps so ties count as matches.  Requires right (key, ts)
-    uniqueness for deterministic output — pre-aggregate duplicates away
-    (the query layer does; an assertion here would force an extra pass).
+    - ``backward``: latest right row with ``right_ts <= left_ts``;
+    - ``forward``: earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in absolute time, the
+      backward match winning exact-distance ties (pandas tie rule).
 
-    At 100 TB: one hash shuffle of left+right on ``key``, sorted once;
-    no state beyond the window's running ``last`` — the plan is the same
-    sort-merge shape as a co-partitioned join.  Skewed keys salt exactly
-    like any other window (split the key's timeline, carry the boundary
-    row between salts).
+    Unmatched left rows keep nulls.  Parity with ``pandas.merge_asof`` for
+    all three directions is property-tested in
+    ``tests/test_extensions_unit.py``.
+
+    Mechanics: tag and union both sides; the right side's (ts, values)
+    travel as ONE nullable struct so a match is always an atomic row, then
+    a single per-key window ordered by (ts, side) carries that struct
+    backward (``last ignorenulls`` over the preceding frame) and/or
+    forward (``first ignorenulls`` over the following frame).  Side order
+    at equal timestamps makes ties land in the correct frame: right rows
+    sort before left for backward/nearest, after left for forward.
+    Requires right (key, ts) uniqueness for deterministic output —
+    pre-aggregate duplicates away (the query layer does; an assertion here
+    would force an extra pass).
+
+    At 100 TB: one hash shuffle of left+right on ``key``, sorted once
+    (both frames share the same window spec, so ``nearest`` still sorts
+    once); no state beyond the window's running ``last``/``first`` — the
+    plan is the same sort-merge shape as a co-partitioned join.  Skewed
+    keys salt exactly like any other window (split the key's timeline,
+    carry the boundary row between salts).
     """
-    if direction != "backward":
-        raise ValueError("asof_join implements direction='backward' only")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join direction must be 'backward', 'forward' or 'nearest'"
+        )
     lcols = left.columns
     side_l = left.select(
         F.col(key).alias("_k"),
@@ -74,23 +90,61 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(right_ts).alias("_r_ts"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Right rows carry their (ts, values) as one atomic struct; left rows
+    # carry null.  last()/first() with ignorenulls then yield whole
+    # matched rows, never a mix of two right rows.
+    rv = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        ),
     )
-    carried = side_l.unionByName(side_r).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
-    )
+    # At equal timestamps the tie must land inside the match frame:
+    # backward/nearest want right (side 0) before left, forward wants
+    # right after left — flip the side sort key, keep one window spec.
+    side_ord = F.col("_side").desc() if direction == "forward" else F.col("_side")
+    base = Window.partitionBy("_k").orderBy(F.col("_ts"), side_ord)
+    unioned = side_l.unionByName(side_r).withColumn("_rv", rv)
+    if direction in ("backward", "nearest"):
+        unioned = unioned.withColumn(
+            "_m_b",
+            F.last("_rv", ignorenulls=True).over(
+                base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    if direction in ("forward", "nearest"):
+        unioned = unioned.withColumn(
+            "_m_f",
+            F.first("_rv", ignorenulls=True).over(
+                base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+    if direction == "backward":
+        matched = F.col("_m_b")
+    elif direction == "forward":
+        matched = F.col("_m_f")
+    else:
+        # nearest: distance in microseconds (sub-second safe); the
+        # equal-ts case has distance 0 and is caught by the backward arm
+        # (right-before-left sort order), matching pandas' tie rule.
+        d_b = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+            F.col("_m_b.ts").cast("timestamp")
+        )
+        d_f = F.unix_micros(F.col("_m_f.ts").cast("timestamp")) - F.unix_micros(
+            F.col("_ts").cast("timestamp")
+        )
+        matched = (
+            F.when(F.col("_m_b").isNull(), F.col("_m_f"))
+            .when(F.col("_m_f").isNull(), F.col("_m_b"))
+            .when(d_b <= d_f, F.col("_m_b"))
+            .otherwise(F.col("_m_f"))
+        )
+    carried = unioned.withColumn("_m", matched)
     return carried.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_m_{c}").alias(f"matched_{c}") for c in value_cols],
-        F.col("_m_ts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(f"matched_{c}") for c in value_cols],
+        F.col("_m.ts").alias("matched_ts"),
     )
 
 
@@ -122,19 +176,19 @@ def range_join(
     }[unit]
     secs = int(n) * mult
     p = points.withColumn(
-        "_b", F.expr(f"cast({point_ts} as long) div {secs}")
+        "_b", F.expr(f"{epoch_seconds_sql(point_ts)} div {secs}")
     )
     iv = intervals.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.expr(f"cast({start_ts} as long) div {secs}"),
+                F.expr(f"{epoch_seconds_sql(start_ts)} div {secs}"),
                 # end is exclusive, but timestamp->long truncates to whole
                 # seconds, so subtracting 1 here could drop the bucket a
                 # sub-second point sits in; include the end bucket and let
                 # the exact residual filter trim — candidates must be a
                 # superset, never a subset
-                F.expr(f"cast({end_ts} as long) div {secs}"),
+                F.expr(f"{epoch_seconds_sql(end_ts)} div {secs}"),
             )
         ),
     )

@@ -675,7 +675,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM err e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
       ON e.event_id = m.event_id
     """,
-    priority=60,
+    priority=45,
     headline=True,
     doc="As-of join (operators.relational_ext.asof_join): for every error "
     "event, the latest at-or-before non-error reading of the same user — "
@@ -722,7 +722,7 @@ def q_asof_join_last_good(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.ts >= a.start_ts AND e.ts < a.end_ts
     GROUP BY 1
     """,
-    priority=60,
+    priority=45,
     doc="Keyless point-in-interval range join "
     "(operators.relational_ext.range_join): events landing in 6-hour "
     "windows anchored at sampled events.  Binned equi-join on bucket id "
@@ -764,7 +764,7 @@ _SPLIT_BUCKET_SQL = (
                 ELSE 'test' END AS split
     FROM b
     """,
-    priority=60,
+    priority=45,
     doc="Deterministic 80/10/10 train/val/test split by salted content "
     "hash (operators.sampling.hash_split): stable under repartitioning, "
     "engine changes, and incremental corpus growth — rows never migrate "
@@ -795,7 +795,7 @@ _SAMPLE_BUCKET_SQL = (
                                     ELSE 0.1 END * 1000000 AS BIGINT))
     SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
     """,
-    priority=60,
+    priority=45,
     doc="Deterministic stratified downsampling "
     "(operators.sampling.stratified_sample): per-language keep fractions "
     "via hash buckets — sampleBy without RNG, reproducible bit-for-bit "
@@ -829,7 +829,7 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(pack_offset // 1024 AS BIGINT)  AS pack_id
     FROM c
     """,
-    priority=60,
+    priority=45,
     doc="Sequence packing (operators.packing.pack_documents): offset "
     "packing of docs into 1024-token context windows via a running "
     "prefix sum — pack_id = token_offset div budget.  Oracle-parity form "
@@ -881,7 +881,7 @@ def q_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(mr AS BIGINT)          AS max_run_len
     FROM nz JOIN topc USING (doc_id) JOIN maxrun USING (doc_id)
     """,
-    priority=60,
+    priority=45,
     headline=True,
     doc="Gopher-style repetition quality signals "
     "(operators.text_analysis.repetition_metrics): dup-token ratio, top "
@@ -915,7 +915,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
     SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
     """,
-    priority=60,
+    priority=45,
     headline=True,
     doc="Transitive duplicate clusters over MinHash-LSH pairs "
     "(operators.dedup.connected_components): iterative min-label "
@@ -951,7 +951,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
     FROM ranked WHERE rank <= 3
     """,
-    priority=60,
+    priority=45,
     doc="Top-3 characteristic terms per doc by smoothed TF-IDF "
     "(operators.text_analysis.tfidf_top_terms): explode+groupBy term "
     "frequencies, re-aggregated document frequencies, broadcast corpus "
@@ -990,7 +990,7 @@ _INC_BUCKET_SQL = (
                 ELSE 'kept' END AS status
     FROM m
     """,
-    priority=60,
+    priority=45,
     doc="Ingest-time incremental dedup (operators.dedup.incremental_dedup): "
     "a hash-derived 'new batch' (20% of docs) labeled against the "
     "'existing corpus' (80%) — dup_of_corpus via a longs-only semi-join "
@@ -1031,7 +1031,7 @@ def q_incremental_dedup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(x * scale) AS INT)    AS qval
     FROM ex
     """,
-    priority=60,
+    priority=45,
     doc="Symmetric per-vector int8 quantization "
     "(operators.similarity.quantize_embeddings): q = round(x * 127 / "
     "max|x|) — the 4-8x storage compression for ANN corpora.  Emitted "
@@ -1066,7 +1066,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
-    priority=60,
+    priority=45,
     doc="Pivot (long->wide): per-user event-type count matrix via "
     "groupBy().pivot() with the value list PINNED — an unpinned pivot "
     "runs an extra distinct-scan job to discover columns and makes the "
@@ -1097,7 +1097,7 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    priority=60,
+    priority=45,
     doc="CUBE grouping sets (all 2^k margin combinations — completes the "
     "grouping-sets family next to rollup_orders).  Spark expands the "
     "cube map-side: one shuffle regardless of the number of grouping "
@@ -1137,7 +1137,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
-    priority=60,
+    priority=45,
     doc="Moving-frame analytics: 7-day trailing average + day-over-day "
     "delta via ROWS window frames and lag() — the dashboard-trend family "
     "(lag/lead/sliding frames) the Mongo layer faked client-side.  One "
@@ -1182,7 +1182,7 @@ def q_moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'click_no_buy' AS cohort, CAST(count(*) AS BIGINT) AS n FROM only_click
     """,
-    priority=60,
+    priority=45,
     doc="Set operations (INTERSECT / EXCEPT — completes §2.D's 'set ops' "
     "row beyond semi/anti joins): cohort sizes from distinct-user sets. "
     "Both plan as hash aggregates + joins, no row explosion.",
@@ -1217,7 +1217,7 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(sentence_idx AS INT) AS sentence_idx, s AS sentence
     FROM nonempty
     """,
-    priority=60,
+    priority=45,
     doc="Python UDTF (operators.text_analysis.sentences): lateral-join "
     "table function emitting 0..n sentence rows per document — the 4th "
     "UDF shape (SURVEY.md §2.H) beside pandas_udf / mapInPandas / "
@@ -1239,7 +1239,7 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS INT) AS quartile
     FROM u
     """,
-    priority=60,
+    priority=45,
     doc="ntile(4) quartile assignment over per-user totals — completes "
     "the ranking-function family (row_number/rank in daily_user_rank, "
     "lag in moving_avg_daily).  Deterministic ordering via the user_id "
@@ -1275,7 +1275,7 @@ def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_agg(text, '<|doc|>' ORDER BY doc_id) AS packed_text
     FROM c GROUP BY 2
     """,
-    priority=60,
+    priority=45,
     doc="Materialized packed training sequences "
     "(operators.packing.materialize_packs): pack assignment -> "
     "deterministic in-pack ordering (sorted struct array, because "

@@ -31,6 +31,7 @@ from ..operators.core import (
     review_bomb,
     sentiment_windows,
 )
+from ..functions.timeutil import epoch_seconds
 from ..schemas import EVENT_PROPS_SCHEMA
 from ..sources.batch import load_table
 from .registry import register
@@ -42,6 +43,7 @@ from .registry import register
 
 @register(
     "sentiment_hourly",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle="""
     SELECT date_trunc('hour', ts)                          AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR        AS window_end,
@@ -101,6 +103,7 @@ def q_review_bomb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "genre_distribution",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle="""
     SELECT genre, count(*) AS total
     FROM (SELECT unnest(string_split(text, ' ')) AS genre FROM documents)
@@ -165,6 +168,7 @@ def q_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "peak_activity",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle="""
     WITH w AS (
       SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
@@ -390,6 +394,7 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "epoch_casts",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle="""
     SELECT event_id,
            CAST(floor(epoch(ts)) AS BIGINT)                 AS epoch_s,
@@ -404,8 +409,8 @@ def q_epoch_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.col("ts").cast("long").alias("epoch_s"),
-        F.col("ts").cast("long").cast("timestamp").alias("ts_s"),
+        epoch_seconds("ts").alias("epoch_s"),
+        epoch_seconds("ts").cast("timestamp").alias("ts_s"),
         F.col("user_id").cast("string").alias("user_label"),
     )
 
@@ -417,6 +422,7 @@ def q_epoch_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dim_join",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle="""
     SELECT c.c_mktsegment                        AS segment,
            count(*)                              AS n_orders,

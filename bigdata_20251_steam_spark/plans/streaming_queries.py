@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions.timeutil import epoch_seconds
 from ..operators.core import sentiment_windows
 from ..sources.batch import load_table
 from ..streaming.engine import file_stream, run_available_now
@@ -161,6 +162,7 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_genre_counts",
+    priority=40,  # §2 sentinel canary (r4 window rotation, registry.py)
     oracle=QUERIES["genre_distribution"].oracle,
     doc="The charts app's running genre distribution as a stream: explode "
     "(F1) + global grouped count in complete mode with NO watermark/window "
@@ -249,7 +251,7 @@ def q_streaming_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.event_type = 'click' AND e.event_type = 'error'
      AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL 6 HOUR
     """,
-    priority=60,
+    priority=45,
     doc="Watermarked stream-stream inner join (the Structured Streaming "
     "capability beyond every G-row of the reference): clicks joined to "
     "errors of the same user within the following 6 hours, both sides "
@@ -290,6 +292,6 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "error_id",
         "user_id",
-        (F.col("e_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_s"),
+        (epoch_seconds("e_ts") - epoch_seconds("c_ts")).alias("lag_s"),
     )
     return run_available_now(joined, output_mode="append")

@@ -33,6 +33,11 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # --- determinism / oracle parity ---------------------------------
     "spark.sql.session.timeZone": "UTC",
+    # Parquet timestamps without the UTC-adjusted flag read as zoned
+    # TIMESTAMP, not TIMESTAMP_NTZ (Spark 4 default flipped); NTZ breaks
+    # epoch casts and watermarks.  Also set per-read in sources/batch.py
+    # for driver-supplied sessions.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # --- shuffle sizing ----------------------------------------------
     "spark.sql.shuffle.partitions": "32",
     # local-mode JVM sizing: the default 1g driver heap thrashes GC once

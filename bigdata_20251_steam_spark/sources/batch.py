@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..functions.timeutil import normalize_ntz
 from ..schemas import REVIEW_CSV_SCHEMA, TESTDATA_TABLES
 
 #: Testdata timestamp columns are written as parquet TIMESTAMP(NANOS), which
@@ -42,11 +43,18 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamps written without the UTC-adjusted flag must read as
+    # zoned TIMESTAMP, not TIMESTAMP_NTZ — set here (not only session.py)
+    # so a driver-supplied session gets the same behavior.  The session TZ
+    # is pinned UTC, so the wall-clock interpretation matches DuckDB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    # Belt and braces: if NTZ slipped through anyway (conf ignored by a
+    # foreign session build), normalize at the boundary.
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from ..functions.timeutil import normalize_ntz
+
 
 def file_stream(
     spark: SparkSession,
@@ -53,7 +55,10 @@ def file_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.format(fmt).load(path)
+    # Callers often pass ``batch_df.schema`` as the stream schema; under
+    # Spark 4 that may carry TIMESTAMP_NTZ, on which withWatermark raises
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  Normalize at the boundary.
+    return normalize_ntz(reader.format(fmt).load(path))
 
 
 def run_available_now(

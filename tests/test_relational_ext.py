@@ -53,11 +53,51 @@ def test_asof_join_backward_semantics(spark):
     assert len(got) == 5  # every left row exactly once
 
 
-def test_asof_join_rejects_forward(spark):
+def test_asof_join_rejects_unknown_direction(spark):
     df = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))], "k long, ts timestamp")
     with pytest.raises(ValueError):
         asof_join(df, df, key="k", left_ts="ts", right_ts="ts",
-                  value_cols=(), direction="forward")
+                  value_cols=(), direction="sideways")
+
+
+def test_asof_join_forward_and_nearest_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T10:00:00")),
+            (2, "k1", _ts("2024-01-01T09:00:00")),  # ties r2 exactly
+            (3, "k1", _ts("2024-01-01T12:00:00")),  # after everything
+            (4, "k1", _ts("2024-01-01T08:30:00")),  # equidistant 08:00/09:00
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T08:00:00"), 10.0),
+            ("k1", _ts("2024-01-01T09:00:00"), 20.0),
+            ("k1", _ts("2024-01-01T11:00:00"), 30.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+
+    def run(direction):
+        return {
+            r["id"]: r["matched_v"]
+            for r in asof_join(
+                left, right, key="k", left_ts="ts", right_ts="ts",
+                value_cols=("v",), direction=direction,
+            ).collect()
+        }
+
+    fwd = run("forward")
+    assert fwd[1] == 30.0   # earliest at-or-after 10:00 is 11:00
+    assert fwd[2] == 20.0   # tie counts forward too
+    assert fwd[3] is None   # nothing after 12:00
+    assert fwd[4] == 20.0
+    near = run("nearest")
+    assert near[1] == 20.0  # 09:00 and 11:00 equidistant: tie -> backward
+    assert near[2] == 20.0  # exact tie, distance 0
+    assert near[3] == 30.0  # only backward exists
+    assert near[4] == 10.0  # equidistant: pandas tie rule prefers backward
 
 
 def test_range_join_boundaries(spark):
@@ -190,9 +230,10 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
     """Property test: asof_join == pandas merge_asof on randomized inputs.
 
     pandas' merge_asof is the independent reference implementation of
-    backward as-of semantics; hypothesis-style randomized trials (fixed
-    seeds for reproducibility) cover tie, gap, empty-key, and
-    duplicate-left-ts shapes that a hand-built fixture might miss.
+    as-of semantics; hypothesis-style randomized trials (fixed seeds for
+    reproducibility) cover tie, gap, empty-key, and duplicate-left-ts
+    shapes that a hand-built fixture might miss — for all three
+    directions (backward / forward / nearest incl. its tie rule).
     """
     import random
 
@@ -213,22 +254,23 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
 
         left = spark.createDataFrame(left_rows, "id long, k string, ts long")
         right = spark.createDataFrame(right_rows, "k string, ts long, v double")
-        got = {
-            r["id"]: r["matched_v"]
-            for r in asof_join(
-                left, right, key="k", left_ts="ts", right_ts="ts",
-                value_cols=("v",),
-            ).collect()
-        }
-
         lp = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
         rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
-        merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
-        want = {
-            int(r.id): (None if pd.isna(r.v) else float(r.v))
-            for r in merged.itertuples()
-        }
-        assert got == want, f"seed {seed}: mismatch"
+
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r["id"]: r["matched_v"]
+                for r in asof_join(
+                    left, right, key="k", left_ts="ts", right_ts="ts",
+                    value_cols=("v",), direction=direction,
+                ).collect()
+            }
+            merged = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+            want = {
+                int(r.id): (None if pd.isna(r.v) else float(r.v))
+                for r in merged.itertuples()
+            }
+            assert got == want, f"seed {seed} {direction}: mismatch"
 
 
 def test_connected_components_raises_on_non_convergence(spark):

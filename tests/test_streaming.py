@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from bigdata_20251_steam_spark.functions.timeutil import epoch_seconds
 from bigdata_20251_steam_spark.sources.batch import load_table
 from bigdata_20251_steam_spark.streaming.engine import (
     DualSinkPaths,
@@ -44,7 +45,7 @@ def _review_json_df(spark):
                 (F.col("event_type") != "error").alias("voted_up"),
                 F.lit(1).alias("votes_up"),
                 F.col("value").alias("weighted_vote_score"),
-                F.col("ts").cast("long").alias("timestamp_created"),
+                epoch_seconds("ts").alias("timestamp_created"),
                 F.lit("ok").alias("review_text"),
             )
         ).alias("value")
