@@ -377,14 +377,18 @@ def connected_components(
     Components in MapReduce and Beyond"): every node repeatedly adopts
     the minimum label in its closed neighborhood until fixpoint.
 
-    Each round is one join + one groupBy (two shuffles) over the EDGE
-    set, which for dedup graphs is O(true duplicates) — tiny relative to
-    the corpus.  Rounds = graph diameter (duplicate clusters are
-    near-cliques from LSH, so 2-4 in practice; ``max_iters`` bounds
-    pathological chains).  ``localCheckpoint`` cuts the growing lineage
-    so round N doesn't replan rounds 1..N-1.  Driver-side per round:
-    one boolean convergence count, never data.  Raises ``RuntimeError``
-    if the propagation has not converged after ``max_iters`` rounds — a
+    Each round is one join + one groupBy over the EDGE set (neighbor-min
+    propagation) plus one self-join over the LABEL set (pointer jumping:
+    every node re-adopts its label's own label, halving pointer chains),
+    which for dedup graphs is O(true duplicates) — tiny relative to the
+    corpus.  The jump step makes convergence O(log diameter) instead of
+    O(diameter): a 50-hop chain closes in ~7 rounds, not 50 (classic
+    Shiloach-Vishkin shortcutting; same trick as the large-star operation
+    in Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond").  ``localCheckpoint`` cuts the growing lineage so round N
+    doesn't replan rounds 1..N-1.  Driver-side per round: one boolean
+    convergence count, never data.  Raises ``RuntimeError`` if the
+    propagation has not converged after ``max_iters`` rounds — a
     silently-split component would make dedup keep multiple copies of
     one cluster, which is strictly worse than failing loudly.
     """
@@ -409,12 +413,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow the label one more hop (label-of-label).
+        # labels only ever hold existing node ids (minima of node ids), so
+        # the lookup hits; the left join + coalesce is belt-and-braces.
+        jump = propagated.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(jump, propagated.label == jump._jn, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("_jl", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()

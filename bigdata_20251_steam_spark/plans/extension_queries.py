@@ -709,6 +709,59 @@ def q_asof_join_last_good(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_nearest",
+    oracle="""
+    WITH good AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    m AS (
+      SELECT err.event_id, g.ts AS gts, g.value,
+             row_number() OVER (PARTITION BY err.event_id
+                                ORDER BY abs(epoch_us(err.ts) - epoch_us(g.ts)),
+                                         g.ts) AS rn
+      FROM err JOIN good g ON g.user_id = err.user_id)
+    SELECT e.event_id, e.user_id, e.ts,
+           round(m.value, 6) AS matched_value,
+           m.gts             AS matched_ts
+    FROM err e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON e.event_id = m.event_id
+    """,
+    priority=46,  # round-4 addition (registry.py window policy)
+    doc="As-of join, nearest direction (operators.relational_ext.asof_join): "
+    "for every error event, the temporally closest non-error reading of "
+    "the same user in EITHER direction, exact-distance ties resolved "
+    "backward (pandas merge_asof tie rule; microsecond distances).  Same "
+    "single-shuffle union-and-carry plan — both frames share one sort.  "
+    "The oracle ranks by absolute epoch_us distance with a ts tie-break.",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational_ext import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    good = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        err, good, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("value",), direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("matched_value", 6).alias("matched_value"),
+        "matched_ts",
+    )
+
+
+@register(
     "interval_event_counts",
     oracle="""
     WITH anchors AS (
@@ -926,6 +979,63 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
     return dd.connected_components(pairs)
+
+
+@register(
+    "dedup_pipeline_end_to_end",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NULL OR d.doc_id = c.component_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND d.doc_id <> c.component_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+    priority=46,  # round-4 addition (registry.py window policy)
+    headline=True,
+    doc="The full dedup pipeline a 100-TB training-data run executes, as ONE "
+    "query: minhash signatures -> LSH banded candidate pairs -> transitive "
+    "closure (connected_components, pointer-jumped min-label propagation) "
+    "-> keep each component's lowest doc_id -> per-source corpus rollup. "
+    "Transitively correct survivor policy (A~B, B~C keeps only A even "
+    "though A,C never pair), unlike pair-local resolve. component_id IS "
+    "the component min by construction, so survivorship is a comparison, "
+    "not another aggregation; singletons never enter the closure. Oracle "
+    "is the recursive-CTE closure over the same banding.",
+)
+def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    comp = dd.connected_components(pairs)
+    labeled = docs.select("doc_id", "source").join(comp, "doc_id", "left")
+    kept = F.col("component_id").isNull() | (
+        F.col("doc_id") == F.col("component_id")
+    )
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+    )
 
 
 @register(

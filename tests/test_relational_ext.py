@@ -273,6 +273,22 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
             assert got == want, f"seed {seed} {direction}: mismatch"
 
 
+def test_connected_components_pointer_jumping_long_chain(spark):
+    """A diameter-50 chain must converge in O(log d) rounds, not O(d).
+
+    Plain min-label propagation needs 50 rounds (raises at max_iters=8);
+    with pointer jumping ~log2(50)+2 ≈ 8 rounds suffice.
+    """
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 51)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs, max_iters=8).collect()
+    }
+    assert got == {i: 1 for i in range(1, 52)}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 5-hop chain cannot converge in 1 round of min-label propagation
     pairs = spark.createDataFrame(
