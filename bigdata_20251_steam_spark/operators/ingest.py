@@ -136,6 +136,12 @@ def quarantine_invalid(df, rules):
     raw, only validated rows reach the hot store, rejects land in a
     quarantine table with reasons.
 
+    A rule evaluating to NULL (e.g. ``col > 0`` on a null column) counts
+    as FAILED, not passed: ``~cond`` on NULL is NULL, which ``when``
+    treats as no-match, so the naive form silently admits indeterminate
+    rows to ``valid`` — the null-safe ``<=> TRUE`` comparison makes
+    anything other than an affirmative pass a violation.
+
     Single pass, no shuffle: both outputs are filters over the same
     projection, and Spark reuses the scan across the two writes when
     persisted by the caller.
@@ -145,7 +151,9 @@ def quarantine_invalid(df, rules):
     failed = F.array_compact(
         F.array(
             *[
-                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                F.when(~cond.eqNullSafe(F.lit(True)), F.lit(name)).otherwise(
+                    F.lit(None)
+                )
                 for name, cond in sorted(rules.items())
             ]
         )

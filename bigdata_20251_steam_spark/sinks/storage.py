@@ -169,12 +169,31 @@ def upsert_snapshot(
     table.  At 100 TB you'd reach for a table format with real MERGE
     (Delta/Iceberg); this is the plain-parquet equivalent with the same
     idempotency contract (re-running the same updates is a no-op).
+
+    Crash safety: the swap is two renames, and a crash between them
+    leaves no ``snapshot_dir`` — a naive next run would then treat the
+    table as empty and silently discard every previously stored key.
+    Recovery-on-entry closes that window: if the snapshot is missing but
+    a COMPLETE staging dir exists (Spark's ``_SUCCESS`` marker), roll
+    the crashed swap forward; else if a backup exists, roll back to it.
+    An incomplete staging dir is always discarded.
     """
     import os
 
     keys = list(key_cols)
     staging = snapshot_dir.rstrip("/") + "._staging"
     backup = snapshot_dir.rstrip("/") + "._old"
+    if not os.path.isdir(snapshot_dir):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # previous run died between its two renames; its staging dir
+            # held the complete merged table — finish its swap
+            os.rename(staging, snapshot_dir)
+        elif os.path.isdir(backup):
+            # previous run died after moving the snapshot aside but its
+            # staging was unusable — restore the pre-crash table
+            os.rename(backup, snapshot_dir)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # incomplete staging from a crashed write
     if os.path.isdir(snapshot_dir):
         existing = spark.read.parquet(snapshot_dir)
         merged = existing.join(

@@ -157,6 +157,23 @@ def test_quarantine_invalid_splits_with_reasons(spark):
     assert q[4] == ["event_type_present", "value_non_negative"]
 
 
+def test_quarantine_invalid_null_rule_result_quarantines(spark):
+    """A rule that evaluates to NULL (e.g. comparison on a null column)
+    must QUARANTINE the row, not silently admit it to valid."""
+    from bigdata_20251_steam_spark.operators.ingest import quarantine_invalid
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -1.0)],
+        "event_id long, value double",
+    )
+    valid, quarantined = quarantine_invalid(
+        df, {"value_non_negative": F.col("value") >= 0}
+    )
+    assert [r["event_id"] for r in valid.orderBy("event_id").collect()] == [1]
+    q = {r["event_id"]: r["failed_rules"] for r in quarantined.collect()}
+    assert q == {2: ["value_non_negative"], 3: ["value_non_negative"]}
+
+
 def test_bronze_schema_evolution_merge(spark, tmp_path):
     """Bronze must survive producer-side schema ADDITIONS: old files lack
     the new column, mergeSchema reads the union with nulls backfilled."""

@@ -240,6 +240,61 @@ def test_upsert_snapshot_replaces_by_key(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_snapshot_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulate a crash in the two-rename swap window: snapshot moved to
+    backup, staging (complete) not yet renamed in.  The next upsert must
+    roll the swap forward — NOT treat the table as empty and discard all
+    previously stored keys (the pre-fix failure mode)."""
+    import os
+
+    from bigdata_20251_steam_spark.sinks.storage import upsert_snapshot
+
+    snap = str(tmp_path / "serving")
+    first = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    upsert_snapshot(spark, snap, first, key_cols=("k",))
+    # craft the mid-swap crash state: staging holds the NEXT complete
+    # table (key 2 updated), snapshot dir was renamed aside
+    nxt = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 30.0)], "k long, v double"
+    )
+    nxt.write.mode("overwrite").parquet(snap + "._staging")
+    os.rename(snap, snap + "._old")
+    # next run applies a fresh update; recovery must first restore state
+    updates = spark.createDataFrame([(4, 40.0)], "k long, v double")
+    upsert_snapshot(spark, snap, updates, key_cols=("k",))
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)}
+    assert not os.path.isdir(snap + "._staging")
+    assert not os.path.isdir(snap + "._old")
+
+
+def test_upsert_snapshot_recovers_from_incomplete_staging(spark, tmp_path):
+    """Crash while WRITING staging (no _SUCCESS) after the snapshot was
+    moved aside: recovery must roll BACK to the backup copy."""
+    import os
+    import shutil
+
+    from bigdata_20251_steam_spark.sinks.storage import upsert_snapshot
+
+    snap = str(tmp_path / "serving")
+    first = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    upsert_snapshot(spark, snap, first, key_cols=("k",))
+    # crash state: incomplete staging (no _SUCCESS), snapshot renamed aside
+    nxt = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    nxt.write.mode("overwrite").parquet(snap + "._staging")
+    os.remove(os.path.join(snap + "._staging", "_SUCCESS"))
+    os.rename(snap, snap + "._old")
+    updates = spark.createDataFrame([(3, 30.0)], "k long, v double")
+    upsert_snapshot(spark, snap, updates, key_cols=("k",))
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    # rolled back to the pre-crash table, then applied the new updates
+    assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+    assert not os.path.isdir(snap + "._staging")
+    assert not os.path.isdir(snap + "._old")
+
+
 def test_write_partitioned_orc_round_trip(spark, tmp_path):
     """ORC bronze: same partitioned layout + pushdown surface as parquet."""
     from bigdata_20251_steam_spark.sinks.storage import write_partitioned
