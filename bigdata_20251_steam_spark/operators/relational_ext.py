@@ -148,6 +148,53 @@ def asof_join(
     )
 
 
+def scd_asof_enrich(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str,
+    value_cols: tuple[str, ...],
+) -> DataFrame:
+    """As-of enrichment against a slowly-changing dimension — streamable.
+
+    ``asof_join`` needs a window over the union of both sides, which
+    Structured Streaming forbids; this is the stream-static formulation:
+    the (static, batch) dimension side precomputes each version's
+    validity interval ``[valid_from, next valid_from)`` with one window
+    pass, and the facts side — batch OR streaming — joins on
+    ``key`` equality plus interval containment.  Per micro-batch that
+    plans as a plain stream-static hash join (broadcast when the dim is
+    small): no streaming state, late facts still match the version that
+    was current at their event time.  Batch/stream parity is pinned in
+    ``tests/test_streaming.py``.
+
+    Matches ``asof_join(direction='backward')`` semantics for facts at or
+    after their key's first version; facts before the first version are
+    DROPPED (inner join) — the stream-static left-outer variant would
+    also work, but serving enrichments usually want matched rows only.
+
+    Output: all fact columns + ``matched_{c}`` per value col +
+    ``matched_ts`` (the matched version's ``valid_from``).
+    """
+    w = Window.partitionBy(key).orderBy(valid_from)
+    versions = dim_versions.withColumn("_valid_to", F.lead(valid_from).over(w))
+    f, d = facts.alias("f"), versions.alias("d")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col(f"d.{valid_from}"))
+        & (
+            F.col("d._valid_to").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col("d._valid_to"))
+        )
+    )
+    return f.join(d, cond, "inner").select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}").alias(f"matched_{c}") for c in value_cols],
+        F.col(f"d.{valid_from}").alias("matched_ts"),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -263,6 +263,39 @@ def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_recall_vs_exact",
+    oracle="""
+    SELECT vec_id                 AS query_id,
+           CAST(5 AS BIGINT)      AS k,
+           TRUE                   AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    priority=46,  # round-4 addition (registry.py window policy)
+    doc="IVF ANN recall gate, driver-checkable (r3 verdict #8): joins IVF "
+    "top-5 (deterministic centroids, nprobe=4/16) against brute-force "
+    "exact top-5 per query and asserts recall@5 >= 0.6 per query.  The "
+    "IVF side itself is not SQL-expressible (iterative Lloyd), so the "
+    "oracle pins the CLAIM: every query id must report recall_ok=TRUE "
+    "(measured 0.8-1.0 at sf0.001/sf0.01, floor 0.6 leaves margin for "
+    "float-summation jitter in centroid means).  A recall regression "
+    "flips recall_ok and hash-mismatches the driver row.",
+)
+def q_ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, query_ids=_QUERY_IDS, k=5)
+    approx = sim.ivf_topk(
+        emb, query_ids=_QUERY_IDS, k=5, n_centroids=16, nprobe=4
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(5).cast("long").alias("k"),
+        (F.count("*") >= F.lit(3)).alias("recall_ok"),
+    )
+
+
+@register(
     "embed_near_dup_pairs",
     oracle=f"""
     WITH base AS (

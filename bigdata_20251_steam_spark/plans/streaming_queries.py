@@ -240,6 +240,64 @@ def q_streaming_player_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_enrich",
+    oracle="""
+    WITH good AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+    err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    m AS (
+      SELECT err.event_id, g.ts AS gts, g.value,
+             row_number() OVER (PARTITION BY err.event_id
+                                ORDER BY g.ts DESC) AS rn
+      FROM err JOIN good g
+        ON g.user_id = err.user_id AND g.ts <= err.ts)
+    SELECT e.event_id, e.user_id, e.ts,
+           round(m.value, 6) AS matched_value,
+           m.gts             AS matched_ts
+    FROM err e JOIN (SELECT * FROM m WHERE rn = 1) m
+      ON e.event_id = m.event_id
+    """,
+    priority=46,  # round-4 addition (registry.py window policy)
+    doc="Streaming as-of enrichment (r3 verdict #10): the error-event "
+    "STREAM enriched with each user's latest at-or-before non-error "
+    "reading, via operators.relational_ext.scd_asof_enrich — the static "
+    "dimension side precomputes version validity intervals, the stream "
+    "joins on key + interval containment (plain stream-static hash join "
+    "per micro-batch, zero streaming state).  Same matches as the batch "
+    "asof_join backward direction, minus never-matched facts (inner); "
+    "batch/stream parity additionally pinned in tests/test_streaming.py.",
+)
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational_ext import scd_asof_enrich
+
+    src_dir = _staged_events_dir(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    good = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.max("value").alias("value"))
+    )
+    stream = (
+        file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    enriched = scd_asof_enrich(
+        stream, good, key="user_id", fact_ts="ts",
+        valid_from="valid_from", value_cols=("value",),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("matched_value", 6).alias("matched_value"),
+        "matched_ts",
+    )
+    return run_available_now(enriched, output_mode="append")
+
+
+@register(
     "streaming_stream_join",
     oracle="""
     SELECT c.event_id AS click_id,

@@ -387,3 +387,55 @@ def test_stateful_window_agg_checkpoint_resume(spark, tmp_path):
     # the restart-spanning window counts events from BOTH runs exactly
     # once — state was restored from the checkpoint, not recomputed
     assert got[(base, 1)] == 3, got
+
+
+def test_streaming_asof_enrich_batch_stream_parity(spark):
+    """scd_asof_enrich on a STREAM must equal the batch asof_join
+    (backward direction), restricted to matched facts (inner)."""
+    from bigdata_20251_steam_spark.operators.relational_ext import (
+        asof_join,
+        scd_asof_enrich,
+    )
+    from bigdata_20251_steam_spark.plans.streaming_queries import (
+        q_streaming_asof_enrich,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    good = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.max("value").alias("value"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def rows(df):
+        return {
+            (r["event_id"], r["matched_value"], r["matched_ts"])
+            for r in df.collect()
+        }
+
+    batch_window = rows(
+        asof_join(
+            err, good, key="user_id", left_ts="ts", right_ts="valid_from",
+            value_cols=("value",),
+        ).filter(F.col("matched_ts").isNotNull())
+    )
+    batch_scd = rows(
+        scd_asof_enrich(
+            err, good, key="user_id", fact_ts="ts",
+            valid_from="valid_from", value_cols=("value",),
+        )
+    )
+    streamed = {
+        (r["event_id"], r["matched_value"], r["matched_ts"])
+        for r in q_streaming_asof_enrich(spark, SF_SMOKE)
+        .withColumn("matched_value", F.col("matched_value").cast("double"))
+        .collect()
+    }
+    assert batch_scd == batch_window
+    # streaming rounds matched_value to 6dp; round the batch sides too
+    assert streamed == {
+        (e, None if v is None else round(v, 6), t) for e, v, t in batch_scd
+    }
