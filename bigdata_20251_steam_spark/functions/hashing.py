@@ -56,6 +56,23 @@ def md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def md5_long_lo(col: Column) -> Column:
+    """The OTHER 60 bits of the md5 (hex chars 17-31).
+
+    Paired with :func:`md5_long` this gives a 120-bit content key: a
+    single 60-bit key starts colliding near 2^30 rows (birthday bound) —
+    real risk for a 100 TB corpus — while the pair is safe past 2^55.
+    Two longs on the wire is still 16 bytes/row, far cheaper than
+    shuffling text.
+    """
+    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("long")
+
+
+def md5_long_lo_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`md5_long_lo`."""
+    return f"CAST(('0x' || substr(md5({expr}), 17, 15)) AS BIGINT)"
+
+
 def rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes for sign-LSH over embeddings.
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_PRIME, MINHASH_PARAMS, md5_long
+from ..functions.hashing import HASH_PRIME, MINHASH_PARAMS, md5_long, md5_long_lo
 
 
 def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -59,16 +59,21 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = 
     The dedup itself is ``dropDuplicates`` on the content hash; this
     operator reports (n_docs, n_distinct, n_dup_docs) per group so a
     pipeline can monitor dup rates.  Hashing first means the distinct
-    aggregation shuffles 8-byte longs, not document text.
+    aggregation shuffles 16 bytes/row (a 120-bit two-long content key —
+    one 60-bit half collides near 2^30 docs), not document text.
     """
-    h = md5_long(normalized_text(F.col(text_col))).alias("content_hash")
+    norm = normalized_text(F.col(text_col))
+    h1 = md5_long(norm).alias("content_h1")
+    h2 = md5_long_lo(norm).alias("content_h2")
     return (
-        docs.select(F.col(group_col), h)
+        docs.select(F.col(group_col), h1, h2)
         .groupBy(group_col)
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct("content_hash").alias("n_distinct"),
-            (F.count("*") - F.countDistinct("content_hash")).alias("n_dup_docs"),
+            F.countDistinct("content_h1", "content_h2").alias("n_distinct"),
+            (
+                F.count("*") - F.countDistinct("content_h1", "content_h2")
+            ).alias("n_dup_docs"),
         )
     )
 
@@ -472,21 +477,25 @@ def incremental_dedup(
     wins by lowest id), or ``kept``.  Corpus precedence over batch: a doc
     duplicated in both directions reports ``dup_of_corpus``.
 
-    Scale shape: the corpus side reduces to DISTINCT 60-bit hashes before
-    the join — the semi-join ships longs, never text; within-batch dedup
-    is a window min over the same hash.  At 100 TB the corpus hash set is
-    the thing you persist between ingest runs (it is this pipeline's
-    "bloom filter", exact instead of probabilistic).
+    Scale shape: the corpus side reduces to a DISTINCT set of 120-bit
+    content keys (two md5-half longs — a single 60-bit key collides near
+    2^30 docs, see ``md5_long_lo``) before the join — the semi-join ships
+    16 bytes/row, never text; within-batch dedup is a window min over the
+    same key pair.  At 100 TB the corpus key set is the thing you persist
+    between ingest runs (it is this pipeline's "bloom filter", exact
+    instead of probabilistic).
     """
     from pyspark.sql.window import Window
 
-    h = md5_long(normalized_text(F.col(text_col))).alias("content_hash")
-    corpus_hashes = corpus.select(h).distinct()
-    batch = new_batch.select(F.col(id_col), h)
+    norm = normalized_text(F.col(text_col))
+    h = [md5_long(norm).alias("content_h1"), md5_long_lo(norm).alias("content_h2")]
+    hkeys = ["content_h1", "content_h2"]
+    corpus_hashes = corpus.select(*h).distinct()
+    batch = new_batch.select(F.col(id_col), *h)
     in_corpus = batch.join(
-        corpus_hashes, "content_hash", "left_semi"
+        corpus_hashes, hkeys, "left_semi"
     ).select(id_col).withColumn("_in_corpus", F.lit(True))
-    w = Window.partitionBy("content_hash")
+    w = Window.partitionBy(*hkeys)
     labeled = (
         batch.withColumn("_min_id", F.min(id_col).over(w))
         .join(in_corpus, id_col, "left")

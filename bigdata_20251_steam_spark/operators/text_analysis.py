@@ -286,3 +286,96 @@ def sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.lateralJoin(fn(F.col(text_col).outer())).select(
         "doc_id", "sentence_idx", "sentence"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, applied IN THIS ORDER.  Kept to the regex subset
+#: where Java (Spark) and RE2 (DuckDB oracle) agree: no lookaround, no
+#: backreferences, non-capturing groups only.  Counts are taken on the
+#: text as it stands BEFORE that pattern's own redaction but AFTER the
+#: previous ones — sequential semantics both engines reproduce exactly
+#: (e.g. an IP-shaped fragment inside an email is gone before the IPv4
+#: pass counts).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, with per-doc accounting.
+
+    The standard pre-training scrub (C4/RefinedWeb ship variants of
+    exactly this): each PII class is replaced by a typed placeholder so
+    downstream token statistics stay meaningful, and the per-doc match
+    counts let a pipeline monitor PII density per source/crawl.
+
+    Pure JVM ``regexp_count`` + ``regexp_replace`` chain — scan-speed,
+    no shuffle, no Python.  Returns (id, n_<class>... , redacted_text).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(F.col(id_col), *counts, cur.alias("redacted_text"))
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Train->test n-gram contamination: the decontamination check.
+
+    For every TEST-split document (splits from ``hash_split``), the
+    fraction of its distinct word n-grams that also occur anywhere in
+    the TRAIN split — the standard eval-set decontamination signal
+    (benchmark answers leaking into training data).
+
+    Scale shape: grams travel as 60-bit hash longs; the train side
+    reduces to a DISTINCT hash set before the join (at 100 TB this is
+    the big side — broadcast is wrong, the equi-join shuffles hashes
+    only); per-test-doc counts are two partial aggregations.  A hash
+    collision (~2^-60 per pair) can only overcount contamination by one
+    gram.  Test docs with fewer than ``shingle_n`` tokens have no grams
+    and are absent from the output (nothing to contaminate).
+
+    Returns (id, n_grams, n_contaminated, contamination_ratio).
+    """
+    from .dedup import word_shingles
+    from .sampling import hash_split
+
+    split = hash_split(docs, id_col).select(F.col(id_col), "split")
+    grams = (
+        docs.join(split, id_col)
+        .select(
+            F.col(id_col),
+            "split",
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
+        )
+        .select(F.col(id_col), "split", md5_long(F.col("g")).alias("h"))
+    )
+    train = grams.filter(F.col("split") == "train").select("h").distinct()
+    test = grams.filter(F.col("split") == "test").select(id_col, "h")
+    hits = (
+        test.join(train, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = test.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("contamination_ratio"),
+    )

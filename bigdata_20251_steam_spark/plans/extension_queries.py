@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     HASH_PRIME,
     MINHASH_PARAMS,
+    md5_long,
+    md5_long_lo_sql,
     md5_long_sql,
     rademacher_planes,
 )
@@ -74,17 +76,20 @@ _NORM_TEXT = (
     oracle=f"""
     WITH norm AS (
       SELECT source,
-             {md5_long_sql(_NORM_TEXT)}
-               AS content_hash
+             {md5_long_sql(_NORM_TEXT)}    AS content_h1,
+             {md5_long_lo_sql(_NORM_TEXT)} AS content_h2
       FROM documents)
     SELECT source,
            count(*) AS n_docs,
-           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct,
-           CAST(count(*) - count(DISTINCT content_hash) AS BIGINT) AS n_dup_docs
+           CAST(count(DISTINCT (content_h1, content_h2)) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT (content_h1, content_h2)) AS BIGINT)
+             AS n_dup_docs
     FROM norm GROUP BY source
     """,
-    doc="Exact dedup accounting per source over normalized text: hash "
-    "shuffle carries 8-byte longs, never documents.",
+    priority=46,  # changed in r4 (120-bit key) — needs a fresh driver row
+    doc="Exact dedup accounting per source over normalized text: the "
+    "distinct shuffle carries a 120-bit two-long content key (16 "
+    "bytes/row; one 60-bit half collides near 2^30 docs), never text.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
@@ -1117,15 +1122,19 @@ _INC_BUCKET_SQL = (
     WITH b AS (
       SELECT doc_id, text, {_INC_BUCKET_SQL} AS bucket FROM documents),
     corpus AS (
-      SELECT DISTINCT {md5_long_sql(_NORM_TEXT)} AS content_hash
+      SELECT DISTINCT {md5_long_sql(_NORM_TEXT)}    AS content_h1,
+                      {md5_long_lo_sql(_NORM_TEXT)} AS content_h2
       FROM b WHERE bucket < 80),
     batch AS (
-      SELECT doc_id, {md5_long_sql(_NORM_TEXT)} AS content_hash
+      SELECT doc_id, {md5_long_sql(_NORM_TEXT)}    AS content_h1,
+                     {md5_long_lo_sql(_NORM_TEXT)} AS content_h2
       FROM b WHERE bucket >= 80),
     m AS (
       SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY content_hash) AS min_id,
-             content_hash IN (SELECT content_hash FROM corpus) AS in_corpus
+             min(doc_id) OVER (PARTITION BY content_h1, content_h2) AS min_id,
+             EXISTS (SELECT 1 FROM corpus c
+                     WHERE c.content_h1 = batch.content_h1
+                       AND c.content_h2 = batch.content_h2) AS in_corpus
       FROM batch)
     SELECT doc_id,
            CASE WHEN in_corpus THEN 'dup_of_corpus'
@@ -1438,3 +1447,126 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc, id_col="doc_id", token_count_col="n_tokens", text_col="text",
         budget=1024, n_shards=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: PII redaction + decontamination (priority 46)
+# ---------------------------------------------------------------------------
+
+from ..operators.text_analysis import PII_PATTERNS  # noqa: E402
+
+_PII_INJECT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' mail-' || CAST(doc_id AS VARCHAR)"
+    " || '@ex.org' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.'"
+    " || CAST(doc_id % 254 AS VARCHAR) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END"
+)
+
+
+def _pii_oracle_sql() -> str:
+    """Sequential count-then-redact stages mirroring redact_pii exactly."""
+    (_, email_re, email_tok), (_, ipv4_re, ipv4_tok), (_, phone_re, phone_tok) = (
+        PII_PATTERNS
+    )
+    return (
+        "WITH inj AS (SELECT doc_id, " + _PII_INJECT_SQL + " AS t FROM documents),\n"
+        "s1 AS (SELECT doc_id,"
+        " len(regexp_extract_all(t, '" + email_re + "')) AS n_email,"
+        " regexp_replace(t, '" + email_re + "', '" + email_tok + "', 'g') AS t"
+        " FROM inj),\n"
+        "s2 AS (SELECT doc_id, n_email,"
+        " len(regexp_extract_all(t, '" + ipv4_re + "')) AS n_ipv4,"
+        " regexp_replace(t, '" + ipv4_re + "', '" + ipv4_tok + "', 'g') AS t"
+        " FROM s1),\n"
+        "s3 AS (SELECT doc_id, n_email, n_ipv4,"
+        " len(regexp_extract_all(t, '" + phone_re + "')) AS n_phone,"
+        " regexp_replace(t, '" + phone_re + "', '" + phone_tok + "', 'g') AS t"
+        " FROM s2)\n"
+        "SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,"
+        " CAST(n_ipv4 AS BIGINT) AS n_ipv4,"
+        " CAST(n_phone AS BIGINT) AS n_phone, "
+        + md5_long_sql("t")
+        + " AS redacted_hash FROM s3"
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle=_pii_oracle_sql(),
+    priority=46,  # round-4 addition (registry.py window policy)
+    doc="PII scrub accounting (operators.text_analysis.redact_pii): "
+    "deterministic synthetic emails/IPv4s/phones are injected keyed on "
+    "doc_id (the testdata has no organic PII), then the sequential "
+    "count-and-redact chain runs — pure JVM regexp_count/regexp_replace, "
+    "scan-speed, patterns restricted to the Java-RE2 common subset so "
+    "the DuckDB oracle reproduces matches exactly.  redacted_hash pins "
+    "the full redacted text without shipping it.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inj = F.col("text")
+    inj = F.when(
+        d % 5 == 0,
+        F.concat(inj, F.lit(" mail-"), d.cast("string"), F.lit("@ex.org")),
+    ).otherwise(inj)
+    inj = F.when(
+        d % 7 == 0,
+        F.concat(
+            inj, F.lit(" from 192.168."), (d % 254).cast("string"), F.lit(".7")
+        ),
+    ).otherwise(inj)
+    inj = F.when(
+        d % 11 == 0,
+        F.concat(inj, F.lit(" call +1-555-"), (1000 + d % 9000).cast("string")),
+    ).otherwise(inj)
+    red = ta.redact_pii(docs.withColumn("text", inj))
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        md5_long(F.col("redacted_text")).alias("redacted_hash"),
+    )
+
+
+@register(
+    "cross_split_contamination",
+    oracle=f"""
+    WITH {_SHINGLES},
+    b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents),
+    lab AS (
+      SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM b),
+    g AS (SELECT doc_id, unnest(sh) AS s FROM grams),
+    hg AS (SELECT g.doc_id, {md5_long_sql('s')} AS h FROM g),
+    train AS (
+      SELECT DISTINCT h FROM hg JOIN lab USING (doc_id)
+      WHERE split = 'train'),
+    test AS (
+      SELECT hg.doc_id, hg.h FROM hg JOIN lab USING (doc_id)
+      WHERE split = 'test')
+    SELECT t.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS contamination_ratio
+    FROM test t LEFT JOIN train tr ON t.h = tr.h
+    GROUP BY t.doc_id
+    """,
+    priority=46,  # round-4 addition (registry.py window policy)
+    doc="Train->test n-gram decontamination signal "
+    "(operators.text_analysis.cross_split_contamination): per test-split "
+    "doc, the fraction of its distinct word 3-grams that occur anywhere "
+    "in the train split.  Grams travel as 60-bit longs; the train side "
+    "reduces to a DISTINCT hash set BEFORE the join (never broadcast — "
+    "it is the big side at corpus scale).",
+)
+def q_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.cross_split_contamination(load_table(spark, sf_dir, "documents"))

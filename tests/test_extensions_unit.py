@@ -227,3 +227,77 @@ def test_quantize_embeddings_reconstruction(spark):
             exact = sum(x * x for x in v) / (na * na)  # cos(v, v) = 1
             approx = sum(x * y for x, y in zip(qv, qv)) / (nq * nq)
             assert abs(exact - approx) < 1e-9
+
+
+def test_redact_pii_classes_and_order(spark):
+    from bigdata_20251_steam_spark.operators.text_analysis import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@corp.example.co today"),
+            (2, "server 10.0.255.3 then 192.168.1.1 responded"),
+            (3, "call +1-555-0101 or +44-800-1234 now"),
+            (4, "mixed a@b.io at 8.8.8.8 dial +1-555-9999"),
+            (5, "clean text with no pii at all"),
+            # an IP-shaped fragment INSIDE an email local part must be
+            # consumed by the email pass, not double-counted by ipv4
+            (6, "user1.2.3.4@host.org pings 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[1]["redacted_text"] == "write to <EMAIL> today"
+    assert (got[2]["n_email"], got[2]["n_ipv4"]) == (0, 2)
+    assert got[2]["redacted_text"] == "server <IP> then <IP> responded"
+    assert got[3]["n_phone"] == 2
+    assert got[3]["redacted_text"] == "call <PHONE> or <PHONE> now"
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["redacted_text"] == "mixed <EMAIL> at <IP> dial <PHONE>"
+    assert got[5]["redacted_text"] == "clean text with no pii at all"
+    assert (got[6]["n_email"], got[6]["n_ipv4"]) == (1, 1)
+    assert got[6]["redacted_text"] == "<EMAIL> pings <IP>"
+
+
+def test_cross_split_contamination_semantics(spark):
+    """Hand-built corpus where split membership and gram overlap are
+    forced via a monkeypatched splitter-free path: feed hash_split's
+    actual assignments back in and verify ratio arithmetic."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        cross_split_contamination,
+    )
+    from bigdata_20251_steam_spark.operators.sampling import hash_split
+
+    # enough docs that the 80/10/10 hash split yields nonempty test split
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+        + [(100 + i, f"unique{i} tokens here nothing shared") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_split_contamination(docs).collect()}
+    splits = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    test_ids = [d for d, s in splits.items() if s == "test"]
+    assert set(out) == {
+        d for d in test_ids
+    }, "every test doc with >=3 tokens gets a row"
+    shared_train = any(s == "train" for d, s in splits.items() if d < 100)
+    for d in test_ids:
+        r = out[d]
+        if d < 100:
+            # 6 tokens -> 4 distinct 3-grams; identical text exists in
+            # train (given any doc<100 landed there) -> fully contaminated
+            assert r["n_grams"] == 4
+            if shared_train:
+                assert r["n_contaminated"] == 4
+                assert r["contamination_ratio"] == 1.0
+        else:
+            # "unique{i} tokens here nothing shared": 5 tokens -> 3 grams;
+            # the unique leading token appears only in gram 1, so grams
+            # 2-3 ("tokens here nothing", "here nothing shared") are
+            # shared with every train doc >=100
+            assert r["n_grams"] == 3
+            if any(s == "train" for d2, s in splits.items() if d2 >= 100):
+                assert r["n_contaminated"] == 2
+                assert r["contamination_ratio"] == round(2 / 3, 6)
