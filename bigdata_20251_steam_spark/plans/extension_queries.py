@@ -1570,3 +1570,62 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.cross_split_contamination(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "api_source_reviews",
+    oracle="""
+    WITH src AS (
+      SELECT user_id % 20                         AS app_id,
+             event_id,
+             event_type <> 'error'                AS voted_up,
+             value,
+             CAST(floor(epoch(ts)) AS BIGINT)     AS epoch_s,
+             row_number() OVER (PARTITION BY user_id % 20
+                                ORDER BY event_id) AS rn
+      FROM events)
+    SELECT app_id,
+           event_id                                           AS review_id,
+           '7656119' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                                                              AS author_steamid,
+           event_id % 5000                                    AS playtime_at_review,
+           event_id % 90000                                   AS playtime_forever,
+           'english'                                          AS language,
+           voted_up,
+           event_id % 100                                     AS votes_up,
+           value                                              AS weighted_vote_score,
+           epoch_s                                            AS timestamp_created,
+           'rev ' || CAST(event_id AS VARCHAR)                AS review_text
+    FROM src WHERE rn <= 300
+    """,
+    priority=46,  # round-4 addition: closes SURVEY.md section 2.A8
+    doc="Cursor-paginated API source (sources/paged_api.py), closing A8 — "
+    "the reference's driver-side HTTP review crawl "
+    "(producers/steam_utils.py:128-173) re-expressed as a Spark Python "
+    "DataSource: ONE input partition per app id, so per-app cursor "
+    "chains page in parallel across executors; nested author structs "
+    "flatten and HTML strips inside the reader.  Hermetic fixture "
+    "transport (API-response-shaped JSON pages staged deterministically "
+    "from events); the oracle recomputes the expected records in SQL, "
+    "INCLUDING the max_pages=3 x per_page=100 per-app cap (rn <= 300).",
+)
+def q_api_source_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.paged_api import register_paged_api, write_review_fixtures
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"api_fixtures_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_review_fixtures(spark, sf_dir, out, n_apps=20, per_page=100)
+        open(marker, "w").close()
+    register_paged_api(spark)
+    return (
+        spark.read.format("paged_api")
+        .option("appids", ",".join(str(i) for i in range(20)))
+        .option("fixture_dir", out)
+        .option("max_pages", 3)
+        .load()
+    )

@@ -1,0 +1,235 @@
+"""Cursor-paginated API source as a Spark Python DataSource (A8).
+
+The reference ingests reviews by looping appids on the DRIVER-side
+producer and paging a JSON API per app with an opaque cursor
+(``producers/steam_utils.py:128-173``: cursor starts at ``"*"``, each
+response carries the next cursor, stop on empty page / missing cursor /
+``max_pages``), flattening the nested author struct and HTML-cleaning the
+review text.  That design serializes the whole crawl through one process.
+
+This module re-expresses it Spark-natively with the Python DataSource API
+(Spark 4): **one input partition per app id**, so the per-app pagination
+loops run IN EXECUTORS and the crawl parallelizes to the cluster width —
+the correct shape for 100k apps.  Per-partition work is bounded by
+``max_pages * per_page`` records; no state is shared across apps, so
+failures retry a single app's page chain.
+
+Transport is pluggable per option:
+
+- ``fixture_dir`` (default, hermetic): pages are local JSON files
+  ``{fixture_dir}/{app_id}_page{N}.json`` shaped exactly like the API
+  response (``{"reviews": [...], "cursor": "<next>"}``).  This is the
+  executable path in this container (no network) and in tests.
+- ``base_url``: the real HTTP path — the marked integration point wires
+  ``requests`` with the reference's exact parameter surface.  Left
+  unexecuted here by necessity (no network), same contract.
+
+The DataSource class is built by a factory so cloudpickle serializes it
+BY VALUE into the Python workers (module-level classes pickle by
+reference and would require this package on every worker's import path —
+see ``operators/multimodal.py`` for the precedent and the observed
+ModuleNotFoundError it avoids).
+"""
+
+from __future__ import annotations
+
+REVIEW_SCHEMA_DDL = (
+    "app_id bigint, review_id bigint, author_steamid string, "
+    "playtime_at_review bigint, playtime_forever bigint, language string, "
+    "voted_up boolean, votes_up bigint, weighted_vote_score double, "
+    "timestamp_created bigint, review_text string"
+)
+
+#: Field order of REVIEW_SCHEMA_DDL — the tuple layout read() must yield.
+_FIELDS = (
+    "app_id", "review_id", "author_steamid", "playtime_at_review",
+    "playtime_forever", "language", "voted_up", "votes_up",
+    "weighted_vote_score", "timestamp_created", "review_text",
+)
+
+
+def _make_paged_api_source():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    schema_ddl = REVIEW_SCHEMA_DDL
+    fields = _FIELDS
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def partitions(self):
+            appids = str(self.options.get("appids", "")).strip()
+            if not appids:
+                raise ValueError(
+                    "paged_api source requires an 'appids' option "
+                    "(comma-separated app ids)"
+                )
+            return [InputPartition(int(a)) for a in appids.split(",") if a]
+
+        def read(self, partition):
+            # Runs in an executor Python worker: the whole cursor chain
+            # for ONE app.  Self-contained imports only.
+            import html as _html
+            import json
+            import os
+            import re
+
+            app_id = partition.value
+            max_pages = int(self.options.get("max_pages", 3))
+            fixture_dir = self.options.get("fixture_dir")
+            base_url = self.options.get("base_url")
+            tag_re = re.compile("<.*?>")
+
+            def clean(raw):
+                if not raw:
+                    return ""
+                return _html.unescape(tag_re.sub("", raw)).strip()
+
+            def fetch(cursor):
+                """cursor -> parsed page dict or None (end of chain)."""
+                if fixture_dir is not None:
+                    token = "0" if cursor == "*" else cursor
+                    path = os.path.join(
+                        fixture_dir, f"{app_id}_page{token}.json"
+                    )
+                    if not os.path.exists(path):
+                        return None
+                    with open(path) as f:
+                        return json.load(f)
+                if base_url is not None:
+                    # Integration point for the live API (reference
+                    # parameter surface, steam_utils.py:137-146).  Needs
+                    # network + requests; not executable in this container.
+                    raise NotImplementedError(
+                        "HTTP transport requires network access; wire "
+                        "requests.get(f'{base_url}/{app_id}', params={...}) "
+                        "here with json=1, filter=recent, num_per_page, "
+                        "cursor."
+                    )
+                raise ValueError(
+                    "paged_api source needs 'fixture_dir' or 'base_url'"
+                )
+
+            cursor = "*"
+            for _ in range(max_pages):
+                data = fetch(cursor)
+                if data is None:
+                    break
+                reviews = data.get("reviews", [])
+                if not reviews:
+                    break
+                for r in reviews:
+                    author = r.get("author", {}) or {}
+                    rec = {
+                        "app_id": app_id,
+                        "review_id": r.get("recommendationid"),
+                        "author_steamid": author.get("steamid"),
+                        "playtime_at_review": author.get("playtime_at_review"),
+                        "playtime_forever": author.get("playtime_forever"),
+                        "language": r.get("language"),
+                        "voted_up": r.get("voted_up"),
+                        "votes_up": r.get("votes_up"),
+                        "weighted_vote_score": r.get("weighted_vote_score"),
+                        "timestamp_created": r.get("timestamp_created"),
+                        "review_text": clean(r.get("review")),
+                    }
+                    yield tuple(rec[f] for f in fields)
+                cursor = data.get("cursor", "")
+                if not cursor:
+                    break
+
+    class PagedApiDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "paged_api"
+
+        def schema(self):
+            return schema_ddl
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return PagedApiDataSource
+
+
+PagedApiDataSource = _make_paged_api_source()
+
+
+def register_paged_api(spark) -> None:
+    """Register the source; afterwards ``spark.read.format("paged_api")``."""
+    spark.dataSource.register(PagedApiDataSource)
+
+
+def write_review_fixtures(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    n_apps: int = 20,
+    per_page: int = 100,
+) -> None:
+    """Materialize API-response-shaped page files from the events table.
+
+    Deterministic derivation (app_id = user_id % n_apps, fields from event
+    columns, pages of ``per_page`` in event_id order, HTML-tagged review
+    text to exercise the reader's cleaning) so a SQL oracle can recompute
+    the exact expected output.  Driver-side JSON writing — this is test
+    /driver harness staging, not an engine path.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .batch import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % n_apps).alias("app_id"),
+            F.col("event_id"),
+            (F.col("event_type") != "error").alias("voted_up"),
+            F.col("value"),
+            F.col("ts").cast("timestamp").cast("long").alias("epoch_s"),
+        )
+        .orderBy("app_id", "event_id")
+        .toPandas()
+    )
+    for app_id, grp in ev.groupby("app_id"):
+        rows = grp.reset_index(drop=True)
+        n_pages = (len(rows) + per_page - 1) // per_page
+        for p in range(n_pages):
+            chunk = rows.iloc[p * per_page : (p + 1) * per_page]
+            reviews = [
+                {
+                    "recommendationid": int(r.event_id),
+                    "author": {
+                        "steamid": f"7656119{int(r.event_id):010d}",
+                        "playtime_at_review": int(r.event_id) % 5000,
+                        "playtime_forever": int(r.event_id) % 90000,
+                    },
+                    "language": "english",
+                    "voted_up": bool(r.voted_up),
+                    "votes_up": int(r.event_id) % 100,
+                    # raw double: json round-trips repr exactly, and a
+                    # Python round() here would banker's-round against
+                    # the DuckDB oracle's half-away-from-zero round()
+                    "weighted_vote_score": float(r.value),
+                    "timestamp_created": int(r.epoch_s),
+                    "review": f"<b>rev {int(r.event_id)}</b>",
+                }
+                for r in chunk.itertuples()
+            ]
+            page = {
+                "reviews": reviews,
+                "cursor": str(p + 1) if p + 1 < n_pages else "",
+            }
+            with open(
+                os.path.join(out_dir, f"{int(app_id)}_page{p}.json"), "w"
+            ) as f:
+                json.dump(page, f)

@@ -172,3 +172,83 @@ def test_jsonl_round_trip_with_split_partitioning(spark, tmp_path):
     assert len(parsed) == 2
     assert sorted([r["doc_id"] for r in parsed], key=lambda x: (x is None, x)) \
         == [1, None]
+
+
+# ---------------------------------------------------------------------------
+# paged_api Python DataSource (A8)
+# ---------------------------------------------------------------------------
+
+
+def _write_page(dir_, app_id, page, reviews, next_cursor=""):
+    import json
+    import os
+
+    with open(os.path.join(dir_, f"{app_id}_page{page}.json"), "w") as f:
+        json.dump({"reviews": reviews, "cursor": next_cursor}, f)
+
+
+def _rev(i, text="ok"):
+    return {
+        "recommendationid": i,
+        "author": {"steamid": f"s{i}", "playtime_at_review": 1,
+                   "playtime_forever": 2},
+        "language": "english", "voted_up": True, "votes_up": 1,
+        "weighted_vote_score": 0.5, "timestamp_created": 1700000000 + i,
+        "review": text,
+    }
+
+
+def _api_df(spark, fixture_dir, appids, max_pages=3):
+    from bigdata_20251_steam_spark.sources.paged_api import register_paged_api
+
+    register_paged_api(spark)
+    return (
+        spark.read.format("paged_api")
+        .option("appids", ",".join(str(a) for a in appids))
+        .option("fixture_dir", fixture_dir)
+        .option("max_pages", max_pages)
+        .load()
+    )
+
+
+def test_paged_api_cursor_chain_and_caps(spark, tmp_path):
+    d = str(tmp_path)
+    # app 1: three pages chained; max_pages=2 must stop after two
+    _write_page(d, 1, 0, [_rev(10), _rev(11)], next_cursor="1")
+    _write_page(d, 1, 1, [_rev(12)], next_cursor="2")
+    _write_page(d, 1, 2, [_rev(13)], next_cursor="")
+    # app 2: one page, empty cursor terminates
+    _write_page(d, 2, 0, [_rev(20)], next_cursor="")
+    # app 3: no files at all -> zero rows, no error
+    got = _api_df(spark, d, [1, 2, 3], max_pages=2).collect()
+    ids = sorted(r["review_id"] for r in got)
+    assert ids == [10, 11, 12, 20]  # page 2 of app 1 never fetched
+
+
+def test_paged_api_empty_page_terminates(spark, tmp_path):
+    d = str(tmp_path)
+    _write_page(d, 5, 0, [], next_cursor="1")  # empty first page
+    _write_page(d, 5, 1, [_rev(50)], next_cursor="")
+    assert _api_df(spark, d, [5]).count() == 0
+
+
+def test_paged_api_flatten_and_clean(spark, tmp_path):
+    d = str(tmp_path)
+    _write_page(
+        d, 7, 0,
+        [_rev(70, text="<i>good &amp; <b>bad</b></i>  ")],
+        next_cursor="",
+    )
+    row = _api_df(spark, d, [7]).collect()[0]
+    assert row["review_text"] == "good & bad"
+    assert row["author_steamid"] == "s70"
+    assert row["playtime_forever"] == 2  # nested author struct flattened
+
+
+def test_paged_api_one_partition_per_app(spark, tmp_path):
+    d = str(tmp_path)
+    for a in range(6):
+        _write_page(d, a, 0, [_rev(100 + a)], next_cursor="")
+    df = _api_df(spark, d, list(range(6)))
+    assert df.rdd.getNumPartitions() == 6  # per-app parallel crawl
+    assert df.count() == 6
