@@ -353,3 +353,49 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_seconds("e_ts") - epoch_seconds("c_ts")).alias("lag_s"),
     )
     return run_available_now(joined, output_mode="append")
+
+
+@register(
+    "streaming_api_source",
+    oracle=QUERIES["api_source_reviews"].oracle,
+    priority=90,  # oracle duplicates the driver-checked batch
+    # api_source_reviews query; incremental/exactly-once semantics are
+    # pinned by tests/test_sources.py restart test
+    doc="The paged-API source consumed as a STREAM "
+    "(sources/paged_api.py streamReader): offsets are per-app "
+    "next-unread-page dicts checkpointed by the engine, each micro-batch "
+    "parses only newly appeared pages, one partition per (app, "
+    "page-range).  availableNow over the fully staged fixture set equals "
+    "the batch read, so the same oracle applies.",
+)
+def q_streaming_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.paged_api import register_paged_api, write_review_fixtures
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"api_fixtures_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_review_fixtures(spark, sf_dir, out, n_apps=20, per_page=100)
+        open(marker, "w").close()
+    register_paged_api(spark)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("appids", ",".join(str(i) for i in range(20)))
+        .option("fixture_dir", out)
+        .load()
+    )
+    # the batch query caps at max_pages=3 x 100/app; mirror it on the
+    # stream side (the stream reader has no page cap by design — a crawl
+    # tails forever) with a per-app rank filter after the fact
+    from pyspark.sql.window import Window
+
+    ranked = run_available_now(stream, output_mode="append")
+    w = Window.partitionBy("app_id").orderBy("review_id")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 300)
+        .drop("_rn")
+    )

@@ -52,11 +52,43 @@ def _make_paged_api_source():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
     schema_ddl = REVIEW_SCHEMA_DDL
     fields = _FIELDS
+
+    def _parse_page(path, app_id):
+        """One fixture page -> list of flattened review tuples."""
+        import html as _html
+        import json
+        import re
+
+        tag_re = re.compile("<.*?>")
+        with open(path) as f:
+            data = json.load(f)
+        out = []
+        for r in data.get("reviews", []):
+            author = r.get("author", {}) or {}
+            raw = r.get("review")
+            rec = {
+                "app_id": app_id,
+                "review_id": r.get("recommendationid"),
+                "author_steamid": author.get("steamid"),
+                "playtime_at_review": author.get("playtime_at_review"),
+                "playtime_forever": author.get("playtime_forever"),
+                "language": r.get("language"),
+                "voted_up": r.get("voted_up"),
+                "votes_up": r.get("votes_up"),
+                "weighted_vote_score": r.get("weighted_vote_score"),
+                "timestamp_created": r.get("timestamp_created"),
+                "review_text": (
+                    _html.unescape(tag_re.sub("", raw)).strip() if raw else ""
+                ),
+            }
+            out.append(tuple(rec[f] for f in fields))
+        return out
 
     class _Reader(DataSourceReader):
         def __init__(self, options):
@@ -143,6 +175,73 @@ def _make_paged_api_source():
                 if not cursor:
                     break
 
+    class _StreamReader(DataSourceStreamReader):
+        """Incremental page consumption: the continuous-crawl form.
+
+        An offset is ``{app_id: next_unread_page}``; each micro-batch
+        covers the pages that appeared since the last committed offset,
+        one InputPartition per (app, page-range) so new pages of
+        different apps parse in parallel.  Exactly-once comes from the
+        engine checkpointing these offsets — re-running after a crash
+        re-reads only uncommitted ranges (same contract as the Kafka
+        source's partition offsets, A10).
+        """
+
+        def __init__(self, options):
+            self.options = options
+            appids = str(options.get("appids", "")).strip()
+            if not appids:
+                raise ValueError("paged_api stream requires 'appids'")
+            self.appids = [int(a) for a in appids.split(",") if a]
+            self.fixture_dir = options.get("fixture_dir")
+            if self.fixture_dir is None:
+                raise ValueError(
+                    "paged_api stream supports the fixture transport only "
+                    "in this container ('fixture_dir' option)"
+                )
+
+        def initialOffset(self):
+            return {str(a): 0 for a in self.appids}
+
+        def latestOffset(self):
+            import os
+
+            out = {}
+            for a in self.appids:
+                n = 0
+                while os.path.exists(
+                    os.path.join(self.fixture_dir, f"{a}_page{n}.json")
+                ):
+                    n += 1
+                out[str(a)] = n
+            return out
+
+        def partitions(self, start, end):
+            parts = []
+            for a in self.appids:
+                s, e = int(start.get(str(a), 0)), int(end.get(str(a), 0))
+                if e > s:
+                    parts.append(InputPartition((a, s, e)))
+            # an empty batch still needs at least the shape Spark expects
+            return parts or [InputPartition((None, 0, 0))]
+
+        def read(self, partition):
+            import os
+
+            app_id, s, e = partition.value
+            if app_id is None:
+                return
+            for p in range(s, e):
+                path = os.path.join(
+                    self.fixture_dir, f"{app_id}_page{p}.json"
+                )
+                if not os.path.exists(path):
+                    continue
+                yield from _parse_page(path, app_id)
+
+        def commit(self, end):
+            pass  # offsets live in the engine checkpoint; nothing to ack
+
     class PagedApiDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -153,6 +252,9 @@ def _make_paged_api_source():
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def streamReader(self, schema):
+            return _StreamReader(self.options)
 
     return PagedApiDataSource
 

@@ -252,3 +252,47 @@ def test_paged_api_one_partition_per_app(spark, tmp_path):
     df = _api_df(spark, d, list(range(6)))
     assert df.rdd.getNumPartitions() == 6  # per-app parallel crawl
     assert df.count() == 6
+
+
+def test_paged_api_stream_incremental_exactly_once(spark, tmp_path):
+    """readStream over the API source: pages appearing between runs are
+    consumed exactly once (offsets = per-app next-page, checkpointed)."""
+    import os
+
+    from bigdata_20251_steam_spark.sources.paged_api import register_paged_api
+
+    register_paged_api(spark)
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_page(d, 1, 0, [_rev(10), _rev(11)], next_cursor="1")
+    _write_page(d, 2, 0, [_rev(20)], next_cursor="")
+
+    def run_once():
+        q = (
+            spark.readStream.format("paged_api")
+            .option("appids", "1,2")
+            .option("fixture_dir", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = sorted(
+        r["review_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert got1 == [10, 11, 20]
+    # new pages land for both apps; restart consumes ONLY the new ones
+    _write_page(d, 1, 1, [_rev(12)], next_cursor="")
+    _write_page(d, 2, 1, [_rev(21)], next_cursor="")
+    run_once()
+    got2 = sorted(
+        r["review_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert got2 == [10, 11, 12, 20, 21]  # no re-reads, no gaps
