@@ -38,6 +38,13 @@ PROBES = [
     "asof_join_last_good",
     "embed_topk_bruteforce",
     "dedup_exact",
+    # round-4 additions: iterative closure, full dedup pipeline, corpus
+    # self-comparison, regex scan — the shapes most likely to hide a
+    # super-linear term
+    "dedup_components",
+    "dedup_pipeline_end_to_end",
+    "cross_split_contamination",
+    "pii_redaction",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -72,6 +79,14 @@ def materialize(spark, mult: int, out_dir: str) -> None:
             c = base
             for col in cols:
                 c = c.withColumn(col, F.col(col) + i * (maxes[col] + 1))
+            # replica docs must NOT be near-duplicates of each other:
+            # identical text would grow LSH candidate pairs ~quadratically
+            # in mult and the probe would measure workload explosion, not
+            # plan scaling (duplicate density stays constant per replica)
+            if t == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
