@@ -169,3 +169,56 @@ def test_asof_join_single_window_exchange(spark):
     assert "Window" in final
     # the only join-free formulation: no Join node anywhere in the plan
     assert "Join" not in final, f"asof should be join-free:\n{final[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes of the round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_single_sort(spark):
+    """nearest computes BOTH window frames over one sort: a second sort
+    (Exchange+Sort pair per direction) would double the shuffle cost."""
+    df = QUERIES["asof_join_nearest"].fn(spark, SF_SMOKE)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in final  # still the join-free union formulation
+    # both frames share the window spec ordering => exactly one Sort
+    # above the union's exchange feeds both Window operators
+    n_sorts = final.count("Sort [")
+    assert n_sorts <= 2, f"nearest re-sorts per frame:\n{final[:2000]}"
+
+
+def test_scd_asof_enrich_plans_as_hash_join(spark):
+    """key equality must be extracted as the join key (hash join) with
+    the interval bounds as residual — not a nested loop over intervals."""
+    from bigdata_20251_steam_spark.operators.relational_ext import (
+        scd_asof_enrich,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    good = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.max("value").alias("value"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    df = scd_asof_enrich(
+        err, good, key="user_id", fact_ts="ts",
+        valid_from="valid_from", value_cols=("value",),
+    )
+    df.collect()
+    final = _final_plan(df)
+    assert "NestedLoop" not in final and "CartesianProduct" not in final
+    assert "HashJoin" in final or "SortMergeJoin" in final
+
+
+def test_contamination_train_side_not_broadcast(spark):
+    """The train gram set grows with the corpus — it must never carry a
+    broadcast HINT (AQE may still choose broadcast at toy scale; the
+    assertion is on the logical plan's hints, like the dim-join tests)."""
+    df = QUERIES["cross_split_contamination"].fn(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hints=[broadcast" not in logical
