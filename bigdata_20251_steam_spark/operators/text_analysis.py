@@ -318,11 +318,18 @@ def redact_pii(
 
     Pure JVM ``regexp_count`` + ``regexp_replace`` chain — scan-speed,
     no shuffle, no Python.  Returns (id, n_<class>... , redacted_text).
+    NULL text keeps a NULL ``redacted_text`` (the missing doc stays
+    visibly missing) but counts report 0, so per-source PII-density
+    rollups never see null-poisoned sums.
     """
     cur = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).alias(
+                f"n_{name}"
+            )
+        )
         cur = F.regexp_replace(cur, pat, repl)
     return docs.select(F.col(id_col), *counts, cur.alias("redacted_text"))
 

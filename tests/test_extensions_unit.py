@@ -301,3 +301,29 @@ def test_cross_split_contamination_semantics(spark):
             if any(s == "train" for d2, s in splits.items() if d2 >= 100):
                 assert r["n_contaminated"] == 2
                 assert r["contamination_ratio"] == round(2 / 3, 6)
+
+
+def test_redact_pii_null_text_and_asof_empty_right(spark):
+    """Corpus-scale edges: null text -> zero counts + null redacted_text;
+    as-of against an EMPTY right side keeps every left row, null-matched,
+    in all three directions."""
+    from bigdata_20251_steam_spark.operators.relational_ext import asof_join
+    from bigdata_20251_steam_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.co x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 0, 0)
+    assert got[1]["redacted_text"] is None
+    assert got[2]["n_email"] == 1 and got[2]["redacted_text"] == "<EMAIL> x"
+
+    left = spark.createDataFrame([(1, "k", 5)], "id long, k string, ts long")
+    right = spark.createDataFrame([], "k string, ts long, v double")
+    for d in ("backward", "forward", "nearest"):
+        rows = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=("v",), direction=d,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["matched_v"] is None and rows[0]["matched_ts"] is None
