@@ -49,6 +49,37 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage per-query top-k prune — the skew-proof final rank.
+
+    A single window partitioned by ``query_id`` funnels EVERY scored row
+    through ``|queries|`` reducers: with 10 queries and a 100x corpus
+    that is 10 tasks each scanning tens of millions of rows — the
+    classic at-scale window skew.  Stage 1 ranks within
+    ``(query_id, input partition)`` — the shuffle spreads over
+    ``|queries| x |partitions|`` keys — and keeps each partition's local
+    top-k, which is a correctness-preserving SUPERSET of the global
+    top-k under any partitioning (every global winner is its own
+    partition's local winner at rank <= k).  Stage 2 ranks the surviving
+    ``|partitions| x k`` rows per query — tiny.  Both stages use the
+    same deterministic ordering (score desc, vec_id asc), so results
+    are identical to the single-window form and partition-invariant
+    (re-checked by determinism_audit.py).
+    """
+    order = (F.col("cos_sim").desc(), F.col("vec_id").asc())
+    local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -80,13 +111,7 @@ def cosine_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def _sqdist_to(vec: Column, center: list[float]) -> Column:
@@ -200,12 +225,7 @@ def ivf_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _topk_per_query(scored, k)
 
 
 def pandas_cosine_udf(query_vec: list[float]):
@@ -312,13 +332,7 @@ def lsh_bucketed_topk(
             _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def quantize_embeddings(
