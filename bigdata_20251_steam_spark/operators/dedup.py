@@ -61,19 +61,25 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text", group_col: str = 
     pipeline can monitor dup rates.  Hashing first means the distinct
     aggregation shuffles 16 bytes/row (a 120-bit two-long content key —
     one 60-bit half collides near 2^30 docs), not document text.
+
+    The distinct is counted over a STRUCT of the two hash halves, not the
+    bare column pair: ``countDistinct(h1, h2)`` skips rows where the
+    hashes are NULL (null text), whereas SQL engines count the
+    ``(NULL, NULL)`` tuple as one distinct value — the struct wrapper is
+    itself non-null, so null-text documents form exactly one distinct
+    content group in both engines.
     """
     norm = normalized_text(F.col(text_col))
     h1 = md5_long(norm).alias("content_h1")
     h2 = md5_long_lo(norm).alias("content_h2")
+    key = F.struct("content_h1", "content_h2")
     return (
         docs.select(F.col(group_col), h1, h2)
         .groupBy(group_col)
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct("content_h1", "content_h2").alias("n_distinct"),
-            (
-                F.count("*") - F.countDistinct("content_h1", "content_h2")
-            ).alias("n_dup_docs"),
+            F.countDistinct(key).alias("n_distinct"),
+            (F.count("*") - F.countDistinct(key)).alias("n_dup_docs"),
         )
     )
 

@@ -56,23 +56,30 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     through ``|queries|`` reducers: with 10 queries and a 100x corpus
     that is 10 tasks each scanning tens of millions of rows — the
     classic at-scale window skew.  Stage 1 ranks within
-    ``(query_id, input partition)`` — the shuffle spreads over
-    ``|queries| x |partitions|`` keys — and keeps each partition's local
-    top-k, which is a correctness-preserving SUPERSET of the global
-    top-k under any partitioning (every global winner is its own
-    partition's local winner at rank <= k).  Stage 2 ranks the surviving
-    ``|partitions| x k`` rows per query — tiny.  Both stages use the
-    same deterministic ordering (score desc, vec_id asc), so results
-    are identical to the single-window form and partition-invariant
+    ``(query_id, salt)`` where salt = hash(vec_id) mod B — the shuffle
+    spreads over ``|queries| x B`` keys — and keeps each salt cell's
+    local top-k, which is a correctness-preserving SUPERSET of the
+    global top-k under any row-to-cell assignment (every global winner
+    is its own cell's local winner at rank <= k).  Stage 2 ranks the
+    surviving ``B x k`` rows per query — tiny.  The salt is a
+    DETERMINISTIC function of the row (not ``spark_partition_id()``,
+    which can re-split rows differently when a task retry recomputes a
+    nondeterministic upstream — the classic repartition-retry hazard
+    that could prune a global winner).  Both stages use the same
+    deterministic ordering (score desc, vec_id asc), so results are
+    identical to the single-window form and partition-invariant
     (re-checked by determinism_audit.py).
     """
+    n_buckets = scored.sparkSession.sparkContext.defaultParallelism * 2
     order = (F.col("cos_sim").desc(), F.col("vec_id").asc())
-    local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    local = Window.partitionBy("query_id", "_salt").orderBy(*order)
     pruned = (
-        scored.withColumn("_pid", F.spark_partition_id())
+        scored.withColumn(
+            "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(n_buckets))
+        )
         .withColumn("_lr", F.row_number().over(local))
         .filter(F.col("_lr") <= k)
-        .drop("_pid", "_lr")
+        .drop("_salt", "_lr")
     )
     w = Window.partitionBy("query_id").orderBy(*order)
     return pruned.withColumn("rank", F.row_number().over(w)).filter(

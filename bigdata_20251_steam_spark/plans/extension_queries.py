@@ -1610,17 +1610,9 @@ def q_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "INCLUDING the max_pages=3 x per_page=100 per-app cap (rn <= 300).",
 )
 def q_api_source_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from ..sources.paged_api import ensure_review_fixtures, register_paged_api
 
-    from ..sources.paged_api import register_paged_api, write_review_fixtures
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"api_fixtures_{tag}")
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
-        write_review_fixtures(spark, sf_dir, out, n_apps=20, per_page=100)
-        open(marker, "w").close()
+    out = ensure_review_fixtures(spark, sf_dir, n_apps=20, per_page=100)
     register_paged_api(spark)
     return (
         spark.read.format("paged_api")

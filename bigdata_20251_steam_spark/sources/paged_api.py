@@ -267,6 +267,61 @@ def register_paged_api(spark) -> None:
     spark.dataSource.register(PagedApiDataSource)
 
 
+def ensure_review_fixtures(
+    spark,
+    sf_dir: str,
+    n_apps: int = 20,
+    per_page: int = 100,
+) -> str:
+    """Return a cached fixture dir for ``sf_dir``, building it if needed.
+
+    The cache key includes a FINGERPRINT of the events table (row count +
+    max event_id), not just the path: driver rounds regenerate testdata at
+    the same path with drifting encodings, and a path-only key would
+    silently serve stale pages.  The build goes into a process-private
+    temp dir that is atomically ``os.rename``d into place — a concurrent
+    session either wins the rename or finds the winner's complete dir;
+    nobody ever reads a half-written fixture set.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .batch import load_table
+
+    fp = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("event_id").alias("mx"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("mts"),
+        )
+        .first()
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"api_fixtures_{tag}_{fp['n']}_{fp['mx']}_{fp['mts']}_{n_apps}x{per_page}",
+    )
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    build = tempfile.mkdtemp(prefix=f"api_fixtures_build_{os.getpid()}_")
+    write_review_fixtures(spark, sf_dir, build, n_apps=n_apps, per_page=per_page)
+    open(os.path.join(build, "_DONE"), "w").close()
+    try:
+        os.rename(build, out)
+    except OSError:
+        # lost the race: the winner's dir is complete (rename is atomic);
+        # fall through to it and drop our build
+        import shutil
+
+        if not os.path.exists(os.path.join(out, "_DONE")):
+            raise
+        shutil.rmtree(build, ignore_errors=True)
+    return out
+
+
 def write_review_fixtures(
     spark,
     sf_dir: str,

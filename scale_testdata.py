@@ -71,7 +71,7 @@ def scale(spark: SparkSession, src: str, out_dir: str, n: int) -> None:
     max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
     _replicas(
         ev, n,
-        lambda df, k: ev.withColumn(
+        lambda df, k: df.withColumn(
             "event_id", F.col("event_id") + F.lit(k * max_ev)
         ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} SECONDS")),
     ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")

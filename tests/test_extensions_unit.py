@@ -327,3 +327,38 @@ def test_redact_pii_null_text_and_asof_empty_right(spark):
         ).collect()
         assert len(rows) == 1
         assert rows[0]["matched_v"] is None and rows[0]["matched_ts"] is None
+
+
+def test_exact_dedup_stats_null_text_matches_sql_tuple_semantics(spark):
+    """Null-text docs must count as ONE distinct content group, matching
+    SQL engines' count(DISTINCT (a, b)) tuple semantics (a bare
+    countDistinct(h1, h2) would SKIP the all-NULL rows and report one
+    distinct too few — the engine/oracle divergence flagged in r4)."""
+    import duckdb
+
+    from bigdata_20251_steam_spark.operators.dedup import exact_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", None),
+            (2, "s", None),        # second null-text doc: dup of the first
+            (3, "s", "same text"),
+            (4, "s", "same text"),
+            (5, "s", "other"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = exact_dedup_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # groups: {null}, {"same text"}, {"other"} -> 3 distinct, 2 dup docs
+    assert (r["n_docs"], r["n_distinct"], r["n_dup_docs"]) == (5, 3, 2)
+
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT count(*), count(DISTINCT (t, t)), "
+        "count(*) - count(DISTINCT (t, t)) "
+        "FROM (VALUES (NULL), (NULL), ('same text'), ('same text'), "
+        "('other')) v(t)"
+    ).fetchone()
+    assert (r["n_docs"], r["n_distinct"], r["n_dup_docs"]) == exp
