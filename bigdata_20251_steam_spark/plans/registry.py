@@ -94,6 +94,95 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
+#: Round-5 window rotation (r4 verdict #1).  The driver checks the first
+#: 50 of 80 registered queries, so exposure rotates per round to keep
+#: every oracle-bearing query's last green driver row <= 2 rounds old:
+#:
+#: - 42: the three entries that have NEVER had a driver row (their
+#:   oracles duplicate checked batch twins, but "redundant" should be the
+#:   driver's verdict, not the builder's);
+#: - 44/45: everything whose last row is r3 (rotated out by the r4
+#:   window), plus embed_topk_ivf (newly oracle-bearing this round) and
+#:   multimodal_features (rows-only refresh);
+#: - 60: r4-green queries whose OPERATORS CHANGED in r5 (dedup null
+#:   semantics, top-k salt, fixture cache, as-of salting, range-join
+#:   auto-sizing, closure checkpointing) plus a handful of rotating
+#:   r4-green fillers to complete the 50;
+#: - everything else r4-green keeps its declared tier (>= 80) and sits
+#:   this round out, returning in r6.
+#:
+#: Declared priorities in the query modules are the static tier; this
+#: overlay is the per-round scheduling decision, applied after load.
+_R5_ROTATION: dict[str, int] = {
+    # never-driver-checked trio — first rows this round
+    "streaming_session_windows": 42,
+    "streaming_player_windows": 42,
+    "streaming_api_source": 42,
+    # newly oracle-bearing / rows-only refresh
+    "embed_topk_ivf": 44,
+    "multimodal_features": 44,
+    # last green row r3 — due now (>2-round staleness otherwise)
+    "daily_user_rank": 45,
+    "rollup_orders": 45,
+    "value_percentiles": 45,
+    "minhash_signatures": 45,
+    "minhash_dedup_pairs": 45,
+    "simhash_signatures": 45,
+    "ngram_jaccard_pairs": 45,
+    "embed_topk_bruteforce": 45,
+    "embed_topk_lsh": 45,
+    "embed_near_dup_pairs": 45,
+    "token_counts": 45,
+    "language_id": 45,
+    "quality_scores": 45,
+    "doc_fingerprints": 45,
+    "clean_html_roundtrip": 45,
+    "multimodal_meta": 45,
+    "multimodal_frames": 45,
+    "minhash_dedup_resolve": 45,
+    "approx_stats": 45,
+    "sql_interface": 45,
+    "sliding_windows": 45,
+    "session_windows": 45,
+    "streaming_sentiment_hourly": 45,
+    "streaming_dim_enrich": 45,
+    "streaming_running_totals": 45,
+    # r4-green whose code paths changed in r5 — re-prove immediately
+    "dedup_exact": 60,
+    "ivf_recall_vs_exact": 60,
+    "api_source_reviews": 60,
+    "asof_join_last_good": 60,
+    "asof_join_nearest": 60,
+    "streaming_asof_enrich": 60,
+    "interval_event_counts": 60,
+    "dedup_pipeline_end_to_end": 60,
+    "dedup_components": 60,
+    # rotating r4-green fillers to complete the 50-slot window
+    "review_bomb": 61,
+    "q5_region_revenue": 61,
+    "q14_promo_share": 61,
+    "packed_sequences": 61,
+    "udtf_sentences": 61,
+    # r4-green with declared tier < 80 and unchanged code paths: sit this
+    # round out (they'd otherwise outrank the stale r3 set by seq ties)
+    "hash_split_assignments": 80,
+    "stratified_sample_counts": 80,
+    "packing_assignments": 80,
+    "repetition_metrics": 80,
+    "tfidf_top_terms": 80,
+    "incremental_dedup_status": 80,
+    "embed_quantize": 80,
+    "pivot_event_matrix": 80,
+    "cube_orders": 80,
+    "moving_avg_daily": 80,
+    "set_ops_users": 80,
+    "user_value_quartiles": 80,
+    "streaming_stream_join": 80,
+    "pii_redaction": 80,
+    "cross_split_contamination": 80,
+}
+
+
 def _load_all() -> None:
     """Import every query module (side effect: registration)."""
     from . import reference_queries  # noqa: F401
@@ -106,6 +195,11 @@ def _load_all() -> None:
         from . import streaming_queries  # noqa: F401
     except ImportError:
         pass
+    import dataclasses
+
+    for name, prio in _R5_ROTATION.items():
+        if name in QUERIES:
+            QUERIES[name] = dataclasses.replace(QUERIES[name], priority=prio)
 
 
 _load_all()
