@@ -150,7 +150,9 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 4
+    signatures: DataFrame,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: (doc_a, doc_b) pairs sharing >=1 band signature.
 
@@ -161,8 +163,22 @@ def minhash_candidate_pairs(
     both join sides (Spark does not dedupe common subplans across a
     self-join, so the join form computed every signature twice).  Bucket
     membership lists are small by LSH design (a bucket IS a near-dup
-    group); a corpus with adversarial mega-buckets (e.g. empty docs)
-    should pre-filter or salt those keys upstream.
+    group).
+
+    **Mega-bucket safety** (``max_bucket``, default 1000): an adversarial
+    bucket — e.g. near-empty normalized text at corpus scale — would make
+    the all-pairs enumeration quadratic in ONE task (a 10M-doc bucket is
+    5*10^13 pairs; the job would never finish).  Buckets larger than
+    ``max_bucket`` instead emit a STAR: every member pairs with the
+    bucket's minimum doc_id only — linear edges, computed from a
+    map-side-combinable (count, min) aggregate with **no** collect_list
+    on the mega bucket.  For the dominant consumer (connected-components
+    clustering) a star is EXACTLY equivalent to the clique — same
+    components — so ``dedup_pipeline_end_to_end`` semantics are
+    unaffected at any bucket size; only the raw pair list for an
+    oversized bucket is the reduced (still spanning) edge set.  Bucket
+    sizes are observable via :func:`lsh_bucket_stats` — at 100 TB, chart
+    it before loosening the cap.  ``max_bucket=None`` disables the guard.
     """
     banded = (
         signatures.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
@@ -179,11 +195,31 @@ def minhash_candidate_pairs(
             ).alias("band_sig")
         )
     )
-    buckets = (
-        banded.groupBy("band_id", "band_sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    if max_bucket is None:
+        small = banded.groupBy("band_id", "band_sig").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids")
+        )
+        star = None
+    else:
+        # (count, min) per bucket is a partial-aggregatable stats pass;
+        # the join back is co-partitioned on the same bucket key, so the
+        # mega bucket's rows stream through filters — never buffered.
+        stats = banded.groupBy("band_id", "band_sig").agg(
+            F.count("*").alias("bn"), F.min("doc_id").alias("bmin")
+        )
+        joined = banded.join(stats, ["band_id", "band_sig"])
+        small = (
+            joined.filter(F.col("bn") <= max_bucket)
+            .groupBy("band_id", "band_sig")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        )
+        star = (
+            joined.filter(
+                (F.col("bn") > max_bucket) & (F.col("doc_id") != F.col("bmin"))
+            )
+            .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    buckets = small.filter(F.size("ids") > 1)
     # ids is a materialized attribute, so referencing it inside the lambda
     # is free (unlike an inlined expression); ascending sort makes every
     # (earlier, later) pair satisfy doc_a < doc_b by construction.
@@ -197,10 +233,39 @@ def minhash_candidate_pairs(
             ),
         )
     )
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, rows_per_band: int = 4, top_n: int = 20
+) -> DataFrame:
+    """Largest LSH buckets: (band_id, band_sig, n_docs) — the monitoring
+    companion to :func:`minhash_candidate_pairs`'s ``max_bucket`` guard.
+    Run it when starred-bucket output is suspected; at 100 TB this is the
+    query that tells you whether the corpus has a degenerate text mode
+    (empty pages, boilerplate) before it becomes a shuffle problem.
+    """
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        signatures.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+        .groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "band_id", "band_sig")
+        .limit(top_n)
     )
 
 
@@ -322,6 +387,7 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     shingle_n: int = 3,
     min_jaccard: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over blocked pairs.
 
@@ -336,9 +402,20 @@ def ngram_jaccard_pairs(
     overlap (sum over shingles of postings²), not to |block|² — a
     pairwise-compare formulation (even salted and hashed) spent minutes
     at sf0.1 evaluating 14M array intersections; this runs in seconds and
-    its shuffle carries only 8-byte longs.  Skew note: at corpus scale,
-    prune ultra-frequent shingles first (classic prefix-filtering) — a
-    shingle appearing in k docs contributes k² join rows.
+    its shuffle carries only 8-byte longs.
+
+    **Frequent-shingle skew guard** (``max_df``): a shingle appearing in
+    k docs contributes k² postings-join rows — one boilerplate sentence
+    shared by a million pages is a 10^12-row hot key.  With ``max_df``
+    set, shingles whose document frequency exceeds it are EXCLUDED from
+    candidate generation (classic df-based prefix filtering), and the
+    Jaccard of each surviving candidate is then re-verified EXACTLY from
+    the two docs' full shingle arrays (``array_intersect``), so every
+    reported score is identical to the unfiltered computation.  The
+    recall contract: a pair sharing *only* ultra-frequent shingles is
+    not reported — by construction its overlap is corpus-wide
+    boilerplate, not document similarity.  ``max_df=None`` (default)
+    keeps the fully exact single-pass form.
     """
     sh = spread_partitions(docs, "doc_id").select(
         F.col("doc_id"),
@@ -350,26 +427,66 @@ def ngram_jaccard_pairs(
     postings = sh.select(
         "doc_id", "blk", F.size("sh").alias("n"), F.explode("sh").alias("h")
     )
-    a, b = postings.alias("a"), postings.alias("b")
-    pairs = (
+    if max_df is None:
+        a, b = postings.alias("a"), postings.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return (
+            pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= min_jaccard)
+        )
+    # document frequency per shingle hash: partial-aggregatable, 8-byte
+    # keys; rare = discriminative, so rare-only candidate generation
+    # prunes the quadratic hot keys while keeping any pair that shares
+    # at least one sub-threshold shingle
+    df_tbl = postings.groupBy("blk", "h").agg(F.count("*").alias("df"))
+    rare = postings.join(
+        df_tbl.filter(F.col("df") <= max_df), ["blk", "h"]
+    ).select("doc_id", "blk", "h")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= min_jaccard)
+    # exact re-verification: ship the two shingle arrays once per
+    # candidate (candidates ~ true near-dups, so this is the small side)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").filter(
+        F.col("jaccard") >= min_jaccard
     )
 
 

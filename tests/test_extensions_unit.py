@@ -362,3 +362,100 @@ def test_exact_dedup_stats_null_text_matches_sql_tuple_semantics(spark):
         "('other')) v(t)"
     ).fetchone()
     assert (r["n_docs"], r["n_distinct"], r["n_dup_docs"]) == exp
+
+
+def test_minhash_mega_bucket_star_policy(spark):
+    """An adversarial LSH bucket (every doc identical in every band) must
+    NOT enumerate the quadratic clique: with max_bucket exceeded, each
+    bucket emits a linear star to its min doc_id — connectivity-equivalent
+    for component clustering, n-1 edges instead of n(n-1)/2."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_candidate_pairs,
+    )
+
+    n = 10_000
+    sigs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h_idx"),
+        )
+        .withColumn("minhash", F.lit(7).cast("long"))
+    )
+    pairs = minhash_candidate_pairs(sigs, max_bucket=100)
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # star, not n*(n-1)/2 = ~50M
+    assert all(r["doc_a"] == 0 for r in rows)
+    assert {r["doc_b"] for r in rows} == set(range(1, n))
+
+    stats = lsh_bucket_stats(sigs).collect()
+    assert stats[0]["n_docs"] == n  # the monitoring query surfaces it
+
+
+def test_minhash_mixed_bucket_sizes(spark):
+    """Buckets under the cap keep exact all-pairs enumeration while an
+    oversized sibling bucket degrades to a star, in the same call."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators.dedup import minhash_candidate_pairs
+
+    # docs 0-7 share signature A (big bucket), docs 100-102 share B (small)
+    big = spark.range(8).select(F.col("id").alias("doc_id"))
+    small = spark.range(100, 103).select(F.col("id").alias("doc_id"))
+    sigs = (
+        big.withColumn("sig", F.lit(7))
+        .unionByName(small.withColumn("sig", F.lit(9)))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h_idx"),
+            F.col("sig").cast("long").alias("minhash"),
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(sigs, max_bucket=5).collect()
+    }
+    star = {(0, j) for j in range(1, 8)}
+    clique = {(100, 101), (100, 102), (101, 102)}
+    assert got == star | clique
+
+    # cap off -> full cliques on both buckets
+    got_full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(sigs, max_bucket=None).collect()
+    }
+    full = {(i, j) for i in range(8) for j in range(i + 1, 8)} | clique
+    assert got_full == full
+
+
+def test_ngram_jaccard_max_df_prefix_filter(spark):
+    """Ultra-frequent (boilerplate) shingles are pruned from candidate
+    generation under max_df, while surviving pairs keep their EXACT
+    unfiltered Jaccard (re-verified from full shingle arrays)."""
+    from bigdata_20251_steam_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over"
+    docs = [(0, "en", boiler + " alpha beta gamma delta"),
+            (1, "en", boiler + " alpha beta gamma delta")]
+    docs += [
+        (i, "en", boiler + f" unique{i} filler{i} words{i} extra{i}")
+        for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    unfiltered = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.1).collect()
+    }
+    filtered = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.1, max_df=5).collect()
+    }
+    # boilerplate-only pairs (both docs >= 2) exist unfiltered, pruned after
+    assert any(a >= 2 for (a, _b) in unfiltered)
+    assert filtered.keys() == {(0, 1)}
+    # the surviving pair's score is the exact unfiltered value
+    assert filtered[(0, 1)] == unfiltered[(0, 1)] == 1.0
