@@ -495,6 +495,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive closure of duplicate pairs: (doc_id, component_id).
 
@@ -513,14 +514,32 @@ def connected_components(
     O(diameter): a 50-hop chain closes in ~7 rounds, not 50 (classic
     Shiloach-Vishkin shortcutting; same trick as the large-star operation
     in Kiveris et al. 2014, "Connected Components in MapReduce and
-    Beyond").  ``localCheckpoint`` cuts the growing lineage so round N
-    doesn't replan rounds 1..N-1.  Driver-side per round: one boolean
-    convergence count, never data.  Raises ``RuntimeError`` if the
-    propagation has not converged after ``max_iters`` rounds — a
-    silently-split component would make dedup keep multiple copies of
-    one cluster, which is strictly worse than failing loudly.
+    Beyond").  Lineage is cut every round so round N doesn't replan
+    rounds 1..N-1.  Driver-side per round: one boolean convergence
+    count, never data.  Raises ``RuntimeError`` if the propagation has
+    not converged after ``max_iters`` rounds — a silently-split
+    component would make dedup keep multiple copies of one cluster,
+    which is strictly worse than failing loudly.
+
+    **Fault tolerance**: the default lineage cut is ``localCheckpoint``
+    (executor-local blocks — fastest, fine for single-node and short
+    jobs, but on a real cluster an executor loss mid-iteration kills the
+    job with no recompute path).  Pass ``checkpoint_dir`` (HDFS/S3/local
+    path) to use RELIABLE ``checkpoint()`` instead: each round's edge
+    and label sets persist to the shared filesystem, surviving executor
+    loss — the setting you want for a multi-hour 100 TB closure.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint()
+        )
+
+    edges = _cut(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -530,7 +549,6 @@ def connected_components(
         # count) re-reads the edge set, and `pairs` is usually the tail of
         # an expensive candidate-generation pipeline (minhash -> banding
         # -> bucket join) that must not re-execute per round
-        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -555,7 +573,7 @@ def connected_components(
         jump = propagated.select(
             F.col("node").alias("_jn"), F.col("label").alias("_jl")
         )
-        new_labels = (
+        new_labels = _cut(
             propagated.join(jump, propagated.label == jump._jn, "left")
             .select(
                 "node",
@@ -563,7 +581,6 @@ def connected_components(
                     F.col("label"), F.coalesce("_jl", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

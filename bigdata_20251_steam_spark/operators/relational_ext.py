@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str,
     value_cols: tuple[str, ...],
     direction: str = "backward",
+    salt_keys: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right row per ``direction``.
 
@@ -64,9 +65,21 @@ def asof_join(
     At 100 TB: one hash shuffle of left+right on ``key``, sorted once
     (both frames share the same window spec, so ``nearest`` still sorts
     once); no state beyond the window's running ``last``/``first`` — the
-    plan is the same sort-merge shape as a co-partitioned join.  Skewed
-    keys salt exactly like any other window (split the key's timeline,
-    carry the boundary row between salts).
+    plan is the same sort-merge shape as a co-partitioned join.
+
+    **Skew** (``salt_keys``): one hot key (a flagship app's event
+    timeline) funnels through ONE window reducer.  With ``salt_keys=S``
+    every left row is salted by a deterministic hash of its timestamp
+    and the FULL right timeline of its key is replicated into each of
+    the S cells; the window then partitions on ``(key, salt)`` — S
+    parallel reducers per key — and each cell sees every candidate
+    match, so the output is row-for-row identical to the unsalted form
+    (parity-pinned in tests).  The cost model: right-side rows ship S
+    times, so use it when the skewed volume is on the LEFT (facts
+    against a modest quote/dimension timeline — the common case).  A
+    boundary-carry split of the right timeline would avoid the
+    replication but needs a second pass to hand each salt its
+    predecessor row; replicate-right is exact with one.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -104,8 +117,20 @@ def asof_join(
     # backward/nearest want right (side 0) before left, forward wants
     # right after left — flip the side sort key, keep one window spec.
     side_ord = F.col("_side").desc() if direction == "forward" else F.col("_side")
-    base = Window.partitionBy("_k").orderBy(F.col("_ts"), side_ord)
-    unioned = side_l.unionByName(side_r).withColumn("_rv", rv)
+    if salt_keys is None:
+        base = Window.partitionBy("_k").orderBy(F.col("_ts"), side_ord)
+        unioned = side_l.unionByName(side_r).withColumn("_rv", rv)
+    else:
+        # left rows pick one deterministic cell; right rows replicate into
+        # all cells so every cell holds the key's complete match history
+        side_l = side_l.withColumn(
+            "_salt", F.pmod(F.hash(F.col("_ts")), F.lit(salt_keys))
+        )
+        side_r = side_r.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_keys - 1)))
+        )
+        base = Window.partitionBy("_k", "_salt").orderBy(F.col("_ts"), side_ord)
+        unioned = side_l.unionByName(side_r).withColumn("_rv", rv)
     if direction in ("backward", "nearest"):
         unioned = unioned.withColumn(
             "_m_b",
@@ -201,7 +226,8 @@ def range_join(
     point_ts: str,
     start_ts: str,
     end_ts: str,
-    bucket: str = "7 days",
+    bucket: str | None = None,
+    max_span_buckets: int = 4096,
 ) -> DataFrame:
     """Point-in-interval join: rows where ``start <= point < end``.
 
@@ -210,35 +236,78 @@ def range_join(
     ``floor(epoch / bucket_seconds)`` bucket ids, intervals explode into
     every bucket they overlap via ``sequence()``, the join is a plain
     equi-join on the bucket id, and the exact inequality runs as a
-    residual filter.  Pick ``bucket`` near the typical interval length:
-    much smaller multiplies the interval side, much larger widens the
-    candidate set.
+    residual filter.  Results are identical for ANY bucket width — the
+    width only tunes candidate volume — so auto-sizing is safe.
+
+    ``bucket=None`` (default) AUTO-SIZES from the interval-length
+    distribution in one cheap aggregate: width = the median interval
+    length (each interval explodes into ~2 buckets; a point probes one
+    bucket whose candidate set is ~the intervals overlapping it), raised
+    if needed so the LONGEST interval spans at most ``max_span_buckets``
+    buckets — a mixed seconds-to-months interval table can't explode
+    ``sequence()`` into millions of rows per interval.  An explicit
+    ``bucket`` ("45 seconds", "7 days") skips the aggregate; a runtime
+    ``assert_true`` guard still fails loudly (instead of OOMing an
+    executor) if some interval would span more than ``max_span_buckets``
+    buckets at the chosen width.
 
     Output: all point columns + all interval columns (callers project).
     """
-    n, unit = bucket.split()
-    mult = {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }[unit]
-    secs = int(n) * mult
+    if bucket is None:
+        # one partial-aggregatable pass over the interval side: median
+        # (typical) and max (worst-case) interval length in seconds
+        lens = intervals.select(
+            (
+                F.expr(epoch_seconds_sql(end_ts))
+                - F.expr(epoch_seconds_sql(start_ts))
+            ).alias("_len")
+        )
+        st = lens.agg(
+            F.expr("percentile_approx(_len, 0.5)").alias("med"),
+            F.max("_len").alias("mx"),
+        ).first()
+        if st["mx"] is None:  # empty interval side: any width works
+            secs = 86400
+        else:
+            secs = max(int(st["med"]), 1)
+            # longest interval must fit in max_span_buckets buckets
+            secs = max(secs, -(-int(st["mx"]) // max_span_buckets))
+    else:
+        n, unit = bucket.split()
+        mult = {
+            "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        }[unit]
+        secs = int(n) * mult
     p = points.withColumn(
         "_b", F.expr(f"{epoch_seconds_sql(point_ts)} div {secs}")
     )
-    iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.expr(f"{epoch_seconds_sql(start_ts)} div {secs}"),
-                # end is exclusive, but timestamp->long truncates to whole
-                # seconds, so subtracting 1 here could drop the bucket a
-                # sub-second point sits in; include the end bucket and let
-                # the exact residual filter trim — candidates must be a
-                # superset, never a subset
-                F.expr(f"{epoch_seconds_sql(end_ts)} div {secs}"),
-            )
-        ),
+    start_b = F.expr(f"{epoch_seconds_sql(start_ts)} div {secs}")
+    # end is exclusive, but timestamp->long truncates to whole seconds,
+    # so subtracting 1 here could drop the bucket a sub-second point sits
+    # in; include the end bucket and let the exact residual filter trim —
+    # candidates must be a superset, never a subset
+    end_b = F.expr(f"{epoch_seconds_sql(end_ts)} div {secs}")
+    # the guard is folded INTO the sequence bound (assert_true yields
+    # NULL when the predicate holds, throws otherwise; coalesce makes it
+    # a no-op term) — a standalone guard column would be pruned away by
+    # the optimizer and never evaluated
+    guard = F.coalesce(
+        F.assert_true(
+            end_b - start_b < F.lit(max_span_buckets),
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans > {max_span_buckets} "
+                    f"buckets at bucket width {secs}s — widen `bucket` or "
+                    "raise `max_span_buckets` (interval start epoch: "
+                ),
+                F.expr(epoch_seconds_sql(start_ts)).cast("string"),
+                F.lit(")"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
     )
+    iv = intervals.withColumn("_b", F.explode(F.sequence(start_b, end_b + guard)))
     joined = p.join(iv, "_b").filter(
         (F.col(start_ts) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_ts))
     )

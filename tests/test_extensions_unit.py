@@ -459,3 +459,29 @@ def test_ngram_jaccard_max_df_prefix_filter(spark):
     assert filtered.keys() == {(0, 1)}
     # the surviving pair's score is the exact unfiltered value
     assert filtered[(0, 1)] == unfiltered[(0, 1)] == 1.0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes lineage cuts through reliable checkpoint()
+    files (cluster fault tolerance) with identical results."""
+    from bigdata_20251_steam_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    reliable = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert local == reliable
+    assert {c for _, c in reliable} == {1, 10, 20}
+    import os
+
+    # the reliable path actually wrote RDD checkpoint files
+    assert any(os.scandir(ckpt))

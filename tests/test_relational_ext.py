@@ -335,3 +335,92 @@ def test_range_join_matches_naive_randomized(spark):
             ).collect()
         }
         assert got == naive, f"seed {seed}: {len(got)} vs {len(naive)}"
+
+
+def test_asof_salted_parity_and_plan(spark):
+    """salt_keys output is row-for-row identical to the unsalted form on a
+    skewed fixture (one hot key carrying ~all rows), and the window
+    actually partitions on (key, salt)."""
+    base = dt.datetime(2024, 1, 1)
+    # hot key: 500 left rows, 7 right rows; cold key: a handful of each
+    left_rows = [(i, "hot", base + dt.timedelta(minutes=i)) for i in range(500)]
+    left_rows += [(1000 + i, "cold", base + dt.timedelta(hours=i)) for i in range(3)]
+    right_rows = [
+        ("hot", base + dt.timedelta(minutes=70 * j), float(j)) for j in range(7)
+    ]
+    right_rows += [("cold", base + dt.timedelta(minutes=90), 99.0)]
+    left = spark.createDataFrame(left_rows, "id long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+
+    for d in ("backward", "forward", "nearest"):
+        plain = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=("v",), direction=d,
+        )
+        salted = asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=("v",), direction=d, salt_keys=8,
+        )
+        a = {(r["id"], r["matched_v"], r["matched_ts"]) for r in plain.collect()}
+        b = {(r["id"], r["matched_v"], r["matched_ts"]) for r in salted.collect()}
+        assert a == b, f"direction {d}: salted output diverged"
+        # the Window partition spec must carry the salt next to the key:
+        # "windowspecdefinition(_k#N, _salt#M, ..." in the executed plan
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert re.search(r"windowspecdefinition\(_k#\d+, _salt#\d+", plan), plan
+
+
+def test_range_join_auto_bucket_mixed_intervals(spark):
+    """bucket=None derives a width from the interval-length distribution;
+    results equal the naive inequality join on a seconds-to-a-month mix."""
+    base = dt.datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(seconds=45)),
+            (2, base + dt.timedelta(hours=1), base + dt.timedelta(hours=7)),
+            (3, base, base + dt.timedelta(days=30)),
+            (4, base + dt.timedelta(days=10), base + dt.timedelta(days=10, minutes=5)),
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=37 * i)) for i in range(1200)
+        ],
+        "pid long, ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (F.col("start_ts") <= F.col("ts")) & (F.col("ts") < F.col("end_ts")),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+
+    # empty interval side: no rows, no crash
+    empty = spark.createDataFrame(
+        [], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    assert range_join(points, empty, "ts", "start_ts", "end_ts").count() == 0
+
+
+def test_range_join_span_guard_fails_loudly(spark):
+    """An interval spanning more buckets than max_span_buckets at an
+    explicit width must raise, not explode sequence() silently."""
+    base = dt.datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(days=60))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame([(1, base)], "pid long, ts timestamp")
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        range_join(
+            points, intervals, "ts", "start_ts", "end_ts", bucket="1 second"
+        ).collect()
