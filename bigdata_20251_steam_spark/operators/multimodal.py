@@ -106,14 +106,93 @@ def _make_pixel_decoder():
         """bytes -> (width, height, row-major top-down [(r,g,b), ...]).
 
         Supports PPM P6 (binary) / P3 (ascii), maxval <= 255, with
-        ``#`` comments; and BMP with the 40-byte BITMAPINFOHEADER,
-        24 bpp, uncompressed (BI_RGB), bottom-up or top-down rows,
-        4-byte row padding, BGR byte order.  Raises ValueError on
-        anything else — the router falls back to the fake decoder.
+        ``#`` comments; BMP with the 40-byte BITMAPINFOHEADER, 24 bpp,
+        uncompressed (BI_RGB), bottom-up or top-down rows, 4-byte row
+        padding, BGR byte order; and PNG (8-bit RGB / RGBA color types
+        2 and 6, non-interlaced — the overwhelmingly common encoder
+        output) via stdlib ``zlib`` inflate + the five scanline filters
+        (None/Sub/Up/Average/Paeth) per the PNG spec; RGBA alpha is
+        dropped (straight RGB channels).  Chunk CRCs are not verified —
+        this is a decoder, not an integrity checker.  Raises ValueError
+        on anything else — the router falls back to the fake decoder.
         """
         import struct
+        import zlib
 
         b = bytes(payload)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            pos = 8
+            w = h = color_type = None
+            idat = b""
+            while pos + 8 <= len(b):
+                ln = struct.unpack_from(">I", b, pos)[0]
+                ctype = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                if ctype == b"IHDR":
+                    if len(data) != 13:
+                        raise ValueError("bad PNG IHDR length")
+                    w, h, depth, color_type, comp, filt, interlace = (
+                        struct.unpack(">IIBBBBB", data)
+                    )
+                    if (
+                        depth != 8
+                        or color_type not in (2, 6)
+                        or comp != 0
+                        or filt != 0
+                        or interlace != 0
+                    ):
+                        raise ValueError(
+                            "unsupported PNG (need 8-bit RGB/RGBA, "
+                            "non-interlaced)"
+                        )
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + ln  # length + type + data + crc
+            if w is None or not idat or w <= 0 or h <= 0:
+                raise ValueError("truncated PNG")
+            raw = zlib.decompress(idat)
+            ch = 3 if color_type == 2 else 4
+            stride = w * ch
+            if len(raw) != h * (stride + 1):
+                raise ValueError("PNG pixel data length mismatch")
+            px: list[tuple[int, int, int]] = []
+            prev = bytearray(stride)
+            rp = 0
+            for _ in range(h):
+                f = raw[rp]
+                line = bytearray(raw[rp + 1 : rp + 1 + stride])
+                rp += stride + 1
+                if f == 1:  # Sub
+                    for i in range(ch, stride):
+                        line[i] = (line[i] + line[i - ch]) & 0xFF
+                elif f == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        up = prev[i]
+                        c = prev[i - ch] if i >= ch else 0
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        pred = (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (up if pb <= pc else c)
+                        )
+                        line[i] = (line[i] + pred) & 0xFF
+                elif f != 0:
+                    raise ValueError(f"bad PNG scanline filter {f}")
+                prev = line
+                for k in range(0, stride, ch):
+                    px.append((line[k], line[k + 1], line[k + 2]))
+            return w, h, px
         if b[:2] in (b"P6", b"P3"):
             # tokenize the header: whitespace-separated ints, '#' comments
             toks: list[bytes] = []
@@ -196,15 +275,17 @@ decode_image = _make_pixel_decoder()
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Real decode: bytes -> FEATURE_DIM pixel-statistics feature vector.
 
-    Executable for PPM (P3/P6) and 24-bit BMP via the pure-Python
-    ``decode_image``; other media types are the integration point for
-    heavyweight codecs (PIL for other image/*, ffmpeg/torchaudio for
-    audio|video/*) which are not in this container.
+    Executable for PPM (P3/P6), 24-bit BMP and 8-bit RGB/RGBA PNG via
+    the pure-Python ``decode_image``; other media types are the
+    integration point for heavyweight codecs (PIL for other image/*,
+    ffmpeg/torchaudio for audio|video/*) which are not in this
+    container.
 
     Feature layout: [width, height, n_pixels, mean_r, mean_g, mean_b,
     min_luma, max_luma] (luma = Rec.601 integer weights).
     """
-    if bytes(payload)[:2] in (b"P6", b"P3", b"BM"):
+    raw8 = bytes(payload)[:8]
+    if raw8[:2] in (b"P6", b"P3", b"BM") or raw8 == b"\x89PNG\r\n\x1a\n":
         w, h, px = decode_image(payload)
         n = len(px)
         lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px]
@@ -219,8 +300,8 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
             float(max(lumas)),
         ]
     raise NotImplementedError(
-        f"no codec for {media_type!r} in this environment; PPM/BMP decode "
-        "natively, other formats need PIL/ffmpeg wired here"
+        f"no codec for {media_type!r} in this environment; PPM/BMP/PNG "
+        "decode natively, other formats need PIL/ffmpeg wired here"
     )
 
 
@@ -315,9 +396,11 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     Routing: payloads carrying a PPM/BMP magic are decoded FOR REAL
     (pure-Python ``decode_image`` → pixel-statistics features, decoder
-    column ``"ppm-bmp-pixel"``); everything else uses the deterministic
-    fake (``fake=True``, decoder ``"fake-moments"``) or raises
-    (``fake=False``) at the heavyweight-codec integration point.
+    column ``"ppm-bmp-pixel"``), PNG payloads likewise through the
+    stdlib-zlib PNG branch (decoder ``"png-pixel"``); everything else
+    uses the deterministic fake (``fake=True``, decoder
+    ``"fake-moments"``) or raises (``fake=False``) at the
+    heavyweight-codec integration point.
     """
 
     dim = FEATURE_DIM
@@ -366,7 +449,10 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             feats, names = [], []
             for p in payloads:
                 raw = bytes(p)
-                if raw[:2] in (b"P6", b"P3", b"BM"):
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    feats.append(pixel_features(raw))
+                    names.append("png-pixel")
+                elif raw[:2] in (b"P6", b"P3", b"BM"):
                     feats.append(pixel_features(raw))
                     names.append("ppm-bmp-pixel")
                 elif fake:

@@ -89,10 +89,79 @@ def _bmp24(w, h, px, top_down=False):
     return hdr + body
 
 
+
+
+def _png(w, h, px, color_type=2, filters=None):
+    """Minimal spec-conformant PNG encoder (8-bit RGB/RGBA) so the golden
+    tests exercise chosen scanline filters; alpha fixed at 255."""
+    import struct
+    import zlib
+
+    ch = 3 if color_type == 2 else 4
+    filters = filters if filters is not None else [0] * h
+    raw = b""
+    prev = bytearray(w * ch)
+    for r in range(h):
+        vals = []
+        for c in range(w):
+            vals += list(px[r * w + c]) + ([255] if ch == 4 else [])
+        line = bytearray(vals)
+        f = filters[r]
+        enc = bytearray(line)
+        if f == 1:  # Sub
+            for i in range(len(line) - 1, ch - 1, -1):
+                enc[i] = (line[i] - line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(len(line)):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(len(line)):
+                a = line[i - ch] if i >= ch else 0
+                up = prev[i]
+                cc = prev[i - ch] if i >= ch else 0
+                pp = a + up - cc
+                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - cc)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else cc)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 @pytest.mark.parametrize(
     "enc",
-    [_ppm_p6, _ppm_p3, _bmp24, lambda w, h, px: _bmp24(w, h, px, top_down=True)],
-    ids=["ppm_p6", "ppm_p3", "bmp_bottom_up", "bmp_top_down"],
+    [
+        _ppm_p6,
+        _ppm_p3,
+        _bmp24,
+        lambda w, h, px: _bmp24(w, h, px, top_down=True),
+        lambda w, h, px: _png(w, h, px),
+        lambda w, h, px: _png(w, h, px, color_type=6),
+        lambda w, h, px: _png(w, h, px, filters=[1, 2]),
+        lambda w, h, px: _png(w, h, px, filters=[3, 4]),
+        lambda w, h, px: _png(w, h, px, color_type=6, filters=[4, 3]),
+    ],
+    ids=[
+        "ppm_p6", "ppm_p3", "bmp_bottom_up", "bmp_top_down",
+        "png_rgb", "png_rgba", "png_sub_up", "png_avg_paeth",
+        "png_rgba_paeth_avg",
+    ],
 )
 def test_decode_image_golden_pixels(enc):
     w, h = 3, 2  # width 3 forces BMP row padding (9 -> 12 bytes)
@@ -111,8 +180,11 @@ def test_decode_real_feature_vector():
         sum(p[2] for p in GOLD_PX) / 6,
         float(min(lumas)), float(max(lumas)),
     ]
+    # a REAL PNG of the same image decodes to identical features
+    assert mm.decode_real(_png(3, 2, GOLD_PX), "image/png") == feats
+    # a payload with no supported magic still hits the integration point
     with pytest.raises(NotImplementedError):
-        mm.decode_real(b"\x89PNG....", "image/png")
+        mm.decode_real(b"RIFF....WAVE", "audio/wav")
 
 
 def test_decode_features_routes_real_and_fake(spark):
@@ -122,6 +194,7 @@ def test_decode_features_routes_real_and_fake(spark):
         (1, _ppm_p6(3, 2, GOLD_PX), "image/x-portable-pixmap"),
         (2, _bmp24(3, 2, GOLD_PX), "image/bmp"),
         (3, b"just some text", "text/plain"),
+        (4, _png(3, 2, GOLD_PX, color_type=6, filters=[1, 4]), "image/png"),
     ]
     media = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string"
@@ -130,7 +203,8 @@ def test_decode_features_routes_real_and_fake(spark):
     assert got[1]["decoder"] == "ppm-bmp-pixel"
     assert got[2]["decoder"] == "ppm-bmp-pixel"
     assert got[3]["decoder"] == "fake-moments"
-    # PPM and BMP encode the same image -> identical pixel features
-    assert got[1]["feature"] == got[2]["feature"]
+    assert got[4]["decoder"] == "png-pixel"
+    # PPM, BMP and PNG encode the same image -> identical pixel features
+    assert got[1]["feature"] == got[2]["feature"] == got[4]["feature"]
     assert got[1]["feature"][:3] == [3.0, 2.0, 6.0]
     assert got[3]["n_bytes"] == len(b"just some text")
