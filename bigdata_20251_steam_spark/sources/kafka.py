@@ -64,8 +64,9 @@ def _apply_common(
     ssl_truststore: str | None,
     ssl_password: str | None,
     extra_options: dict[str, str] | None,
+    fmt: str = "kafka",
 ):
-    reader = reader.format("kafka")
+    reader = reader.format(fmt)
     for k, v in kafka_options(
         brokers, topic, starting_offsets, ssl_truststore, ssl_password,
         extra_options,
@@ -82,13 +83,21 @@ def kafka_stream(
     ssl_truststore: str | None = None,
     ssl_password: str | None = None,
     extra_options: dict[str, str] | None = None,
+    fmt: str = "kafka",
 ) -> DataFrame:
     """Streaming Kafka source (A1): raw (key, value binary, topic,
     partition, offset, timestamp) rows; parse with
-    ``sources.batch.parse_json_records``."""
+    ``sources.batch.parse_json_records``.
+
+    ``fmt`` exists because Spark reserves the provider name "kafka" even
+    when the connector jar is absent: tests resolve the same reader path
+    against a broker-shaped Python DataSource registered under another
+    name (tests/test_kafka_plan.py), proving the option surface and wire
+    schema without a broker.
+    """
     return _apply_common(
         spark.readStream, brokers, topic, starting_offsets,
-        ssl_truststore, ssl_password, extra_options,
+        ssl_truststore, ssl_password, extra_options, fmt,
     ).load()
 
 
@@ -101,13 +110,14 @@ def kafka_batch(
     ssl_truststore: str | None = None,
     ssl_password: str | None = None,
     extra_options: dict[str, str] | None = None,
+    fmt: str = "kafka",
 ) -> DataFrame:
     """Batch (bounded) read of a topic — the Kappa replay path: the same
     parse + aggregate plans run over the retained log (7-day retention,
     ``k8s/infrastructure/kafka.yaml:27``) to rebuild serving tables."""
     return _apply_common(
         spark.read, brokers, topic, starting_offsets,
-        ssl_truststore, ssl_password, extra_options,
+        ssl_truststore, ssl_password, extra_options, fmt,
     ).option("endingOffsets", ending_offsets).load()
 
 
