@@ -247,24 +247,96 @@ def q_embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_topk_ivf",
-    oracle=None,  # Lloyd-iteration float means don't reproduce bit-for-bit
-    # across engines; recall/determinism invariants are pinned in
-    # tests/test_extensions_unit.py instead
-    priority=90,  # rows-only driver row is redundant with the pytest
-    # recall/determinism pins — keep oracle-bearing checks in the window
+    oracle="""
+    SELECT vec_id            AS query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE              AS ranks_valid,
+           TRUE              AS sims_descending,
+           TRUE              AS sims_exact,
+           TRUE              AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    priority=46,  # r5: first oracle-bearing driver row (r4 verdict #9)
     doc="IVF ANN top-5 (16-cell deterministic k-means-lite coarse "
-    "quantizer, nprobe=4): the third similarity tier after brute-force "
-    "and sign-LSH — candidates ~ nprobe/n_centroids of the corpus. "
-    "Rows-only driver check.",
+    "quantizer, nprobe=4), self-auditing: the raw top-k rows are not "
+    "SQL-reproducible (Lloyd-iteration float means diverge across "
+    "engines near argmin ties), so the registered query returns the "
+    "per-query INVARIANT AUDIT instead — result count, rank integrity "
+    "(exactly 1..k), score monotonicity, every reported cos_sim equal "
+    "to the independently recomputed exact cosine of that pair, and "
+    "recall@5 >= 0.6 vs brute-force exact — each deterministically TRUE "
+    "for a healthy operator, so the oracle pins them as literals and "
+    "ANY regression (missing rows, broken ranking, wrong scores, recall "
+    "collapse) hash-mismatches the driver row.  The raw rows stay "
+    "available via operators.similarity.ivf_topk and are "
+    "partition-invariance-audited in determinism_audit.py.",
 )
 def q_embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        query_ids=_QUERY_IDS,
-        k=5,
-        n_centroids=16,
-        nprobe=4,
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = sim.ivf_topk(
+        emb, query_ids=_QUERY_IDS, k=5, n_centroids=16, nprobe=4
     )
+    exact = sim.cosine_topk(emb, query_ids=_QUERY_IDS, k=5)
+    # independent recomputation of each reported pair's exact cosine
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = base.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    checked = (
+        approx.join(F.broadcast(qv), "query_id")
+        .join(base, "vec_id")
+        .withColumn(
+            "_recomputed", F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 6)
+        )
+        .withColumn("_sim_ok", F.col("_recomputed") == F.col("cos_sim"))
+    )
+    hits = approx.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    ).groupBy("query_id").agg(F.count("*").alias("_n_hits"))
+    audited = (
+        checked.groupBy("query_id")
+        .agg(
+            F.lit(5).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_results"),
+            (
+                F.sort_array(F.collect_list("rank"))
+                == F.array(*[F.lit(i) for i in range(1, 6)])
+            ).alias("ranks_valid"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "cos_sim"))),
+                    lambda s: s["cos_sim"],
+                ),
+                F.struct(
+                    F.lit(True).alias("ok"),
+                    F.lit(None).cast("double").alias("prev"),
+                ),
+                lambda acc, x: F.struct(
+                    (
+                        acc["ok"] & (acc["prev"].isNull() | (acc["prev"] >= x))
+                    ).alias("ok"),
+                    x.alias("prev"),
+                ),
+                lambda acc: acc["ok"],
+            ).alias("sims_descending"),
+            F.bool_and("_sim_ok").alias("sims_exact"),
+        )
+        .join(hits, "query_id", "left")
+        .withColumn("recall_ok", F.coalesce(F.col("_n_hits"), F.lit(0)) >= 3)
+        .drop("_n_hits")
+    )
+    return audited
 
 
 @register(
