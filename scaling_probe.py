@@ -60,8 +60,26 @@ SHIFT_COLS = {
 }
 STATIC = ("region", "nation", "supplier", "part")
 
+#: tables each probe reads — lets a filtered probe run (SCALING_PROBES)
+#: skip materializing fact tables it never touches (a 64x lineitem build
+#: for a documents-only probe would dominate the wall clock).
+PROBE_TABLES = {
+    "q1_pricing_summary": {"lineitem"},
+    "q5_region_revenue": {"customer", "orders", "lineitem"},
+    "sentiment_hourly": {"events"},
+    "peak_activity": {"events"},
+    "minhash_signatures": {"documents"},
+    "asof_join_last_good": {"events"},
+    "embed_topk_bruteforce": {"embeddings"},
+    "dedup_exact": {"documents"},
+    "dedup_components": {"documents"},
+    "dedup_pipeline_end_to_end": {"documents"},
+    "cross_split_contamination": {"documents"},
+    "pii_redaction": {"documents"},
+}
 
-def materialize(spark, mult: int, out_dir: str) -> None:
+
+def materialize(spark, mult: int, out_dir: str, needed: set[str]) -> None:
     from bigdata_20251_steam_spark.sources.batch import load_table
 
     os.makedirs(out_dir, exist_ok=True)
@@ -70,6 +88,8 @@ def materialize(spark, mult: int, out_dir: str) -> None:
             f"{out_dir}/{t}.parquet"
         )
     for t, cols in SHIFT_COLS.items():
+        if t not in needed:
+            continue
         base = load_table(spark, BASE_SF, t)
         maxes = base.agg(
             *[F.max(c).alias(c) for c in cols]
@@ -96,28 +116,39 @@ def materialize(spark, mult: int, out_dir: str) -> None:
 
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    # SCALING_PROBES=name,name limits the probe slice (e.g. the 64x
+    # iterative-closure anchor, r4 verdict #8)
+    probes = PROBES
+    env_sel = os.environ.get("SCALING_PROBES")
+    if env_sel:
+        sel = [p.strip() for p in env_sel.split(",") if p.strip()]
+        unknown = [p for p in sel if p not in PROBES]
+        if unknown:
+            raise SystemExit(f"unknown probes: {unknown}")
+        probes = sel
+    needed = set().union(*(PROBE_TABLES[q] for q in probes))
     from bigdata_20251_steam_spark.plans import QUERIES
     from bigdata_20251_steam_spark.session import get_spark
 
     spark = get_spark(app_name="scaling_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict[int, float]] = {q: {} for q in PROBES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probes}
     for mult in mults:
         d = os.path.join(tempfile.gettempdir(), f"scaleprobe_x{mult}")
-        materialize(spark, mult, d)
-        for q in PROBES:
+        materialize(spark, mult, d, needed)
+        for q in probes:
             best = math.inf
             for _ in range(2):  # min-of-2: exclude JIT/VM stalls
                 t0 = time.perf_counter()
                 QUERIES[q].fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             results[q][mult] = round(best, 3)
-        print(json.dumps({"mult": mult, "times": {q: results[q][mult] for q in PROBES}}))
+        print(json.dumps({"mult": mult, "times": {q: results[q][mult] for q in probes}}), flush=True)
         if mult != 1:
             shutil.rmtree(d, ignore_errors=True)
     slopes = {}
     lo, hi = min(mults), max(mults)
-    for q in PROBES:
+    for q in probes:
         if results[q][lo] > 0 and hi > lo:
             slopes[q] = round(
                 math.log(results[q][hi] / results[q][lo]) / math.log(hi / lo), 2
