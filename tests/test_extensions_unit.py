@@ -133,15 +133,22 @@ def test_ivf_index_corpus_smaller_than_k(spark):
 
 
 def test_ivf_topk_recall_and_determinism(spark):
+    # The registered embed_topk_ivf query returns the self-auditing
+    # invariant rows (r5); the raw top-k recall/determinism contract is
+    # pinned here against the underlying operator directly.
+    from bigdata_20251_steam_spark.operators import similarity as sim
     from bigdata_20251_steam_spark.plans import QUERIES
 
-    brute = QUERIES["embed_topk_bruteforce"].fn(spark, SF_SMOKE).collect()
-    ivf = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = list(range(10))
+    brute = sim.cosine_topk(emb, query_ids=qids, k=5).collect()
+    ivf = sim.ivf_topk(emb, query_ids=qids, k=5, n_centroids=16, nprobe=4)
+    ivf_rows = ivf.collect()
     truth = {}
     for r in brute:
         truth.setdefault(r["query_id"], set()).add(r["vec_id"])
     got = {}
-    for r in ivf:
+    for r in ivf_rows:
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     assert set(got) == set(truth)  # every query answered
     hits = sum(len(truth[q] & got[q]) for q in truth)
@@ -150,8 +157,16 @@ def test_ivf_topk_recall_and_determinism(spark):
     # random-cell floor; exact recall is data-dependent, bound loosely
     assert hits / total >= 0.25, f"recall {hits}/{total}"
     # deterministic: a second run reproduces the result exactly
-    again = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
-    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+    again = sim.ivf_topk(
+        emb, query_ids=qids, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, ivf_rows)) == sorted(map(tuple, again))
+    # and the registered audit query reports every invariant green
+    audit = QUERIES["embed_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in audit} == set(qids)
+    for r in audit:
+        assert r["n_results"] == 5 and r["ranks_valid"]
+        assert r["sims_descending"] and r["sims_exact"] and r["recall_ok"]
 
 
 def test_incremental_dedup_precedence(spark):
