@@ -20,8 +20,15 @@ from .ingest import flatten_app_details, quarantine_invalid, valid_appids
 from .joins import salted_join
 from .packing import pack_documents
 from .relational_ext import asof_join, range_join
-from .sampling import hash_split, split_bucket, stratified_sample
+from .sampling import (
+    epoch_shuffle,
+    epoch_shuffle_key,
+    hash_split,
+    split_bucket,
+    stratified_sample,
+)
 from .similarity import quantize_embeddings
+from .sketches import hll_distinct_rollup, hll_sketches
 from .similarity import (
     cosine,
     cosine_near_dup_pairs,
@@ -30,6 +37,7 @@ from .similarity import (
     pandas_cosine_udf,
 )
 from .text_analysis import (
+    chunk_documents,
     fingerprints,
     language_id,
     quality_scores,
@@ -52,4 +60,6 @@ __all__ = [
     "cosine", "cosine_near_dup_pairs", "cosine_topk", "lsh_bucketed_topk",
     "pandas_cosine_udf",
     "fingerprints", "language_id", "quality_scores", "token_counts",
+    "chunk_documents", "epoch_shuffle", "epoch_shuffle_key",
+    "hll_distinct_rollup", "hll_sketches",
 ]

@@ -80,3 +80,44 @@ def stratified_sample(
     # CAST(x AS BIGINT) rounds to nearest, so sub-1e-6 fractions would
     # keep different boundary buckets across engines
     return df.filter(b < F.round(frac * 1_000_000).cast("long"))
+
+
+def epoch_shuffle_key(id_col: Column, epoch: int, salt: str = "shuffle") -> Column:
+    """Stable 60-bit sort key for training-order shuffling, one per epoch.
+
+    Different epochs decorrelate (the epoch number is inside the hash
+    input), while within an epoch the order is a pure function of the row
+    id — reproducible across re-runs, engines, partition layouts, and
+    resumption after preemption (the property ``orderBy(rand())`` lacks).
+    """
+    return md5_long(
+        F.concat(F.lit(f"{salt}:{epoch}:"), id_col.cast("string"))
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int | None = None,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus for training epoch ``e``.
+
+    Adds ``shuffle_key`` and, when ``n_shards`` is given, range-partitions
+    on it and sorts within partitions — so writing the result yields
+    ``n_shards`` files that concatenate into a total deterministic order
+    (the layout a data loader streams sequentially).  Range partitioning
+    samples the key distribution to build balanced bounds; since the key
+    is a 60-bit hash it is uniform by construction, so shard sizes are
+    even regardless of input skew.  No global sort ever materializes on
+    one node: this is the standard distributed sort shape (sampled range
+    exchange + local sort).
+    """
+    out = df.withColumn(
+        "shuffle_key", epoch_shuffle_key(F.col(id_col), epoch, salt)
+    )
+    if n_shards is not None:
+        out = out.repartitionByRange(n_shards, "shuffle_key", id_col)
+        out = out.sortWithinPartitions("shuffle_key", id_col)
+    return out

@@ -184,6 +184,54 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.select("doc_id", fp.alias("fingerprint"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional overlap.
+
+    The standard LLM-pretraining prep step the reference lacks entirely:
+    each document becomes ceil(n_tokens / stride) chunks of up to
+    ``chunk_size`` whitespace tokens, chunk ``c`` starting at token
+    ``c * stride`` (stride < chunk_size ⇒ overlapping context windows;
+    stride == chunk_size ⇒ disjoint).  Output: one row per chunk with
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+
+    Scale shape: tokenize → ``sequence`` of start offsets → ``explode`` →
+    ``slice``/``array_join`` — all JVM built-ins fused into the scan, zero
+    shuffles, no Python.  The explode amplification is bounded by
+    n_tokens/stride per doc, so output size is corpus_tokens/stride rows
+    regardless of document skew; a 100 TB corpus streams through as a
+    narrow map-only stage.  Docs with empty/null text produce no rows.
+    """
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = (
+        spread_partitions(docs, "doc_id")
+        .select(
+            "doc_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("ws")
+        )
+        .filter((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
+    )
+    # 1-based start offsets: 1, 1+stride, ... <= n_tokens
+    starts = toks.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ws"), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start"), chunk_size)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

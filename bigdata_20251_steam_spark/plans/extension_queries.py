@@ -1693,3 +1693,127 @@ def q_api_source_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("max_pages", 3)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: training-data prep (chunking, epoch shuffle, sketches)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+      WHERE length(trim(text)) > 0),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), {_STRIDE}))
+               AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS INTEGER)  AS chunk_id,
+           CAST(len(list_slice(t, start, start + {_CHUNK} - 1))
+                AS INTEGER)                          AS n_tokens,
+           array_to_string(
+             list_slice(t, start, start + {_CHUNK} - 1), ' ') AS chunk_text
+    FROM starts
+    """,
+    priority=47,  # round-5 addition: first driver row this round
+    doc="LLM-pretraining context-window chunking "
+    "(operators.text_analysis.chunk_documents): each doc becomes "
+    "overlapping 32-token windows at stride 24 via tokenize -> sequence "
+    "of offsets -> explode -> slice/array_join — all JVM built-ins fused "
+    "into the scan, zero shuffles, output rows bounded by "
+    "corpus_tokens/stride regardless of per-doc skew.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK, stride=_STRIDE,
+    )
+
+
+_SHUF_KEY_SQL = (
+    "CAST(('0x' || substr(md5('shuffle:{e}:' || CAST(doc_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, 0 AS epoch, {_SHUF_KEY_SQL.format(e=0)} AS shuffle_key
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS epoch, {_SHUF_KEY_SQL.format(e=1)} AS shuffle_key
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY epoch ORDER BY shuffle_key, doc_id) AS position
+      FROM keyed)
+    SELECT epoch, CAST(position AS BIGINT) AS position, doc_id, shuffle_key
+    FROM ranked WHERE position <= 100
+    """,
+    priority=47,  # round-5 addition
+    doc="Deterministic per-epoch training-order shuffle "
+    "(operators.sampling.epoch_shuffle): the global order is a pure "
+    "function of (salt, epoch, doc_id) — reproducible across re-runs, "
+    "engines, and preemption, unlike orderBy(rand()).  At scale the "
+    "operator materializes the order as a sampled range exchange + local "
+    "sort (repartitionByRange on the uniform 60-bit key => balanced "
+    "shards, no single-node sort); the query surfaces the first 100 "
+    "positions of epochs 0 and 1 as a top-k, not a global sort.",
+)
+def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = None
+    for e in (0, 1):
+        k = epoch_shuffle(docs, "doc_id", epoch=e).select(
+            F.lit(e).alias("epoch"), "doc_id", "shuffle_key"
+        )
+        keyed = k if keyed is None else keyed.unionByName(k)
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= 100)
+        .select("epoch", "position", "doc_id", "shuffle_key")
+    )
+
+
+@register(
+    "hll_user_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE                    AS est_ok,
+           TRUE                    AS merge_consistent
+    FROM events GROUP BY event_type
+    """,
+    priority=47,  # round-5 addition
+    doc="Self-auditing mergeable-HLL distinct rollup "
+    "(operators.sketches.hll_distinct_rollup over DataSketches "
+    "hll_sketch_agg/hll_union_agg): per-event-type distinct users as a "
+    "fixed-size sketch whose groupBy shuffles O(groups x 2^lg_k) bytes "
+    "with map-side partials — vs exact countDistinct shuffling every "
+    "distinct value.  The estimates are engine-specific, so the oracle "
+    "pins the INVARIANTS: estimate within 5% of exact per group, and "
+    "union-of-group-sketches == direct whole-column sketch (the "
+    "mergeability that lets 1000 executors sketch independently and "
+    "combine losslessly).  Either regressing flips a flag and "
+    "hash-mismatches the driver row.",
+)
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct_rollup(
+        events, group_col="event_type", value_col="user_id", lg_k=14
+    )

@@ -157,12 +157,15 @@ _R5_ROTATION: dict[str, int] = {
     "interval_event_counts": 60,
     "dedup_pipeline_end_to_end": 60,
     "dedup_components": 60,
-    # rotating r4-green fillers to complete the 50-slot window
+    # rotating r4-green fillers to complete the 50-slot window; three of
+    # the original five yield their slots to the round-5 additions
+    # (doc_chunks / epoch_shuffle_order / hll_user_rollup, declared 47 in
+    # extension_queries.py — new queries outrank r4-green rechecks)
     "review_bomb": 61,
     "q5_region_revenue": 61,
-    "q14_promo_share": 61,
-    "packed_sequences": 61,
-    "udtf_sentences": 61,
+    "q14_promo_share": 80,
+    "packed_sequences": 80,
+    "udtf_sentences": 80,
     # r4-green with declared tier < 80 and unchanged code paths: sit this
     # round out (they'd otherwise outrank the stale r3 set by seq ties)
     "hash_split_assignments": 80,

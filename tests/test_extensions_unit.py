@@ -500,3 +500,90 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     # the reliable path actually wrote RDD checkpoint files
     assert any(os.scandir(ckpt))
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    import pytest
+
+    from bigdata_20251_steam_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x"),               # shorter than chunk
+            (3, ""),                # empty -> no rows
+            (4, "   "),             # whitespace-only -> no rows
+            (5, None),              # null -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: starts at tokens 1, 4, 7 -> overlapping windows + short tail
+    assert rows[(1, 0)] == (4, "a b c d")
+    assert rows[(1, 1)] == (4, "d e f g")
+    assert rows[(1, 2)] == (1, "g")
+    assert rows[(2, 0)] == (1, "x")
+    assert {d for d, _ in rows} == {1, 2}
+    # disjoint when stride == chunk_size: chunks tile the doc exactly
+    tiled = chunk_documents(docs, chunk_size=3, stride=3).filter(
+        F.col("doc_id") == 1
+    ).collect()
+    assert [r["chunk_text"] for r in sorted(tiled, key=lambda r: r["chunk_id"])] \
+        == ["a b c", "d e f", "g"]
+    assert sum(r["n_tokens"] for r in tiled) == 7
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, stride=0)
+
+
+def test_epoch_shuffle_determinism_and_sharding(spark):
+    from bigdata_20251_steam_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    a = epoch_shuffle(docs, "doc_id", epoch=0).select("doc_id", "shuffle_key")
+    b = epoch_shuffle(
+        docs.repartition(7), "doc_id", epoch=0
+    ).select("doc_id", "shuffle_key")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # epochs decorrelate: same ids, different order
+    e1 = epoch_shuffle(docs, "doc_id", epoch=1).select("doc_id", "shuffle_key")
+    order0 = [r["doc_id"] for r in a.orderBy("shuffle_key").collect()]
+    order1 = [r["doc_id"] for r in e1.orderBy("shuffle_key").collect()]
+    assert set(order0) == set(order1) and order0 != order1
+    # sharded path: concatenating shards in partition order gives the
+    # same total order as a global sort on the key
+    sharded = epoch_shuffle(docs, "doc_id", epoch=0, n_shards=4)
+    parts = sharded.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, [r["doc_id"] for r in it])]
+    ).collect()
+    concat = [d for _, ds in sorted(parts) for d in ds]
+    assert concat == order0
+
+
+def test_hll_rollup_flags_and_sketch_reuse(spark):
+    from bigdata_20251_steam_spark.operators.sketches import (
+        hll_distinct_rollup,
+        hll_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(f"t{i % 3}", i % 50) for i in range(3000)],
+        "event_type string, user_id long",
+    )
+    rows = hll_distinct_rollup(df, "event_type", "user_id").collect()
+    assert len(rows) == 3
+    for r in rows:
+        # 50 distinct users per type; lg_k=14 is exact at this cardinality
+        assert r["n_exact"] == 50
+        assert r["est_ok"] and r["merge_consistent"]
+    sk = hll_sketches(df, "event_type", "user_id")
+    got = {r["event_type"]: r["estimate"] for r in sk.collect()}
+    assert set(got) == {"t0", "t1", "t2"}
+    for est in got.values():
+        assert abs(est - 50) <= 2
