@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import HASH_PRIME, MINHASH_PARAMS, md5_long, md5_long_lo
 
@@ -171,19 +170,15 @@ def minhash_candidate_pairs(
     the all-pairs enumeration quadratic in ONE task (a 10M-doc bucket is
     5*10^13 pairs; the job would never finish).  Buckets larger than
     ``max_bucket`` instead emit a STAR: every member pairs with the
-    bucket's minimum doc_id only — linear edges, with **no** collect_list
-    on the mega bucket (its per-bucket count/min come from an unbounded
-    window whose sorter spills to disk instead of buffering an
-    aggregation list in memory; the single bucket-key exchange is shared
-    with the small-bucket grouping, so the guard adds NO extra shuffle —
-    the stats-agg + join-back formulation it replaced cost ~1.6x).  For
-    the dominant consumer (connected-components clustering) a star is
-    EXACTLY equivalent to the clique — same components — so
-    ``dedup_pipeline_end_to_end`` semantics are unaffected at any bucket
-    size; only the raw pair list for an oversized bucket is the reduced
-    (still spanning) edge set.  Bucket sizes are observable via
-    :func:`lsh_bucket_stats` — at 100 TB, chart it before loosening the
-    cap.  ``max_bucket=None`` disables the guard.
+    bucket's minimum doc_id only — linear edges, computed from a
+    map-side-combinable (count, min) aggregate with **no** collect_list
+    on the mega bucket.  For the dominant consumer (connected-components
+    clustering) a star is EXACTLY equivalent to the clique — same
+    components — so ``dedup_pipeline_end_to_end`` semantics are
+    unaffected at any bucket size; only the raw pair list for an
+    oversized bucket is the reduced (still spanning) edge set.  Bucket
+    sizes are observable via :func:`lsh_bucket_stats` — at 100 TB, chart
+    it before loosening the cap.  ``max_bucket=None`` disables the guard.
     """
     banded = (
         signatures.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
@@ -206,26 +201,20 @@ def minhash_candidate_pairs(
         )
         star = None
     else:
-        # per-bucket (count, min) via an unbounded window: the bucket-key
-        # exchange it introduces is the SAME exchange the small-bucket
-        # grouping needs (Catalyst reuses it), and WindowExec's external
-        # sorter spills oversized partitions to disk — so mega buckets
-        # never materialize an in-memory membership list anywhere.
-        w = Window.partitionBy("band_id", "band_sig")
-        tagged = banded.select(
-            "band_id",
-            "band_sig",
-            "doc_id",
-            F.count("*").over(w).alias("bn"),
-            F.min("doc_id").over(w).alias("bmin"),
+        # (count, min) per bucket is a partial-aggregatable stats pass;
+        # the join back is co-partitioned on the same bucket key, so the
+        # mega bucket's rows stream through filters — never buffered.
+        stats = banded.groupBy("band_id", "band_sig").agg(
+            F.count("*").alias("bn"), F.min("doc_id").alias("bmin")
         )
+        joined = banded.join(stats, ["band_id", "band_sig"])
         small = (
-            tagged.filter(F.col("bn") <= max_bucket)
+            joined.filter(F.col("bn") <= max_bucket)
             .groupBy("band_id", "band_sig")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         )
         star = (
-            tagged.filter(
+            joined.filter(
                 (F.col("bn") > max_bucket) & (F.col("doc_id") != F.col("bmin"))
             )
             .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
