@@ -45,6 +45,11 @@ PROBES = [
     "dedup_pipeline_end_to_end",
     "cross_split_contamination",
     "pii_redaction",
+    # round-5 additions: explode amplification, window top-k over a
+    # doubled corpus, fixed-size sketch aggregation
+    "doc_chunks",
+    "epoch_shuffle_order",
+    "hll_user_rollup",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -76,6 +81,9 @@ PROBE_TABLES = {
     "dedup_pipeline_end_to_end": {"documents"},
     "cross_split_contamination": {"documents"},
     "pii_redaction": {"documents"},
+    "doc_chunks": {"documents"},
+    "epoch_shuffle_order": {"documents"},
+    "hll_user_rollup": {"events"},
 }
 
 

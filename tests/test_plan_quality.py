@@ -222,3 +222,71 @@ def test_contamination_train_side_not_broadcast(spark):
     df = QUERIES["cross_split_contamination"].fn(spark, SF_SMOKE)
     logical = df._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "hints=[broadcast" not in logical
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-prep operators: plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_plans_shuffle_free(spark):
+    # tokenize -> sequence -> explode -> slice must fuse into the scan: the
+    # only allowed Exchange is spread_partitions' explicit
+    # REPARTITION_BY_NUM (a local-test parallelism floor, no-op at scale) —
+    # never a key shuffle introduced by the operator itself
+    df = QUERIES["doc_chunks"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    import re
+
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
+        f"doc_chunks plans a key shuffle:\n{plan}"
+    )
+
+
+def test_chunk_documents_giant_doc_bounded_amplification(spark):
+    # one 50k-token doc: explode amplification must be n_tokens/stride,
+    # and every token lands in ceil(chunk/stride) chunks
+    from bigdata_20251_steam_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50_000)))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=64, stride=48)
+    agg = out.groupBy().agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("tok_slots")
+    ).collect()[0]
+    import math
+
+    assert agg["n_chunks"] == math.ceil(50_000 / 48)
+    # every chunk except the short tail carries exactly chunk_size tokens
+    assert agg["tok_slots"] == (agg["n_chunks"] - 1) * 64 + (50_000 - (agg["n_chunks"] - 1) * 48)
+
+
+def test_epoch_shuffle_sharded_plans_range_partitioning(spark):
+    from bigdata_20251_steam_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = _final_plan(epoch_shuffle(docs, "doc_id", epoch=0, n_shards=4))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, (
+        f"sharded epoch_shuffle should cost exactly one range exchange:\n{plan}"
+    )
+
+
+def test_hll_rollup_partial_aggregation(spark):
+    # the sketch agg must run map-side partials (the whole point of a
+    # mergeable sketch: executors sketch locally, the shuffle carries
+    # fixed-size sketch buffers, the reduce side merges)
+    from bigdata_20251_steam_spark.operators.sketches import hll_sketches
+
+    ev = QUERIES["hll_user_rollup"].fn.__globals__["load_table"](
+        spark, SF_SMOKE, "events"
+    )
+    plan = _final_plan(hll_sketches(ev, "event_type", "user_id"))
+    # two HashAggregate/ObjectHashAggregate nodes (partial + final) around
+    # exactly one exchange on the group key
+    n_agg = plan.count("HashAggregate")
+    assert n_agg >= 2, f"expected partial+final aggregate pair:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") == 1, plan
