@@ -566,17 +566,52 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas decode path — not SQL-expressible
-    priority=90,  # rows-only; fully covered by tests/test_multimodal.py
+    oracle="""
+    WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+    h AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b),
+    bytes AS (
+      SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::INT AS byte
+      FROM (SELECT doc_id, hx, unnest(generate_series(1, n)) AS i FROM h)),
+    stats AS (
+      SELECT doc_id, min(byte) AS mn, max(byte) AS mx, sum(byte) AS sm
+      FROM bytes GROUP BY doc_id)
+    SELECT h.doc_id,
+           CAST(n AS INTEGER)                             AS n_bytes,
+           'fake-moments'                                 AS decoder,
+           CAST(n AS DOUBLE)                              AS f0,
+           CAST(COALESCE(('0x' || substr(hx, 1, 2))::INT, 0)
+                AS DOUBLE)                                AS f1,
+           CAST(COALESCE(('0x' || substr(hx, 2 * n - 1, 2))::INT, 0)
+                AS DOUBLE)                                AS f2,
+           CAST(COALESCE(sm, 0) % 997 AS DOUBLE)          AS f3,
+           CAST(COALESCE(mn, 0) AS DOUBLE)                AS f4,
+           CAST(COALESCE(mx, 0) AS DOUBLE)                AS f5,
+           CAST(COALESCE(('0x' || substr(hx, 2 * (n // 2) + 1, 2))::INT, 0)
+                AS DOUBLE)                                AS f6,
+           CAST(n % 251 AS DOUBLE)                        AS f7
+    FROM h LEFT JOIN stats ON h.doc_id = stats.doc_id
+    """,
+    priority=44,  # r5 continuation: first ORACLE-bearing driver row (was
+    # rows-only at 90 — the fake-moment features are pure byte statistics
+    # of the payload, which SQL can recompute from hex(encode(text)))
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
-    "(deterministic stand-in decoder; real codec is the documented "
-    "NotImplementedError integration point). Rows-only driver check; "
-    "deterministic output is pinned by pytest instead.",
+    "(deterministic stand-in decoder; real PPM/BMP/PNG codecs route by "
+    "magic bytes, pinned in tests/test_multimodal.py).  The text-payload "
+    "fake features are byte statistics (length, first/last/middle byte, "
+    "byte-sum mod 997, min/max byte), so the oracle recomputes every "
+    "value from hex(encode(text)) — the full mapInPandas output is now "
+    "hash-matched, not rows-only.  Features surface as 8 scalar DOUBLE "
+    "columns (array columns break row canonicalizers — the round-1 "
+    "approx_stats lesson).",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
-    return mm.decode_features(media, fake=True).drop("feature").withColumn(
-        "decoder", F.col("decoder")
+    feats = mm.decode_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "decoder",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
     )
 
 
