@@ -661,21 +661,56 @@ def q_minhash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_stats",
-    oracle=None,  # HLL / KLL sketch results are engine-specific by design;
-    # tests/test_extensions_unit.py bounds them against exact values instead
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact_users,
+           TRUE                    AS hll_ok,
+           TRUE                    AS p50_ok,
+           TRUE                    AS p95_ok
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) + percentile_approx (KLL) "
     "per event_type — the sketches that replace exact distinct/percentile "
-    "at 100 TB (SURVEY.md §2.C gap note). Rows-only driver check; "
-    "pytest asserts HLL within 5% of exact and quantiles within rank "
-    "tolerance.  Percentiles are emitted as two scalar columns (not one "
-    "array<double>) so row canonicalizers can sort/hash the output.",
+    "at 100 TB (SURVEY.md §2.C gap note).  The raw estimates are "
+    "engine-specific, so the driver-checkable surface is the invariant "
+    "audit (was rows-only): exact distinct count pinned cross-engine, "
+    "HLL estimate within 5% of it, and each percentile_approx value "
+    "sitting at the right EMPIRICAL RANK — the fraction of rows <= the "
+    "approx p50/p95 must land in a band around 0.50/0.95 far wider than "
+    "the sketch's guaranteed 1/accuracy rank error but far tighter than "
+    "any broken sketch would hit.  A sketch regression flips a flag and "
+    "hash-mismatches the driver row.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    approx = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        F.countDistinct("user_id").alias("n_exact_users"),
+    )
+    ranks = (
+        events.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("approx_p50")).cast("double"))
+            .alias("_c50"),
+            F.avg((F.col("value") <= F.col("approx_p95")).cast("double"))
+            .alias("_c95"),
+        )
+    )
+    return (
+        approx.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact_users"))
+                <= 0.05 * F.col("n_exact_users")
+            ).alias("hll_ok"),
+            F.col("_c50").between(0.45, 0.55).alias("p50_ok"),
+            F.col("_c95").between(0.92, 0.98).alias("p95_ok"),
+        )
     )
 
 

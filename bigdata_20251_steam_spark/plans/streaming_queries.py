@@ -134,13 +134,24 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_running_totals",
-    oracle=None,  # custom stateful operator — not SQL-expressible; the
-    # batch-equivalence assertion lives in tests/test_stateful.py
+    oracle="""
+    SELECT user_id        AS key,
+           count(*)       AS n_events,
+           max(value)     AS max_value,
+           TRUE           AS sum_ok
+    FROM events GROUP BY user_id
+    """,
     doc="applyInPandasWithState per-key running totals: custom stateful "
     "operator with explicit state (3 scalars/key in the state store), "
-    "emitting update-mode deltas only for keys touched per batch. "
-    "Final emission per key equals the batch groupBy — asserted in "
-    "pytest; driver records a rows-only check.",
+    "emitting update-mode deltas only for keys touched per batch.  Each "
+    "key's FINAL state row must equal the batch aggregate, and that is "
+    "now driver-checked (was rows-only): n_events and max_value are "
+    "order-independent, so the oracle pins them EXACTLY cross-engine; "
+    "sum_value accumulates floats in micro-batch order (engine-specific "
+    "low-order bits), so its parity vs the batch groupBy sum is computed "
+    "Spark-side and pinned as the sum_ok literal — a stateful-operator "
+    "regression (lost batch, double-count, state corruption) flips the "
+    "count, the max, or the flag and hash-mismatches the driver row.",
 )
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -151,12 +162,26 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
     updates = run_available_now(running_totals(stream), output_mode="update")
     # update-mode memory sink accumulates one row per (key, batch); keep
-    # each key's final state row
+    # each key's final state row (n_events is cumulative, so max = final)
     w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
-    return (
+    final = (
         updates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+    batch = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(src_dir)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.sum("value").alias("_batch_sum"))
+    )
+    return final.join(batch, "key").select(
+        "key",
+        "n_events",
+        "max_value",
+        (
+            F.abs(F.col("sum_value") - F.col("_batch_sum")) < F.lit(1e-6)
+        ).alias("sum_ok"),
     )
 
 

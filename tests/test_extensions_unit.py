@@ -13,11 +13,18 @@ from .conftest import SF_SMOKE
 
 
 def test_approx_stats_bounds(spark):
+    # raw sketch values (the registered query returns the invariant audit)
+    events = load_table(spark, SF_SMOKE, "events")
     approx = {
         r["event_type"]: r
-        for r in QUERIES["approx_stats"].fn(spark, SF_SMOKE).collect()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
+        )
+        .collect()
     }
-    events = load_table(spark, SF_SMOKE, "events")
     exact = {
         r["event_type"]: r
         for r in events.groupBy("event_type")
