@@ -1792,6 +1792,7 @@ _CHUNK, _STRIDE = 32, 24
     FROM starts
     """,
     priority=47,  # round-5 addition: first driver row this round
+    headline=True,  # representative explode/amplification shape for bench
     doc="LLM-pretraining context-window chunking "
     "(operators.text_analysis.chunk_documents): each doc becomes "
     "overlapping 32-token windows at stride 24 via tokenize -> sequence "

@@ -210,3 +210,31 @@ def upsert_snapshot(
     os.rename(staging, snapshot_dir)
     if os.path.isdir(backup):
         shutil.rmtree(backup)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize one epoch's deterministic training order as shard files.
+
+    Composes :func:`~..operators.sampling.epoch_shuffle` (salted 60-bit
+    key, sampled range exchange, local sort) with a parquet write: shard
+    ``k`` is output partition ``k``, so ``part-00000 .. part-{n-1}``
+    read back IN FILE-NAME ORDER reproduce the epoch's global shuffle
+    order exactly — the layout a data loader streams sequentially, with
+    no coordinator and no post-hoc sort.  Because the key is a uniform
+    hash, shard sizes are balanced regardless of input skew; because it
+    is a pure function of (salt, epoch, id), a preempted job rewritten
+    from scratch produces byte-identical shards.
+    """
+    from ..operators.sampling import epoch_shuffle
+
+    epoch_shuffle(df, id_col, epoch=epoch, n_shards=n_shards, salt=salt).write.mode(
+        mode
+    ).parquet(path)

@@ -594,3 +594,32 @@ def test_hll_rollup_flags_and_sketch_reuse(spark):
     assert set(got) == {"t0", "t1", "t2"}
     for est in got.values():
         assert abs(est - 50) <= 2
+
+
+def test_chunk_reconstruction_property(spark):
+    """With stride == chunk_size, chunks tile the doc: concatenating
+    chunk_text in chunk order reproduces the whitespace-normalized text."""
+    from bigdata_20251_steam_spark.operators.text_analysis import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    chunks = chunk_documents(docs, chunk_size=16, stride=16)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm"),
+    )
+    diff = rebuilt.join(norm, "doc_id").filter(F.col("rebuilt") != F.col("norm"))
+    assert diff.count() == 0
