@@ -623,3 +623,35 @@ def test_chunk_reconstruction_property(spark):
     )
     diff = rebuilt.join(norm, "doc_id").filter(F.col("rebuilt") != F.col("norm"))
     assert diff.count() == 0
+
+
+def test_connected_components_local_vs_distributed_parity(spark):
+    """The adaptive driver-side union-find must produce exactly the
+    distributed pointer-jumping result (min-member component ids)."""
+    import random
+
+    from bigdata_20251_steam_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    # random graph: chains, a star, singleton-pair islands, a long cycle
+    edges = [(i, i + 1) for i in range(0, 40, 2)]            # 20 islands
+    edges += [(100, 100 + i) for i in range(1, 8)]           # star
+    edges += [(200 + i, 200 + (i + 1) % 30) for i in range(30)]  # cycle
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0
+    # min-member semantics: every component id is a member of its component
+    by_comp = {}
+    for node, comp in local:
+        by_comp.setdefault(comp, set()).add(node)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
