@@ -24,6 +24,7 @@ from .sampling import (
     epoch_shuffle,
     epoch_shuffle_key,
     hash_split,
+    sample_n_per_group,
     split_bucket,
     stratified_sample,
 )
@@ -61,5 +62,6 @@ __all__ = [
     "pandas_cosine_udf",
     "fingerprints", "language_id", "quality_scores", "token_counts",
     "chunk_documents", "epoch_shuffle", "epoch_shuffle_key",
+    "sample_n_per_group",
     "hll_distinct_rollup", "hll_sketches",
 ]

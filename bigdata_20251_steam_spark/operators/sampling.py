@@ -121,3 +121,39 @@ def epoch_shuffle(
         out = out.repartitionByRange(n_shards, "shuffle_key", id_col)
         out = out.sortWithinPartitions("shuffle_key", id_col)
     return out
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "groupsample",
+) -> DataFrame:
+    """Deterministic n-rows-per-group cap (source/domain capping).
+
+    The pretraining-mix primitive "no single source may contribute more
+    than N documents": rows rank within their group by salted content
+    hash (uniform, engine-reproducible) and the first ``n`` survive —
+    a deterministic uniform sample without RNG, stable under re-runs,
+    repartitioning, and engine changes.
+
+    Scale shape: one hash-partition exchange on the group key plus a
+    per-group sort.  For a pathologically hot group at 100 TB, pre-filter
+    with a hash threshold (keep ``hash < c * n / |group|`` for a safety
+    factor c, one cheap count-per-group pass) so the window sorts only
+    ~c*n candidate rows per group instead of the full group — the same
+    two-phase trick as the ANN top-k; the exact rank then trims the
+    margin.  At the corpus sizes tested the single-phase form is optimal.
+    """
+    from pyspark.sql.window import Window
+
+    key = md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )

@@ -1888,3 +1888,43 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_rollup(
         events, group_col="event_type", value_col="user_id", lg_k=14
     )
+
+
+_GS_KEY_SQL = (
+    "CAST(('0x' || substr(md5('groupsample:' || CAST(doc_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "source_capped_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {_GS_KEY_SQL}, doc_id) AS rk
+      FROM documents)
+    SELECT source, count(*) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ranked WHERE rk <= 40 GROUP BY source
+    """,
+    priority=47,  # round-5 continuation addition: first driver row
+    doc="Deterministic per-source document cap "
+    "(operators.sampling.sample_n_per_group): no source contributes more "
+    "than 40 docs, survivors chosen by salted-hash rank — the "
+    "pretraining-mix capping primitive, reproducible across engines and "
+    "re-runs (sampleBy cannot cap counts; rand() cannot reproduce).  "
+    "min/max surviving ids are pinned so the oracle checks WHICH rows "
+    "survive, not just how many.",
+)
+def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_n_per_group(docs, group_col="source", id_col="doc_id", n=40)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

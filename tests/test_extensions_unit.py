@@ -655,3 +655,28 @@ def test_connected_components_local_vs_distributed_parity(spark):
         by_comp.setdefault(comp, set()).add(node)
     for comp, members in by_comp.items():
         assert comp == min(members)
+
+
+def test_sample_n_per_group_cap_and_determinism(spark):
+    from bigdata_20251_steam_spark.operators.sampling import sample_n_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    kept = sample_n_per_group(df, "source", "doc_id", n=10)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 10}  # cap hit; small group < n*? no: 20 rows >= 10
+    # groups smaller than n keep everything
+    kept30 = sample_n_per_group(df, "source", "doc_id", n=30)
+    c30 = {r["source"]: r["n"] for r in
+           kept30.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert c30 == {"big": 30, "small": 20}
+    # deterministic under repartitioning: exact same survivors
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_n_per_group(df.repartition(7), "source", "doc_id", 10).collect()
+    )
+    assert a == b
