@@ -290,12 +290,20 @@ def test_connected_components_pointer_jumping_long_chain(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    # a 5-hop chain cannot converge in 1 round of min-label propagation
+    # a 5-hop chain cannot converge in 1 round of min-label propagation;
+    # local_threshold=0 forces the distributed path (the adaptive
+    # driver-side union-find cannot fail to converge by construction)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=1)
+        connected_components(pairs, max_iters=1, local_threshold=0)
+    # the default adaptive path solves the same chain exactly
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)}
 
 
 def test_range_join_matches_naive_randomized(spark):
