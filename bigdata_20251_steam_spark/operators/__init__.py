@@ -27,6 +27,7 @@ from .sampling import (
     sample_n_per_group,
     split_bucket,
     stratified_sample,
+    token_budget_sample,
 )
 from .similarity import quantize_embeddings
 from .sketches import hll_distinct_rollup, hll_sketches
@@ -62,6 +63,6 @@ __all__ = [
     "pandas_cosine_udf",
     "fingerprints", "language_id", "quality_scores", "token_counts",
     "chunk_documents", "epoch_shuffle", "epoch_shuffle_key",
-    "sample_n_per_group",
+    "sample_n_per_group", "token_budget_sample",
     "hll_distinct_rollup", "hll_sketches",
 ]

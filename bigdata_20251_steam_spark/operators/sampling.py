@@ -157,3 +157,46 @@ def sample_n_per_group(
         .filter(F.col("_rank") <= n)
         .drop("_rank")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    salt: str = "tokbudget",
+) -> DataFrame:
+    """Deterministic per-group TOKEN-budget sampling.
+
+    Pretraining mixes are specified in tokens, not documents — "at most
+    B tokens from this source".  Rows order within their group by salted
+    hash (uniform, engine-reproducible), a running token prefix-sum is
+    taken in that order, and a row survives iff its cumulative total
+    stays within ``budget_tokens`` — so the kept set is a deterministic
+    uniform sample whose token mass is the largest hash-prefix under the
+    budget (the first over-budget doc and everything after it in hash
+    order is dropped; no cherry-picking smaller later docs, which would
+    bias survivors toward short documents).
+
+    One hash-partition exchange on the group key + per-group sort
+    (running-sum window); token counting is a JVM split, fused into the
+    scan.  Output adds ``n_tokens`` (the doc's own count) and
+    ``cum_tokens`` (its prefix total) for audit.
+    """
+    from pyspark.sql.window import Window
+
+    key = md5_long(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    return (
+        docs.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

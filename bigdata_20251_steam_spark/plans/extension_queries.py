@@ -1928,3 +1928,54 @@ def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_TB_KEY_SQL = (
+    "CAST(('0x' || substr(md5('tokbudget:' || CAST(doc_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             {_TB_KEY_SQL} AS k
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(min(doc_id) AS BIGINT)   AS min_doc,
+           CAST(max(doc_id) AS BIGINT)   AS max_doc
+    FROM c WHERE cum <= 2000 GROUP BY source
+    """,
+    priority=47,  # round-5 continuation addition: first driver row
+    doc="Per-source TOKEN-budget sampling "
+    "(operators.sampling.token_budget_sample): pretraining mixes are "
+    "specified in tokens, not documents — keep the largest salted-hash "
+    "prefix of each source whose running token total stays within 2000.  "
+    "Deterministic across engines/re-runs/partitionings; kept_tokens + "
+    "surviving min/max ids pin WHICH prefix survived, not just its "
+    "size.",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(
+        docs, group_col="source", id_col="doc_id", budget_tokens=2000
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -162,7 +162,7 @@ _R5_ROTATION: dict[str, int] = {
     # (doc_chunks / epoch_shuffle_order / hll_user_rollup, declared 47 in
     # extension_queries.py — new queries outrank r4-green rechecks)
     "review_bomb": 80,  # P(r1-r4), yields its slot to source_capped_sample
-    "q5_region_revenue": 61,
+    "q5_region_revenue": 80,  # P(r1-r4), yields its slot to token_budget_sample
     "q14_promo_share": 80,
     "packed_sequences": 80,
     "udtf_sentences": 80,

@@ -680,3 +680,22 @@ def test_sample_n_per_group_cap_and_determinism(spark):
         for r in sample_n_per_group(df.repartition(7), "source", "doc_id", 10).collect()
     )
     assert a == b
+
+
+def test_token_budget_sample_prefix_rule(spark):
+    from bigdata_20251_steam_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * 10)) for i in range(10)],  # 10 tokens each
+        "doc_id long, source string, text string",
+    )
+    kept = token_budget_sample(docs, "source", "doc_id", budget_tokens=35)
+    rows = sorted(kept.collect(), key=lambda r: r["cum_tokens"])
+    # 10-token docs against a 35 budget: exactly 3 survive (30 <= 35 < 40)
+    assert len(rows) == 3
+    assert [r["cum_tokens"] for r in rows] == [10, 20, 30]
+    # deterministic under repartitioning
+    again = token_budget_sample(docs.repartition(5), "source", "doc_id", 35)
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in rows}
+    # budget smaller than any doc -> group contributes nothing
+    assert token_budget_sample(docs, "source", "doc_id", 5).count() == 0
