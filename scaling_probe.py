@@ -50,6 +50,8 @@ PROBES = [
     "doc_chunks",
     "epoch_shuffle_order",
     "hll_user_rollup",
+    "source_capped_sample",
+    "token_budget_sample",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -82,6 +84,8 @@ PROBE_TABLES = {
     "cross_split_contamination": {"documents"},
     "pii_redaction": {"documents"},
     "doc_chunks": {"documents"},
+    "source_capped_sample": {"documents"},
+    "token_budget_sample": {"documents"},
     "epoch_shuffle_order": {"documents"},
     "hll_user_rollup": {"events"},
 }
