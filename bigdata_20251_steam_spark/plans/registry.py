@@ -186,6 +186,19 @@ _R5_ROTATION: dict[str, int] = {
 }
 
 
+#: r6 ROTATION NOTE (for the next session): the r5 window covered the
+#: 42/44/45/46/47/60-tier entries above; everything at 80 in
+#: _R5_ROTATION (plus review_bomb / q5_region_revenue / q14_promo_share
+#: / packed_sequences / udtf_sentences, and the 30 registration-order
+#: pool entries outside the first 50) sat r5 out with last green row r4.
+#: In r6, rotate THOSE into the window first (<=2-round staleness
+#: invariant), plus streaming_doc_chunks (priority 62, never checked).
+#: The r5 additions (doc_chunks, epoch_shuffle_order, hll_user_rollup,
+#: source_capped_sample, token_budget_sample, multimodal_features,
+#: approx_stats, streaming_running_totals and the 42-trio) will then be
+#: freshly green and can sit r6 out.
+
+
 def _load_all() -> None:
     """Import every query module (side effect: registration)."""
     from . import reference_queries  # noqa: F401
