@@ -48,13 +48,29 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
+def _fingerprint(df, *agg_cols) -> str:
+    """Cheap content fingerprint for staging-cache keys: row count + the
+    max of each id/ts column.  Path-only keys served STALE copies when a
+    driver round regenerated testdata at the same path (the
+    api_source_reviews lesson, ADVICE r4) — the fingerprint makes a
+    regenerated table a cache miss."""
+    row = df.agg(
+        F.count("*").alias("_n"),
+        *[F.max(c).cast("long").alias(f"_m{i}") for i, c in enumerate(agg_cols)],
+    ).first()
+    return "_".join(str(v) for v in row)
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write a normalized (micros-timestamp) copy of events once per sf_dir."""
+    """Write a normalized (micros-timestamp) copy of events once per
+    (sf_dir, content fingerprint)."""
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    src = load_table(spark, sf_dir, "events")
+    fp = _fingerprint(src, "event_id", F.col("ts").cast("timestamp"))
+    out = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        src.write.mode("overwrite").parquet(out)
     return out
 
 
@@ -69,14 +85,17 @@ DOCS_STREAM_SCHEMA = StructType(
 
 
 def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the documents table (projected to the stream schema) once."""
+    """Stage the documents table (projected to the stream schema) once
+    per (sf_dir, content fingerprint)."""
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    fp = _fingerprint(src, "doc_id", F.length("text"))
+    out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "source", "text"
-        ).write.mode("overwrite").parquet(out)
+        src.write.mode("overwrite").parquet(out)
     return out
 
 
