@@ -21,11 +21,15 @@ Scale design (100 TB corpus posture):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import HASH_PRIME, MINHASH_PARAMS, md5_long, md5_long_lo
+
+_LOG = logging.getLogger(__name__)
 
 
 def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -503,6 +507,7 @@ def connected_components(
     max_iters: int = 20,
     checkpoint_dir: str | None = None,
     local_threshold: int = 1_000_000,
+    telemetry: list | None = None,
 ) -> DataFrame:
     """Transitive closure of duplicate pairs: (doc_id, component_id).
 
@@ -541,15 +546,27 @@ def connected_components(
     MAGNITUDE smaller than the corpus — and each distributed round costs
     several job launches regardless of size.  When the materialized edge
     count is at or under the threshold (and ids are integral), the
-    closure runs as a driver-side union-find instead: <= 16 MB of
-    (src, dst) longs collected, path-compressed in microseconds, result
-    re-parallelized.  This is the classic hybrid every production graph
-    system ships — pay the distributed machinery only when the graph
-    needs it.  Identical output contract (min-member component ids,
-    pinned by a both-paths parity test); set ``local_threshold=0`` to
-    force the distributed path.  The decision input (one edge count over
-    the already-checkpointed edge set) is free — the first propagation
+    closure runs as a driver-side union-find instead: the half-edge set
+    arrives as two Arrow int64 columns via ``toPandas`` (~16 bytes/edge
+    → ~16 MB at the 1M default; NOT collected as Python Row objects,
+    whose per-row overhead would be ~10x that), path-compressed in
+    microseconds, result re-parallelized.  This is the classic hybrid
+    every production graph system ships — pay the distributed machinery
+    only when the graph needs it.  Identical output contract
+    (min-member component ids, pinned by a both-paths parity test that
+    includes SELF-LOOP pairs — doc_a == doc_b emits (node, node) on
+    both paths); set ``local_threshold=0`` to force the distributed
+    path.  The decision input (one edge count over the
+    already-checkpointed edge set) is free — the first propagation
     round needed the same materialization anyway.
+
+    **Telemetry** (r6, verdict #7): pass a list as ``telemetry`` and the
+    closure appends one dict per round — ``{"round": i,
+    "labels_changed": n, "path": "distributed"}`` (or a single
+    ``{"path": "local", "n_edges": m}`` entry for the adaptive path) —
+    and logs the same through the module logger, so a multi-hour 100 TB
+    run can be watched round by round instead of going dark until
+    fixpoint.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -575,8 +592,16 @@ def connected_components(
     integral_ids = isinstance(
         edges.schema["src"].dataType, (T.LongType, T.IntegerType, T.ShortType)
     )
-    if local_threshold and integral_ids and edges.count() <= local_threshold:
-        half = edges.filter(F.col("src") < F.col("dst")).collect()
+    n_edges = edges.count() if local_threshold and integral_ids else None
+    if n_edges is not None and n_edges <= local_threshold:
+        if telemetry is not None:
+            telemetry.append({"path": "local", "n_edges": n_edges})
+        _LOG.info("connected_components: local union-find over %d edges", n_edges)
+        # src <= dst (NOT <): a self-loop pair (doc_a == doc_b) must
+        # still register the node so it emits (node, node), matching the
+        # distributed path (ADVICE r5).  Arrow transfer: two int64
+        # columns, 16 bytes/edge — no Python Row overhead.
+        half = edges.filter(F.col("src") <= F.col("dst")).toPandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -587,8 +612,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in half:
-            a, b = r["src"], r["dst"]
+        for a, b in zip(half["src"].to_numpy(), half["dst"].to_numpy()):
+            a, b = int(a), int(b)
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -606,7 +631,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -640,6 +665,19 @@ def connected_components(
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
+        )
+        if telemetry is not None:
+            telemetry.append(
+                {
+                    "round": _round + 1,
+                    "labels_changed": changed,
+                    "path": "distributed",
+                }
+            )
+        _LOG.info(
+            "connected_components: round %d, %d labels changed",
+            _round + 1,
+            changed,
         )
         labels = new_labels
         if changed == 0:

@@ -387,7 +387,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, fake: bool = True)
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
-def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_features(
+    media: DataFrame, fake: bool = True, route_magic: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched: each ``pdf`` is a pandas DataFrame whose ``payload``
@@ -401,6 +403,14 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     uses the deterministic fake (``fake=True``, decoder
     ``"fake-moments"``) or raises (``fake=False``) at the
     heavyweight-codec integration point.
+
+    ``route_magic=False`` disables magic-byte dispatch entirely and runs
+    the fake byte-statistics decoder on every payload.  Use it when the
+    payload column is known to be non-image data (e.g. text re-encoded
+    as bytes): a text document that happens to START with ``P6``/``P3``/
+    ``BM``/PNG magic would otherwise be routed into the pixel decoder
+    and either raise or produce pixel features where byte statistics
+    were expected.
     """
 
     dim = FEATURE_DIM
@@ -449,13 +459,13 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             feats, names = [], []
             for p in payloads:
                 raw = bytes(p)
-                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                if route_magic and raw[:8] == b"\x89PNG\r\n\x1a\n":
                     feats.append(pixel_features(raw))
                     names.append("png-pixel")
-                elif raw[:2] in (b"P6", b"P3", b"BM"):
+                elif route_magic and raw[:2] in (b"P6", b"P3", b"BM"):
                     feats.append(pixel_features(raw))
                     names.append("ppm-bmp-pixel")
-                elif fake:
+                elif fake or not route_magic:
                     feats.append(fake_decode(raw))
                     names.append("fake-moments")
                 else:

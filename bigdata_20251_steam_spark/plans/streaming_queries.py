@@ -49,16 +49,36 @@ EVENTS_STREAM_SCHEMA = StructType(
 
 
 def _fingerprint(df, *agg_cols) -> str:
-    """Cheap content fingerprint for staging-cache keys: row count + the
-    max of each id/ts column.  Path-only keys served STALE copies when a
-    driver round regenerated testdata at the same path (the
-    api_source_reviews lesson, ADVICE r4) — the fingerprint makes a
-    regenerated table a cache miss."""
+    """Content fingerprint for staging-cache keys: row count + the max of
+    each id/ts column + a CONTENT-SENSITIVE xor of xxhash64 over those
+    columns.  Path-only keys served STALE copies when a driver round
+    regenerated testdata at the same path (the api_source_reviews lesson,
+    ADVICE r4); shape-only keys (count+max) were still weak against a
+    same-shape regeneration — sequential ids keep the same count and max
+    (ADVICE r5) — so the xor term folds every row's hashed values in,
+    making any single-value change a cache miss."""
     row = df.agg(
         F.count("*").alias("_n"),
+        F.bit_xor(F.xxhash64(*agg_cols)).alias("_x"),
         *[F.max(c).cast("long").alias(f"_m{i}") for i, c in enumerate(agg_cols)],
     ).first()
     return "_".join(str(v) for v in row)
+
+
+def _evict_stale(tag_prefix: str, keep: str) -> None:
+    """Delete superseded staged copies for the same (kind, sf_dir) tag.
+
+    Without this, every regeneration of testdata leaves a dead
+    ``events_stream_*``/``docs_stream_*`` dir in tempdir forever
+    (ADVICE r5).  Only dirs sharing the exact tag prefix are touched;
+    the surviving copy is the one whose fingerprint we are about to
+    (re)use."""
+    import shutil
+
+    base = tempfile.gettempdir()
+    for name in os.listdir(base):
+        if name.startswith(tag_prefix) and name != keep:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
 
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -70,6 +90,7 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        _evict_stale(f"events_stream_{tag}_", os.path.basename(out))
         src.write.mode("overwrite").parquet(out)
     return out
 
@@ -95,6 +116,7 @@ def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        _evict_stale(f"docs_stream_{tag}_", os.path.basename(out))
         src.write.mode("overwrite").parquet(out)
     return out
 
@@ -198,8 +220,14 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         "n_events",
         "max_value",
+        # RELATIVE tolerance (r6, ADVICE): micro-batch-order float
+        # accumulation error grows with magnitude, so an absolute 1e-6
+        # bound flips spuriously at probe scale; 1e-9 relative is ~1000x
+        # double's ulp — generous for reordering, fatal for any real
+        # stateful bug (lost batch, double count).
         (
-            F.abs(F.col("sum_value") - F.col("_batch_sum")) < F.lit(1e-6)
+            F.abs(F.col("sum_value") - F.col("_batch_sum"))
+            <= F.lit(1e-9) * F.greatest(F.abs(F.col("_batch_sum")), F.lit(1.0))
         ).alias("sum_ok"),
     )
 

@@ -638,7 +638,9 @@ def test_connected_components_local_vs_distributed_parity(spark):
     edges += [(100, 100 + i) for i in range(1, 8)]           # star
     edges += [(200 + i, 200 + (i + 1) % 30) for i in range(30)]  # cycle
     edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(25)]
-    edges = [(a, b) for a, b in edges if a != b]
+    # self-loop pairs (doc_a == doc_b) must emit (node, node) on BOTH
+    # paths (ADVICE r5): one isolated, one inside the star component
+    edges += [(400, 400), (100, 100)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     local = {
         (r["doc_id"], r["component_id"])
@@ -649,12 +651,38 @@ def test_connected_components_local_vs_distributed_parity(spark):
         for r in connected_components(pairs, local_threshold=0).collect()
     }
     assert local == dist and len(local) > 0
+    # the isolated self-loop node must be present as its own component
+    assert (400, 400) in local
     # min-member semantics: every component id is a member of its component
     by_comp = {}
     for node, comp in local:
         by_comp.setdefault(comp, set()).add(node)
     for comp, members in by_comp.items():
         assert comp == min(members)
+
+
+def test_connected_components_telemetry(spark):
+    """Round telemetry (r6, verdict #7): reported rounds must equal the
+    actual distributed iterations (final round reports 0 changes), and
+    the adaptive path must report itself with the edge count."""
+    from bigdata_20251_steam_spark.operators.dedup import connected_components
+
+    # a 12-node chain forces multiple pointer-jumping rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    tel: list = []
+    connected_components(pairs, local_threshold=0, telemetry=tel).collect()
+    assert all(t["path"] == "distributed" for t in tel)
+    assert [t["round"] for t in tel] == list(range(1, len(tel) + 1))
+    assert tel[-1]["labels_changed"] == 0
+    assert all(t["labels_changed"] > 0 for t in tel[:-1])
+    # chain of diameter 12 with pointer jumping: > 1 round, <= ~log2 bound
+    assert 2 <= len(tel) <= 8
+
+    tel_local: list = []
+    connected_components(pairs, telemetry=tel_local).collect()
+    assert tel_local == [{"path": "local", "n_edges": 24}]
 
 
 def test_sample_n_per_group_cap_and_determinism(spark):

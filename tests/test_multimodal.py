@@ -208,3 +208,39 @@ def test_decode_features_routes_real_and_fake(spark):
     assert got[1]["feature"] == got[2]["feature"] == got[4]["feature"]
     assert got[1]["feature"][:3] == [3.0, 2.0, 6.0]
     assert got[3]["n_bytes"] == len(b"just some text")
+
+
+def test_multimodal_features_oracle_adversarial_payloads(spark, tmp_path):
+    """ADVICE r5: the multimodal_features driver row must survive (a) an
+    EMPTY text payload (the oracle previously errored on
+    ('0x' || substr('',1,2))::INT) and (b) a text that STARTS with
+    image magic bytes ('P6', 'P3', 'BM', PNG) — which previously routed
+    the Spark side into the pixel decoder while the oracle assumed
+    fake-moments.  Runs the REGISTERED query fn and its REGISTERED
+    oracle SQL on a crafted documents table and compares like the
+    driver does."""
+    import duckdb
+
+    from bigdata_20251_steam_spark.plans.registry import QUERIES
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "en", "web", ""),                      # empty payload
+        (2, "en", "web", "   "),                   # whitespace-only
+        (3, "en", "web", "P6 looks like a ppm header but is text"),
+        (4, "en", "web", "BM fake bitmap prose"),
+        (5, "en", "web", "\x89PNG\r\n\x1a\nnot actually a png"),
+        (6, "en", "web", "plain ordinary document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    q = QUERIES["multimodal_features"]
+    got = q.fn(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    exp = con.execute(q.oracle).fetchdf()
+    compare(got, exp, "multimodal_features/adversarial")
