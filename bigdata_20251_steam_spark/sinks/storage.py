@@ -19,15 +19,77 @@ date partitions, never a row-level scan.
 from __future__ import annotations
 
 import math
-import shutil
 from datetime import date, timedelta
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Partition directory name used for date partitioning.
 PART_COL = "p_date"
+
+
+class _HFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` (r6, verdict
+    #2): table maintenance previously used ``pathlib``/``shutil``/
+    ``os.rename``, which only operate on the driver's POSIX filesystem —
+    inoperable on HDFS/S3, where a 100 TB bronze store actually lives.
+    Every list/delete/rename now routes through the Hadoop FileSystem
+    resolved FROM THE PATH'S SCHEME (``Path.getFileSystem``), so the same
+    code drives ``file://`` (tests), ``hdfs://`` and ``s3a://`` — and on
+    object stores the caller still owes the usual caveat that rename is
+    copy+delete, which the swap-based ops document.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._jpath(p))
+
+    def is_dir(self, p: str) -> bool:
+        jp = self._jpath(p)
+        return self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._jpath(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        # invariant kept by every caller: dst does not exist at rename
+        # time (HDFS rename into an EXISTING dir would nest src inside it)
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def glob_dirs(self, pattern: str) -> list[str]:
+        """Scheme-qualified URIs of directories matching a glob, sorted
+        by directory name (= partition value for ``p_date=*``)."""
+        statuses = self._fs.globStatus(self._jpath(pattern))
+        if statuses is None:
+            return []
+        return sorted(
+            (str(st.getPath().toString()) for st in statuses if st.isDirectory()),
+            key=lambda p: p.rsplit("/", 1)[1],
+        )
+
+    def file_sizes(self, dir_path: str, suffix: str = ".parquet") -> list[int]:
+        return [
+            st.getLen()
+            for st in self._fs.listStatus(self._jpath(dir_path))
+            if st.isFile() and st.getPath().getName().endswith(suffix)
+        ]
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "no active SparkSession — pass spark= explicitly (the Hadoop "
+            "FileSystem handle comes from the session's JVM)"
+        )
+    return spark
 
 
 def write_partitioned(
@@ -56,10 +118,6 @@ def write_partitioned(
     )
 
 
-def _partition_dirs(path: str) -> list[Path]:
-    return sorted(p for p in Path(path).glob(f"{PART_COL}=*") if p.is_dir())
-
-
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -67,44 +125,55 @@ def compact_table(
 ) -> dict[str, int]:
     """Rewrite each date partition to ceil(bytes/target) files.
 
-    Returns {partition: n_files_after}.  Safe to run while readers are
-    active only on storage with atomic directory replace; on object
-    stores, compact to a new prefix and swap the table pointer.
+    Returns {partition: n_files_after}.  All directory IO goes through
+    the Hadoop FileSystem of ``path``'s scheme, so this runs unchanged
+    against ``file://``, ``hdfs://`` or ``s3a://`` bronze.  Safe to run
+    while readers are active only on storage with atomic directory
+    replace; on object stores (rename = copy+delete), compact to a new
+    prefix and swap the table pointer.
     """
+    fs = _HFS(spark, path)
     out: dict[str, int] = {}
-    for part in _partition_dirs(path):
-        files = [f for f in part.glob("*.parquet") if f.is_file()]
-        n_bytes = sum(f.stat().st_size for f in files)
-        n_target = max(1, math.ceil(n_bytes / target_file_bytes))
-        if len(files) <= n_target:
-            out[part.name] = len(files)
+    for part in fs.glob_dirs(f"{path.rstrip('/')}/{PART_COL}=*"):
+        name = part.rsplit("/", 1)[1]
+        sizes = fs.file_sizes(part)
+        n_target = max(1, math.ceil(sum(sizes) / target_file_bytes))
+        if len(sizes) <= n_target:
+            out[name] = len(sizes)
             continue
-        df = spark.read.parquet(str(part))
-        tmp = part.with_name(part.name + "._compact")
-        df.coalesce(n_target).write.mode("overwrite").parquet(str(tmp))
-        shutil.rmtree(part)
-        tmp.rename(part)
-        out[part.name] = n_target
+        df = spark.read.parquet(part)
+        tmp = part + "._compact"
+        df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+        fs.delete(part)
+        fs.rename(tmp, part)
+        out[name] = n_target
     return out
 
 
 def retention_vacuum(
-    path: str, keep_days: int, today: date | None = None
+    path: str,
+    keep_days: int,
+    today: date | None = None,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Drop date partitions older than ``keep_days`` (TTL semantics, G7).
 
-    Pure metadata/directory operation — O(partitions), no data scan.
+    Pure metadata/directory operation — O(partitions), no data scan —
+    through the Hadoop FileSystem of ``path``'s scheme (``spark``
+    defaults to the active session; only its JVM handle is used).
     Returns the dropped partition names.  ``today`` is injectable for
     deterministic tests.
     """
+    fs = _HFS(_active_spark(spark), path)
     today = today or date.today()
     cutoff = today - timedelta(days=keep_days)
     dropped: list[str] = []
-    for part in _partition_dirs(path):
-        day = date.fromisoformat(part.name.split("=", 1)[1])
+    for part in fs.glob_dirs(f"{path.rstrip('/')}/{PART_COL}=*"):
+        name = part.rsplit("/", 1)[1]
+        day = date.fromisoformat(name.split("=", 1)[1])
         if day < cutoff:
-            shutil.rmtree(part)
-            dropped.append(part.name)
+            fs.delete(part)
+            dropped.append(name)
     return dropped
 
 
@@ -177,24 +246,29 @@ def upsert_snapshot(
     a COMPLETE staging dir exists (Spark's ``_SUCCESS`` marker), roll
     the crashed swap forward; else if a backup exists, roll back to it.
     An incomplete staging dir is always discarded.
-    """
-    import os
 
+    IO routes through the Hadoop FileSystem of the path's scheme, so the
+    same swap runs on ``file://`` and HDFS (where rename IS atomic); on
+    S3A rename is a non-atomic copy+delete — there you want the same
+    logic over a real table format's commit (Delta/Iceberg), which this
+    function approximates.
+    """
     keys = list(key_cols)
     staging = snapshot_dir.rstrip("/") + "._staging"
     backup = snapshot_dir.rstrip("/") + "._old"
-    if not os.path.isdir(snapshot_dir):
-        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+    fs = _HFS(spark, snapshot_dir)
+    if not fs.is_dir(snapshot_dir):
+        if fs.exists(staging + "/_SUCCESS"):
             # previous run died between its two renames; its staging dir
             # held the complete merged table — finish its swap
-            os.rename(staging, snapshot_dir)
-        elif os.path.isdir(backup):
+            fs.rename(staging, snapshot_dir)
+        elif fs.is_dir(backup):
             # previous run died after moving the snapshot aside but its
             # staging was unusable — restore the pre-crash table
-            os.rename(backup, snapshot_dir)
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)  # incomplete staging from a crashed write
-    if os.path.isdir(snapshot_dir):
+            fs.rename(backup, snapshot_dir)
+    if fs.is_dir(staging):
+        fs.delete(staging)  # incomplete staging from a crashed write
+    if fs.is_dir(snapshot_dir):
         existing = spark.read.parquet(snapshot_dir)
         merged = existing.join(
             updates.select(*keys).distinct(), keys, "left_anti"
@@ -203,13 +277,13 @@ def upsert_snapshot(
         merged = updates
     merged.write.mode("overwrite").parquet(staging)
     # atomic-enough swap on a local/HDFS-like fs: two renames
-    if os.path.isdir(backup):
-        shutil.rmtree(backup)
-    if os.path.isdir(snapshot_dir):
-        os.rename(snapshot_dir, backup)
-    os.rename(staging, snapshot_dir)
-    if os.path.isdir(backup):
-        shutil.rmtree(backup)
+    if fs.is_dir(backup):
+        fs.delete(backup)
+    if fs.is_dir(snapshot_dir):
+        fs.rename(snapshot_dir, backup)
+    fs.rename(staging, snapshot_dir)
+    if fs.is_dir(backup):
+        fs.delete(backup)
 
 
 def write_training_shards(
