@@ -1939,13 +1939,20 @@ _GS_KEY_SQL = (
     "pretraining-mix capping primitive, reproducible across engines and "
     "re-runs (sampleBy cannot cap counts; rand() cannot reproduce).  "
     "min/max surviving ids are pinned so the oracle checks WHICH rows "
-    "survive, not just how many.",
+    "survive, not just how many.  r6: runs with the hot-group two-phase "
+    "prefilter ENABLED (hot_threshold=500, a production-shaped setting; "
+    "test-sf sources sit below it so the guard plan executes cold), so "
+    "the driver hash-proves the two-phase code path against the "
+    "single-phase oracle; active-prefilter parity is pinned by the "
+    "pathological skew fixture in tests/test_extensions_unit.py.",
 )
 def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import sample_n_per_group
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = sample_n_per_group(docs, group_col="source", id_col="doc_id", n=40)
+    kept = sample_n_per_group(
+        docs, group_col="source", id_col="doc_id", n=40, hot_threshold=500
+    )
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),
         F.min("doc_id").alias("min_doc"),
@@ -1987,14 +1994,22 @@ _TB_KEY_SQL = (
     "prefix of each source whose running token total stays within 2000.  "
     "Deterministic across engines/re-runs/partitionings; kept_tokens + "
     "surviving min/max ids pin WHICH prefix survived, not just its "
-    "size.",
+    "size.  r6: runs with the hot-group two-phase prefilter ENABLED "
+    "(hot_threshold=500, production-shaped; cold at test sf), so the "
+    "driver hash-proves the two-phase code path against the "
+    "single-phase oracle; active-prefilter parity is pinned by the "
+    "skew fixture test.",
 )
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import token_budget_sample
 
     docs = load_table(spark, sf_dir, "documents")
     kept = token_budget_sample(
-        docs, group_col="source", id_col="doc_id", budget_tokens=2000
+        docs,
+        group_col="source",
+        id_col="doc_id",
+        budget_tokens=2000,
+        hot_threshold=500,
     )
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),

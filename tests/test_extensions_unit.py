@@ -727,3 +727,68 @@ def test_token_budget_sample_prefix_rule(spark):
     assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in rows}
     # budget smaller than any doc -> group contributes nothing
     assert token_budget_sample(docs, "source", "doc_id", 5).count() == 0
+
+
+def test_hot_group_prefilter_parity(spark):
+    """r6 (verdict #3): the two-phase hot-group prefilter must produce
+    EXACTLY the single-phase result on a pathological skew fixture —
+    one group holding ~96% of all rows — including at a tiny safety
+    factor that forces the short-candidate fallback path."""
+    from bigdata_20251_steam_spark.operators.sampling import sample_n_per_group
+
+    rows = [("hot", i) for i in range(5000)]
+    rows += [(f"cold{g}", 10_000 + g * 100 + i) for g in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long")
+
+    base = {(r["g"], r["id"]) for r in sample_n_per_group(df, "g", "id", 25).collect()}
+    two = {
+        (r["g"], r["id"])
+        for r in sample_n_per_group(df, "g", "id", 25, hot_threshold=100).collect()
+    }
+    assert two == base
+    # per-group cap respected, cold groups untouched (20 < 25)
+    from collections import Counter
+    by_g = Counter(g for g, _ in two)
+    assert by_g["hot"] == 25 and all(by_g[f"cold{g}"] == 20 for g in range(5))
+
+    # safety=0.2 -> expected candidates ~5 < n=25: the prefix comes up
+    # short and the guard must fall back to full-group ranking, exactly
+    tiny = {
+        (r["g"], r["id"])
+        for r in sample_n_per_group(
+            df, "g", "id", 25, hot_threshold=100, safety=0.2
+        ).collect()
+    }
+    assert tiny == base
+
+
+def test_token_budget_hot_group_prefilter_parity(spark):
+    """Token-budget variant of the two-phase parity pin: exact equality
+    with the single-phase form on (a) a hot group whose cutoff lies
+    inside the candidate prefix, (b) a tiny safety factor where the
+    candidate mass fits the budget (forced fallback), and (c) a hot
+    group whose ENTIRE mass fits the budget — the case where a naive
+    prefilter would silently drop rows."""
+    from bigdata_20251_steam_spark.operators.sampling import token_budget_sample
+
+    rows = [("big", i, "alpha beta gamma delta epsilon") for i in range(3000)]
+    # group over the row threshold whose total mass (200*2=400) fits budget
+    rows += [("fits", 100_000 + i, "two words") for i in range(200)]
+    rows += [("cold", 200_000 + i, "one two three") for i in range(50)]
+    docs = spark.createDataFrame(rows, "g string, id long, text string")
+
+    def run(**kw):
+        return {
+            (r["g"], r["id"], r["cum_tokens"])
+            for r in token_budget_sample(
+                docs, "g", "id", budget_tokens=500, **kw
+            ).collect()
+        }
+
+    base = run()
+    assert run(hot_threshold=100) == base
+    assert run(hot_threshold=100, safety=0.5) == base
+    # the whole 'fits' group must survive (mass 400 <= 500)
+    assert sum(1 for g, _, _ in base if g == "fits") == 200
+    # 'big' group: budget 500 / 5 tokens per doc -> exactly 100 survivors
+    assert sum(1 for g, _, _ in base if g == "big") == 100
