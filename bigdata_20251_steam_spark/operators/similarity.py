@@ -10,9 +10,10 @@ Two tiers, mirroring how a 100 TB pipeline would deploy ANN:
 - ``lsh_bucketed_topk`` — sign-LSH (random-hyperplane) bucketing as the
   scale path: each vector maps to an n-bit bucket; candidates are
   bucket-colocated, so the join shuffles on bucket id with O(n/2^bits)
-  bucket sizes.  Recall is tunable via n_planes / multi-probe; this
-  implementation is single-probe.  Planes are deterministic Rademacher ±1
-  vectors (functions.hashing.rademacher_planes) inlined as literals — no
+  bucket sizes.  Recall is tunable via n_planes and multi-probe
+  (``probe_radius=1`` unions the query bucket with its 1-bit-flip
+  neighbors).  Planes are deterministic Rademacher ±1 vectors
+  (functions.hashing.rademacher_planes) inlined as literals — no
   runtime randomness, fully oracle-checkable in SQL.
 
 Dot products run as JVM higher-order functions (``zip_with`` +
@@ -147,6 +148,7 @@ def ivf_index(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: deterministic k-means-lite over the corpus.
 
@@ -156,8 +158,18 @@ def ivf_index(
     shuffled corpus equivalent to random init), then ``n_iters`` Lloyd
     rounds: distributed assignment (narrow, JVM lambdas) + mean
     recomputation via posexplode/groupBy.  Only the k x dim centroid
-    matrix ever reaches the driver — the corpus stays distributed; at
-    100 TB you train on a sample and assign the full corpus once.
+    matrix ever reaches the driver — the corpus stays distributed.
+
+    **Sampled training** (r6, verdict #6): at 100 TB you train the
+    quantizer on a sample and assign the full corpus once — Lloyd-round
+    cost is proportional to the TRAINING set, and centroid means
+    converge on any representative fraction.  ``train_fraction`` routes
+    the Lloyd rounds (and seeding) through the repo's deterministic
+    hash sampler (:func:`~..operators.sampling.split_bucket`, salt
+    ``"ivftrain"``) — reproducible across engines/re-runs, unlike
+    ``df.sample`` — while the returned assignment still covers EVERY
+    corpus row.  Recall under sampled training is gated in
+    ``ivf_recall_vs_exact``.
 
     Returns (assigned corpus with ``cluster`` column, centroids).  The
     centroid list is sized from the rows found, so corpora smaller than
@@ -166,12 +178,27 @@ def ivf_index(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    train = base
+    if train_fraction is not None and train_fraction < 1.0:
+        from .sampling import split_bucket
+
+        n_buckets = 10_000
+        train = base.filter(
+            split_bucket(F.col("vec_id"), n_buckets, "ivftrain")
+            < int(train_fraction * n_buckets)
+        )
     cents = [
         list(r["v"])
-        for r in base.orderBy("vec_id").limit(n_centroids).collect()
+        for r in train.orderBy("vec_id").limit(n_centroids).collect()
     ]
+    if not cents:  # degenerate sample: fall back to full-corpus seeding
+        train = base
+        cents = [
+            list(r["v"])
+            for r in base.orderBy("vec_id").limit(n_centroids).collect()
+        ]
     for _ in range(n_iters):
-        assigned = _assign_clusters(base, cents)
+        assigned = _assign_clusters(train, cents)
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -193,6 +220,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: score only vectors in the query's ``nprobe`` nearest cells.
 
@@ -200,9 +228,15 @@ def ivf_topk(
     IVF coarse quantizer): candidate volume ~ nprobe/n_centroids of the
     corpus, recall tunable via nprobe.  The probe list per query is a
     deterministic argsort (array_sort on (dist, idx) structs).
+    ``train_fraction`` trains the quantizer on a deterministic hash
+    sample (see :func:`ivf_index`) — the 100 TB posture.
     """
     assigned, cents = ivf_index(
-        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        embeddings,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_fraction=train_fraction,
     )
     assigned = assigned.withColumn("vn", _norm(F.col("v")))
     dist_structs = F.array(
@@ -315,22 +349,66 @@ def lsh_bucketed_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket."""
+    """Approximate top-k: score only candidates in the query's LSH bucket(s).
+
+    Recall knobs (r6, verdict #4), composing the two standard LSH
+    constructions:
+
+    - ``probe_radius=1`` multi-probes the union of the query's bucket
+      and every 1-bit-flip neighbor (Lv et al. 2007): a near neighbor
+      that landed on the other side of ONE hyperplane is recovered
+      without doubling the plane count.  Candidate volume grows from
+      ~n/2^bits to ~(bits+1)·n/2^bits — still a vanishing corpus
+      fraction at scale.
+    - ``n_tables=L`` is the OR-construction: ``planes`` is split into L
+      contiguous chunks, each chunk hashes an independent bucket id,
+      and a corpus vector is a candidate if it collides in ANY table —
+      recall 1-(1-p^b)^L instead of p^b.  Fewer bits per table + more
+      tables is how sign-LSH reaches usable recall on genuinely
+      high-entropy corpora, where a single deep bucket hash has
+      vanishing collision probability even for true neighbors.
+
+    Both knobs keep the corpus side stationary (queries + probe lists
+    broadcast) and remain deterministic/SQL-expressible.
+    """
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 (single) or 1 (multi-probe)")
+    if n_tables < 1 or len(planes) % n_tables:
+        raise ValueError("n_tables must divide len(planes)")
+    b = len(planes) // n_tables
+    chunks = [planes[t * b : (t + 1) * b] for t in range(n_tables)]
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", bucket_of(F.col("v"), planes)).withColumn(
-        "vn", _norm(F.col("v"))
     )
+    for t, chunk in enumerate(chunks):
+        base = base.withColumn(f"bucket_{t}", bucket_of(F.col("v"), chunk))
+    base = base.withColumn("vn", _norm(F.col("v")))
+
+    def probes_of(t: int) -> Column:
+        col = F.col(f"bucket_{t}")
+        flips = (
+            [col.bitwiseXOR(F.lit(1 << j)) for j in range(b)]
+            if probe_radius == 1
+            else []
+        )
+        return F.array(col, *flips)
+
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
         F.col("vn").alias("qn"),
+        *[probes_of(t).alias(f"qprobes_{t}") for t in range(n_tables)],
     )
+    collide = F.lit(False)
+    for t in range(n_tables):
+        collide = collide | F.array_contains(
+            F.col(f"qprobes_{t}"), F.col(f"bucket_{t}")
+        )
     cand = base.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        F.broadcast(q), collide & (F.col("vec_id") != F.col("query_id"))
     )
     scored = cand.select(
         "query_id",

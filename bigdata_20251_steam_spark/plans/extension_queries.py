@@ -373,6 +373,94 @@ def q_ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_sampled_recall",
+    oracle="""
+    SELECT vec_id                 AS query_id,
+           CAST(5 AS BIGINT)      AS k,
+           TRUE                   AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    priority=46,  # r6 addition (verdict #6): first driver row this round
+    doc="IVF recall gate under SAMPLED centroid training (r6, verdict "
+    "#6): ivf_index(train_fraction=0.5) runs its Lloyd rounds on a "
+    "deterministic hash half-sample (split_bucket salt 'ivftrain') and "
+    "assigns the full corpus once — the 100 TB posture, where quantizer "
+    "training must not scan the corpus.  Coarser sampled centroids are "
+    "compensated with nprobe=8/16; measured recall@5 0.88-0.92 with min "
+    "per-query 3-4 hits at sf0.001/0.01/0.1, so the pinned floor is 2/5 "
+    "(one full hit of margin).  The full-training gate "
+    "(ivf_recall_vs_exact, floor 3/5) stays registered unchanged — this "
+    "row proves sampling costs bounded recall, that one proves the "
+    "baseline quantizer.",
+)
+def q_ivf_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, query_ids=_QUERY_IDS, k=5)
+    approx = sim.ivf_topk(
+        emb,
+        query_ids=_QUERY_IDS,
+        k=5,
+        n_centroids=16,
+        nprobe=8,
+        train_fraction=0.5,
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(5).cast("long").alias("k"),
+        (F.count("*") >= F.lit(2)).alias("recall_ok"),
+    )
+
+
+#: Multi-probe / multi-table plane set for the LSH recall gate: 16
+#: deterministic Rademacher planes = 4 independent 4-bit tables.
+_MP_PLANES = rademacher_planes(n_planes=16, dim=64)
+
+
+@register(
+    "lsh_recall_vs_exact",
+    oracle="""
+    SELECT vec_id                 AS query_id,
+           CAST(5 AS BIGINT)      AS k,
+           TRUE                   AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    priority=46,  # r6 addition (verdict #4): first driver row this round
+    doc="Sign-LSH ANN recall gate (r6, verdict #4) — the multi-probe "
+    "counterpart of ivf_recall_vs_exact: embed_topk_lsh is single-probe "
+    "with no measured recall (~0.02 on this high-entropy corpus — the "
+    "honest sign-LSH S-curve for 8 bits), so this query runs the "
+    "production configuration instead: 4 independent 4-bit tables "
+    "(OR-construction) x 1-bit-flip multi-probe (Lv et al. 2007), and "
+    "asserts per-query recall@5 >= 0.4 vs brute-force exact.  Measured "
+    "0.90/0.86/0.90 total recall with min per-query 2-4 hits at "
+    "sf0.001/0.01/0.1; the 0.4 floor leaves a full hit of margin "
+    "against regenerated-testdata jitter.  A query with ZERO hits "
+    "drops its row (count mismatch), so recall collapse is caught "
+    "even before the flag flips.",
+)
+def q_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, query_ids=_QUERY_IDS, k=5)
+    approx = sim.lsh_bucketed_topk(
+        emb,
+        query_ids=_QUERY_IDS,
+        planes=_MP_PLANES,
+        k=5,
+        probe_radius=1,
+        n_tables=4,
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(5).cast("long").alias("k"),
+        (F.count("*") >= F.lit(2)).alias("recall_ok"),
+    )
+
+
+@register(
     "embed_near_dup_pairs",
     oracle=f"""
     WITH base AS (

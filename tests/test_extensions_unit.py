@@ -792,3 +792,49 @@ def test_token_budget_hot_group_prefilter_parity(spark):
     assert sum(1 for g, _, _ in base if g == "fits") == 200
     # 'big' group: budget 500 / 5 tokens per doc -> exactly 100 survivors
     assert sum(1 for g, _, _ in base if g == "big") == 100
+
+
+def test_lsh_multiprobe_params_and_superset(spark):
+    """Multi-probe/multi-table LSH (r6): invalid configs raise; the
+    radius-1 multi-table candidate set is a superset of single-probe
+    (same planes), so recall can only improve."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.functions.hashing import rademacher_planes
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    planes = rademacher_planes(n_planes=8, dim=64)
+    with _pytest.raises(ValueError):
+        sim.lsh_bucketed_topk(emb, [0], planes, probe_radius=2)
+    with _pytest.raises(ValueError):
+        sim.lsh_bucketed_topk(emb, [0], planes, n_tables=3)  # 3 ∤ 8
+
+    qids = list(range(10))
+    single = sim.lsh_bucketed_topk(emb, qids, planes, k=1000, probe_radius=0)
+    multi = sim.lsh_bucketed_topk(
+        emb, qids, planes, k=1000, probe_radius=1, n_tables=2
+    )
+    s = {(r["query_id"], r["vec_id"]) for r in single.collect()}
+    m = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    # k=1000 > corpus size at sf0.001, so both return their FULL candidate
+    # sets; the 2x4-bit radius-1 probe union must cover the 8-bit exact
+    # bucket (same first-8 planes, split 4+4: equal bucket => equal halves)
+    assert s <= m and len(m) > len(s)
+
+
+def test_ivf_sampled_training_full_assignment(spark):
+    """train_fraction trains Lloyd on a hash half-sample but the returned
+    assignment must still cover EVERY corpus row, deterministically."""
+    from bigdata_20251_steam_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a1, c1 = ivf_index(emb, n_centroids=16, train_fraction=0.5)
+    a2, c2 = ivf_index(emb, n_centroids=16, train_fraction=0.5)
+    assert c1 == c2  # deterministic sample -> identical centroids
+    assert a1.count() == emb.count()
+    full_assigned, full_cents = ivf_index(emb, n_centroids=16)
+    assert full_cents != c1  # the sample genuinely changed training
+    # degenerate fraction: sample too small for any seed -> falls back
+    a3, c3 = ivf_index(emb, n_centroids=16, train_fraction=1e-9)
+    assert a3.count() == emb.count() and len(c3) == 16
