@@ -94,109 +94,93 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
-#: Round-5 window rotation (r4 verdict #1).  The driver checks the first
-#: 50 of 80 registered queries, so exposure rotates per round to keep
-#: every oracle-bearing query's last green driver row <= 2 rounds old:
+#: Round-6 window rotation (r5 verdict #1).  The driver checks the first
+#: 50 of 89 registered queries; this round's window is exactly the
+#: queries with no r5 row plus every query whose code or oracle changed
+#: in r6:
 #:
-#: - 42: the three entries that have NEVER had a driver row (their
-#:   oracles duplicate checked batch twins, but "redundant" should be the
-#:   driver's verdict, not the builder's);
-#: - 44/45: everything whose last row is r3 (rotated out by the r4
-#:   window), plus embed_topk_ivf (newly oracle-bearing this round) and
-#:   multimodal_features (rows-only refresh);
-#: - 60: r4-green queries whose OPERATORS CHANGED in r5 (dedup null
-#:   semantics, top-k salt, fixture cache, as-of salting, range-join
-#:   auto-sizing, closure checkpointing) plus a handful of rotating
-#:   r4-green fillers to complete the 50;
-#: - everything else r4-green keeps its declared tier (>= 80) and sits
-#:   this round out, returning in r6.
+#: - 42: never-driver-checked — streaming_doc_chunks (registered r5,
+#:   sat out) and the three r6 additions (lsh_recall_vs_exact,
+#:   ivf_sampled_recall, streaming_token_budget);
+#: - 44: the 35 queries whose last green row is r4 (rotated out by the
+#:   r5 window) — due now, else they exceed 2-round staleness;
+#: - 60: r5-green queries whose CODE OR ORACLE CHANGED in r6 and must
+#:   re-prove: multi-probe LSH refactor (embed_topk_lsh), ivf_index
+#:   train-path refactor (embed_topk_ivf, ivf_recall_vs_exact),
+#:   two-phase sampler prefilter (source_capped_sample,
+#:   token_budget_sample), hardened oracles (multimodal_features,
+#:   approx_stats, streaming_running_totals), closure self-loop/Arrow/
+#:   telemetry changes (dedup_components, dedup_pipeline_end_to_end,
+#:   minhash_dedup_resolve);
+#: - 80 (via the reset below): every r5-green query with unchanged code
+#:   sits this round out, returning in r7.
 #:
-#: Declared priorities in the query modules are the static tier; this
-#: overlay is the per-round scheduling decision, applied after load.
-_R5_ROTATION: dict[str, int] = {
-    # never-driver-checked trio — first rows this round
-    "streaming_session_windows": 42,
-    "streaming_player_windows": 42,
-    "streaming_api_source": 42,
-    # newly oracle-bearing / rows-only refresh
-    "embed_topk_ivf": 44,
-    "multimodal_features": 44,
-    # last green row r3 — due now (>2-round staleness otherwise)
-    "daily_user_rank": 45,
-    "rollup_orders": 45,
-    "value_percentiles": 45,
-    "minhash_signatures": 45,
-    "minhash_dedup_pairs": 45,
-    "simhash_signatures": 45,
-    "ngram_jaccard_pairs": 45,
-    "embed_topk_bruteforce": 45,
-    "embed_topk_lsh": 45,
-    "embed_near_dup_pairs": 45,
-    "token_counts": 45,
-    "language_id": 45,
-    "quality_scores": 45,
-    "doc_fingerprints": 45,
-    "clean_html_roundtrip": 45,
-    "multimodal_meta": 45,
-    "multimodal_frames": 45,
-    "minhash_dedup_resolve": 45,
-    "approx_stats": 45,
-    "sql_interface": 45,
-    "sliding_windows": 45,
-    "session_windows": 45,
-    "streaming_sentiment_hourly": 45,
-    "streaming_dim_enrich": 45,
-    "streaming_running_totals": 45,
-    # r4-green whose code paths changed in r5 — re-prove immediately
-    "dedup_exact": 60,
+#: 4 + 35 + 11 = 50 — the window is exact, no filler needed.  The
+#: overlay RESETS every unnamed query to the 80 pool first, so declared
+#: module tiers can't accidentally displace a scheduled row.
+_R6_ROTATION: dict[str, int] = {
+    # never-driver-checked — first rows this round
+    "streaming_doc_chunks": 42,
+    "lsh_recall_vs_exact": 42,
+    "ivf_sampled_recall": 42,
+    "streaming_token_budget": 42,
+    # last green row r4 — due now (2-round staleness invariant)
+    "review_bomb": 44,
+    "top_genres": 44,
+    "player_windows": 44,
+    "global_stats": 44,
+    "sentiment_summary": 44,
+    "event_share": 44,
+    "recent_windows": 44,
+    "latest_event": 44,
+    "props_json": 44,
+    "q1_pricing_summary": 44,
+    "q3_top_revenue": 44,
+    "q5_region_revenue": 44,
+    "top_spenders": 44,
+    "q14_promo_share": 44,
+    "supplier_nation_stats": 44,
+    "q6_revenue_delta": 44,
+    "semi_join_orders": 44,
+    "anti_join_customers": 44,
+    "hash_split_assignments": 44,
+    "stratified_sample_counts": 44,
+    "packing_assignments": 44,
+    "repetition_metrics": 44,
+    "tfidf_top_terms": 44,
+    "incremental_dedup_status": 44,
+    "embed_quantize": 44,
+    "pivot_event_matrix": 44,
+    "cube_orders": 44,
+    "moving_avg_daily": 44,
+    "set_ops_users": 44,
+    "udtf_sentences": 44,
+    "user_value_quartiles": 44,
+    "packed_sequences": 44,
+    "pii_redaction": 44,
+    "cross_split_contamination": 44,
+    "streaming_stream_join": 44,
+    # r5-green whose code or oracle changed in r6 — re-prove immediately
+    "embed_topk_lsh": 60,
+    "embed_topk_ivf": 60,
     "ivf_recall_vs_exact": 60,
-    "api_source_reviews": 60,
-    "asof_join_last_good": 60,
-    "asof_join_nearest": 60,
-    "streaming_asof_enrich": 60,
-    "interval_event_counts": 60,
-    "dedup_pipeline_end_to_end": 60,
+    "source_capped_sample": 60,
+    "token_budget_sample": 60,
+    "multimodal_features": 60,
+    "approx_stats": 60,
+    "streaming_running_totals": 60,
     "dedup_components": 60,
-    # rotating r4-green fillers to complete the 50-slot window; three of
-    # the original five yield their slots to the round-5 additions
-    # (doc_chunks / epoch_shuffle_order / hll_user_rollup, declared 47 in
-    # extension_queries.py — new queries outrank r4-green rechecks)
-    "review_bomb": 80,  # P(r1-r4), yields its slot to source_capped_sample
-    "q5_region_revenue": 80,  # P(r1-r4), yields its slot to token_budget_sample
-    "q14_promo_share": 80,
-    "packed_sequences": 80,
-    "udtf_sentences": 80,
-    # r4-green with declared tier < 80 and unchanged code paths: sit this
-    # round out (they'd otherwise outrank the stale r3 set by seq ties)
-    "hash_split_assignments": 80,
-    "stratified_sample_counts": 80,
-    "packing_assignments": 80,
-    "repetition_metrics": 80,
-    "tfidf_top_terms": 80,
-    "incremental_dedup_status": 80,
-    "embed_quantize": 80,
-    "pivot_event_matrix": 80,
-    "cube_orders": 80,
-    "moving_avg_daily": 80,
-    "set_ops_users": 80,
-    "user_value_quartiles": 80,
-    "streaming_stream_join": 80,
-    "pii_redaction": 80,
-    "cross_split_contamination": 80,
+    "dedup_pipeline_end_to_end": 60,
+    "minhash_dedup_resolve": 60,
 }
 
 
-#: r6 ROTATION NOTE (for the next session): the r5 window covered the
-#: 42/44/45/46/47/60-tier entries above; everything at 80 in
-#: _R5_ROTATION (plus review_bomb / q5_region_revenue / q14_promo_share
-#: / packed_sequences / udtf_sentences, and the 30 registration-order
-#: pool entries outside the first 50) sat r5 out with last green row r4.
-#: In r6, rotate THOSE into the window first (<=2-round staleness
-#: invariant), plus streaming_doc_chunks (priority 62, never checked).
-#: The r5 additions (doc_chunks, epoch_shuffle_order, hll_user_rollup,
-#: source_capped_sample, token_budget_sample, multimodal_features,
-#: approx_stats, streaming_running_totals and the 42-trio) will then be
-#: freshly green and can sit r6 out.
+#: r7 ROTATION NOTE (for the next session): the r6 window covers exactly
+#: the 50 names in _R6_ROTATION.  The 39 r5-green queries reset to 80
+#: below sat r6 out with last green row r5 — in r7, rotate THOSE in
+#: first (the <=2-round staleness invariant), plus any query whose code
+#: changes in r7.  39 must-ins leaves ~11 slots for changed-code
+#: re-proves and new registrations.
 
 
 def _load_all() -> None:
@@ -213,9 +197,10 @@ def _load_all() -> None:
         pass
     import dataclasses
 
-    for name, prio in _R5_ROTATION.items():
-        if name in QUERIES:
-            QUERIES[name] = dataclasses.replace(QUERIES[name], priority=prio)
+    for name, q in QUERIES.items():
+        prio = _R6_ROTATION.get(name, 80)
+        if q.priority != prio:
+            QUERIES[name] = dataclasses.replace(q, priority=prio)
 
 
 _load_all()

@@ -486,3 +486,58 @@ def q_streaming_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
     chunks = chunk_documents(stream, chunk_size=32, stride=24)
     return run_available_now(chunks, output_mode="append")
+
+
+@register(
+    "streaming_token_budget",
+    oracle=QUERIES["token_budget_sample"].oracle,
+    priority=46,  # r6 addition (verdict #5): first driver row this round
+    doc="Incremental training-prep tail (r6, verdict #5): documents "
+    "arrive as a stream, land in an epoch-keyed bronze store via the "
+    "EXACTLY-ONCE foreachBatch append (streaming/engine."
+    "idempotent_epoch_append — crash replays rewrite their epoch "
+    "directory instead of duplicating rows), and the per-source "
+    "token-budget sampler then runs over the reconstructed corpus.  "
+    "A global hash-prefix-under-budget is not a per-batch property — "
+    "it depends on every row's rank — so the honest streaming form is "
+    "ingest-then-sample, not a stateful approximation; the result must "
+    "be IDENTICAL to the batch token_budget_sample (same oracle), "
+    "proving the stream-ingested corpus reconstructs losslessly and "
+    "the sampler is independent of arrival order.  Runs with the "
+    "hot-group two-phase prefilter enabled, like its batch twin.",
+)
+def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+    from ..streaming.engine import idempotent_epoch_append
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    work = tempfile.mkdtemp(prefix="tokbudget_stream_")
+    bronze = os.path.join(work, "bronze")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: idempotent_epoch_append(
+                batch_df, bronze, epoch_id
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(bronze).select(
+        "doc_id", "lang", "source", "text"
+    )
+    kept = token_budget_sample(
+        corpus,
+        group_col="source",
+        id_col="doc_id",
+        budget_tokens=2000,
+        hot_threshold=500,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
