@@ -739,3 +739,93 @@ def incremental_dedup(
         )
     )
     return labeled
+
+
+def dedupe_segments(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup (the line/paragraph-dedup
+    family: C4's three-sentence rule, RefinedWeb/Gopher line dedup) with
+    deterministic fixed-size segmentation.
+
+    Real corpora dedupe on natural lines/paragraphs; this corpus is flat
+    word streams, so the segment is a fixed window of ``seg_tokens``
+    whitespace tokens (disjoint — stride == size).  Every segment keeps
+    only its FIRST occurrence corpus-wide (min ``(doc_id, seg_idx)``),
+    including within-document repeats, and each document is reassembled
+    from its surviving segments in original order — the operation that
+    strips boilerplate shared across documents without dropping whole
+    docs the way document-level dedup would.
+
+    Output: ``(doc_id, cleaned, n_segments, n_kept)`` — one row per
+    input document, ``cleaned`` the space-joined surviving segments
+    (empty string when nothing survives or the doc was empty).
+
+    Scale shape: tokenize → disjoint ``sequence``/``explode``/``slice``
+    segmentation (the :func:`~.text_analysis.chunk_documents` idiom,
+    zero-shuffle) → first-occurrence window over the segment's 120-bit
+    content key (shuffle carries 16-byte keys + the segment text it
+    must emit anyway) → per-doc ``array_agg`` reassembly (one doc-key
+    shuffle).  Two compact-key exchanges total, no self-joins, output
+    never exceeds input — linear end to end.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    toks = base.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("ws")
+    ).filter((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
+    segs = (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(seg_tokens))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / seg_tokens).cast("int").alias("seg_idx"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start"), seg_tokens), " "
+            ).alias("seg"),
+        )
+    )
+    keyed = segs.select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        md5_long(F.col("seg")).alias("_h1"),
+        md5_long_lo(F.col("seg")).alias("_h2"),
+    )
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "seg_idx")
+    kept = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "seg_idx", "seg")
+    )
+    counts = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
+    )

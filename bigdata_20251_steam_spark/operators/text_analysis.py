@@ -434,3 +434,47 @@ def cross_split_contamination(
             F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6
         ).alias("contamination_ratio"),
     )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    keep_fraction: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of each group by heuristic quality.
+
+    Pretraining curation frequently thresholds on a quality QUANTILE per
+    source rather than an absolute score — an absolute cut throws away
+    entire low-register sources and keeps all of high-register ones,
+    while a per-source quantile preserves the mix's source composition
+    (the shape used for classifier-score filtering in e.g. the LLaMA
+    CCNet pipeline).  Ranking is fully deterministic: quality (rounded,
+    6dp) descending with ``doc_id`` as tie-break, kept iff
+    ``percent_rank <= keep_fraction``.
+
+    Output: ``(doc_id, <group_col>, quality, pct_rank, kept)`` for every
+    document — emitting the flag rather than filtering lets one pass
+    serve both the survivors and an audit of what a threshold would
+    drop.
+
+    Scale shape: the :func:`quality_scores` metrics are a narrow
+    projection fused into the scan; the quantile is one group-key
+    exchange + per-group sort (the same window shape as the mix-capping
+    samplers — for a pathologically hot group the same two-phase
+    hash-prefilter recipe applies, with the quality score as the sort
+    key).
+    """
+    from pyspark.sql.window import Window
+
+    q = quality_scores(docs, text_col=text_col).select("doc_id", "quality")
+    base = docs.select("doc_id", group_col).join(q, "doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return base.select(
+        "doc_id",
+        group_col,
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).withColumn("kept", F.col("pct_rank") <= keep_fraction)

@@ -2105,3 +2105,109 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 curation additions: segment-level dedup + quality-quantile filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    valid AS (SELECT * FROM toks WHERE len(ws) > 0 AND ws[1] <> ''),
+    segs AS (
+      SELECT doc_id,
+             CAST((s - 1) // 10 AS INTEGER) AS seg_idx,
+             array_to_string(list_slice(ws, s, s + 9), ' ') AS seg
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws), 10)) AS s
+            FROM valid)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs),
+    counts AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned,
+             count(*) AS n_kept
+      FROM ranked WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(rebuilt.cleaned, '')                    AS cleaned,
+           CAST(COALESCE(counts.n_segments, 0) AS INTEGER)  AS n_segments,
+           CAST(COALESCE(rebuilt.n_kept, 0) AS INTEGER)     AS n_kept
+    FROM documents d
+    LEFT JOIN counts  ON d.doc_id = counts.doc_id
+    LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
+    """,
+    priority=46,  # r6 addition: first driver row this round
+    doc="Corpus-wide segment-level exact dedup "
+    "(operators.dedup.dedupe_segments): the line/paragraph-dedup family "
+    "(C4 three-sentence rule, RefinedWeb line dedup) over deterministic "
+    "10-token segments — every segment keeps only its first occurrence "
+    "(min (doc_id, seg_idx)) corpus-wide, docs are reassembled from "
+    "survivors in original order.  Removes boilerplate shared across "
+    "documents without dropping whole docs.  Spark windows over the "
+    "segment's 120-bit content key (16-byte shuffle keys); the oracle "
+    "partitions by the segment string itself — identical grouping, so "
+    "the full rebuilt text is hash-checked.",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedupe_segments(
+        load_table(spark, sf_dir, "documents"), seg_tokens=10
+    )
+
+
+_EN_STOP_SQL = ", ".join(repr(w) for w in STOPWORDS["en"])
+
+
+@register(
+    "quality_quantile_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             punct / greatest(n_chars, 1) AS punct_ratio,
+             len(list_filter(toks, w -> list_contains([{_EN_STOP_SQL}], w)))
+               / greatest(CAST(len(toks) AS BIGINT), 1) AS stop_ratio
+      FROM t),
+    q AS (
+      SELECT doc_id, source,
+             round(least(greatest(
+               (0.5 * stop_ratio + 0.5 * (1 - punct_ratio)) *
+               least(n_tokens / 20.0, 1.0), 0.0), 1.0), 6) AS quality
+      FROM m),
+    r AS (
+      SELECT doc_id, source, quality,
+             round(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC), 6) AS pct_rank
+      FROM q)
+    SELECT doc_id, source, quality, pct_rank,
+           pct_rank <= 0.5 AS kept
+    FROM r
+    """,
+    priority=46,  # r6 addition: first driver row this round
+    doc="Per-source quality-QUANTILE filter "
+    "(operators.text_analysis.quality_quantile_filter): keep the top "
+    "half of each source by heuristic quality — quantile thresholds "
+    "preserve the mix's source composition where an absolute cut drops "
+    "whole low-register sources (the classifier-score filtering shape).  "
+    "Deterministic total order (quality desc, doc_id) makes "
+    "percent_rank exact cross-engine; emits the kept flag for every "
+    "doc so one pass serves survivors and audit.",
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quality_quantile_filter(
+        load_table(spark, sf_dir, "documents"), keep_fraction=0.5
+    )

@@ -113,9 +113,13 @@ def oracle_map() -> dict[str, str]:
 #:   telemetry changes (dedup_components, dedup_pipeline_end_to_end,
 #:   minhash_dedup_resolve);
 #: - 80 (via the reset below): every r5-green query with unchanged code
-#:   sits this round out, returning in r7.
+#:   sits this round out, returning in r7 — plus embed_topk_ivf and
+#:   minhash_dedup_resolve, displaced from the changed-code tier by the
+#:   two r6 curation additions (their changed paths are proven by
+#:   in-window siblings sharing the same operators, and both keep local
+#:   oracle-suite coverage).
 #:
-#: 4 + 35 + 11 = 50 — the window is exact, no filler needed.  The
+#: 6 + 35 + 9 = 50 — the window is exact, no filler needed.  The
 #: overlay RESETS every unnamed query to the 80 pool first, so declared
 #: module tiers can't accidentally displace a scheduled row.
 _R6_ROTATION: dict[str, int] = {
@@ -160,9 +164,15 @@ _R6_ROTATION: dict[str, int] = {
     "pii_redaction": 44,
     "cross_split_contamination": 44,
     "streaming_stream_join": 44,
+    # r6 curation additions — also first rows this round; they take the
+    # two 60-tier slots of embed_topk_ivf / minhash_dedup_resolve, whose
+    # changed paths are fully covered by in-window siblings
+    # (ivf_recall_vs_exact + ivf_sampled_recall share ivf_index;
+    # dedup_components + dedup_pipeline_end_to_end share the closure)
+    "segment_dedup": 42,
+    "quality_quantile_filter": 42,
     # r5-green whose code or oracle changed in r6 — re-prove immediately
     "embed_topk_lsh": 60,
-    "embed_topk_ivf": 60,
     "ivf_recall_vs_exact": 60,
     "source_capped_sample": 60,
     "token_budget_sample": 60,
@@ -171,15 +181,15 @@ _R6_ROTATION: dict[str, int] = {
     "streaming_running_totals": 60,
     "dedup_components": 60,
     "dedup_pipeline_end_to_end": 60,
-    "minhash_dedup_resolve": 60,
 }
 
 
 #: r7 ROTATION NOTE (for the next session): the r6 window covers exactly
-#: the 50 names in _R6_ROTATION.  The 39 r5-green queries reset to 80
-#: below sat r6 out with last green row r5 — in r7, rotate THOSE in
-#: first (the <=2-round staleness invariant), plus any query whose code
-#: changes in r7.  39 must-ins leaves ~11 slots for changed-code
+#: the 50 names in _R6_ROTATION.  The 41 r5-green queries reset to 80
+#: below (including the displaced embed_topk_ivf / minhash_dedup_resolve)
+#: sat r6 out with last green row r5 — in r7, rotate THOSE in first
+#: (the <=2-round staleness invariant), plus any query whose code
+#: changes in r7.  41 must-ins leaves ~9 slots for changed-code
 #: re-proves and new registrations.
 
 

@@ -838,3 +838,57 @@ def test_ivf_sampled_training_full_assignment(spark):
     # degenerate fraction: sample too small for any seed -> falls back
     a3, c3 = ivf_index(emb, n_centroids=16, train_fraction=1e-9)
     assert a3.count() == emb.count() and len(c3) == 16
+
+
+def test_dedupe_segments_semantics(spark):
+    """Segment dedup fixture: cross-doc boilerplate keeps only its first
+    occurrence, within-doc repeats collapse, empty docs survive with
+    empty cleaned text, and a doc made entirely of seen segments loses
+    everything."""
+    from bigdata_20251_steam_spark.operators.dedup import dedupe_segments
+
+    boiler = "a b c"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} x y z"),        # first occurrence of boiler
+            (2, f"{boiler} p q r"),        # cross-doc dup -> boiler dropped
+            (3, f"{boiler}"),              # doc is ONLY the dup -> empty
+            (4, "m n o m n o"),            # within-doc repeat -> one kept
+            (5, ""),                       # empty doc
+            (6, "   "),                    # whitespace-only doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedupe_segments(docs, seg_tokens=3).collect()
+    }
+    assert got[1]["cleaned"] == "a b c x y z" and got[1]["n_kept"] == 2
+    assert got[2]["cleaned"] == "p q r"
+    assert got[2]["n_segments"] == 2 and got[2]["n_kept"] == 1
+    assert got[3]["cleaned"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["cleaned"] == "m n o" and got[4]["n_segments"] == 2
+    assert got[5]["cleaned"] == "" and got[5]["n_segments"] == 0
+    assert got[6]["cleaned"] == "" and got[6]["n_segments"] == 0
+    # output is one row per input doc, never more
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+
+def test_quality_quantile_filter_composition(spark):
+    """The per-source quantile keeps ~keep_fraction of EVERY source (mix
+    composition preserved), unlike an absolute threshold."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_quantile_filter,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = quality_quantile_filter(docs, keep_fraction=0.5).collect()
+    by_src = {}
+    for r in out:
+        n_all, n_kept = by_src.get(r["source"], (0, 0))
+        by_src[r["source"]] = (n_all + 1, n_kept + (1 if r["kept"] else 0))
+    assert len(by_src) > 1
+    for src, (n_all, n_kept) in by_src.items():
+        # percent_rank <= 0.5 keeps ceil(n/2)..ceil(n/2)+ties docs
+        assert 0 < n_kept <= n_all
+        assert abs(n_kept / n_all - 0.5) <= 0.3, (src, n_kept, n_all)
