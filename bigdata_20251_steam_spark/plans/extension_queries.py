@@ -2144,6 +2144,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN counts  ON d.doc_id = counts.doc_id
     LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
     """,
+    headline=True,  # r6: segment shuffle + reassembly is a new heavy shape
     priority=46,  # r6 addition: first driver row this round
     doc="Corpus-wide segment-level exact dedup "
     "(operators.dedup.dedupe_segments): the line/paragraph-dedup family "

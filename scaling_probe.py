@@ -52,6 +52,9 @@ PROBES = [
     "hll_user_rollup",
     "source_capped_sample",
     "token_budget_sample",
+    # round-6 additions: corpus-wide segment window + per-source quantile
+    "segment_dedup",
+    "quality_quantile_filter",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -79,6 +82,8 @@ PROBE_TABLES = {
     "asof_join_last_good": {"events"},
     "embed_topk_bruteforce": {"embeddings"},
     "dedup_exact": {"documents"},
+    "segment_dedup": {"documents"},
+    "quality_quantile_filter": {"documents"},
     "dedup_components": {"documents"},
     "dedup_pipeline_end_to_end": {"documents"},
     "cross_split_contamination": {"documents"},

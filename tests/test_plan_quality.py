@@ -290,3 +290,35 @@ def test_hll_rollup_partial_aggregation(spark):
     n_agg = plan.count("HashAggregate")
     assert n_agg >= 2, f"expected partial+final aggregate pair:\n{plan}"
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_segment_dedup_two_key_exchanges(spark):
+    """dedupe_segments (r6) must plan exactly its two designed shuffles —
+    the content-key window partition and the doc-id reassembly/join — and
+    the window keys must be the compact hash pair, never segment text."""
+    df = QUERIES["segment_dedup"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    import re
+
+    exchanges = [e for e in re.findall(r"Exchange [^\n]*", plan)
+                 if "REPARTITION_BY_NUM" not in e]
+    # hashpartitioning on (_h1, _h2) for the window + doc_id exchanges for
+    # count/rebuild/join; no broadcast of the corpus, no text-keyed shuffle
+    assert any("_h1" in e and "_h2" in e for e in exchanges), plan
+    assert not any("seg#" in e for e in exchanges), (
+        f"segment text used as a shuffle key:\n{exchanges}"
+    )
+
+
+def test_two_phase_sampler_guard_sides_broadcast(spark):
+    """The hot-group prefilter's guard joins must broadcast only the tiny
+    short-group list, never the corpus side."""
+    from bigdata_20251_steam_spark.operators.sampling import sample_n_per_group
+
+    docs = QUERIES["source_capped_sample"].fn  # registered fn uses guard
+    df = docs(spark, SF_SMOKE)
+    plan = _analyzed_plan(df)
+    # the only explicit hints are the two F.broadcast(short) guard sides
+    assert plan.count("UnresolvedHint BROADCAST") <= 2 or (
+        plan.count("ResolvedHint") <= 2
+    ), plan
