@@ -316,3 +316,65 @@ def token_budget_sample(
         # joins reorder columns; pin the single-phase output order
         .select(*docs.columns, "n_tokens", "cum_tokens")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_bins: int = 10,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "curriculum",
+    epoch: int = 0,
+) -> DataFrame:
+    """Curriculum training order: quality-binned stages, shuffled within.
+
+    Curriculum / annealing schedules train on cleaner data first (or
+    last): documents are binned by heuristic quality QUANTILE within
+    their source (bin 0 = cleanest decile; per-source binning keeps the
+    mix's source composition inside every stage, the
+    :func:`~.text_analysis.quality_quantile_filter` argument), then the
+    global training order is ``(bin ASC, shuffle_key)`` — stages are
+    consumed in quality order while documents inside a stage stream in
+    deterministic salted-hash order (the :func:`epoch_shuffle` key, so
+    re-runs and engine changes reproduce the exact order and ``epoch``
+    reshuffles within stages without re-binning).
+
+    Output: ``(doc_id, <group_col>, quality, bin, shuffle_key)`` — the
+    two order columns are data, not an imposed sort, so the driver's
+    order-insensitive hashing checks them and a shard writer
+    (:func:`~..sinks.storage.write_training_shards`-style range
+    partition on ``(bin, shuffle_key)``) materializes the order without
+    a single-node sort.
+
+    Scale shape: quality metrics fuse into the scan; binning is one
+    group-key exchange + per-group sort (percent_rank window — the
+    two-phase hash-prefilter recipe applies to pathological groups);
+    the shuffle key is a narrow projection.
+    """
+    from ..operators.text_analysis import quality_scores
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    q = quality_scores(docs, text_col=text_col).select("doc_id", "quality")
+    base = docs.select(F.col(id_col).alias("doc_id"), group_col).join(q, "doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    bin_col = F.least(
+        F.floor(F.percent_rank().over(w) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    key = md5_long(
+        F.concat(
+            F.lit(f"{salt}:{epoch}:"), F.col("doc_id").cast("string")
+        )
+    )
+    return base.select(
+        "doc_id",
+        group_col,
+        "quality",
+        bin_col.alias("bin"),
+        key.alias("shuffle_key"),
+    )

@@ -2212,3 +2212,53 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quality_quantile_filter(
         load_table(spark, sf_dir, "documents"), keep_fraction=0.5
     )
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             punct / greatest(n_chars, 1) AS punct_ratio,
+             len(list_filter(toks, w -> list_contains([{_EN_STOP_SQL}], w)))
+               / greatest(CAST(len(toks) AS BIGINT), 1) AS stop_ratio
+      FROM t),
+    q AS (
+      SELECT doc_id, source,
+             round(least(greatest(
+               (0.5 * stop_ratio + 0.5 * (1 - punct_ratio)) *
+               least(n_tokens / 20.0, 1.0), 0.0), 1.0), 6) AS quality
+      FROM m)
+    SELECT doc_id, source, quality,
+           CAST(least(CAST(floor(percent_rank() OVER (
+             PARTITION BY source
+             ORDER BY quality DESC, doc_id ASC) * 10) AS INTEGER), 9)
+             AS INTEGER) AS bin,
+           CAST(('0x' || substr(md5('curriculum:0:' ||
+             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key
+    FROM q
+    """,
+    priority=46,  # r6 addition: first driver row this round
+    doc="Curriculum training order "
+    "(operators.sampling.curriculum_order): per-source quality-decile "
+    "bins (bin 0 = cleanest; per-source binning keeps the mix's source "
+    "composition inside every stage) + deterministic salted within-bin "
+    "shuffle key — stages consumed in quality order, docs inside a "
+    "stage in reproducible hash order, epoch param reshuffles within "
+    "stages without re-binning.  The order columns are DATA (range-"
+    "partition on (bin, shuffle_key) materializes the order with no "
+    "single-node sort), so the driver hash-checks the entire schedule.",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import curriculum_order
+
+    return curriculum_order(
+        load_table(spark, sf_dir, "documents"), n_bins=10, epoch=0
+    )

@@ -119,7 +119,7 @@ def oracle_map() -> dict[str, str]:
 #:   in-window siblings sharing the same operators, and both keep local
 #:   oracle-suite coverage).
 #:
-#: 6 + 35 + 9 = 50 — the window is exact, no filler needed.  The
+#: 7 + 35 + 8 = 50 — the window is exact, no filler needed.  The
 #: overlay RESETS every unnamed query to the 80 pool first, so declared
 #: module tiers can't accidentally displace a scheduled row.
 _R6_ROTATION: dict[str, int] = {
@@ -171,7 +171,12 @@ _R6_ROTATION: dict[str, int] = {
     # dedup_components + dedup_pipeline_end_to_end share the closure)
     "segment_dedup": 42,
     "quality_quantile_filter": 42,
-    # r5-green whose code or oracle changed in r6 — re-prove immediately
+    "curriculum_order": 42,
+    # r5-green whose code or oracle changed in r6 — re-prove immediately.
+    # curriculum_order additionally displaces dedup_pipeline_end_to_end
+    # (the closure path it shares with dedup_components stays in-window
+    # through the latter, and the pipeline query's own oracle is
+    # unchanged + locally green)
     "embed_topk_lsh": 60,
     "ivf_recall_vs_exact": 60,
     "source_capped_sample": 60,
@@ -180,17 +185,16 @@ _R6_ROTATION: dict[str, int] = {
     "approx_stats": 60,
     "streaming_running_totals": 60,
     "dedup_components": 60,
-    "dedup_pipeline_end_to_end": 60,
 }
 
 
 #: r7 ROTATION NOTE (for the next session): the r6 window covers exactly
-#: the 50 names in _R6_ROTATION.  The 41 r5-green queries reset to 80
-#: below (including the displaced embed_topk_ivf / minhash_dedup_resolve)
-#: sat r6 out with last green row r5 — in r7, rotate THOSE in first
-#: (the <=2-round staleness invariant), plus any query whose code
-#: changes in r7.  41 must-ins leaves ~9 slots for changed-code
-#: re-proves and new registrations.
+#: the 50 names in _R6_ROTATION.  The 42 r5-green queries reset to 80
+#: below (including the displaced embed_topk_ivf / minhash_dedup_resolve
+#: / dedup_pipeline_end_to_end) sat r6 out with last green row r5 — in
+#: r7, rotate THOSE in first (the <=2-round staleness invariant), plus
+#: any query whose code changes in r7.  42 must-ins leaves ~8 slots for
+#: changed-code re-proves and new registrations.
 
 
 def _load_all() -> None:
