@@ -535,9 +535,19 @@ def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=2000,
         hot_threshold=500,
     )
-    return kept.groupBy("source").agg(
+    agg = kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("kept_tokens"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+    # materialize the tiny per-source aggregate so the work dir (bronze +
+    # checkpoint, unique per run) can be deleted NOW instead of leaking
+    # one tempdir per invocation (the staging-dir lesson, ADVICE r5); the
+    # stream + sampler executed for real above — only the ~|sources|-row
+    # result is re-wrapped
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
