@@ -192,12 +192,17 @@ def sample_n_per_group(
         F.col("_key") < F.col("_thr")
     )
     # guard: a hot group whose candidate prefix came up short of n rows
-    # must rank its FULL rows (rare — only at small safety factors)
+    # must rank its FULL rows (rare — only at small safety factors).
+    # Derived from counts LEFT JOIN the candidate counts — NOT from cand
+    # alone: a hot group whose prefilter dropped every row has no cand
+    # rows at all, and a cand-side aggregation would silently lose it
+    # instead of falling back (r6 review catch; zero-candidate fixture
+    # pins it)
+    cand_counts = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_m"))
     short = (
-        cand.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .join(counts.filter(F.col("_cnt") > hot_threshold), group_col)
-        .filter((F.col("_m") < n) & (F.col("_cnt") > n))
+        counts.filter((F.col("_cnt") > hot_threshold) & (F.col("_cnt") > n))
+        .join(cand_counts, group_col, "left")
+        .filter(F.coalesce(F.col("_m"), F.lit(0)) < n)
         .select(group_col)
     )
     full_rows = keyed.join(F.broadcast(short), group_col, "left_semi")
@@ -290,14 +295,20 @@ def token_budget_sample(
         F.col("_key") < F.col("_thr")
     )
     # guard: candidate mass <= budget means the cutoff was NOT proven to
-    # lie inside the candidate prefix -> rank those groups in full
+    # lie inside the candidate prefix -> rank those groups in full.
+    # Derived from stats LEFT JOIN the candidate mass so a hot group
+    # whose prefilter dropped every row (candidate mass 0) still falls
+    # back instead of silently vanishing (r6 review catch)
+    cand_mass = cand.groupBy(group_col).agg(F.sum("n_tokens").alias("_cmass"))
     short = (
-        cand.groupBy(group_col)
-        .agg(F.sum("n_tokens").alias("_cmass"))
-        .join(stats.filter(F.col("_cnt") > hot_threshold), group_col)
+        stats.filter(
+            (F.col("_cnt") > hot_threshold)
+            & (F.col("_mass") > budget_tokens)
+        )
+        .join(cand_mass, group_col, "left")
         .filter(
-            (F.col("_cmass") <= budget_tokens)
-            & (F.col("_cmass") < F.col("_mass"))
+            (F.coalesce(F.col("_cmass"), F.lit(0)) <= budget_tokens)
+            & (F.coalesce(F.col("_cmass"), F.lit(0)) < F.col("_mass"))
         )
         .select(group_col)
     )

@@ -892,3 +892,44 @@ def test_quality_quantile_filter_composition(spark):
         # percent_rank <= 0.5 keeps ceil(n/2)..ceil(n/2)+ties docs
         assert 0 < n_kept <= n_all
         assert abs(n_kept / n_all - 0.5) <= 0.3, (src, n_kept, n_all)
+
+
+def test_hot_group_prefilter_zero_candidate_fallback(spark):
+    """r6 review catch: a hot group whose prefilter drops EVERY row (a
+    vanishingly small safety factor guarantees an empty key prefix) must
+    fall back to full-group ranking, not silently vanish — the guard is
+    derived from the group counts, not from the candidate set."""
+    from bigdata_20251_steam_spark.operators.sampling import (
+        sample_n_per_group,
+        token_budget_sample,
+    )
+
+    rows = [("hot", i) for i in range(1000)]
+    rows += [("cold", 10_000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    base = {(r["g"], r["id"]) for r in sample_n_per_group(df, "g", "id", 5).collect()}
+    got = {
+        (r["g"], r["id"])
+        for r in sample_n_per_group(
+            df, "g", "id", 5, hot_threshold=100, safety=1e-9
+        ).collect()
+    }
+    assert got == base
+    assert sum(1 for g, _ in got if g == "hot") == 5
+
+    docs = spark.createDataFrame(
+        [("hot", i, "five words of text here") for i in range(1000)]
+        + [("cold", 10_000 + i, "short txt") for i in range(10)],
+        "g string, id long, text string",
+    )
+    tb_base = {
+        (r["g"], r["id"])
+        for r in token_budget_sample(docs, "g", "id", budget_tokens=50).collect()
+    }
+    tb_got = {
+        (r["g"], r["id"])
+        for r in token_budget_sample(
+            docs, "g", "id", budget_tokens=50, hot_threshold=100, safety=1e-9
+        ).collect()
+    }
+    assert tb_got == tb_base and any(g == "hot" for g, _ in tb_got)
