@@ -933,3 +933,43 @@ def test_hot_group_prefilter_zero_candidate_fallback(spark):
         ).collect()
     }
     assert tb_got == tb_base and any(g == "hot" for g, _ in tb_got)
+
+
+def test_dedupe_segments_random_model_parity(spark):
+    """Seeded randomized trial: dedupe_segments must equal a pure-Python
+    first-occurrence model on corpora with heavy injected duplication —
+    every doc present, survivors are exactly the first occurrence of
+    each distinct segment, reassembly preserves in-doc order."""
+    import random
+
+    from bigdata_20251_steam_spark.operators.dedup import dedupe_segments
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> collisions
+        rows = []
+        for doc_id in range(200):
+            n = rng.randrange(0, 25)
+            rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        seg_tokens = 4
+        got = {
+            r["doc_id"]: (r["cleaned"], r["n_segments"], r["n_kept"])
+            for r in dedupe_segments(docs, seg_tokens=seg_tokens).collect()
+        }
+        # pure-Python model
+        seen: set[str] = set()
+        for doc_id, text in rows:
+            toks = text.split()
+            segs = [
+                " ".join(toks[i : i + seg_tokens])
+                for i in range(0, len(toks), seg_tokens)
+            ]
+            keep = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    keep.append(s)
+            exp = (" ".join(keep), len(segs), len(keep))
+            assert got[doc_id] == exp, (seed, doc_id, got[doc_id], exp)
+        assert set(got) == set(range(200))
