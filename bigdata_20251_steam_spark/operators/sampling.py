@@ -161,6 +161,14 @@ def sample_n_per_group(
     Parity with the single-phase form is pinned by a pathological
     one-group fixture test.  Default ``hot_threshold=None`` keeps the
     single-phase plan — optimal at tested corpus sizes.
+
+    **Eager hot-group detection**: the two-phase plan re-reads the
+    corpus for its stats/candidate/fallback subtrees, so paying it when
+    NO group is hot would make the guard a constant tax.  With
+    ``hot_threshold`` set, one cheap pre-aggregate job first checks
+    whether any group actually exceeds the threshold (and the cap); a
+    healthy corpus takes the single-phase plan plus that one count —
+    the guard costs nothing until the skew it defends against appears.
     """
     from pyspark.sql.window import Window
 
@@ -168,15 +176,23 @@ def sample_n_per_group(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    single_phase = (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )
     if hot_threshold is None:
-        return (
-            df.withColumn("_rank", F.row_number().over(w))
-            .filter(F.col("_rank") <= n)
-            .drop("_rank")
-        )
+        return single_phase
 
     keyed = df.withColumn("_key", key)
     counts = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    any_hot = (
+        counts.filter((F.col("_cnt") > hot_threshold) & (F.col("_cnt") > n))
+        .limit(1)
+        .count()
+    )
+    if any_hot == 0:
+        return single_phase
     # hash threshold per group: keep everything for cold groups (and for
     # groups where the cap doesn't bind — cnt <= n must keep ALL rows),
     # a ~safety*n expected-size key prefix for hot ones; the fraction is
@@ -257,6 +273,11 @@ def token_budget_sample(
     exceeding the budget proves the cutoff is inside the candidate set,
     so the result is exact, not approximate.  Default
     ``hot_threshold=None`` keeps the single-phase plan.
+
+    **Eager hot-group detection** (see :func:`sample_n_per_group`): one
+    cheap pre-aggregate job checks whether any group is both over the
+    row threshold and over budget; if none is, the single-phase plan
+    runs — the guard costs one count until real skew appears.
     """
     from pyspark.sql.window import Window
 
@@ -270,15 +291,26 @@ def token_budget_sample(
     )
     toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
     counted = docs.withColumn("n_tokens", toks)
+    single_phase = counted.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).filter(F.col("cum_tokens") <= budget_tokens)
     if hot_threshold is None:
-        return counted.withColumn(
-            "cum_tokens", F.sum("n_tokens").over(w)
-        ).filter(F.col("cum_tokens") <= budget_tokens)
+        return single_phase
 
     keyed = counted.withColumn("_key", key)
     stats = keyed.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_cnt"), F.sum("n_tokens").alias("_mass")
     )
+    any_hot = (
+        stats.filter(
+            (F.col("_cnt") > hot_threshold)
+            & (F.col("_mass") > budget_tokens)
+        )
+        .limit(1)
+        .count()
+    )
+    if any_hot == 0:
+        return single_phase
     # key prefix sized so its expected token mass is safety * budget;
     # only when the budget binds (mass > budget) — a group that fits
     # entirely must keep all rows without relying on the fallback guard
