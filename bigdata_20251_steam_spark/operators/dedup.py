@@ -741,6 +741,43 @@ def incremental_dedup(
     return labeled
 
 
+def segment_tokens(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic disjoint token segmentation: (doc_id, seg_idx, seg).
+
+    The stateless front half of :func:`dedupe_segments` (tokenize ->
+    ``sequence`` -> ``explode`` -> ``slice``/``array_join``; zero
+    shuffles, fused into the scan) — factored out so the SAME
+    segmentation runs under Structured Streaming (stream-capable: no
+    window, no state) feeding the stateful streaming dedup.  Empty /
+    whitespace-only docs yield no segments.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), "\\s+").alias("ws"),
+    ).filter((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
+    return (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(seg_tokens))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / seg_tokens).cast("int").alias("seg_idx"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start"), seg_tokens), " "
+            ).alias("seg"),
+        )
+    )
+
+
 def dedupe_segments(
     docs: DataFrame,
     seg_tokens: int = 10,
@@ -775,25 +812,7 @@ def dedupe_segments(
     from pyspark.sql.window import Window
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    toks = base.select(
-        "doc_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("ws")
-    ).filter((F.size("ws") > 0) & (F.element_at("ws", 1) != ""))
-    segs = (
-        toks.select(
-            "doc_id",
-            "ws",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ws"), F.lit(seg_tokens))
-            ).alias("start"),
-        )
-        .select(
-            "doc_id",
-            ((F.col("start") - 1) / seg_tokens).cast("int").alias("seg_idx"),
-            F.array_join(
-                F.slice(F.col("ws"), F.col("start"), seg_tokens), " "
-            ).alias("seg"),
-        )
-    )
+    segs = segment_tokens(docs, seg_tokens, text_col=text_col, id_col=id_col)
     keyed = segs.select(
         "doc_id",
         "seg_idx",

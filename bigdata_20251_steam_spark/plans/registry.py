@@ -185,6 +185,9 @@ _R6_ROTATION: dict[str, int] = {
     "approx_stats": 60,
     "streaming_running_totals": 60,
     "dedup_components": 60,
+    # registered r6 AFTER the window filled (position 51): first in line
+    # for the r7 window, the streaming_doc_chunks precedent
+    "streaming_segment_dedup": 62,
 }
 
 

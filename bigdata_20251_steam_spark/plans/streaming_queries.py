@@ -551,3 +551,63 @@ def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, agg.schema)
+
+
+@register(
+    "streaming_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    valid AS (SELECT * FROM toks WHERE len(ws) > 0 AND ws[1] <> ''),
+    segs AS (
+      SELECT array_to_string(list_slice(ws, s, s + 9), ' ') AS seg
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws), 10)) AS s
+            FROM valid)),
+    d AS (SELECT DISTINCT seg FROM segs),
+    h AS (SELECT CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS h1
+          FROM d)
+    SELECT count(*)                                AS n_segments,
+           CAST(sum(h1 % 1000000007) AS BIGINT)    AS checksum_sum,
+           bit_xor(h1)                             AS checksum_xor
+    FROM h
+    """,
+    priority=62,  # registered r6, first in line for the r7 window (the
+    # streaming_doc_chunks precedent: the r6 window is full at exactly
+    # 50, so this earns its first driver row next round; locally
+    # oracle-verified at sf0.001/sf0.01 meanwhile)
+    doc="STATEFUL streaming segment dedup: the stream-capable "
+    "segmentation (operators.dedup.segment_tokens, stateless) feeds "
+    "dropDuplicates on the 120-bit segment content key — real "
+    "unbounded dedup state in the state store (the G5 family), the "
+    "ingest-time form of segment_dedup.  WHICH document emits a "
+    "segment first depends on arrival order, but the SET of distinct "
+    "segments kept is order-independent, so the query returns exact "
+    "set-level invariants (count + modular sum + xor of the md5-derived "
+    "segment keys) that the oracle reproduces from the batch corpus — "
+    "an exact oracle over a genuinely stateful streaming operator.  "
+    "At scale the state store holds one 16-byte key pair per distinct "
+    "segment; with event-time available, dropDuplicatesWithinWatermark "
+    "bounds it (the streaming/engine.dedup_stream TTL pattern).",
+)
+def q_streaming_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long, md5_long_lo
+    from ..operators.dedup import segment_tokens
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    segs = segment_tokens(stream, seg_tokens=10).select(
+        md5_long(F.col("seg")).alias("_h1"),
+        md5_long_lo(F.col("seg")).alias("_h2"),
+    )
+    kept = run_available_now(
+        segs.dropDuplicates(["_h1", "_h2"]), output_mode="append"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_h1") % F.lit(1_000_000_007))
+        .cast("long")
+        .alias("checksum_sum"),
+        F.bit_xor("_h1").alias("checksum_xor"),
+    )

@@ -294,6 +294,7 @@ def write_training_shards(
     n_shards: int,
     salt: str = "shuffle",
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Materialize one epoch's deterministic training order as shard files.
 
@@ -306,9 +307,18 @@ def write_training_shards(
     hash, shard sizes are balanced regardless of input skew; because it
     is a pure function of (salt, epoch, id), a preempted job rewritten
     from scratch produces byte-identical shards.
+
+    ``fmt``: ``"parquet"`` (default — columnar, the analytics-side
+    layout) or ``"jsonl"`` — gzip-compressed JSON Lines, the format
+    most training data loaders stream directly (one JSON object per
+    line, shard files concatenable); same sharding/order contract.
     """
     from ..operators.sampling import epoch_shuffle
 
-    epoch_shuffle(df, id_col, epoch=epoch, n_shards=n_shards, salt=salt).write.mode(
-        mode
-    ).parquet(path)
+    out = epoch_shuffle(df, id_col, epoch=epoch, n_shards=n_shards, salt=salt)
+    if fmt == "parquet":
+        out.write.mode(mode).parquet(path)
+    elif fmt == "jsonl":
+        out.write.mode(mode).option("compression", "gzip").json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")

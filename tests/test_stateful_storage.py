@@ -425,3 +425,32 @@ def test_maintenance_via_scheme_qualified_uris(spark, tmp_path):
     upsert_snapshot(spark, snap, updates, key_cols=("k",))
     got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """fmt='jsonl' (r6): gzip JSON Lines shards carry the same rows and
+    the same in-shard order contract as the parquet form."""
+    import gzip
+    import json as _json
+    import pathlib
+
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.sinks.storage import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", epoch=1, n_shards=4, fmt="jsonl")
+    files = sorted(pathlib.Path(out).glob("part-*.json.gz"))
+    assert len(files) == 4
+    rows = []
+    for f in files:  # file-name order = global epoch order
+        with gzip.open(f, "rt") as fh:
+            rows += [_json.loads(line) for line in fh]
+    assert len(rows) == 200 and {r["doc_id"] for r in rows} == set(range(200))
+    keys = [r["shuffle_key"] for r in rows]
+    assert keys == sorted(keys)  # concatenated shards = sorted key order
+    with _pytest.raises(ValueError):
+        write_training_shards(df, out, "doc_id", epoch=1, n_shards=2, fmt="csvx")
