@@ -460,10 +460,16 @@ def quality_quantile_filter(
 
     Scale shape: the :func:`quality_scores` metrics are a narrow
     projection fused into the scan; the quantile is one group-key
-    exchange + per-group sort (the same window shape as the mix-capping
-    samplers — for a pathologically hot group the same two-phase
-    hash-prefilter recipe applies, with the quality score as the sort
-    key).
+    exchange + per-group sort.  Hot-group note: the samplers' HASH-prefix
+    prefilter does NOT transfer here (quality is not uniform, so no
+    analytic prefix bound exists); the two-phase recipe for a
+    pathological group is instead approx-quantile-based — estimate the
+    per-group cutoff with ``percentile_approx(quality, 1-keep_fraction)``,
+    prefilter ``quality >= cutoff - margin``, exact-rank the survivors,
+    and fall back to the full group if the survivor count disproves the
+    margin.  Emitting the per-doc flag (this function's contract)
+    inherently ranks every row, so the prefilter applies to the
+    filter-only variant.
     """
     from pyspark.sql.window import Window
 
