@@ -395,13 +395,17 @@ def curriculum_order(
     two-phase hash-prefilter recipe applies to pathological groups);
     the shuffle key is a narrow projection.
     """
-    from ..operators.text_analysis import quality_scores
+    from ..operators.text_analysis import quality_column
     from pyspark.sql.window import Window
 
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
-    q = quality_scores(docs, text_col=text_col).select("doc_id", "quality")
-    base = docs.select(F.col(id_col).alias("doc_id"), group_col).join(q, "doc_id")
+    # quality inline, no self-join (see quality_quantile_filter)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        group_col,
+        quality_column(F.col(text_col)).alias("quality"),
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )

@@ -62,14 +62,12 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality metrics: length, punctuation ratio, stopword ratio.
-
-    quality = clamp(0, 1, 0.5*stopword_ratio + 0.5*(1 - punct_ratio))
-    scaled by a length factor — the standard cheap pre-filter shape for
-    training-data pipelines (exact weights are policy, not engine).
-    """
-    t = F.col(text_col)
+def _quality_parts(t: "Column"):
+    """Shared quality-score sub-expressions: (n_tokens, punct_ratio,
+    stop_ratio, quality).  A plain projection over the text column, so
+    consumers embed it INLINE in their own select — never via a
+    self-join back onto the corpus (a join on doc_id would add a scan
+    and an exchange for what is a narrow map)."""
     toks = F.split(F.lower(F.trim(t)), "\\s+")
     n_toks = F.size(toks)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -86,6 +84,22 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.lit(1.0),
     )
+    return n_toks, punct_ratio, stop_ratio, quality
+
+
+def quality_column(text_col: "Column") -> "Column":
+    """The rounded quality score alone, as an inline column expression."""
+    return F.round(_quality_parts(text_col)[3], 6)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics: length, punctuation ratio, stopword ratio.
+
+    quality = clamp(0, 1, 0.5*stopword_ratio + 0.5*(1 - punct_ratio))
+    scaled by a length factor — the standard cheap pre-filter shape for
+    training-data pipelines (exact weights are policy, not engine).
+    """
+    n_toks, punct_ratio, stop_ratio, quality = _quality_parts(F.col(text_col))
     return docs.select(
         "doc_id",
         n_toks.alias("n_tokens"),
@@ -473,8 +487,12 @@ def quality_quantile_filter(
     """
     from pyspark.sql.window import Window
 
-    q = quality_scores(docs, text_col=text_col).select("doc_id", "quality")
-    base = docs.select("doc_id", group_col).join(q, "doc_id")
+    # quality computed INLINE (narrow projection) — joining the corpus
+    # back onto its own quality projection would double the scan and add
+    # a doc_id exchange before the group window (r6 plan-review fix)
+    base = docs.select(
+        "doc_id", group_col, quality_column(F.col(text_col)).alias("quality")
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )

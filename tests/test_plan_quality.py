@@ -322,3 +322,17 @@ def test_two_phase_sampler_guard_sides_broadcast(spark):
     assert plan.count("UnresolvedHint BROADCAST") <= 2 or (
         plan.count("ResolvedHint") <= 2
     ), plan
+
+
+def test_quality_window_queries_single_scan(spark):
+    """quality_quantile_filter / curriculum_order (r6) must compute the
+    quality score INLINE: one corpus scan, one group-key exchange — a
+    self-join back onto the quality projection (2 scans + a doc_id
+    exchange) is the regression this pins against."""
+    import re
+
+    for name in ("quality_quantile_filter", "curriculum_order"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = _final_plan(df)
+        assert len(re.findall(r"FileScan parquet", plan)) == 1, (name, plan)
+        assert len(re.findall(r"Exchange", plan)) == 1, (name, plan)
