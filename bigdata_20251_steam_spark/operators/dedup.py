@@ -821,25 +821,31 @@ def dedupe_segments(
         md5_long_lo(F.col("seg")).alias("_h2"),
     )
     w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "seg_idx")
-    kept = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "seg_idx", "seg")
+    # a keep FLAG instead of a filter: the per-doc reassembly then
+    # computes n_segments (all rows) and n_kept/cleaned (flagged rows)
+    # from ONE pass over the segmentation — filtering first would force
+    # a second tokenize/explode subtree just to count dropped segments
+    flagged = keyed.withColumn(
+        "_keep", F.row_number().over(w) == 1
     )
-    counts = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
-    rebuilt = kept.groupBy("doc_id").agg(
+    rebuilt = flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(F.struct("seg_idx", "seg", "_keep")),
+                        lambda s: s["_keep"],
+                    )
+                ),
                 lambda s: s["seg"],
             ),
             " ",
         ).alias("cleaned"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_keep").cast("int")).alias("n_kept"),
     )
     return (
         base.select("doc_id")
-        .join(counts, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
