@@ -973,3 +973,56 @@ def test_dedupe_segments_random_model_parity(spark):
             exp = (" ".join(keep), len(segs), len(keep))
             assert got[doc_id] == exp, (seed, doc_id, got[doc_id], exp)
         assert set(got) == set(range(200))
+
+
+def test_two_phase_sampler_randomized_parity(spark):
+    """Seeded randomized trials across the guard's parameter space: for
+    random group-size mixes and thresholds/safeties (including
+    near-boundary values), the two-phase samplers must equal their
+    single-phase forms EXACTLY — the guards' case analysis (prefilter /
+    short-prefix fallback / cap-doesn't-bind / budget-fits) has to hold
+    everywhere, not just on the designed fixtures."""
+    import random
+
+    from bigdata_20251_steam_spark.operators.sampling import (
+        sample_n_per_group,
+        token_budget_sample,
+    )
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        rows = []
+        for g in range(8):
+            size = rng.choice([3, 10, 40, 120, 400])
+            base_id = g * 10_000
+            for i in range(size):
+                ntok = rng.randrange(1, 9)
+                rows.append(
+                    (f"g{g}", base_id + i, " ".join(f"t{j}" for j in range(ntok)))
+                )
+        df = spark.createDataFrame(rows, "g string, id long, text string")
+
+        n = rng.choice([2, 15, 50])
+        hot = rng.choice([5, 50, 150])
+        safety = rng.choice([0.3, 1.0, 4.0])
+        single = {(r["g"], r["id"]) for r in sample_n_per_group(df, "g", "id", n).collect()}
+        two = {
+            (r["g"], r["id"])
+            for r in sample_n_per_group(
+                df, "g", "id", n, hot_threshold=hot, safety=safety
+            ).collect()
+        }
+        assert two == single, (seed, n, hot, safety)
+
+        budget = rng.choice([10, 60, 400])
+        tb_single = {
+            (r["g"], r["id"], r["cum_tokens"])
+            for r in token_budget_sample(df, "g", "id", budget).collect()
+        }
+        tb_two = {
+            (r["g"], r["id"], r["cum_tokens"])
+            for r in token_budget_sample(
+                df, "g", "id", budget, hot_threshold=hot, safety=safety
+            ).collect()
+        }
+        assert tb_two == tb_single, (seed, budget, hot, safety)
