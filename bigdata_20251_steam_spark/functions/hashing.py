@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 #: Mersenne prime 2^31-1 — the modulus for all minhash/fingerprint math.
 HASH_PRIME = 2_147_483_647
 
-#: Number of minhash functions (16 = 4 bands x 4 rows: detects J>=~0.5
-#: candidates with the standard S-curve; tune bands/rows per use case).
+#: Number of minhash functions (16 = 4 bands x 4 rows; S-curve
+#: inflection (1/4)^(1/4) ~ 0.707 — strong pairs are near-certain
+#: candidates, J~0.5 pairs surface with ~23% per-banding probability.
+#: Derive (bands, rows) for a different target with :func:`lsh_params`).
 MINHASH_K = 16
 
 # Deterministic (a, b) parameters — Knuth multiplicative hashing constants,
@@ -89,3 +91,33 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[int]]:
             row.append(1 if digest[-1] & 1 else -1)
         planes.append(row)
     return planes
+
+
+def lsh_params(threshold: float, n_hashes: int = MINHASH_K) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target Jaccard threshold.
+
+    The LSH S-curve detects a pair of Jaccard similarity ``s`` with
+    probability ``1 - (1 - s^r)^b``; its inflection sits near
+    ``(1/b)^(1/r)``.  This returns the (b, r) with ``b * r <= n_hashes``
+    whose inflection is closest to ``threshold`` — the standard tuning
+    rule (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4),
+    so callers express dedup POLICY ("catch near-dups above J=0.5") and
+    derive the banding mechanically instead of hand-picking.  Driver-side
+    pure math; feed the result to ``minhash_candidate_pairs(
+    rows_per_band=r)`` with ``MINHASH_K >= b * r`` signatures.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        if b < 1:
+            break
+        inflection = (1.0 / b) ** (1.0 / r)
+        err = abs(inflection - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -1026,3 +1026,34 @@ def test_two_phase_sampler_randomized_parity(spark):
             ).collect()
         }
         assert tb_two == tb_single, (seed, budget, hot, safety)
+
+
+def test_lsh_params_tuning():
+    """(bands, rows) tuning must track the S-curve inflection: lower
+    thresholds want more bands/fewer rows (higher recall), higher
+    thresholds the reverse; the product never exceeds the hash budget,
+    and the repo's default 4x4 banding is what J~0.5 derives."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.functions.hashing import MINHASH_K, lsh_params
+
+    # the repo's shipped 4x4 banding has inflection (1/4)^(1/4) ~ 0.707:
+    # it is what a J~0.7 policy derives
+    assert lsh_params(0.707, 16) == (4, 4)
+    b_mid, r_mid = lsh_params(0.5, 16)
+    assert (1.0 / b_mid) ** (1.0 / r_mid) == min(
+        ((1.0 / (16 // r)) ** (1.0 / r) for r in range(1, 17)),
+        key=lambda x: abs(x - 0.5),
+    )
+    b_lo, r_lo = lsh_params(0.2, 16)
+    b_hi, r_hi = lsh_params(0.9, 16)
+    assert b_lo >= b_mid >= b_hi and r_lo <= r_mid <= r_hi
+    for t in (0.1, 0.3, 0.5, 0.7, 0.95):
+        b, r = lsh_params(t, MINHASH_K)
+        assert 1 <= b * r <= MINHASH_K
+        infl = (1.0 / b) ** (1.0 / r)
+        assert abs(infl - t) <= 0.25  # coarse budget still lands nearby
+    with _pytest.raises(ValueError):
+        lsh_params(0.0)
+    with _pytest.raises(ValueError):
+        lsh_params(0.5, 0)
