@@ -361,6 +361,72 @@ def token_budget_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "temper",
+) -> DataFrame:
+    """Temperature-weighted source rebalancing (the multinomial-α mix).
+
+    The standard pretraining-mix reweighting (mBERT/XLM-R/Gopher family):
+    source ``i`` with ``n_i`` rows gets sampling weight ``n_i^alpha``
+    normalized across sources, so ``alpha=1`` preserves the natural mix,
+    ``alpha=0`` equalizes sources, and the usual ``0.2–0.7`` range
+    up-samples small sources without letting any giant source dominate.
+    Each source keeps rows at rate ``min(1, target_rows * w_i / Σw / n_i)``
+    via the deterministic salted-hash threshold (``md5_long(id) < rate *
+    2^60``), so the selection is reproducible across engines, re-runs,
+    and partition layouts, and incremental corpus growth never flips
+    previously-kept rows (only rates move).
+
+    Scale shape: one tiny per-group count aggregate (groups = sources,
+    bounded), rate arithmetic on that tiny frame, then a broadcast join
+    back and a narrow filter — the corpus itself never shuffles and the
+    filter fuses into its scan.  Rates stay distributed (no driver
+    collect); the float weight sum is partition-order-sensitive only in
+    the last ulp, which moves each threshold by ~2^60·1e-16 ≈ 100 units
+    of a 2^60 key space — a per-row flip probability of ~1e-16, below
+    any observable effect.
+    """
+    from pyspark.sql.window import Window
+
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weighted = counts.withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    # total weight via a single-partition window over the TINY counts
+    # frame — an agg + crossJoin would recompute the counts subtree
+    # (and its corpus scan) a second time
+    rates = weighted.withColumn(
+        "_tw", F.sum("_w").over(Window.partitionBy())
+    ).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("_w")
+                / F.col("_tw")
+                / F.col("_n"),
+            )
+            * _HASH_RANGE
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    key = md5_long(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(key < F.col("_thr"))
+        .select(*df.columns)
+    )
+
+
 def curriculum_order(
     docs: DataFrame,
     n_bins: int = 10,

@@ -450,6 +450,92 @@ def cross_split_contamination(
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+    oov_alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring (the CCNet shape).
+
+    The classic model-based quality filter one step up from heuristics:
+    fit a unigram LM on the corpus itself (word frequencies over a
+    top-``vocab_size`` vocabulary), then score every document by its
+    mean per-token log10-probability — low scores flag
+    gibberish/boilerplate whose token distribution diverges from the
+    corpus (CCNet does this with a 5-gram KenLM; the unigram form is the
+    engine-shaped equivalent with the same two-pass structure).
+    Out-of-vocabulary tokens get the smoothed floor ``oov_alpha / N``.
+
+    Output: ``(doc_id, n_tokens, avg_logp10, oov_ratio)``; empty/null
+    text scores NULL with ``n_tokens`` 0.
+
+    Cross-engine exactness: per-word log-probs are quantized to integer
+    nano-log10s (``floor(log10(c/N)·1e9)``), so the per-doc sum is exact
+    long arithmetic — order-independent, hence identical across engines
+    and partitionings — and only the final mean divides once (rounded
+    6dp).  Word-frequency tie-break is byte order (equals Java string
+    order for the ASCII tokens this tokenizer emits).
+
+    Scale shape: pass 1 is a word-count groupBy (shuffle bounded by the
+    vocabulary, with map-side partials) from which only the top-V rows
+    (tiny, like the IVF centroid pull) reach the driver; pass 2 scores
+    docs with a zero-shuffle narrow projection — the vocabulary rides
+    along as a map literal ordered most-frequent-first, so the map
+    lookup's linear scan ends at depth ~1/Zipf-rank for typical tokens.
+    For vocabularies too large to inline (>~10k words), score via
+    explode → broadcast-join(word→lp) → re-aggregate by doc id instead:
+    same result, one doc-id exchange.
+    """
+    import math
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = counts.agg(F.sum("c")).collect()[0][0]
+    if not n_total:
+        raise ValueError("unigram_lm_scores: corpus has no tokens")
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        vocab_size
+    ).collect()
+    lp = {
+        r["w"]: int(math.floor(math.log10(r["c"] / n_total) * 1e9))
+        for r in top
+    }
+    oov_lp = int(math.floor(math.log10(oov_alpha / n_total) * 1e9))
+    # most-frequent-first literal order so the linear map scan is short
+    vocab_map = F.map_from_arrays(
+        F.array(*[F.lit(r["w"]) for r in top]),
+        F.array(*[F.lit(lp[r["w"]]).cast("long") for r in top]),
+    )
+    word_lp = lambda w: F.coalesce(  # noqa: E731
+        F.element_at(vocab_map, w), F.lit(oov_lp).cast("long")
+    )
+    n_toks = F.when(toks.isNull(), F.lit(0)).otherwise(F.size(toks))
+    lp_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + word_lp(w)
+    )
+    n_oov = F.size(F.filter(toks, lambda w: F.element_at(vocab_map, w).isNull()))
+    nonempty = n_toks > 0
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.when(
+            nonempty,
+            F.round(lp_sum.cast("double") / n_toks / F.lit(1e9), 6),
+        ).alias("avg_logp10"),
+        F.when(nonempty, F.round(n_oov / n_toks, 6)).alias("oov_ratio"),
+    )
+
+
 def quality_quantile_filter(
     docs: DataFrame,
     keep_fraction: float = 0.5,

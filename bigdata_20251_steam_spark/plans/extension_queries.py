@@ -2262,3 +2262,206 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(
         load_table(spark, sf_dir, "documents"), n_bins=10, epoch=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation 4: unigram LM scoring, temperature mix, Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_lm_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    dw AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+    vocab AS (SELECT w, CAST(floor(log10(c / n) * 1e9) AS BIGINT) AS lp
+              FROM counts, tot ORDER BY c DESC, w LIMIT 16),
+    oov AS (SELECT CAST(floor(log10(0.5 / n) * 1e9) AS BIGINT) AS lp
+            FROM tot),
+    scored AS (
+      SELECT dw.doc_id,
+             CAST(sum(coalesce(v.lp, o.lp)) AS BIGINT)  AS s,
+             CAST(count(*) AS BIGINT)                    AS nt,
+             CAST(sum(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)                             AS n_oov
+      FROM dw LEFT JOIN vocab v USING (w) CROSS JOIN oov o
+      GROUP BY dw.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.nt, 0) AS INTEGER)            AS n_tokens,
+           round(CAST(sc.s AS DOUBLE) / sc.nt / 1e9, 6)   AS avg_logp10,
+           round(sc.n_oov / sc.nt, 6)                     AS oov_ratio
+    FROM documents d LEFT JOIN scored sc USING (doc_id)
+    """,
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Corpus-trained unigram LM quality scoring "
+    "(operators.text_analysis.unigram_lm_scores, the CCNet shape one "
+    "step up from heuristics): fit word frequencies over a top-16 "
+    "vocabulary, score each doc by mean per-token log10 probability "
+    "with a smoothed OOV floor.  Cross-engine exactness via integer "
+    "nano-log10 quantization: per-word log-probs become BIGINTs, the "
+    "per-doc sum is exact long arithmetic (order-independent), and "
+    "only the final mean divides once — no float-accumulation-order "
+    "flake.  Pass 1 shuffles only the vocabulary (map-side partials); "
+    "pass 2 is a zero-shuffle projection with the vocab inlined "
+    "most-frequent-first.",
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.unigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), vocab_size=16, oov_alpha=0.5
+    )
+
+
+@register(
+    "temperature_mix_sample",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(pow(n, 0.5)) AS tw FROM c),
+    r AS (SELECT source, n,
+                 CAST(floor(least(1.0, 250.0 * pow(n, 0.5) / tw / n)
+                      * 1152921504606846976) AS BIGINT) AS thr
+          FROM c, t),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN r USING (source)
+      WHERE {md5_long_sql("('temper:' || CAST(doc_id AS VARCHAR))")} < thr),
+    k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM kept GROUP BY source)
+    SELECT c.source, c.n AS n_before,
+           coalesce(k.n_kept, 0)        AS n_kept,
+           CAST(k.min_doc AS BIGINT)    AS min_doc,
+           CAST(k.max_doc AS BIGINT)    AS max_doc
+    FROM c LEFT JOIN k USING (source)
+    """,
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Temperature-weighted source rebalancing "
+    "(operators.sampling.temperature_resample): the multinomial-alpha "
+    "pretraining mix (mBERT/XLM-R/Gopher family) — source i keeps rows "
+    "at rate min(1, target * n_i^0.5 / sum_j n_j^0.5 / n_i) via the "
+    "deterministic salted-hash threshold, up-sampling small sources "
+    "without letting giants dominate.  Corpus never shuffles: one tiny "
+    "per-source count, rate arithmetic on that frame, broadcast join "
+    "back + narrow filter.  min/max surviving ids pin WHICH rows "
+    "survive per source; sources with zero survivors still emit a row "
+    "(left join from counts).",
+)
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_resample(
+        docs, group_col="source", id_col="doc_id", target_rows=250, alpha=0.5
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    return counts.join(agg, "source", "left").select(
+        "source",
+        "n_before",
+        F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+        "min_doc",
+        "max_doc",
+    )
+
+
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+def _bloom_oracle_sql() -> str:
+    from ..operators.sketches import bloom_positions_sql
+
+    build_pos = bloom_positions_sql("text", _BLOOM_M, _BLOOM_K, "bloom")
+    probe_pos = bloom_positions_sql("d.text", _BLOOM_M, _BLOOM_K, "bloom")
+    hit = " AND ".join(
+        f"(coalesce(f{i}.bits, 0) & (1::BIGINT << CAST(({probe_pos[i]}) % 63 "
+        f"AS INTEGER))) = (1::BIGINT << CAST(({probe_pos[i]}) % 63 AS INTEGER))"
+        for i in range(_BLOOM_K)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN filt f{i} ON f{i}.word_idx = ({probe_pos[i]}) // 63"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH bench AS (SELECT DISTINCT text FROM documents
+                   WHERE doc_id % 10 = 7 AND text IS NOT NULL),
+    pos AS (SELECT unnest([{", ".join(build_pos)}]) AS p FROM bench),
+    filt AS (SELECT p // 63 AS word_idx,
+                    bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+             FROM pos GROUP BY p // 63),
+    probe AS (
+      SELECT d.doc_id, d.source,
+             d.text IS NOT NULL
+               AND d.text IN (SELECT text FROM bench)       AS member,
+             d.text IS NOT NULL AND {hit}                   AS flagged
+      FROM documents d
+      {joins})
+    SELECT source,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_members,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_flagged,
+           CAST(sum(CASE WHEN flagged AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT)                                   AS n_false_pos,
+           bool_and(flagged OR NOT member)                   AS no_false_neg
+    FROM probe GROUP BY source
+    """
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=_bloom_oracle_sql(),
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Bloom-filter benchmark decontamination "
+    "(operators.sketches.bloom_build/bloom_might_contain): the "
+    "membership sketch as a (word_idx, bits) TABLE of 63-bit words — "
+    "built with a bit_or groupBy bounded by the filter size (the "
+    "shuffle carries at most m/63 rows regardless of corpus size), "
+    "probed with k broadcast joins so the probe corpus never shuffles, "
+    "merged across shards/days by bit_or union.  Every bit position is "
+    "the deterministic md5_long, so the oracle rebuilds the filter "
+    "BIT-FOR-BIT and the driver checks exact flag counts, not just "
+    "invariants: per source, flagged/member/false-positive counts plus "
+    "the no-false-negative guarantee.  63-bit words because DuckDB "
+    "raises on the 1<<63 overflow the JVM wraps.",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(
+        (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+    ).select("text").distinct()
+    filt = bloom_build(bench, "text", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probed = bloom_might_contain(
+        filt, docs, "text", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    members = bench.withColumn("_m", F.lit(True))
+    out = (
+        probed.join(F.broadcast(members), "text", "left")
+        .withColumn(
+            "member", F.col("text").isNotNull() & F.coalesce("_m", F.lit(False))
+        )
+        .withColumn(
+            "flagged", F.col("text").isNotNull() & F.col("might_contain")
+        )
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
+        F.sum(
+            F.when(F.col("flagged") & ~F.col("member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.every(F.col("flagged") | ~F.col("member")).alias("no_false_neg"),
+    )

@@ -185,19 +185,27 @@ _R6_ROTATION: dict[str, int] = {
     "approx_stats": 60,
     "streaming_running_totals": 60,
     "dedup_components": 60,
-    # registered r6 AFTER the window filled (position 51): first in line
-    # for the r7 window, the streaming_doc_chunks precedent
+    # registered r6 AFTER the window filled (positions 51+): first in
+    # line for the r7 window, the streaming_doc_chunks precedent
     "streaming_segment_dedup": 62,
+    "unigram_lm_scores": 63,
+    "temperature_mix_sample": 63,
+    "bloom_decontaminate": 63,
 }
 
 
 #: r7 ROTATION NOTE (for the next session): the r6 window covers exactly
-#: the 50 names in _R6_ROTATION.  The 42 r5-green queries reset to 80
-#: below (including the displaced embed_topk_ivf / minhash_dedup_resolve
-#: / dedup_pipeline_end_to_end) sat r6 out with last green row r5 — in
-#: r7, rotate THOSE in first (the <=2-round staleness invariant), plus
-#: any query whose code changes in r7.  42 must-ins leaves ~8 slots for
-#: changed-code re-proves and new registrations.
+#: the 50 names at tiers 42/44/60 in _R6_ROTATION.  The 42 r5-green
+#: queries reset to 80 below (including the displaced embed_topk_ivf /
+#: minhash_dedup_resolve / dedup_pipeline_end_to_end) sat r6 out with
+#: last green row r5 — in r7, rotate THOSE in first (the <=2-round
+#: staleness invariant), PLUS the tier-62/63 entries that have never had
+#: a driver row (streaming_segment_dedup, unigram_lm_scores,
+#: temperature_mix_sample, bloom_decontaminate), plus any query whose
+#: code changes in r7.  42 + 4 must-ins leaves ~4 slots for changed-code
+#: re-proves and new registrations — if r7 registers more than that,
+#: prefer never-checked rows and let r5-green queries with unchanged
+#: code slip one round (they stay covered by the local oracle suite).
 
 
 def _load_all() -> None:

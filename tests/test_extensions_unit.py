@@ -1057,3 +1057,133 @@ def test_lsh_params_tuning():
         lsh_params(0.0)
     with _pytest.raises(ValueError):
         lsh_params(0.5, 0)
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    from bigdata_20251_steam_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    m, k = 2048, 3
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(100)], "v string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(400)], "v string"
+    )
+    filt = bloom_build(members, "v", m_bits=m, k=k)
+    # filter is bounded by its own size, never the input
+    assert filt.count() <= m // 63 + 1
+    # no false negatives: every inserted key flags true
+    probed = bloom_might_contain(filt, members, "v", m_bits=m, k=k)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+    # false positives bounded: fill ~ 300/2048 -> fp ~ (0.136)^3 ~ 0.25%;
+    # allow 10x headroom over the expectation (400 * 0.0025 = 1)
+    fp = bloom_might_contain(filt, outsiders, "v", m_bits=m, k=k)
+    assert fp.filter(F.col("might_contain")).count() <= 10
+    # merge(build(A), build(B)) is bit-identical to build(A ∪ B)
+    half_a = members.filter(F.col("v") < "key-5")
+    half_b = members.filter(F.col("v") >= "key-5")
+    merged = bloom_merge(
+        bloom_build(half_a, "v", m_bits=m, k=k),
+        bloom_build(half_b, "v", m_bits=m, k=k),
+    )
+    direct = {(r["word_idx"], r["bits"]) for r in filt.collect()}
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == direct
+    # deterministic under repartitioning
+    again = bloom_build(members.repartition(7), "v", m_bits=m, k=k)
+    assert {(r["word_idx"], r["bits"]) for r in again.collect()} == direct
+    # join path (large-filter regime) answers identically to inline path
+    allp = members.unionByName(outsiders)
+    inline_flags = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(
+            filt, allp, "v", m_bits=m, k=k, inline=True
+        ).collect()
+    }
+    join_flags = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(
+            filt, allp, "v", m_bits=m, k=k, inline=False
+        ).collect()
+    }
+    assert join_flags == inline_flags
+    # empty filter: nothing can match
+    empty = bloom_build(members.filter(F.lit(False)), "v", m_bits=m, k=k)
+    assert (
+        bloom_might_contain(empty, members, "v", m_bits=m, k=k)
+        .filter(F.col("might_contain")).count() == 0
+    )
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    # corpus: 'a' x6, 'b' x3, 'rare' x1 -> N=10; vocab_size=2 keeps {a, b}
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "a A b  rare"),  # lowercased + multi-space tokenization
+            (3, "a b"),
+            (4, ""),  # empty -> 0 tokens, NULL scores
+            (5, None),  # null -> same as empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs, vocab_size=2).collect()}
+    lp_a = math.floor(math.log10(6 / 10) * 1e9)
+    lp_b = math.floor(math.log10(3 / 10) * 1e9)
+    lp_oov = math.floor(math.log10(0.5 / 10) * 1e9)
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["avg_logp10"] == round((3 * lp_a + lp_b) / 4 / 1e9, 6)
+    assert out[1]["oov_ratio"] == 0.0
+    assert out[2]["n_tokens"] == 4
+    assert out[2]["avg_logp10"] == round((2 * lp_a + lp_b + lp_oov) / 4 / 1e9, 6)
+    assert out[2]["oov_ratio"] == 0.25
+    # rare doc scores strictly below an in-vocab doc of the same length
+    assert out[2]["avg_logp10"] < out[3]["avg_logp10"]
+    for d in (4, 5):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["avg_logp10"] is None and out[d]["oov_ratio"] is None
+
+
+def test_temperature_resample_mix_properties(spark):
+    from bigdata_20251_steam_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(400 + i, "mid") for i in range(100)]
+        + [(500 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1 with target = corpus size keeps every row (rate == 1)
+    assert temperature_resample(df, "source", "doc_id", 525, alpha=1.0).count() == 525
+    # alpha=0 equalizes: per-source expectation is target/3; small keeps all
+    kept0 = temperature_resample(df, "source", "doc_id", 150, alpha=0.0)
+    c0 = {r["source"]: r["n"] for r in
+          kept0.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert c0.get("small", 0) == 25  # rate capped at 1
+    assert 20 <= c0.get("big", 0) <= 85  # E=50, binomial noise allowance
+    assert 20 <= c0.get("mid", 0) <= 85  # E=50
+    # alpha<1 up-weights small sources: kept FRACTION decreases with size
+    kept5 = temperature_resample(df, "source", "doc_id", 150, alpha=0.5)
+    c5 = {r["source"]: r["n"] for r in
+          kept5.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert c5.get("small", 0) / 25 > c5.get("big", 1) / 400
+    # deterministic under repartitioning: exact same survivors
+    a = sorted(r["doc_id"] for r in kept5.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df.repartition(7), "source", "doc_id", 150, alpha=0.5
+        ).collect()
+    )
+    assert a == b
