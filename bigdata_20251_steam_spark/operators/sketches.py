@@ -190,6 +190,111 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 BLOOM_INLINE_MAX_BITS = 1 << 17
 
 
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch over a column as a ``(d, col, cnt)`` table.
+
+    The frequency sibling of :func:`bloom_build` (membership) and
+    :func:`hll_sketches` (distinct): each occurrence increments one
+    counter per depth row at ``md5_long(salt:d:value) % width``, and a
+    value's estimated frequency is the MINIMUM of its ``depth``
+    counters — a one-sided estimate (never under the true count, over
+    by at most ``e·N/width`` with probability ``1 - e^-depth``).  The
+    standard primitive for heavy-hitter / frequent-token detection
+    when the distinct domain (tokens, URLs, n-grams) is too large to
+    count exactly.
+
+    Scale shape: explode (×depth) fused into the scan, then a groupBy
+    whose output is bounded by ``depth × width`` rows regardless of
+    input size, with map-side partial counts — like the Bloom build,
+    the shuffle carries at most the sketch itself.  Mergeable across
+    shards/days by summing counters (:func:`cms_merge`); deterministic
+    md5 positions mean a SQL oracle reproduces every counter exactly.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        md5_long(
+                            F.concat(
+                                F.lit(f"{salt}:{d}:"),
+                                F.col(value_col).cast("string"),
+                            )
+                        )
+                        % width
+                    ).alias("col"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("_p")
+    return (
+        df.select(pos)
+        .select("_p.d", "_p.col")
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum count-min sketches built with identical (width, depth, salt)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int,
+    depth: int,
+    salt: str = "cms",
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Append each probe value's count-min frequency estimate.
+
+    The sketch is ``depth × width`` counters by construction — small
+    enough to collect (the IVF centroid-pull idiom) and inline as a
+    literal map keyed ``d·width + col``, so estimation is a zero-join,
+    zero-shuffle projection over the probes.  For sketches sized
+    beyond literal-map range, the Bloom join-path shape applies
+    (``depth`` broadcast joins on ``(d, col)``).
+    """
+    rows = sketch_df.collect()
+    counters = F.map_from_arrays(
+        F.array(
+            *[F.lit(r["d"] * width + r["col"]).cast("long") for r in rows]
+        ),
+        F.array(*[F.lit(r["cnt"]).cast("long") for r in rows]),
+    ) if rows else None
+    ests = []
+    for d in range(depth):
+        key = (
+            md5_long(
+                F.concat(F.lit(f"{salt}:{d}:"), F.col(value_col).cast("string"))
+            )
+            % width
+            + d * width
+        )
+        ests.append(
+            F.coalesce(F.element_at(counters, key), F.lit(0).cast("long"))
+            if counters is not None
+            else F.lit(0).cast("long")
+        )
+    return probes.withColumn(
+        est_col, ests[0] if len(ests) == 1 else F.least(*ests)
+    )
+
+
 def bloom_might_contain(
     filter_df: DataFrame,
     probes: DataFrame,

@@ -2465,3 +2465,76 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_false_pos"),
         F.every(F.col("flagged") | ~F.col("member")).alias("no_false_neg"),
     )
+
+
+_CMS_W, _CMS_D = 16, 3
+
+
+def _cms_oracle_sql() -> str:
+    def h(d: int, expr: str) -> str:
+        return (
+            md5_long_sql(f"('cms:{d}:' || CAST({expr} AS VARCHAR))")
+            + f" % {_CMS_W}"
+        )
+
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {d} AS d, {h(d, 'w')} AS col FROM occ" for d in range(_CMS_D)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN sk s{d} ON s{d}.d = {d} AND s{d}.col = {h(d, 'dw.w')}"
+        for d in range(_CMS_D)
+    )
+    least = ", ".join(f"coalesce(s{d}.cnt, 0)" for d in range(_CMS_D))
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    occ AS (SELECT unnest(ws) AS w FROM toks),
+    sk AS (
+      SELECT d, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+        {unions})
+      GROUP BY d, col),
+    dw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_true FROM occ GROUP BY w)
+    SELECT dw.w AS word, dw.c_true,
+           least({least}) AS est_count,
+           least({least}) >= dw.c_true AS over_ok
+    FROM dw
+    {joins}
+    """
+
+
+@register(
+    "cms_word_frequencies",
+    oracle=_cms_oracle_sql(),
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Count-min-sketch token frequencies "
+    "(operators.sketches.cms_build/cms_estimate): the frequency sibling "
+    "of the Bloom (membership) and HLL (distinct) sketches — a "
+    "depth x width counter table whose groupBy output is bounded by the "
+    "sketch size regardless of corpus size, merged across shards by "
+    "summing counters, probed as an inlined literal map (zero joins on "
+    "the probe side).  Width deliberately tiny (16) so hash collisions "
+    "REALLY occur and the one-sided overestimate property is exercised, "
+    "not vacuous: the oracle rebuilds every counter exactly from the "
+    "same md5 positions and checks estimates value-for-value plus the "
+    "est >= true invariant per word.",
+)
+def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    occ = docs.select(F.explode(toks).alias("w"))
+    sk = cms_build(occ, "w", width=_CMS_W, depth=_CMS_D)
+    dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("c_true"))
+    est = cms_estimate(sk, dw, "w", width=_CMS_W, depth=_CMS_D)
+    return est.select(
+        F.col("w").alias("word"),
+        "c_true",
+        "est_count",
+        (F.col("est_count") >= F.col("c_true")).alias("over_ok"),
+    )

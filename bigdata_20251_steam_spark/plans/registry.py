@@ -191,6 +191,8 @@ _R6_ROTATION: dict[str, int] = {
     "unigram_lm_scores": 63,
     "temperature_mix_sample": 63,
     "bloom_decontaminate": 63,
+    "cms_word_frequencies": 63,
+    "streaming_bloom_decontaminate": 63,
 }
 
 

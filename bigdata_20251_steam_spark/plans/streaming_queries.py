@@ -611,3 +611,71 @@ def q_streaming_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("checksum_sum"),
         F.bit_xor("_h1").alias("checksum_xor"),
     )
+
+
+def _streaming_bloom_oracle() -> str:
+    # identical semantics to the batch bloom_decontaminate: the flag is a
+    # pure function of (static filter, row), so stream order is irrelevant
+    from .extension_queries import _bloom_oracle_sql
+
+    return _bloom_oracle_sql()
+
+
+@register(
+    "streaming_bloom_decontaminate",
+    oracle=_streaming_bloom_oracle(),
+    priority=63,  # registered r6 after the window filled: r7 first-in-line
+    doc="STREAMING Bloom-filter decontamination: the document stream is "
+    "probed against a STATIC filter built batch-side from the benchmark "
+    "set (operators.sketches.bloom_build), with the filter inlined as a "
+    "word->bits map literal — so the streaming stage is a stateless "
+    "narrow projection: no stream-static join, no state store, no "
+    "shuffle; the ingest-time decontamination shape (drop benchmark "
+    "contamination before bronze ever lands).  The flag is a pure "
+    "function of (filter, row), so the batch bloom_decontaminate "
+    "oracle applies verbatim; per-source flag counts + the "
+    "no-false-negative guarantee are checked exactly.",
+)
+def q_streaming_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .extension_queries import _BLOOM_K, _BLOOM_M
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    docs_batch = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs_batch.filter(
+            (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+        )
+        .select("text")
+        .distinct()
+    )
+    filt = bloom_build(bench, "text", m_bits=_BLOOM_M, k=_BLOOM_K)
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    probed = bloom_might_contain(
+        filt, stream, "text", m_bits=_BLOOM_M, k=_BLOOM_K, inline=True
+    )
+    got = run_available_now(
+        probed.select("source", "text", "might_contain"), output_mode="append"
+    )
+    members = bench.withColumn("_m", F.lit(True))
+    out = (
+        got.join(F.broadcast(members), "text", "left")
+        .withColumn(
+            "member",
+            F.col("text").isNotNull() & F.coalesce("_m", F.lit(False)),
+        )
+        .withColumn(
+            "flagged", F.col("text").isNotNull() & F.col("might_contain")
+        )
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
+        F.sum(
+            F.when(F.col("flagged") & ~F.col("member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.every(F.col("flagged") | ~F.col("member")).alias("no_false_neg"),
+    )

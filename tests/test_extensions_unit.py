@@ -1187,3 +1187,37 @@ def test_temperature_resample_mix_properties(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_cms_one_sided_and_merge(spark):
+    from bigdata_20251_steam_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    w, d = 8, 3  # tiny width so collisions really happen
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"tail-{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", width=w, depth=d)
+    # sketch bounded by its own dimensions, never the input
+    assert sk.count() <= w * d
+    probes = df.groupBy("v").agg(F.count("*").alias("c_true"))
+    est = cms_estimate(sk, probes, "v", width=w, depth=d)
+    for r in est.collect():
+        # one-sided: never under the true count, over by at most N=100
+        assert r["c_true"] <= r["est_count"] <= 100
+    # the dominant key's estimate is tight (min over depths kills most noise)
+    a = est.filter(F.col("v") == "a").collect()[0]
+    assert a["est_count"] >= 50
+    # merge(build(A), build(B)) == build(A ∪ B) counter-for-counter
+    half1 = spark.createDataFrame(rows[:50], "v string")
+    half2 = spark.createDataFrame(rows[50:], "v string")
+    merged = cms_merge(
+        cms_build(half1, "v", width=w, depth=d),
+        cms_build(half2, "v", width=w, depth=d),
+    )
+    assert (
+        {(r["d"], r["col"], r["cnt"]) for r in merged.collect()}
+        == {(r["d"], r["col"], r["cnt"]) for r in sk.collect()}
+    )
