@@ -55,6 +55,12 @@ PROBES = [
     # round-6 additions: corpus-wide segment window + per-source quantile
     "segment_dedup",
     "quality_quantile_filter",
+    # round-6 continuation 4: two-pass LM scoring, rate-threshold mix,
+    # sketch build+probe shapes (bounded-shuffle aggregates)
+    "unigram_lm_scores",
+    "temperature_mix_sample",
+    "bloom_decontaminate",
+    "cms_word_frequencies",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -93,6 +99,10 @@ PROBE_TABLES = {
     "token_budget_sample": {"documents"},
     "epoch_shuffle_order": {"documents"},
     "hll_user_rollup": {"events"},
+    "unigram_lm_scores": {"documents"},
+    "temperature_mix_sample": {"documents"},
+    "bloom_decontaminate": {"documents"},
+    "cms_word_frequencies": {"documents"},
 }
 
 
