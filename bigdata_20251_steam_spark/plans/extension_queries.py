@@ -2538,3 +2538,201 @@ def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") >= F.col("c_true")).alias("over_ok"),
     )
+
+
+def _curation_oracle_sql() -> str:
+    from ..operators.sketches import bloom_positions_sql
+
+    build_pos = bloom_positions_sql("text", _BLOOM_M, _BLOOM_K, "bloom")
+    probe_pos = bloom_positions_sql("s1.text", _BLOOM_M, _BLOOM_K, "bloom")
+    hit = " AND ".join(
+        f"(coalesce(f{i}.bits, 0) & (1::BIGINT << CAST(({probe_pos[i]}) % 63 "
+        f"AS INTEGER))) = (1::BIGINT << CAST(({probe_pos[i]}) % 63 AS INTEGER))"
+        for i in range(_BLOOM_K)
+    )
+    joins = "\n           ".join(
+        f"LEFT JOIN filt f{i} ON f{i}.word_idx = ({probe_pos[i]}) // 63"
+        for i in range(_BLOOM_K)
+    )
+    temper_key = md5_long_sql("('temper:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH base AS (SELECT doc_id, source, text FROM documents),
+    keyed AS (
+      SELECT doc_id, source, text,
+             {md5_long_sql(_NORM_TEXT)}    AS h1,
+             {md5_long_lo_sql(_NORM_TEXT)} AS h2
+      FROM base),
+    s1 AS (SELECT doc_id, source, text FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY h1, h2 ORDER BY doc_id) AS rn
+             FROM keyed) t WHERE rn = 1),
+    bench AS (SELECT DISTINCT text FROM documents
+              WHERE doc_id % 10 = 7 AND text IS NOT NULL),
+    pos AS (SELECT unnest([{", ".join(build_pos)}]) AS p FROM bench),
+    filt AS (SELECT p // 63 AS word_idx,
+                    bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+             FROM pos GROUP BY p // 63),
+    s2 AS (SELECT s1.doc_id, s1.source, s1.text
+           FROM s1
+           {joins}
+           WHERE NOT (s1.text IS NOT NULL AND {hit})),
+    qm AS (SELECT doc_id, source, text,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                  len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+                  length(text) AS n_chars
+           FROM s2),
+    q2 AS (SELECT doc_id, source, text,
+                  CAST(len(toks) AS INTEGER) AS n_toks,
+                  punct / greatest(n_chars, 1) AS punct_ratio,
+                  len(list_filter(toks,
+                        w -> list_contains([{_EN_STOP_SQL}], w)))
+                    / greatest(CAST(len(toks) AS BIGINT), 1) AS stop_ratio
+           FROM qm),
+    q3 AS (SELECT doc_id, source, text,
+                  round(least(greatest(
+                    (0.5 * stop_ratio + 0.5 * (1 - punct_ratio)) *
+                    least(n_toks / 20.0, 1.0), 0.0), 1.0), 6) AS quality
+           FROM q2),
+    s3 AS (SELECT doc_id, source, text FROM (
+             SELECT *, round(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC), 6) AS pr
+             FROM q3) t WHERE pr <= 0.6),
+    c4 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s3
+           GROUP BY source),
+    t4 AS (SELECT sum(pow(n, 0.5)) AS tw FROM c4),
+    r4 AS (SELECT source,
+                  CAST(floor(least(1.0, 120.0 * pow(n, 0.5) / tw / n)
+                       * 1152921504606846976) AS BIGINT) AS thr
+           FROM c4, t4),
+    s4 AS (SELECT s3.doc_id, s3.source, s3.text
+           FROM s3 JOIN r4 USING (source)
+           WHERE {temper_key} < thr),
+    tb AS (SELECT doc_id, source,
+                  CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                  {_TB_KEY_SQL} AS k
+           FROM s4),
+    s5 AS (SELECT doc_id, source, n_tokens FROM (
+             SELECT *, sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+             FROM tb) t WHERE cum <= 400)
+    SELECT b.source, b.n_raw,
+           coalesce(a5.n_kept, 0)      AS n_kept,
+           coalesce(a5.kept_tokens, 0) AS kept_tokens,
+           CAST(a5.min_doc AS BIGINT)  AS min_doc,
+           CAST(a5.max_doc AS BIGINT)  AS max_doc
+    FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM base
+          GROUP BY source) b
+    LEFT JOIN (SELECT source,
+                      CAST(count(*) AS BIGINT)      AS n_kept,
+                      CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+                      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+               FROM s5 GROUP BY source) a5 USING (source)
+    """
+
+
+@register(
+    "curation_pipeline_end_to_end",
+    oracle=_curation_oracle_sql(),
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    headline=True,
+    doc="The full pretraining-curation pipeline a 100-TB run executes, "
+    "as ONE query composing five already-anchored operators in their "
+    "production order: exact dedup (first-occurrence per 120-bit "
+    "normalized-content key) -> Bloom benchmark decontamination (drop "
+    "eval-set overlap at ingest; filter inlined, zero joins) -> "
+    "per-source quality-quantile filter (top 60%, preserves mix "
+    "composition) -> temperature mix resampling (alpha=0.5) -> "
+    "per-source token budget.  Every stage is deterministic "
+    "hash/rank arithmetic, so the oracle replays the ENTIRE pipeline "
+    "in SQL and the driver pins the final per-source survivor counts, "
+    "token mass, and min/max surviving doc ids — WHICH documents make "
+    "it through all five stages, not just how many.  Parameters sized "
+    "so every stage genuinely binds at test scale (dedup drops "
+    "synthetic dups, the filter drops the benchmark decile + FPs, "
+    "quality drops 40%, the mix roughly halves, the budget trims the "
+    "tail; this synthetic corpus happens to hold no exact normalized "
+    "dups, so stage 1 passes through here — its binding is pinned by "
+    "the dedup fixtures).  Output stats scan the chain once (per-stage accounting "
+    "lives in the stages' own registered queries — recomputing "
+    "progressively longer prefixes for six count columns is exactly "
+    "the accidental-recompute shape the r6 plan sweep removed).",
+)
+def q_curation_pipeline_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long_lo
+    from ..operators.sampling import temperature_resample, token_budget_sample
+    from ..operators.sketches import bloom_build, bloom_might_contain
+    from ..operators.text_analysis import quality_column
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # stage 1: exact dedup — lowest doc_id survives per content key
+    norm = dd.normalized_text(F.col("text"))
+    keyed = docs.withColumn("_h1", md5_long(norm)).withColumn(
+        "_h2", md5_long_lo(norm)
+    )
+    w1 = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
+    s1 = (
+        keyed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    # stage 2: benchmark decontamination (drop flagged; nulls unflaggable)
+    bench = (
+        docs.filter((F.col("doc_id") % 10 == 7) & F.col("text").isNotNull())
+        .select("text")
+        .distinct()
+    )
+    filt = bloom_build(bench, "text", m_bits=_BLOOM_M, k=_BLOOM_K)
+    s2 = (
+        bloom_might_contain(
+            filt, s1, "text", m_bits=_BLOOM_M, k=_BLOOM_K, inline=True
+        )
+        .filter(~(F.col("text").isNotNull() & F.col("might_contain")))
+        .drop("might_contain")
+    )
+    # stage 3: per-source quality quantile — keep the cleanest 60%.
+    # Inlined (quality_column + the same rounded percent_rank as
+    # quality_quantile_filter) rather than semi-joining that operator's
+    # output back: the join would recompute the s1->s2 subtree a second
+    # time AND add a doc_id exchange — the accidental-recompute shape
+    # the r6 plan sweep removed.  Cross-form parity is pinned by
+    # tests (test_curation_pipeline_stage3_matches_operator).
+    w3 = Window.partitionBy("source").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc()
+    )
+    s3 = (
+        s2.withColumn("_q", quality_column(F.col("text")))
+        .withColumn("_pr", F.round(F.percent_rank().over(w3), 6))
+        .filter(F.col("_pr") <= 0.6)
+        .select("doc_id", "source", "text")
+    )
+    # stage 4: temperature mix (alpha=0.5, target 120 rows)
+    s4 = temperature_resample(
+        s3, group_col="source", id_col="doc_id", target_rows=120, alpha=0.5
+    )
+    # stage 5: per-source token budget
+    s5 = token_budget_sample(
+        s4, group_col="source", id_col="doc_id", budget_tokens=400
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    final = s5.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.sum("n_tokens").cast("long").alias("_kt"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    return raw.join(final, "source", "left").select(
+        "source",
+        "n_raw",
+        F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("_kt"), F.lit(0).cast("long")).alias("kept_tokens"),
+        "min_doc",
+        "max_doc",
+    )

@@ -193,6 +193,7 @@ _R6_ROTATION: dict[str, int] = {
     "bloom_decontaminate": 63,
     "cms_word_frequencies": 63,
     "streaming_bloom_decontaminate": 63,
+    "curation_pipeline_end_to_end": 63,
 }
 
 

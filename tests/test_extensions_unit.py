@@ -1221,3 +1221,39 @@ def test_cms_one_sided_and_merge(spark):
         {(r["d"], r["col"], r["cnt"]) for r in merged.collect()}
         == {(r["d"], r["col"], r["cnt"]) for r in sk.collect()}
     )
+
+
+def test_curation_pipeline_stage3_matches_operator(spark):
+    """The pipeline inlines the quality-quantile stage for plan hygiene;
+    the survivors must be exactly quality_quantile_filter(kept)."""
+    from pyspark.sql.window import Window
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_column,
+        quality_quantile_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{i % 3}", f"some mildly varied text number {i} " * (1 + i % 5))
+            for i in range(60)
+        ],
+        "doc_id long, source string, text string",
+    )
+    via_op = {
+        r["doc_id"]
+        for r in quality_quantile_filter(docs, keep_fraction=0.6)
+        .filter("kept")
+        .collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc()
+    )
+    inline = {
+        r["doc_id"]
+        for r in docs.withColumn("_q", quality_column(F.col("text")))
+        .withColumn("_pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("_pr") <= 0.6)
+        .collect()
+    }
+    assert inline == via_op
