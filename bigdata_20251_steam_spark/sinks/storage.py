@@ -309,9 +309,12 @@ def write_training_shards(
     from scratch produces byte-identical shards.
 
     ``fmt``: ``"parquet"`` (default — columnar, the analytics-side
-    layout) or ``"jsonl"`` — gzip-compressed JSON Lines, the format
-    most training data loaders stream directly (one JSON object per
-    line, shard files concatenable); same sharding/order contract.
+    layout), ``"jsonl"`` — gzip-compressed JSON Lines, the format most
+    training data loaders stream directly (one JSON object per line,
+    shard files concatenable) — or ``"orc"``, the other built-in
+    columnar format (zlib-compressed by default; useful where the
+    consuming stack is ORC-native, e.g. Hive/Trino warehouses); all
+    three share the identical sharding/order contract.
     """
     from ..operators.sampling import epoch_shuffle
 
@@ -320,5 +323,7 @@ def write_training_shards(
         out.write.mode(mode).parquet(path)
     elif fmt == "jsonl":
         out.write.mode(mode).option("compression", "gzip").json(path)
+    elif fmt == "orc":
+        out.write.mode(mode).orc(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")

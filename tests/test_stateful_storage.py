@@ -454,3 +454,31 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     assert keys == sorted(keys)  # concatenated shards = sorted key order
     with _pytest.raises(ValueError):
         write_training_shards(df, out, "doc_id", epoch=1, n_shards=2, fmt="csvx")
+
+
+def test_write_training_shards_orc(spark, tmp_path):
+    """fmt='orc' (r6): ORC shards carry the same rows and the same
+    shard-order contract as the parquet/jsonl forms."""
+    import pathlib
+
+    from bigdata_20251_steam_spark.sinks.storage import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "orc_shards")
+    write_training_shards(df, out, "doc_id", epoch=1, n_shards=4, fmt="orc")
+    files = sorted(str(p) for p in pathlib.Path(out).glob("part-*.orc"))
+    assert len(files) == 4
+    keys = []
+    for f in files:  # file-name order = global epoch order
+        part = spark.read.orc(f).select("shuffle_key", "doc_id").collect()
+        keys += [r["shuffle_key"] for r in part]
+    assert len(keys) == 200 and keys == sorted(keys)
+    # cross-format determinism: identical order to the parquet shards
+    pq = str(tmp_path / "pq_shards")
+    write_training_shards(df, pq, "doc_id", epoch=1, n_shards=4, fmt="parquet")
+    pq_keys = []
+    for f in sorted(str(p) for p in pathlib.Path(pq).glob("part-*.parquet")):
+        pq_keys += [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
+    assert pq_keys == keys
