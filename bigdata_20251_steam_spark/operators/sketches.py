@@ -151,6 +151,8 @@ def bloom_build(
     hashes) is too large to keep, but ~1.2 GB of filter bits covers 1e9
     keys at ~1% false positives.
     """
+    if m_bits < 1 or k < 1:
+        raise ValueError("bloom_build: m_bits and k must be >= 1")
     pos = F.explode(
         F.array(*_bloom_positions(F.col(value_col), m_bits, k, salt))
     ).alias("_pos")
@@ -216,6 +218,8 @@ def cms_build(
     shards/days by summing counters (:func:`cms_merge`); deterministic
     md5 positions mean a SQL oracle reproduces every counter exactly.
     """
+    if width < 1 or depth < 1:
+        raise ValueError("cms_build: width and depth must be >= 1")
     pos = F.explode(
         F.array(
             *[
@@ -328,6 +332,8 @@ def bloom_might_contain(
       too big even to broadcast, drop the hint: the same plan becomes
       ``k`` shuffle joins co-partitioned on ``word_idx``.
     """
+    if m_bits < 1 or k < 1:
+        raise ValueError("bloom_might_contain: m_bits and k must be >= 1")
     if inline is None:
         inline = m_bits <= BLOOM_INLINE_MAX_BITS
     positions = _bloom_positions(F.col(value_col), m_bits, k, salt)

@@ -202,13 +202,16 @@ _R6_ROTATION: dict[str, int] = {
 #: queries reset to 80 below (including the displaced embed_topk_ivf /
 #: minhash_dedup_resolve / dedup_pipeline_end_to_end) sat r6 out with
 #: last green row r5 — in r7, rotate THOSE in first (the <=2-round
-#: staleness invariant), PLUS the tier-62/63 entries that have never had
-#: a driver row (streaming_segment_dedup, unigram_lm_scores,
-#: temperature_mix_sample, bloom_decontaminate), plus any query whose
-#: code changes in r7.  42 + 4 must-ins leaves ~4 slots for changed-code
-#: re-proves and new registrations — if r7 registers more than that,
-#: prefer never-checked rows and let r5-green queries with unchanged
-#: code slip one round (they stay covered by the local oracle suite).
+#: staleness invariant), PLUS the seven tier-62/63 entries that have
+#: never had a driver row (streaming_segment_dedup, unigram_lm_scores,
+#: temperature_mix_sample, bloom_decontaminate, cms_word_frequencies,
+#: streaming_bloom_decontaminate, curation_pipeline_end_to_end), plus
+#: any query whose code changes in r7.  42 + 7 = 49 must-ins leaves ONE
+#: slot — if r7 registers new queries or changes code, prefer
+#: never-checked rows and let r5-green queries with unchanged code slip
+#: one round (they stay covered by the local oracle suite, which runs
+#: every registered query at sf0.001 in CI and has had full sf0.01 +
+#: sf0.1 bare-session sweeps this round).
 
 
 def _load_all() -> None:

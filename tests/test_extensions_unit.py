@@ -1257,3 +1257,24 @@ def test_curation_pipeline_stage3_matches_operator(spark):
         .collect()
     }
     assert inline == via_op
+
+
+def test_sketch_param_validation(spark):
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        cms_build,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    for m, k in ((0, 3), (128, 0), (-1, -1)):
+        with _pytest.raises(ValueError):
+            bloom_build(df, "v", m_bits=m, k=k)
+        with _pytest.raises(ValueError):
+            bloom_might_contain(df, df, "v", m_bits=m, k=k)
+    with _pytest.raises(ValueError):
+        cms_build(df, "v", width=0, depth=2)
+    with _pytest.raises(ValueError):
+        cms_build(df, "v", width=8, depth=0)
