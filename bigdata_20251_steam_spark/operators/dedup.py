@@ -392,6 +392,55 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def fuzzy_string_pairs(
+    items: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 3,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Blocked approximate-string matching — the entity-resolution shape.
+
+    Near-identical NAMES (titles, authors, products, addresses) are the
+    curation dup class that token/shingle dedup misses: the strings are
+    too short for shingles but differ by a typo or one word.  The
+    classic two-phase ER answer: a cheap BLOCKING key (here any caller
+    expression — last word, phonetic code, length band) bounds the
+    candidate space, then exact Levenshtein verifies within blocks —
+    never all-pairs.
+
+    Returns ``(id_a, id_b, name_a, name_b, lev_dist)`` for every
+    same-block pair at edit distance <= ``max_dist`` (``id_a < id_b``).
+
+    Scale shape: pair generation reuses :func:`blocked_self_pairs` —
+    the triangle-salted self-join whose parallelism is #blocks x
+    S(S+1)/2 cells rather than #blocks — and ``levenshtein`` is a JVM
+    built-in evaluated only on same-block candidates.  Work per block
+    is quadratic in block size BY DESIGN (verification is the point),
+    so block-key choice is the scale lever; a pathological mega-block
+    should be df-capped upstream like the LSH ``max_bucket`` star
+    policy (filter blocks above a count threshold into a review
+    channel instead of verifying them inline).
+    """
+    base = items.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("name"),
+    )
+    pairs = blocked_self_pairs(base, n_salts=n_salts)
+    return (
+        pairs.select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.col("a_name").alias("name_a"),
+            F.col("b_name").alias("name_b"),
+            F.levenshtein("a_name", "b_name").alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= max_dist)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "lang",

@@ -57,3 +57,45 @@ def salted_join(
     )
     out = left.join(right, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Top-k heavy keys with their share of all rows — the skew monitor.
+
+    Every skew mitigation in this engine (``salted_join``, the samplers'
+    ``hot_threshold``, the LSH ``max_bucket`` star policy) needs to know
+    WHICH keys are hot and how hot; this is the companion diagnostic (the
+    ``lsh_bucket_stats`` pattern generalized to any key): per heavy key,
+    its row count, share of the table, and rank.  Run it on a join key
+    before sizing salts, or schedule it as the health check that catches
+    a 100 TB key distribution drifting toward a mitigation threshold.
+
+    Scale shape: one count aggregate on the key (map-side partials), a
+    tiny global-total broadcast, and a distributed partial top-k
+    (``orderBy().limit()`` plans as TakeOrdered — per-partition heaps
+    merged at the driver, NO single-task global sort even with millions
+    of distinct keys); only the <=k survivors pass through the ranking
+    window.  The table itself is scanned once; nothing quadratic,
+    nothing collected.  Deterministic: ties rank by key order.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            "rank",
+            "n_keys",
+        )
+    )

@@ -2540,6 +2540,74 @@ def q_cms_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_part_names",
+    oracle="""
+    WITH d AS (SELECT p_name, min(p_partkey) AS pid FROM part
+               GROUP BY p_name)
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS lev_dist
+    FROM d a JOIN d b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.pid < b.pid
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Blocked approximate-string matching "
+    "(operators.dedup.fuzzy_string_pairs): the entity-resolution shape "
+    "— near-identical product names at Levenshtein distance <= 3, "
+    "blocked by the name's noun (its second word) so verification only "
+    "runs within blocks, never all-pairs; pair generation reuses the "
+    "triangle-salted blocked_self_join so parallelism is blocks x "
+    "salt-cells, not #blocks.  levenshtein is a JVM built-in with a "
+    "DuckDB twin, so every surviving pair and distance is checked "
+    "exactly.",
+)
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    return dd.fuzzy_string_pairs(
+        names.withColumn("_blk", F.split(F.col("p_name"), " ").getItem(1)),
+        id_col="pid",
+        text_col="p_name",
+        block_col="_blk",
+        max_dist=3,
+    )
+
+
+@register(
+    "key_skew_orders",
+    oracle="""
+    WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n_keys FROM c),
+    r AS (SELECT o_custkey, n,
+                 row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rank
+          FROM c)
+    SELECT r.o_custkey, r.n,
+           round(r.n / t.tot, 6) AS share,
+           CAST(r.rank AS INTEGER) AS rank, t.n_keys
+    FROM r, t WHERE r.rank <= 20
+    """,
+    priority=63,  # r6 continuation-4 addition: r7 first-in-line
+    doc="Key-skew diagnostics (operators.joins.key_skew_stats): top-20 "
+    "heaviest join keys with row count, share of table, rank, and "
+    "distinct-key cardinality — the monitoring companion every skew "
+    "mitigation in this engine (salted_join, sampler hot_threshold, "
+    "LSH max_bucket) sizes itself against.  Distributed partial top-k "
+    "(TakeOrdered): per-partition heaps, no single-task sort over the "
+    "distinct-key frame; deterministic tie-break by key.",
+)
+def q_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import key_skew_stats
+
+    return key_skew_stats(
+        load_table(spark, sf_dir, "orders"), key_col="o_custkey", top_k=20
+    )
+
+
 def _curation_oracle_sql() -> str:
     from ..operators.sketches import bloom_positions_sql
 

@@ -194,6 +194,8 @@ _R6_ROTATION: dict[str, int] = {
     "cms_word_frequencies": 63,
     "streaming_bloom_decontaminate": 63,
     "curation_pipeline_end_to_end": 63,
+    "fuzzy_part_names": 63,
+    "key_skew_orders": 63,
 }
 
 
@@ -202,16 +204,18 @@ _R6_ROTATION: dict[str, int] = {
 #: queries reset to 80 below (including the displaced embed_topk_ivf /
 #: minhash_dedup_resolve / dedup_pipeline_end_to_end) sat r6 out with
 #: last green row r5 — in r7, rotate THOSE in first (the <=2-round
-#: staleness invariant), PLUS the seven tier-62/63 entries that have
+#: staleness invariant), PLUS the nine tier-62/63 entries that have
 #: never had a driver row (streaming_segment_dedup, unigram_lm_scores,
 #: temperature_mix_sample, bloom_decontaminate, cms_word_frequencies,
-#: streaming_bloom_decontaminate, curation_pipeline_end_to_end), plus
-#: any query whose code changes in r7.  42 + 7 = 49 must-ins leaves ONE
-#: slot — if r7 registers new queries or changes code, prefer
-#: never-checked rows and let r5-green queries with unchanged code slip
-#: one round (they stay covered by the local oracle suite, which runs
-#: every registered query at sf0.001 in CI and has had full sf0.01 +
-#: sf0.1 bare-session sweeps this round).
+#: streaming_bloom_decontaminate, curation_pipeline_end_to_end,
+#: fuzzy_part_names, key_skew_orders), plus any query whose code
+#: changes in r7.  42 + 9 = 51 is ONE over the window: prefer the
+#: never-checked rows and let the single lowest-risk r5-green query
+#: slip to r8 (pick one whose operator is exercised by an in-window
+#: sibling, e.g. ivf_recall_vs_exact covers embed_topk_ivf's path —
+#: the r6 displacement precedent).  Every registered query stays
+#: covered regardless by the local sf0.001 oracle suite in CI, plus
+#: this round's full sf0.01 + sf0.1 bare-session sweeps.
 
 
 def _load_all() -> None:

@@ -1278,3 +1278,45 @@ def test_sketch_param_validation(spark):
         cms_build(df, "v", width=0, depth=2)
     with _pytest.raises(ValueError):
         cms_build(df, "v", width=8, depth=0)
+
+
+def test_fuzzy_string_pairs_blocking_and_distance(spark):
+    from bigdata_20251_steam_spark.operators.dedup import fuzzy_string_pairs
+
+    items = spark.createDataFrame(
+        [
+            (1, "acme widget", "widget"),
+            (2, "acmee widget", "widget"),   # 1 edit from 1
+            (3, "zenith widget", "widget"),  # far from both
+            (4, "acme bolt", "bolt"),        # near name 1 but other block
+        ],
+        "pid long, name string, blk string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["lev_dist"]
+        for r in fuzzy_string_pairs(
+            items, id_col="pid", text_col="name", block_col="blk", max_dist=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1}  # typo pair found; cross-block pair excluded
+    # raising the threshold admits the distant same-block pairs
+    wide = fuzzy_string_pairs(
+        items, id_col="pid", text_col="name", block_col="blk", max_dist=12
+    )
+    assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == {
+        (1, 2), (1, 3), (2, 3),
+    }
+
+
+def test_key_skew_stats_ranking(spark):
+    from bigdata_20251_steam_spark.operators.joins import key_skew_stats
+
+    df = spark.createDataFrame(
+        [(7,)] * 50 + [(1,)] * 30 + [(k,) for k in range(100, 120)],
+        "k long",
+    )
+    rows = key_skew_stats(df, "k", top_k=3).collect()
+    assert [r["k"] for r in rows] == [7, 1, 100]  # count desc, key asc ties
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n"] == 50 and rows[0]["share"] == 0.5
+    assert all(r["n_keys"] == 22 for r in rows)
