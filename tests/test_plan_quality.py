@@ -336,3 +336,79 @@ def test_quality_window_queries_single_scan(spark):
         plan = _final_plan(df)
         assert len(re.findall(r"FileScan parquet", plan)) == 1, (name, plan)
         assert len(re.findall(r"Exchange", plan)) == 1, (name, plan)
+
+
+def test_lm_scorer_pass2_shuffle_free(spark):
+    """unigram_lm_scores' scoring pass (r6): the vocabulary rides the plan
+    as a map literal, so the returned frame must be a single-scan, zero-
+    exchange narrow projection (pass 1's vocab jobs already ran eagerly at
+    construction time)."""
+    import re
+
+    df = QUERIES["unigram_lm_scores"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"LM scoring pass shuffles:\n{plan}"
+
+
+def test_bloom_inline_probe_no_probe_side_shuffle(spark):
+    """bloom_might_contain(inline=True) (r6): membership is a literal-map
+    lookup, so the probe corpus must not shuffle and must not join — the
+    only exchanges allowed in the registered query's plan belong to the
+    final per-source aggregate and the tiny members broadcast."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7).select("text").distinct()
+    filt = bloom_build(bench, "text", m_bits=8192, k=3)
+    probed = bloom_might_contain(filt, docs, "text", m_bits=8192, k=3,
+                                 inline=True)
+    plan = _final_plan(probed)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan and "Join" not in plan, (
+        f"inline bloom probe is not a narrow projection:\n{plan}"
+    )
+
+
+def test_cms_build_bounded_aggregate_shape(spark):
+    """cms_build (r6): partial+final aggregate pair around exactly one
+    exchange on (d, col) — the map-side combine that bounds the shuffle by
+    the sketch size, the same contract as the HLL rollup."""
+    from bigdata_20251_steam_spark.operators.sketches import cms_build
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    occ = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    plan = _final_plan(cms_build(occ, "w", width=64, depth=3))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_temperature_resample_corpus_never_shuffles(spark):
+    """temperature_resample (r6): the corpus side must reach the output
+    through a broadcast join + filter only — every hashpartitioning
+    exchange in the plan must sit on the tiny counts/rates subtree (keyed
+    by the group column), never on corpus rows."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.sampling import (
+        temperature_resample,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kept = temperature_resample(docs, "source", "doc_id", target_rows=100)
+    plan = _final_plan(kept)
+    assert "BroadcastHashJoin" in plan, plan
+    shuffles = [e for e in re.findall(r"Exchange hashpartitioning[^\n]*", plan)]
+    assert all("source" in e for e in shuffles), (
+        f"corpus-keyed shuffle in temperature_resample:\n{shuffles}"
+    )
