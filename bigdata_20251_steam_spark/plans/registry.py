@@ -196,6 +196,7 @@ _R6_ROTATION: dict[str, int] = {
     "curation_pipeline_end_to_end": 63,
     "fuzzy_part_names": 63,
     "key_skew_orders": 63,
+    "streaming_hll_windows": 63,
 }
 
 
@@ -204,16 +205,17 @@ _R6_ROTATION: dict[str, int] = {
 #: queries reset to 80 below (including the displaced embed_topk_ivf /
 #: minhash_dedup_resolve / dedup_pipeline_end_to_end) sat r6 out with
 #: last green row r5 — in r7, rotate THOSE in first (the <=2-round
-#: staleness invariant), PLUS the nine tier-62/63 entries that have
+#: staleness invariant), PLUS the ten tier-62/63 entries that have
 #: never had a driver row (streaming_segment_dedup, unigram_lm_scores,
 #: temperature_mix_sample, bloom_decontaminate, cms_word_frequencies,
 #: streaming_bloom_decontaminate, curation_pipeline_end_to_end,
-#: fuzzy_part_names, key_skew_orders), plus any query whose code
-#: changes in r7.  42 + 9 = 51 is ONE over the window: prefer the
-#: never-checked rows and let the single lowest-risk r5-green query
-#: slip to r8 (pick one whose operator is exercised by an in-window
-#: sibling, e.g. ivf_recall_vs_exact covers embed_topk_ivf's path —
-#: the r6 displacement precedent).  Every registered query stays
+#: fuzzy_part_names, key_skew_orders, streaming_hll_windows), plus any
+#: query whose code changes in r7.  42 + 10 = 52 is TWO over the
+#: window: prefer the never-checked rows and let the two lowest-risk
+#: r5-green queries slip to r8 (pick ones whose operators are
+#: exercised by in-window siblings, e.g. ivf_recall_vs_exact covers
+#: embed_topk_ivf's path — the r6 displacement precedent).  Every
+#: registered query stays
 #: covered regardless by the local sf0.001 oracle suite in CI, plus
 #: this round's full sf0.01 + sf0.1 bare-session sweeps.
 

@@ -679,3 +679,65 @@ def q_streaming_bloom_decontaminate(
         ).alias("n_false_pos"),
         F.every(F.col("flagged") | ~F.col("member")).alias("no_false_neg"),
     )
+
+
+@register(
+    "streaming_hll_windows",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY 1, 2
+    """,
+    priority=63,  # registered r6 after the window filled: r7 first-in-line
+    doc="STREAMING windowed HLL distinct-user rollup: hll_sketch_agg "
+    "inside a watermarked 1-hour tumbling-window aggregation (complete "
+    "mode) — the mergeable-sketch family composed with streaming "
+    "windows, i.e. the per-window distinct-users metric a 100 TB "
+    "event stream serves without keeping raw user ids in state (state "
+    "per window x type is one fixed 2^lg_k-register buffer; exact "
+    "distinct aggs are unsupported on streams precisely because their "
+    "state is unbounded).  The estimate itself is engine-specific, so "
+    "the driver-checkable surface is the hll_user_rollup invariant "
+    "shape: per (window, event_type), the batch-side exact distinct "
+    "count plus an est_ok flag pinning the streamed estimate within "
+    "5% of it — estimate drift or state-store corruption flips the "
+    "flag and hash-mismatches the oracle.",
+)
+def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("est"),
+        )
+    )
+    streamed = run_available_now(agg, output_mode="complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_exact"
+        )
+    )
+    return exact.join(streamed, ["window_start", "event_type"], "left").select(
+        "window_start",
+        "event_type",
+        "n_exact",
+        (
+            F.col("est").isNotNull()
+            & (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            )
+        ).alias("est_ok"),
+    )
