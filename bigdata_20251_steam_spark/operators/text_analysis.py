@@ -491,6 +491,13 @@ def unigram_lm_scores(
 
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
+    if vocab_size > 10_000:
+        raise ValueError(
+            "unigram_lm_scores inlines the vocabulary as a map literal; "
+            f"vocab_size={vocab_size} exceeds the 10k literal-map bound — "
+            "use the explode -> broadcast-join(word->lp) -> re-aggregate "
+            "form documented above for large vocabularies"
+        )
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda w: w != F.lit(""),

@@ -1320,3 +1320,21 @@ def test_key_skew_stats_ranking(spark):
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert rows[0]["n"] == 50 and rows[0]["share"] == 0.5
     assert all(r["n_keys"] == 22 for r in rows)
+
+
+def test_unigram_lm_vocab_bounds(spark):
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        unigram_lm_scores(docs, vocab_size=0)
+    with _pytest.raises(ValueError):
+        unigram_lm_scores(docs, vocab_size=10_001)
+    # empty corpus is a loud error, not a silent empty frame
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        unigram_lm_scores(empty, vocab_size=4)
