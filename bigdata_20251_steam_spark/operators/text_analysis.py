@@ -198,6 +198,73 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.select("doc_id", fp.alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting algorithm, SIGMOD 2003).
+
+    Hash every k-token shingle, slide a window of ``window`` consecutive
+    shingle hashes, and keep each window's minimum.  The published
+    guarantee: any shared token run of length >= ``window + k - 1``
+    between two documents yields at least one SHARED fingerprint (a
+    window of shingles fits entirely inside the run, and its identical
+    minimum is selected in both docs), while expected density is only
+    ~2/(window+1) of the shingles — the locality property bag-of-words
+    minhash lacks (minhash samples globally, so a short plagiarised
+    passage inside a long document is usually invisible to it).
+
+    Output: one row per distinct selected hash per doc
+    ``(doc_id, fingerprint)``; pairs of docs sharing fingerprints are
+    near-dup/containment candidates (compose with the existing blocked
+    verifiers, e.g. group by fingerprint exactly like
+    ``lsh_candidate_pairs`` groups by band signature).
+
+    Scale shape: tokenize -> shingle-hash -> window-min selection are all
+    per-document array lambdas fused into the scan — ZERO shuffles, no
+    Python; amplification is bounded by the ~2/(window+1) density.  Docs
+    with fewer than ``k`` tokens have no shingle and emit no rows; docs
+    with 1 <= m < ``window`` shingles emit their global minimum (one
+    truncated window), so every doc with a shingle gets >= 1 fingerprint.
+
+    Hashes are the cross-engine 60-bit md5 (``functions/hashing.py``)
+    reduced mod P, matching the DuckDB oracle bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = (
+        spread_partitions(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.array_remove(
+                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"), ""
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") >= k)
+    )
+    # m = n - k + 1 shingles (>= 1 after the filter); sequence(1, m) is
+    # safe — Spark sequence() would count DOWN for m < 1.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - k + 1),
+        lambda j: md5_long(F.array_join(F.slice("ws", j, k), " "))
+        % HASH_PRIME,
+    )
+    shingled = toks.select("doc_id", grams.alias("gh"))
+    n_win = F.greatest(F.size("gh") - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice("gh", j, window)),
+    )
+    return shingled.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 64,

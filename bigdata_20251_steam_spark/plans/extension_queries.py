@@ -597,6 +597,41 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_fingerprints",
+    priority=63,  # r6 continuation — never driver-checked, r7 first-in-line
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - 3 + 2),
+               j -> CAST(('0x' || substr(md5(
+                      array_to_string(list_slice(ws, j, j + 3 - 1), ' ')
+                    ), 1, 15)) AS BIGINT) % {P}) AS gh
+      FROM t WHERE len(ws) >= 3),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(gh) - 4 + 1, 1) + 1),
+               j -> list_min(list_slice(gh, j, j + 4 - 1)))) AS fps
+      FROM s)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM w
+    """,
+    doc="Winnowing local fingerprints (MOSS, SIGMOD 2003): k=3 shingle "
+    "hashes -> window-4 minimum selection; guarantees a shared "
+    "fingerprint for any shared run >= window+k-1 tokens at ~2/(w+1) "
+    "density. Zero-shuffle array lambdas.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+@register(
     "clean_html_roundtrip",
     oracle=f"""
     SELECT doc_id,

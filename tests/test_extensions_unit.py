@@ -1338,3 +1338,84 @@ def test_unigram_lm_vocab_bounds(spark):
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         unigram_lm_scores(empty, vocab_size=4)
+
+
+def _winnow_ref(text, k, window):
+    """Independent pure-Python winnowing reference for the fixture tests."""
+    import hashlib
+
+    P = 2_147_483_647
+    ws = [w for w in text.lower().strip().split() if w]
+    if len(ws) < k:
+        return {}
+    gh = [
+        int(hashlib.md5(" ".join(ws[j : j + k]).encode()).hexdigest()[:15], 16)
+        % P
+        for j in range(len(ws) - k + 1)
+    ]
+    n_win = max(len(gh) - window + 1, 1)
+    return set(min(gh[j : j + window]) for j in range(n_win))
+
+
+def test_winnow_fingerprints_hand_fixture(spark):
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A b a B a b c"),  # case-folded before shingling
+            (2, "x y"),  # 2 tokens, k=2 -> 1 shingle < window -> global min
+            (3, "solo"),  # < k tokens -> no rows
+            (4, None),  # null text -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=2, window=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert got.get(1) == _winnow_ref("a b a b a b c", 2, 3)
+    assert got.get(2) == _winnow_ref("x y", 2, 3)
+    assert len(got.get(2)) == 1  # exactly the global min
+    assert 3 not in got and 4 not in got
+
+
+def test_winnow_guarantee_shared_run(spark):
+    # the MOSS guarantee: a shared token run of length >= window + k - 1
+    # yields at least one SHARED fingerprint, whatever surrounds it
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, window = 3, 4
+    run = "the quick brown fox jumps over lazy dogs tonight again"  # 10 >= 6
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma delta"),
+            (2, "zeta " + run),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=window)
+    shared = (
+        fps.groupBy("fingerprint")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") == 2)
+        .count()
+    )
+    assert shared >= 1
+
+
+def test_winnow_fingerprints_param_validation(spark):
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, window=0)

@@ -412,3 +412,16 @@ def test_temperature_resample_corpus_never_shuffles(spark):
     assert all("source" in e for e in shuffles), (
         f"corpus-keyed shuffle in temperature_resample:\n{shuffles}"
     )
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    # shingle-hash + window-min selection are per-doc array lambdas: the
+    # only allowed Exchange is spread_partitions' parallelism floor
+    import re
+
+    df = QUERIES["winnow_fingerprints"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
+        f"winnow_fingerprints plans a key shuffle:\n{plan}"
+    )
