@@ -61,6 +61,9 @@ PROBES = [
     "temperature_mix_sample",
     "bloom_decontaminate",
     "cms_word_frequencies",
+    # round-6 continuation 5: zero-shuffle window-min selection with
+    # ~2/(w+1) explode amplification
+    "winnow_fingerprints",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -103,6 +106,7 @@ PROBE_TABLES = {
     "temperature_mix_sample": {"documents"},
     "bloom_decontaminate": {"documents"},
     "cms_word_frequencies": {"documents"},
+    "winnow_fingerprints": {"documents"},
 }
 
 
