@@ -8,6 +8,7 @@ scales with cores regardless of corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -196,6 +197,55 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % HASH_PRIME
     )
     return toks.select("doc_id", fp.alias("fingerprint"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization + lowercase + whitespace collapse.
+
+    The canonicalization step web-scale pipelines run BEFORE any
+    hash-based operator (CCNet normalizes before LM scoring): composed
+    vs decomposed accents ('é' as U+00E9 vs U+0065 U+0301) are visually
+    identical but hash differently, silently defeating exact dedup,
+    minhash, winnowing and decontamination alike.
+
+    NFC has no JVM builtin, so that one step runs as an Arrow-batched
+    scalar ``pandas_udf`` (the vectorized slow-path tier — whole Arrow
+    batches cross the boundary, never row-at-a-time Python); lowercase,
+    trim and whitespace collapse stay JVM-side around it.  The plan is a
+    pure narrow map stage: zero shuffles, streams through a 100 TB
+    corpus scan-bound.  (On mostly-ASCII corpora a JVM ``rlike`` ASCII
+    pre-mask could bypass Python for pure-ASCII rows — NFC is the
+    identity on ASCII — but conditional branches around a UDF may still
+    evaluate it eagerly per-row, so that lever is a documented option,
+    not the default.)
+
+    Output: ``(doc_id, text_norm, changed)`` — ``changed`` is a
+    null-safe "normalization altered the text" flag (null text stays
+    null, flag false).
+
+    Oracle twin: DuckDB ``regexp_replace(trim(lower(nfc_normalize(t))),
+    '\\s+', ' ', 'g')`` — same operation order on both engines.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str)
+            else None
+        )
+
+    norm = F.regexp_replace(
+        F.trim(F.lower(_nfc(F.col(text_col)))), "\\s+", " "
+    )
+    return spread_partitions(docs, "doc_id").select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (~norm.eqNullSafe(F.col(text_col))).alias("changed"),
+    )
 
 
 def winnow_fingerprints(

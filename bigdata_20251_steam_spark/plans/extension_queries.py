@@ -632,6 +632,28 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalize_text",
+    priority=63,  # r6 continuation — never driver-checked, r7 first-in-line
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(nfc_normalize(text))),
+                            '\\s+', ' ', 'g') AS text_norm,
+             text
+      FROM documents)
+    SELECT doc_id, text_norm,
+           (text_norm IS DISTINCT FROM text) AS changed
+    FROM n
+    """,
+    doc="Unicode NFC canonicalization + lowercase + whitespace collapse "
+    "(the pre-hashing normalization step; Arrow-batched pandas_udf for "
+    "NFC, JVM for the rest; zero shuffles).",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "clean_html_roundtrip",
     oracle=f"""
     SELECT doc_id,

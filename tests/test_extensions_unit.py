@@ -1419,3 +1419,40 @@ def test_winnow_fingerprints_param_validation(spark):
         winnow_fingerprints(docs, k=0)
     with _pytest.raises(ValueError):
         winnow_fingerprints(docs, window=0)
+
+
+def test_normalize_text_unicode_cross_engine(spark):
+    # real-Unicode pin the ASCII corpus can't exercise: composed vs
+    # decomposed accents, compatibility codepoints, case, whitespace runs
+    import duckdb
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Caf\u00e9  DU  Monde"),  # composed e-acute, case, space runs
+        (2, "Cafe\u0301 du monde"),  # decomposed -> NFC-equal to doc 1
+        (3, "  plain ascii  text "),
+        (4, None),
+        (5, ""),
+        (6, "\u212b vs A\u030a"),  # angstrom sign & A+ring both -> U+00C5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_norm"], r["changed"])
+        for r in normalize_text(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["normalize_text"].oracle).fetchall()
+    }
+    assert got == exp
+    assert got[1][0] == got[2][0] == "caf\u00e9 du monde"
+    assert got[6][0] == "\u00e5 vs \u00e5"
+    assert got[4] == (None, False)
+    assert got[5] == ("", False)
+    assert got[1][1] is True and got[2][1] is True and got[3][1] is True

@@ -425,3 +425,17 @@ def test_winnow_fingerprints_shuffle_free(spark):
     assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
         f"winnow_fingerprints plans a key shuffle:\n{plan}"
     )
+
+
+def test_normalize_text_narrow_map(spark):
+    # NFC pandas_udf + JVM lower/trim/collapse must stay one narrow map
+    # stage: Arrow eval node present, no key shuffle
+    import re
+
+    df = QUERIES["normalize_text"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
+        f"normalize_text plans a key shuffle:\n{plan}"
+    )
