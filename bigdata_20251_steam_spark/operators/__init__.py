@@ -29,6 +29,7 @@ from .sampling import (
     stratified_sample,
     token_budget_sample,
 )
+from .profiling import profile_columns
 from .similarity import quantize_embeddings
 from .sketches import hll_distinct_rollup, hll_sketches
 from .similarity import (
@@ -64,5 +65,5 @@ __all__ = [
     "fingerprints", "language_id", "quality_scores", "token_counts",
     "chunk_documents", "epoch_shuffle", "epoch_shuffle_key",
     "sample_n_per_group", "token_budget_sample",
-    "hll_distinct_rollup", "hll_sketches",
+    "hll_distinct_rollup", "hll_sketches", "profile_columns",
 ]

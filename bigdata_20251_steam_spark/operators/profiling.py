@@ -1,0 +1,91 @@
+"""Single-pass exact column profiling — the "know your data" audit step.
+
+A 100-TB ingest needs a per-column census BEFORE any curation decision:
+null rates (broken upstream extract), distinct cardinality (is this a
+key? an enum? free text?), min/max (range drift), and byte mass (who
+pays the storage bill).  The reference pipeline has no profiling
+operator (its schemas are hand-declared in
+``k8s/spark-apps/kafka-spark-configmap.yaml`` and never audited); this
+is part of the commissioned large-scale-pipeline extension surface,
+sibling to the sketch-based ``approx_stats`` monitor.
+
+Scale shape (the reason this is NOT one ``groupBy().agg(countDistinct,
+...)`` call): mixing distinct and plain aggregates in a single agg makes
+Catalyst plan an ``Expand`` that multiplies every input row by the
+number of distinct-aggregate groups.  Instead the frame is melted once
+(``stack`` — a narrow projection, one scan) to ``(col_name, val)`` rows
+and aggregated twice:
+
+1. ``groupBy(col_name, val).count()`` — partial map-side combine
+   collapses duplicate values BEFORE the exchange, so the shuffle
+   carries one row per distinct ``(column, value)`` pair, not per input
+   row.  For enum-ish columns that is a few rows per partition.
+2. ``groupBy(col_name)`` over the distinct pairs — a second exchange
+   bounded by the distinct cardinality, producing one output row per
+   column.
+
+Exact distinct counting on a free-text column inherently shuffles every
+distinct value once; that is the price of EXACT.  The bounded-state
+alternative at full scale is the HLL/KLL monitor (``approx_stats``,
+``operators/sketches.py``) — this operator is the exact auditor you run
+on a sampled slice or on the bounded columns.
+
+Values are canonicalized to strings so one long-format result covers
+heterogeneous columns.  Only types whose string form is byte-identical
+across engines (integers, strings) are safe for the cross-engine
+oracle; doubles/timestamps render differently (Java vs C formatting)
+and belong in ``approx_stats`` instead — callers may still profile
+them, the registered query just does not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Exact per-column profile: one row per column in ``columns``.
+
+    Output schema (all counts exact):
+      col_name   — the profiled column
+      n_rows     — total rows (identical for every column; kept per-row
+                   so the frame is self-describing after a filter)
+      n_nulls    — NULL count
+      n_distinct — exact distinct count of NON-NULL values
+      min_val / max_val — lexicographic extremes of the string form
+                   (UTF-8 binary order == codepoint order, so Spark and
+                   DuckDB agree byte-for-byte)
+      total_len  — sum of string-form lengths over non-null values
+    """
+    if not columns:
+        raise ValueError("profile_columns: need at least one column")
+    stack_args: list = [F.lit(len(columns))]
+    for c in columns:
+        stack_args.append(F.lit(c))
+        stack_args.append(F.col(c).cast("string"))
+    melted = df.select(F.stack(*stack_args).alias("col_name", "val"))
+    per_val = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNull(), F.col("_cnt"))), zero
+            ).alias("n_nulls"),
+            # per_val rows are distinct (col, val) pairs, so a plain
+            # non-null count IS the exact distinct count — no Expand.
+            F.count("val").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.coalesce(
+                F.sum(F.length("val").cast("bigint") * F.col("_cnt")), zero
+            ).alias("total_len"),
+        )
+        .orderBy("col_name")
+    )

@@ -2861,3 +2861,52 @@ def q_curation_pipeline_end_to_end(
         "min_doc",
         "max_doc",
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (exact census)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = """
+    WITH m AS (
+      SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val
+      FROM documents
+      UNION ALL SELECT 'text', text FROM documents
+      UNION ALL SELECT 'lang', lang FROM documents
+      UNION ALL SELECT 'source', source FROM documents
+      UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+    )
+    SELECT col_name,
+           CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(*) FILTER (val IS NULL) AS BIGINT)  AS n_nulls,
+           CAST(count(DISTINCT val) AS BIGINT)            AS n_distinct,
+           min(val)                                       AS min_val,
+           max(val)                                       AS max_val,
+           CAST(COALESCE(sum(length(val)), 0) AS BIGINT)  AS total_len
+    FROM m GROUP BY col_name ORDER BY col_name
+"""
+
+
+@register(
+    "profile_documents",
+    oracle=_PROFILE_ORACLE,
+    priority=63,  # r6 late addition: r7 first-in-line, never driver-checked
+    doc="Exact per-column census of the documents table via the "
+    "melt-then-double-aggregate profiler (operators/profiling.py): "
+    "null counts, exact distinct cardinality, lexicographic min/max "
+    "and total string length per column, in one scan.  The melted "
+    "(col_name, val) frame pre-aggregates map-side, so the first "
+    "exchange carries one row per DISTINCT (column, value) pair — "
+    "bounded for the enum-ish columns, full-distinct for text (the "
+    "price of EXACT; the sketch sibling approx_stats is the 100-TB "
+    "monitor).  Only integer/string columns are registered: their "
+    "string canonicalization is byte-identical across engines, so the "
+    "oracle pins every cell exactly.",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, _PROFILE_COLS)

@@ -1,0 +1,64 @@
+"""Exact column profiler: hand-computed values + plan-shape guarantees."""
+
+from __future__ import annotations
+
+import re
+
+from bigdata_20251_steam_spark.operators.profiling import profile_columns
+from bigdata_20251_steam_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def test_profile_columns_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, "alpha"),
+            (3, ""),
+            (4, None),
+            (None, "zz"),
+        ],
+        "id long, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+
+    rid = rows["id"]
+    assert rid["n_rows"] == 5
+    assert rid["n_nulls"] == 1
+    assert rid["n_distinct"] == 4
+    assert rid["min_val"] == "1"
+    assert rid["max_val"] == "4"
+    assert rid["total_len"] == 4  # "1","2","3","4"
+
+    rs = rows["s"]
+    assert rs["n_rows"] == 5
+    assert rs["n_nulls"] == 1
+    assert rs["n_distinct"] == 3  # "alpha", "", "zz" — empty != null
+    assert rs["min_val"] == ""  # empty string sorts before everything
+    assert rs["max_val"] == "zz"
+    assert rs["total_len"] == 12  # 5 + 5 + 0 + 2
+
+
+def test_profile_columns_rejects_empty_column_list(spark):
+    df = spark.range(1)
+    try:
+        profile_columns(df, [])
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on empty column list")
+
+
+def test_profile_documents_plan_shape(spark):
+    """One scan, two hash exchanges, no Expand (the design claim: melting
+
+    then double-aggregating avoids the distinct-aggregate Expand that
+    would multiply every input row by the number of profiled columns)."""
+    df = QUERIES["profile_documents"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Expand" not in plan, plan
+    # the only range exchange is the 5-row final orderBy
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) <= 1, plan
