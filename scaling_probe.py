@@ -62,8 +62,10 @@ PROBES = [
     "bloom_decontaminate",
     "cms_word_frequencies",
     # round-6 continuation 5: zero-shuffle window-min selection with
-    # ~2/(w+1) explode amplification
+    # ~2/(w+1) explode amplification; melt-aggregate census whose first
+    # shuffle is bounded by distinct (column, value) pairs
     "winnow_fingerprints",
+    "profile_documents",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -107,6 +109,7 @@ PROBE_TABLES = {
     "bloom_decontaminate": {"documents"},
     "cms_word_frequencies": {"documents"},
     "winnow_fingerprints": {"documents"},
+    "profile_documents": {"documents"},
 }
 
 
