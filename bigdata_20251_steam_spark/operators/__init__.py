@@ -29,7 +29,7 @@ from .sampling import (
     stratified_sample,
     token_budget_sample,
 )
-from .profiling import profile_columns
+from .profiling import profile_columns, value_histogram
 from .similarity import quantize_embeddings
 from .sketches import hll_distinct_rollup, hll_sketches
 from .similarity import (
@@ -66,4 +66,5 @@ __all__ = [
     "chunk_documents", "epoch_shuffle", "epoch_shuffle_key",
     "sample_n_per_group", "token_budget_sample",
     "hll_distinct_rollup", "hll_sketches", "profile_columns",
+    "value_histogram",
 ]

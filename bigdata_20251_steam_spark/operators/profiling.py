@@ -89,3 +89,62 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+def value_histogram(
+    df: DataFrame, col: str, bins: int = 20
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column.
+
+    The distribution-shape companion to :func:`profile_columns` (which
+    deliberately excludes doubles — their string forms differ across
+    engines) and to the ``approx_stats`` quantile sketches (which give
+    rank points, not shape).  Two scans by construction: one global
+    min/max aggregate, then the bucketing pass — the bounds frame is a
+    single row broadcast onto the scan, so the only data exchange is
+    the final ``groupBy(bucket)``, bounded by ``bins`` rows per
+    partition regardless of input size.
+
+    Cross-engine exactness: bucket index is
+    ``least(floor((v - lo) / ((hi - lo) / bins)), bins - 1)`` — the
+    same IEEE-double operations in the same order on both engines, so
+    even the float bucket bounds reproduce bit-for-bit (rounded to 6dp
+    in the registered query per repo convention).  NULLs are excluded
+    from bucketing; a degenerate column (``hi == lo``) lands entirely
+    in bucket 0 instead of dividing by zero.
+    """
+    if bins < 1:
+        raise ValueError("value_histogram: bins must be >= 1")
+    v = F.col(col)
+    stats = df.filter(v.isNotNull()).agg(
+        F.min(v).cast("double").alias("_lo"),
+        F.max(v).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((v.cast("double") - F.col("_lo")) / width),
+            F.lit(bins - 1).cast("bigint"),
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bucket", idx)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_lo").alias("_lo"),
+            F.min("_hi").alias("_hi"),
+        )
+        .select(
+            "bucket",
+            (
+                F.col("_lo")
+                + F.col("bucket").cast("double")
+                * ((F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+            ).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

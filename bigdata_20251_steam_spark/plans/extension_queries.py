@@ -2910,3 +2910,47 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_columns(docs, _PROFILE_COLS)
+
+
+_HISTOGRAM_ORACLE = """
+    WITH s AS (
+      SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT CASE WHEN hi = lo THEN 0
+             ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
+                              / ((hi - lo) / 20.0)) AS BIGINT), 19)
+             END AS bucket, lo, hi
+      FROM events, s WHERE value IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT)                  AS bucket,
+           round(min(lo) + CAST(bucket AS DOUBLE)
+                 * ((min(hi) - min(lo)) / 20.0), 6) AS bucket_lo,
+           CAST(count(*) AS BIGINT)                AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "histogram_event_values",
+    oracle=_HISTOGRAM_ORACLE,
+    priority=63,  # r6 late addition: r7 first-in-line, never driver-checked
+    doc="Exact 20-bin equi-width histogram of events.value "
+    "(operators/profiling.py:value_histogram) — the distribution-SHAPE "
+    "monitor beside approx_stats' rank points and profile_documents' "
+    "string census (which excludes doubles by design).  Two scans: a "
+    "global min/max aggregate broadcast as one row onto the bucketing "
+    "pass; the only data exchange is the final groupBy(bucket), "
+    "bounded by bins rows per partition regardless of input size.  The "
+    "bucket index is the same IEEE-double expression on both engines, "
+    "so every count and 6dp bucket bound pins exactly.",
+)
+def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import value_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    hist = value_histogram(events, "value", bins=20)
+    return hist.select(
+        "bucket", F.round("bucket_lo", 6).alias("bucket_lo"), "n"
+    )

@@ -210,10 +210,11 @@ _R6_ROTATION: dict[str, int] = {
 #: temperature_mix_sample, bloom_decontaminate, cms_word_frequencies,
 #: streaming_bloom_decontaminate, curation_pipeline_end_to_end,
 #: fuzzy_part_names, key_skew_orders, streaming_hll_windows,
-#: winnow_fingerprints, normalize_text, profile_documents — THIRTEEN
-#: with the late winnowing/normalization/profiling additions), plus
-#: any query whose code changes in r7.  42 + 13 = 55 is FIVE over the
-#: window: prefer the never-checked rows and let the five lowest-risk
+#: winnow_fingerprints, normalize_text, profile_documents,
+#: histogram_event_values — FOURTEEN with the late
+#: winnowing/normalization/profiling additions), plus
+#: any query whose code changes in r7.  42 + 14 = 56 is SIX over the
+#: window: prefer the never-checked rows and let the six lowest-risk
 #: r5-green queries slip to r8 (pick ones whose operators are
 #: exercised by in-window siblings, e.g. ivf_recall_vs_exact covers
 #: embed_topk_ivf's path — the r6 displacement precedent).  Every

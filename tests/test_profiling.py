@@ -62,3 +62,45 @@ def test_profile_documents_plan_shape(spark):
     assert "Expand" not in plan, plan
     # the only range exchange is the 5-row final orderBy
     assert len(re.findall(r"Exchange rangepartitioning", plan)) <= 1, plan
+
+
+def test_value_histogram_hand_computed(spark):
+    # lo=0, hi=10, bins=5 -> width 2; 10 clamps into bucket 4
+    df = spark.createDataFrame(
+        [(0.0,), (1.9,), (2.0,), (9.9,), (10.0,), (None,)], "v double"
+    )
+    from bigdata_20251_steam_spark.operators.profiling import value_histogram
+
+    rows = {r["bucket"]: r for r in value_histogram(df, "v", bins=5).collect()}
+    assert set(rows) == {0, 1, 4}
+    assert rows[0]["n"] == 2 and rows[0]["bucket_lo"] == 0.0
+    assert rows[1]["n"] == 1 and rows[1]["bucket_lo"] == 2.0
+    assert rows[4]["n"] == 2 and rows[4]["bucket_lo"] == 8.0
+
+
+def test_value_histogram_degenerate_and_empty(spark):
+    from bigdata_20251_steam_spark.operators.profiling import value_histogram
+
+    same = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = value_histogram(same, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+    nulls = spark.createDataFrame([(None,)], "v double")
+    assert value_histogram(nulls, "v").collect() == []
+
+    try:
+        value_histogram(same, "v", bins=0)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on bins=0")
+
+
+def test_histogram_plan_shape(spark):
+    """Two scans (bounds + bucketing), stats broadcast as one row, and
+    the only hash exchange is the bins-bounded groupBy(bucket)."""
+    df = QUERIES["histogram_event_values"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet", plan)) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
