@@ -62,6 +62,11 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """
     if not columns:
         raise ValueError("profile_columns: need at least one column")
+    if len(set(columns)) != len(columns):
+        # stack would emit the duplicate twice and the groupBy would
+        # silently merge them, doubling n_rows/total_len for that column.
+        dupes = sorted({c for c in columns if list(columns).count(c) > 1})
+        raise ValueError(f"profile_columns: duplicate columns {dupes}")
     stack_args: list = [F.lit(len(columns))]
     for c in columns:
         stack_args.append(F.lit(c))
@@ -109,14 +114,23 @@ def value_histogram(
     ``least(floor((v - lo) / ((hi - lo) / bins)), bins - 1)`` — the
     same IEEE-double operations in the same order on both engines, so
     even the float bucket bounds reproduce bit-for-bit (rounded to 6dp
-    in the registered query per repo convention).  NULLs are excluded
-    from bucketing; a degenerate column (``hi == lo``) lands entirely
-    in bucket 0 instead of dividing by zero.
+    in the registered query per repo convention).  NULLs and NaNs are
+    excluded from bucketing (a NaN row would poison max/width on the
+    Spark side and crash DuckDB's floor→BIGINT cast on the oracle
+    side); a degenerate column (``hi == lo``) lands entirely in
+    bucket 0 instead of dividing by zero.
     """
     if bins < 1:
         raise ValueError("value_histogram: bins must be >= 1")
     v = F.col(col)
-    stats = df.filter(v.isNotNull()).agg(
+    # NaN must be excluded along with NULL: a NaN row would poison max()
+    # (width becomes NaN → garbage bucket) in Spark while DuckDB's
+    # CAST(floor(NaN) AS BIGINT) raises — a cross-engine divergence.
+    # isnan() is evaluated on the double cast so the predicate is valid
+    # for every numeric input type, not just float/double columns; the
+    # registered oracle mirrors it as NOT isnan(CAST(... AS DOUBLE)).
+    clean = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
+    stats = clean.agg(
         F.min(v).cast("double").alias("_lo"),
         F.max(v).cast("double").alias("_hi"),
     )
@@ -128,7 +142,7 @@ def value_histogram(
         )
     )
     return (
-        df.filter(v.isNotNull())
+        clean
         .crossJoin(F.broadcast(stats))
         .withColumn("bucket", idx)
         .groupBy("bucket")

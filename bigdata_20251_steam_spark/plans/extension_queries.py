@@ -2915,14 +2915,16 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = """
     WITH s AS (
       SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
-      FROM events WHERE value IS NOT NULL
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
     ),
     b AS (
       SELECT CASE WHEN hi = lo THEN 0
              ELSE least(CAST(floor((CAST(value AS DOUBLE) - lo)
                               / ((hi - lo) / 20.0)) AS BIGINT), 19)
              END AS bucket, lo, hi
-      FROM events, s WHERE value IS NOT NULL
+      FROM events, s
+      WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
     )
     SELECT CAST(bucket AS BIGINT)                  AS bucket,
            round(min(lo) + CAST(bucket AS DOUBLE)

@@ -94,133 +94,122 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
-#: Round-6 window rotation (r5 verdict #1).  The driver checks the first
-#: 50 of 89 registered queries; this round's window is exactly the
-#: queries with no r5 row plus every query whose code or oracle changed
-#: in r6:
+#: Round-7 window rotation (r6 verdict #1, the registry's own r7 note).
+#: The driver checks the first 50 of 110 registered queries.  Candidates
+#: this round: the FOURTEEN r6 registrations that have never had a
+#: driver row, the FOUR new r7 queries, the THREE r6-green queries whose
+#: code changed in r7, and the 42 r5-green queries that sat r6 out
+#: (due now under the <=2-round staleness invariant).  That is 63 names
+#: for 50 slots, so the 13 lowest-risk r5-green queries slip to r8 —
+#: each chosen because an in-window or r6-green sibling exercises the
+#: same operator path (the r6 displacement precedent), and every one
+#: stays covered by the local sf0.001 oracle suite in CI plus this
+#: round's bare-session sf0.01 sweep:
 #:
-#: - 42: never-driver-checked — streaming_doc_chunks (registered r5,
-#:   sat out) and the three r6 additions (lsh_recall_vs_exact,
-#:   ivf_sampled_recall, streaming_token_budget);
-#: - 44: the 35 queries whose last green row is r4 (rotated out by the
-#:   r5 window) — due now, else they exceed 2-round staleness;
-#: - 60: r5-green queries whose CODE OR ORACLE CHANGED in r6 and must
-#:   re-prove: multi-probe LSH refactor (embed_topk_lsh), ivf_index
-#:   train-path refactor (embed_topk_ivf, ivf_recall_vs_exact),
-#:   two-phase sampler prefilter (source_capped_sample,
-#:   token_budget_sample), hardened oracles (multimodal_features,
-#:   approx_stats, streaming_running_totals), closure self-loop/Arrow/
-#:   telemetry changes (dedup_components, dedup_pipeline_end_to_end,
-#:   minhash_dedup_resolve);
-#: - 80 (via the reset below): every r5-green query with unchanged code
-#:   sits this round out, returning in r7 — plus embed_topk_ivf and
-#:   minhash_dedup_resolve, displaced from the changed-code tier by the
-#:   two r6 curation additions (their changed paths are proven by
-#:   in-window siblings sharing the same operators, and both keep local
-#:   oracle-suite coverage).
+#: - 30: NEW in r7, first rows + new code — bpe_token_counts,
+#:   intra_doc_dedup, quality_threshold_filter,
+#:   streaming_curation_pipeline;
+#: - 42: registered r6 after the window filled, never driver-checked
+#:   (r6 verdict weak mark #1) — first-ever rows;
+#: - 44: last green row r5 — due now (29 of the 42; the 13 slips are
+#:   itemized below);
+#: - 60: r6-green whose CODE CHANGED in r7 and must re-prove —
+#:   quality_quantile_filter / curriculum_order (approx-quantile
+#:   hot-group prefilter, r6 verdict #2) and token_budget_sample
+#:   (pluggable tokens_col for BPE accounting, r6 verdict #3);
+#: - 80 (via the reset): the 13 slipped r5-green queries —
+#:   streaming_sentiment_hourly / streaming_session_windows /
+#:   streaming_asof_enrich / streaming_api_source /
+#:   streaming_dim_enrich (batch twins sentiment_hourly,
+#:   session_windows, asof_join_last_good, api_source_reviews, dim_join
+#:   all in-window), multimodal_frames (multimodal_meta in-window),
+#:   asof_join_nearest (asof_join_last_good in-window), hll_user_rollup
+#:   (streaming_hll_windows in-window, same register math), doc_chunks
+#:   (streaming_doc_chunks r6-green, same chunker), value_percentiles
+#:   (user_value_quartiles r6-green, same percentile path),
+#:   rollup_orders (cube_orders r6-green, same grouping-sets path),
+#:   daily_user_rank (moving_avg_daily r6-green, same window-function
+#:   path), minhash_dedup_resolve (dedup_pipeline_end_to_end in-window,
+#:   same closure+resolve) — plus every r6-green query with unchanged
+#:   code, returning in r8.
 #:
-#: 7 + 35 + 8 = 50 — the window is exact, no filler needed.  The
-#: overlay RESETS every unnamed query to the 80 pool first, so declared
-#: module tiers can't accidentally displace a scheduled row.
-_R6_ROTATION: dict[str, int] = {
-    # never-driver-checked — first rows this round
-    "streaming_doc_chunks": 42,
-    "lsh_recall_vs_exact": 42,
-    "ivf_sampled_recall": 42,
-    "streaming_token_budget": 42,
-    # last green row r4 — due now (2-round staleness invariant)
-    "review_bomb": 44,
-    "top_genres": 44,
-    "player_windows": 44,
-    "global_stats": 44,
-    "sentiment_summary": 44,
-    "event_share": 44,
-    "recent_windows": 44,
-    "latest_event": 44,
-    "props_json": 44,
-    "q1_pricing_summary": 44,
-    "q3_top_revenue": 44,
-    "q5_region_revenue": 44,
-    "top_spenders": 44,
-    "q14_promo_share": 44,
-    "supplier_nation_stats": 44,
-    "q6_revenue_delta": 44,
-    "semi_join_orders": 44,
-    "anti_join_customers": 44,
-    "hash_split_assignments": 44,
-    "stratified_sample_counts": 44,
-    "packing_assignments": 44,
-    "repetition_metrics": 44,
-    "tfidf_top_terms": 44,
-    "incremental_dedup_status": 44,
-    "embed_quantize": 44,
-    "pivot_event_matrix": 44,
-    "cube_orders": 44,
-    "moving_avg_daily": 44,
-    "set_ops_users": 44,
-    "udtf_sentences": 44,
-    "user_value_quartiles": 44,
-    "packed_sequences": 44,
-    "pii_redaction": 44,
-    "cross_split_contamination": 44,
-    "streaming_stream_join": 44,
-    # r6 curation additions — also first rows this round; they take the
-    # two 60-tier slots of embed_topk_ivf / minhash_dedup_resolve, whose
-    # changed paths are fully covered by in-window siblings
-    # (ivf_recall_vs_exact + ivf_sampled_recall share ivf_index;
-    # dedup_components + dedup_pipeline_end_to_end share the closure)
-    "segment_dedup": 42,
-    "quality_quantile_filter": 42,
-    "curriculum_order": 42,
-    # r5-green whose code or oracle changed in r6 — re-prove immediately.
-    # curriculum_order additionally displaces dedup_pipeline_end_to_end
-    # (the closure path it shares with dedup_components stays in-window
-    # through the latter, and the pipeline query's own oracle is
-    # unchanged + locally green)
-    "embed_topk_lsh": 60,
-    "ivf_recall_vs_exact": 60,
-    "source_capped_sample": 60,
+#: 4 + 14 + 29 + 3 = 50 — the window is exact, no filler.  The overlay
+#: RESETS every unnamed query to the 80 pool first, so declared module
+#: tiers can't accidentally displace a scheduled row.
+_R7_ROTATION: dict[str, int] = {
+    # new in r7 — first rows, new code
+    "bpe_token_counts": 30,
+    "intra_doc_dedup": 30,
+    "quality_threshold_filter": 30,
+    "streaming_curation_pipeline": 30,
+    # registered r6 after the window filled — never driver-checked
+    "streaming_segment_dedup": 42,
+    "unigram_lm_scores": 42,
+    "temperature_mix_sample": 42,
+    "bloom_decontaminate": 42,
+    "cms_word_frequencies": 42,
+    "streaming_bloom_decontaminate": 42,
+    "curation_pipeline_end_to_end": 42,
+    "fuzzy_part_names": 42,
+    "key_skew_orders": 42,
+    "streaming_hll_windows": 42,
+    "winnow_fingerprints": 42,
+    "normalize_text": 42,
+    "profile_documents": 42,
+    "histogram_event_values": 42,
+    # last green row r5 — due now (staleness invariant)
+    "sentiment_hourly": 44,
+    "genre_distribution": 44,
+    "peak_activity": 44,
+    "epoch_casts": 44,
+    "dim_join": 44,
+    "dedup_exact": 44,
+    "minhash_signatures": 44,
+    "minhash_dedup_pairs": 44,
+    "simhash_signatures": 44,
+    "ngram_jaccard_pairs": 44,
+    "embed_topk_bruteforce": 44,
+    "embed_topk_ivf": 44,
+    "embed_near_dup_pairs": 44,
+    "token_counts": 44,
+    "language_id": 44,
+    "quality_scores": 44,
+    "doc_fingerprints": 44,
+    "clean_html_roundtrip": 44,
+    "multimodal_meta": 44,
+    "sql_interface": 44,
+    "sliding_windows": 44,
+    "session_windows": 44,
+    "asof_join_last_good": 44,
+    "interval_event_counts": 44,
+    "dedup_pipeline_end_to_end": 44,
+    "api_source_reviews": 44,
+    "epoch_shuffle_order": 44,
+    "streaming_genre_counts": 44,
+    "streaming_player_windows": 44,
+    # r6-green whose code changed in r7 — re-prove immediately
+    "quality_quantile_filter": 60,
+    "curriculum_order": 60,
     "token_budget_sample": 60,
-    "multimodal_features": 60,
-    "approx_stats": 60,
-    "streaming_running_totals": 60,
-    "dedup_components": 60,
-    # registered r6 AFTER the window filled (positions 51+): first in
-    # line for the r7 window, the streaming_doc_chunks precedent
-    "streaming_segment_dedup": 62,
-    "unigram_lm_scores": 63,
-    "temperature_mix_sample": 63,
-    "bloom_decontaminate": 63,
-    "cms_word_frequencies": 63,
-    "streaming_bloom_decontaminate": 63,
-    "curation_pipeline_end_to_end": 63,
-    "fuzzy_part_names": 63,
-    "key_skew_orders": 63,
-    "streaming_hll_windows": 63,
 }
 
 
-#: r7 ROTATION NOTE (for the next session): the r6 window covers exactly
-#: the 50 names at tiers 42/44/60 in _R6_ROTATION.  The 42 r5-green
-#: queries reset to 80 below (including the displaced embed_topk_ivf /
-#: minhash_dedup_resolve / dedup_pipeline_end_to_end) sat r6 out with
-#: last green row r5 — in r7, rotate THOSE in first (the <=2-round
-#: staleness invariant), PLUS the ten tier-62/63 entries that have
-#: never had a driver row (streaming_segment_dedup, unigram_lm_scores,
-#: temperature_mix_sample, bloom_decontaminate, cms_word_frequencies,
-#: streaming_bloom_decontaminate, curation_pipeline_end_to_end,
-#: fuzzy_part_names, key_skew_orders, streaming_hll_windows,
-#: winnow_fingerprints, normalize_text, profile_documents,
-#: histogram_event_values — FOURTEEN with the late
-#: winnowing/normalization/profiling additions), plus
-#: any query whose code changes in r7.  42 + 14 = 56 is SIX over the
-#: window: prefer the never-checked rows and let the six lowest-risk
-#: r5-green queries slip to r8 (pick ones whose operators are
-#: exercised by in-window siblings, e.g. ivf_recall_vs_exact covers
-#: embed_topk_ivf's path — the r6 displacement precedent).  Every
-#: registered query stays
-#: covered regardless by the local sf0.001 oracle suite in CI, plus
-#: this round's full sf0.01 + sf0.1 bare-session sweeps.
+#: r8 ROTATION NOTE (for the next session): the r7 window covers exactly
+#: the 50 names at tiers 30/42/44/60 in _R7_ROTATION.  Sat out with last
+#: green row r5 (slipped, covered by the siblings named above — rotate
+#: these in FIRST in r8, they will be 3 rounds stale):
+#: streaming_sentiment_hourly, streaming_session_windows,
+#: streaming_asof_enrich, streaming_api_source, streaming_dim_enrich,
+#: multimodal_frames, asof_join_nearest, hll_user_rollup, doc_chunks,
+#: value_percentiles, rollup_orders, daily_user_rank,
+#: minhash_dedup_resolve (13).  Sat out with last green row r6 (due in
+#: r8 under the <=2-round invariant): the whole r6 window minus the
+#: three changed-code re-proves — 47 names.  13 + 47 = 60 candidates
+#: for 50 slots: prefer the 13 three-round-stale slips plus the r6
+#: tier-42 first-row queries, then fill with the rest, letting ~10
+#: lowest-risk r6-green queries slip to r9 by the same sibling-coverage
+#: rule.  Every registered query stays covered by the local sf0.001
+#: oracle suite in CI plus the per-round bare-session sf0.01 sweep.
 
 
 def _load_all() -> None:
@@ -238,7 +227,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R6_ROTATION.get(name, 80)
+        prio = _R7_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -50,6 +50,19 @@ def test_profile_columns_rejects_empty_column_list(spark):
         raise AssertionError("expected ValueError on empty column list")
 
 
+def test_profile_columns_rejects_duplicate_columns(spark):
+    """A duplicate name would be stacked twice and silently merged by the
+    groupBy, doubling n_rows/total_len for that column — loud error
+    instead (ADVICE r6)."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    try:
+        profile_columns(df, ["id", "s", "id"])
+    except ValueError as e:
+        assert "duplicate" in str(e) and "id" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on duplicate columns")
+
+
 def test_profile_documents_plan_shape(spark):
     """One scan, two hash exchanges, no Expand (the design claim: melting
 
@@ -76,6 +89,31 @@ def test_value_histogram_hand_computed(spark):
     assert rows[0]["n"] == 2 and rows[0]["bucket_lo"] == 0.0
     assert rows[1]["n"] == 1 and rows[1]["bucket_lo"] == 2.0
     assert rows[4]["n"] == 2 and rows[4]["bucket_lo"] == 8.0
+
+
+def test_value_histogram_excludes_nan(spark):
+    """NaN rows are dropped like NULLs (ADVICE r6): without the filter a
+    NaN poisons max() → width NaN → garbage bucket in Spark while the
+    DuckDB oracle's CAST(floor(NaN) AS BIGINT) raises — a cross-engine
+    divergence.  The histogram over {0, 1, NaN} must match the one over
+    {0, 1}."""
+    from bigdata_20251_steam_spark.operators.profiling import value_histogram
+
+    with_nan = spark.createDataFrame(
+        [(0.0,), (1.0,), (float("nan"),), (None,)], "v double"
+    )
+    rows = {r["bucket"]: r["n"] for r in
+            value_histogram(with_nan, "v", bins=2).collect()}
+    assert rows == {0: 1, 1: 1}
+
+    only_nan = spark.createDataFrame([(float("nan"),)], "v double")
+    assert value_histogram(only_nan, "v").collect() == []
+
+    # integer columns still work (isnan is applied on the double cast)
+    ints = spark.createDataFrame([(0,), (1,), (2,), (3,)], "v int")
+    irows = {r["bucket"]: r["n"] for r in
+             value_histogram(ints, "v", bins=2).collect()}
+    assert irows == {0: 2, 1: 2}
 
 
 def test_value_histogram_degenerate_and_empty(spark):
