@@ -435,6 +435,9 @@ def curriculum_order(
     text_col: str = "text",
     salt: str = "curriculum",
     epoch: int = 0,
+    hot_threshold: int | None = None,
+    n_bands: int = 64,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Curriculum training order: quality-binned stages, shuffled within.
 
@@ -457,11 +460,21 @@ def curriculum_order(
     a single-node sort.
 
     Scale shape: quality metrics fuse into the scan; binning is one
-    group-key exchange + per-group sort (percent_rank window — the
-    two-phase hash-prefilter recipe applies to pathological groups);
-    the shuffle key is a narrow projection.
+    group-key exchange + per-group sort.  **Hot-group banded ranking**
+    (r7, r6 verdict #2; pass ``hot_threshold``): binning assigns a bin
+    to EVERY row, so no prefilter can shrink the window — instead the
+    rank itself decomposes through
+    :func:`~.ranking.banded_percent_rank`: approx-quantile band edges
+    split each group into ``n_bands`` contiguous quality ranges and
+    ``band offset + within-band row_number`` reproduces
+    ``percent_rank`` bit-for-bit with per-task rows bounded at
+    ``~|group| / n_bands`` (exact regardless of sketch accuracy).
+    Gated by the samplers' eager hot-detection count, so a healthy
+    corpus keeps the single-window plan plus one cheap count; the
+    shuffle key is a narrow projection either way.
     """
     from ..operators.text_analysis import quality_column
+    from ..operators.ranking import banded_percent_rank, percent_rank_expr
     from pyspark.sql.window import Window
 
     if n_bins < 1:
@@ -472,22 +485,46 @@ def curriculum_order(
         group_col,
         quality_column(F.col(text_col)).alias("quality"),
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
-    )
-    bin_col = F.least(
-        F.floor(F.percent_rank().over(w) * n_bins).cast("int"),
-        F.lit(n_bins - 1),
-    )
     key = md5_long(
         F.concat(
             F.lit(f"{salt}:{epoch}:"), F.col("doc_id").cast("string")
         )
     )
+
+    def _bin(pct: Column) -> Column:
+        return F.least(
+            F.floor(pct * n_bins).cast("int"), F.lit(n_bins - 1)
+        )
+
+    if hot_threshold is not None:
+        any_hot = (
+            base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > hot_threshold)
+            .limit(1)
+            .count()
+        )
+        if any_hot:
+            ranked = banded_percent_rank(
+                base, group_col, "quality", "doc_id",
+                n_bands=n_bands, accuracy=accuracy,
+            )
+            return ranked.select(
+                "doc_id",
+                group_col,
+                "quality",
+                _bin(
+                    percent_rank_expr(F.col("_rank"), F.col("_n"))
+                ).alias("bin"),
+                key.alias("shuffle_key"),
+            )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
     return base.select(
         "doc_id",
         group_col,
         "quality",
-        bin_col.alias("bin"),
+        _bin(F.percent_rank().over(w)).alias("bin"),
         key.alias("shuffle_key"),
     )

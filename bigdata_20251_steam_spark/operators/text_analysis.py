@@ -665,6 +665,9 @@ def quality_quantile_filter(
     keep_fraction: float = 0.5,
     group_col: str = "source",
     text_col: str = "text",
+    hot_threshold: int | None = None,
+    n_bands: int = 64,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep the top ``keep_fraction`` of each group by heuristic quality.
 
@@ -684,18 +687,25 @@ def quality_quantile_filter(
 
     Scale shape: the :func:`quality_scores` metrics are a narrow
     projection fused into the scan; the quantile is one group-key
-    exchange + per-group sort.  Hot-group note: the samplers' HASH-prefix
-    prefilter does NOT transfer here (quality is not uniform, so no
-    analytic prefix bound exists); the two-phase recipe for a
-    pathological group is instead approx-quantile-based — estimate the
-    per-group cutoff with ``percentile_approx(quality, 1-keep_fraction)``,
-    prefilter ``quality >= cutoff - margin``, exact-rank the survivors,
-    and fall back to the full group if the survivor count disproves the
-    margin.  Emitting the per-doc flag (this function's contract)
-    inherently ranks every row, so the prefilter applies to the
-    filter-only variant.
+    exchange + per-group sort.  **Hot-group banded ranking** (r7, r6
+    verdict #2; pass ``hot_threshold``): emitting the per-doc flag
+    inherently ranks EVERY row, so the cutoff prefilter of the
+    filter-only sibling :func:`quality_threshold_filter` cannot shrink
+    the work — but the rank itself decomposes.  When any group's count
+    exceeds ``hot_threshold`` (the samplers' eager-detection protocol:
+    one cheap count, paid only until real skew appears), ranks are
+    computed by :func:`~.ranking.banded_percent_rank` — approx-quantile
+    band edges split each group into ``n_bands`` contiguous value
+    ranges, and ``band offset + within-band row_number`` reproduces
+    ``percent_rank``'s value bit-for-bit while bounding per-task rows
+    at ``~|group| / n_bands`` (exact regardless of sketch accuracy; a
+    skewed sketch only unbalances bands).  Default
+    ``hot_threshold=None`` keeps the single-window plan — optimal at
+    tested corpus sizes.
     """
     from pyspark.sql.window import Window
+
+    from .ranking import banded_percent_rank, percent_rank_expr
 
     # quality computed INLINE (narrow projection) — joining the corpus
     # back onto its own quality projection would double the scan and add
@@ -703,6 +713,27 @@ def quality_quantile_filter(
     base = docs.select(
         "doc_id", group_col, quality_column(F.col(text_col)).alias("quality")
     )
+    if hot_threshold is not None:
+        any_hot = (
+            base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > hot_threshold)
+            .limit(1)
+            .count()
+        )
+        if any_hot:
+            ranked = banded_percent_rank(
+                base, group_col, "quality", "doc_id",
+                n_bands=n_bands, accuracy=accuracy,
+            )
+            return ranked.select(
+                "doc_id",
+                group_col,
+                "quality",
+                F.round(
+                    percent_rank_expr(F.col("_rank"), F.col("_n")), 6
+                ).alias("pct_rank"),
+            ).withColumn("kept", F.col("pct_rank") <= keep_fraction)
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
@@ -712,3 +743,138 @@ def quality_quantile_filter(
         "quality",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     ).withColumn("kept", F.col("pct_rank") <= keep_fraction)
+
+
+def quality_threshold_filter(
+    docs: DataFrame,
+    keep_fraction: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    hot_threshold: int | None = None,
+    margin: float = 0.05,
+    accuracy: int = 10_000,
+    n_bands: int = 64,
+) -> DataFrame:
+    """Survivors-only per-group quality-quantile filter (two-phase form).
+
+    The filter-only sibling of :func:`quality_quantile_filter`: returns
+    ONLY the documents whose rounded ``percent_rank`` under
+    ``(quality DESC, doc_id ASC)`` within their group is
+    ``<= keep_fraction`` — the exact set the flag variant marks
+    ``kept`` — as ``(doc_id, <group_col>, quality)``.  This is the shape
+    a curation pipeline actually materializes; the flag variant exists
+    for audit.
+
+    **Hot-group two-phase prefilter** (r7, r6 verdict #2; pass
+    ``hot_threshold``): because survivors are the TOP of each group's
+    (quality DESC, doc_id) order, a value cutoff ``quality >= c`` keeps
+    a PREFIX of that order — so for a group counted above
+    ``hot_threshold``, the per-group cutoff is estimated with
+    ``percentile_approx(quality, 1 - keep_fraction - margin)`` (the
+    rank margin absorbs the sketch's rank error; ``accuracy`` bounds it
+    at ``~1/accuracy``) and only rows at or above it are ranked.
+    Exactness is unconditional, not probabilistic: the candidate set
+    contains ALL rows with quality >= cutoff, hence is a prefix of the
+    total order, so if it holds at least the ``ceil(f·(n-1)) + 1`` rows
+    the quantile can keep, its top IS the group's top; any hot group
+    whose candidates come up short (a sketch miss beyond the margin —
+    or a deliberately negative test margin) falls back to full-group
+    ranking.  Cold groups rank in full through the same final pass.
+
+    The survivor ranking itself goes through
+    :func:`~.ranking.banded_percent_rank`, so even at
+    ``keep_fraction=0.5`` (where the cutoff alone only halves the hot
+    group) per-task rows are bounded at ``~f·|group| / n_bands``.
+    Eager hot-detection (see :func:`~.sampling.sample_n_per_group`):
+    one cheap count gates the whole two-phase plan, so a healthy corpus
+    pays a single pre-aggregate job and takes the single-window path.
+
+    Rounding parity with the flag variant: the kept test compares the
+    6dp-rounded percent_rank, and the two-phase rank reproduces
+    ``percent_rank``'s double arithmetic bit-for-bit
+    (:func:`~.ranking.percent_rank_expr`), so both variants and the SQL
+    oracle agree on every boundary row.
+    """
+    from pyspark.sql.window import Window
+
+    from .ranking import banded_percent_rank, percent_rank_expr
+
+    base = docs.select(
+        "doc_id", group_col, quality_column(F.col(text_col)).alias("quality")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    single_phase = (
+        base.withColumn(
+            "_pct", F.round(F.percent_rank().over(w), 6)
+        )
+        .filter(F.col("_pct") <= keep_fraction)
+        .select("doc_id", group_col, "quality")
+    )
+    if hot_threshold is None:
+        return single_phase
+    # one aggregate pass: per-group count + approx cutoff.  The cutoff
+    # quantile position backs off by the rank margin so the sketch's
+    # rank error (<= ~1/accuracy) cannot push the cutoff above the true
+    # keep boundary; the shortfall guard below makes even that case
+    # exact rather than approximate.
+    p_cut = max(0.0, min(1.0, 1.0 - keep_fraction - margin))
+    stats = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.percentile_approx("quality", F.lit(p_cut), F.lit(accuracy)).alias(
+            "_cut"
+        ),
+    )
+    any_hot = stats.filter(F.col("_cnt") > hot_threshold).limit(1).count()
+    if any_hot == 0:
+        return single_phase
+    # candidate pool: hot groups prefiltered at the cutoff (>= keeps all
+    # boundary ties — the candidate set must contain EVERY row at or
+    # above the cutoff for the prefix argument to hold), cold groups in
+    # full.  percentile_approx returns an element of the group, so at
+    # least one row always survives the prefilter (no zero-candidate
+    # hole by construction — unlike the samplers' hash threshold).
+    is_hot = F.col("_cnt") > hot_threshold
+    cand = base.join(F.broadcast(stats), group_col).filter(
+        (~is_hot) | F.col("_cut").isNull() | (F.col("quality") >= F.col("_cut"))
+    )
+    # ceil(f*(n-1)) + 1 upper-bounds the rows the rounded-pct keep test
+    # can accept (pct_rank <= f  =>  rank - 1 <= f*(n-1) modulo 6dp
+    # rounding, absorbed by the +1); derived from stats LEFT JOIN the
+    # candidate counts so a short group is never silently lost.
+    needed = F.ceil(
+        F.lit(float(keep_fraction)) * (F.col("_cnt") - 1)
+    ).cast("long") + 1
+    cand_counts = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_m"))
+    short = (
+        stats.filter(is_hot)
+        .join(cand_counts, group_col, "left")
+        .filter(F.coalesce(F.col("_m"), F.lit(0)) < needed)
+        .select(group_col)
+    )
+    full_rows = base.join(F.broadcast(short), group_col, "left_semi").join(
+        F.broadcast(stats), group_col
+    )
+    pool = cand.join(F.broadcast(short), group_col, "left_anti").unionByName(
+        full_rows
+    )
+    # exact rank among the pool == exact rank in the full group for
+    # every emitted row (prefix argument above); percent_rank uses the
+    # FULL group size from stats, not the pool size.
+    ranked = banded_percent_rank(
+        pool.select("doc_id", group_col, "quality", "_cnt"),
+        group_col,
+        "quality",
+        "doc_id",
+        n_bands=n_bands,
+        accuracy=accuracy,
+    )
+    return (
+        ranked.withColumn(
+            "_pct",
+            F.round(percent_rank_expr(F.col("_rank"), F.col("_cnt")), 6),
+        )
+        .filter(F.col("_pct") <= keep_fraction)
+        .select("doc_id", group_col, "quality")
+    )

@@ -2266,8 +2266,14 @@ _EN_STOP_SQL = ", ".join(repr(w) for w in STOPWORDS["en"])
     "doc so one pass serves survivors and audit.",
 )
 def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hot_threshold below the 25-doc source size on purpose: the driver
+    # row proves the BANDED rank path (ranking.banded_percent_rank)
+    # reproduces percent_rank bit-for-bit, not just the single window
     return ta.quality_quantile_filter(
-        load_table(spark, sf_dir, "documents"), keep_fraction=0.5
+        load_table(spark, sf_dir, "documents"),
+        keep_fraction=0.5,
+        hot_threshold=10,
+        n_bands=4,
     )
 
 
@@ -2316,8 +2322,68 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import curriculum_order
 
+    # banded hot-group path exercised on purpose (see
+    # q_quality_quantile_filter)
     return curriculum_order(
-        load_table(spark, sf_dir, "documents"), n_bins=10, epoch=0
+        load_table(spark, sf_dir, "documents"),
+        n_bins=10,
+        epoch=0,
+        hot_threshold=10,
+        n_bands=4,
+    )
+
+
+@register(
+    "quality_threshold_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             punct / greatest(n_chars, 1) AS punct_ratio,
+             len(list_filter(toks, w -> list_contains([{_EN_STOP_SQL}], w)))
+               / greatest(CAST(len(toks) AS BIGINT), 1) AS stop_ratio
+      FROM t),
+    q AS (
+      SELECT doc_id, source,
+             round(least(greatest(
+               (0.5 * stop_ratio + 0.5 * (1 - punct_ratio)) *
+               least(n_tokens / 20.0, 1.0), 0.0), 1.0), 6) AS quality
+      FROM m),
+    r AS (
+      SELECT doc_id, source, quality,
+             round(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC), 6) AS pct_rank
+      FROM q)
+    SELECT doc_id, source, quality
+    FROM r WHERE pct_rank <= 0.4
+    """,
+    priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
+    doc="Survivors-only per-source quality-quantile filter "
+    "(operators.text_analysis.quality_threshold_filter) — the two-phase "
+    "hot-group form (r6 verdict #2): per-source cutoff estimated with "
+    "percentile_approx(quality, 1 - keep - margin), candidates "
+    "prefiltered at the cutoff (a PREFIX of the (quality DESC, doc_id) "
+    "order, so exactness is unconditional once the candidate count "
+    "covers ceil(keep*(n-1))+1; short groups fall back to full-group "
+    "ranking), survivors exact-ranked through the banded window "
+    "splitter.  hot_threshold deliberately below the source size so "
+    "the DRIVER row checks the prefilter+banded path against the plain "
+    "percent_rank oracle, not the single-window plan.",
+)
+def q_quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quality_threshold_filter(
+        load_table(spark, sf_dir, "documents"),
+        keep_fraction=0.4,
+        hot_threshold=10,
+        margin=0.05,
+        n_bands=4,
     )
 
 

@@ -1456,3 +1456,141 @@ def test_normalize_text_unicode_cross_engine(spark):
     assert got[4] == (None, False)
     assert got[5] == ("", False)
     assert got[1][1] is True and got[2][1] is True and got[3][1] is True
+
+
+def _skewed_docs(spark, hot_n=800, cold_n=25):
+    """One pathological source (~hot_n docs) + 4 small ones, with text
+    engineered so quality varies, carries ties, and includes NULLs."""
+    words = ["the", "and", "of", "xylophone", "qwerty", "!!!", "data"]
+    rows = []
+    for i in range(hot_n):
+        # mix stopwords/punct deterministically -> varied quality + ties
+        t = " ".join(words[j % len(words)] for j in range(i % 23 + 1))
+        rows.append((f"h{i:05d}", "hot", t))
+    rows.append(("hnull1", "hot", None))
+    rows.append(("hnull2", "hot", None))
+    for g in range(4):
+        for i in range(cold_n):
+            t = " ".join(words[(g + i + j) % len(words)] for j in range(12))
+            rows.append((f"c{g}_{i:03d}", f"cold{g}", t))
+    return spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+
+def test_banded_percent_rank_exact_and_bounded(spark):
+    """r7 (r6 verdict #2): banded_percent_rank must reproduce the
+    single-window rank EXACTLY on a skew fixture with heavy ties and
+    NULLs, while the executed plan shows the ranking window partitioned
+    by (group, band) — the per-task boundedness claim."""
+    from pyspark.sql.window import Window
+    from bigdata_20251_steam_spark.operators.ranking import (
+        banded_percent_rank,
+        percent_rank_expr,
+    )
+    from bigdata_20251_steam_spark.operators.text_analysis import quality_column
+
+    docs = _skewed_docs(spark)
+    base = docs.select(
+        "doc_id", "source", quality_column(F.col("text")).alias("quality")
+    )
+    ranked = banded_percent_rank(base, "source", "quality", "doc_id", n_bands=16)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    expect = {
+        (r["doc_id"], r["rk"], r["pr"])
+        for r in base.select(
+            "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.percent_rank().over(w).alias("pr"),
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["_rank"], r["pr"])
+        for r in ranked.select(
+            "doc_id",
+            "_rank",
+            percent_rank_expr(F.col("_rank"), F.col("_n")).alias("pr"),
+        ).collect()
+    }
+    assert got == expect
+    # the ranking window runs per (group, band), not per group
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "_band" in plan, plan
+    import re as _re
+    spec = _re.search(r"Window \[row_number\(\)[^\n]*", plan)
+    assert spec and "_band" in spec.group(0), plan
+
+    # degenerate input guard
+    try:
+        banded_percent_rank(base, "source", "quality", "doc_id", n_bands=1)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on n_bands=1")
+
+
+def test_quality_rank_banded_parity(spark):
+    """quality_quantile_filter and curriculum_order must be bit-identical
+    between the single-window plan and the banded hot-group plan on the
+    pathological one-source fixture (r6 verdict #2 'Done' criterion)."""
+    from bigdata_20251_steam_spark.operators.sampling import curriculum_order
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_quantile_filter,
+    )
+
+    docs = _skewed_docs(spark)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = quality_quantile_filter(docs, keep_fraction=0.5)
+    b = quality_quantile_filter(
+        docs, keep_fraction=0.5, hot_threshold=100, n_bands=16
+    )
+    assert key(a) == key(b)
+    # hot_threshold above every group size -> eager detection keeps the
+    # single-window plan and still matches
+    c = quality_quantile_filter(docs, keep_fraction=0.5, hot_threshold=10**6)
+    assert key(a) == key(c)
+
+    ca = curriculum_order(docs, n_bins=10, epoch=1)
+    cb = curriculum_order(
+        docs, n_bins=10, epoch=1, hot_threshold=100, n_bands=16
+    )
+    assert key(ca) == key(cb)
+
+
+def test_quality_threshold_filter_two_phase_parity(spark):
+    """Filter-only variant (r6 verdict #2): two-phase cutoff-prefilter
+    result == single-phase == the flag variant's kept set, including a
+    NEGATIVE margin that pushes the cutoff past the true boundary and
+    forces the short-candidate full-group fallback."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_quantile_filter,
+        quality_threshold_filter,
+    )
+
+    docs = _skewed_docs(spark)
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    for f in (0.25, 0.5):
+        single = quality_threshold_filter(docs, keep_fraction=f)
+        two = quality_threshold_filter(
+            docs, keep_fraction=f, hot_threshold=100, n_bands=16
+        )
+        assert key(single) == key(two), f
+        flag_kept = (
+            quality_quantile_filter(docs, keep_fraction=f)
+            .filter("kept")
+            .select("doc_id", "source", "quality")
+        )
+        assert key(single) == key(flag_kept), f
+
+    # forced fallback: margin=-0.4 estimates the cutoff ABOVE the keep
+    # boundary, so hot groups come up short and must re-rank in full
+    fb = quality_threshold_filter(
+        docs, keep_fraction=0.5, hot_threshold=100, margin=-0.4, n_bands=16
+    )
+    assert key(fb) == key(quality_threshold_filter(docs, keep_fraction=0.5))
