@@ -242,6 +242,7 @@ def token_budget_sample(
     salt: str = "tokbudget",
     hot_threshold: int | None = None,
     safety: float = 4.0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-group TOKEN-budget sampling.
 
@@ -278,6 +279,14 @@ def token_budget_sample(
     cheap pre-aggregate job checks whether any group is both over the
     row threshold and over budget; if none is, the single-phase plan
     runs — the guard costs one count until real skew appears.
+
+    **Pluggable token accounting** (r7, r6 verdict #3): pass
+    ``tokens_col`` naming a precomputed per-row token count (e.g.
+    ``bpe.bpe_piece_count_column`` for learned-subword budgeting) and
+    it replaces the whitespace split as ``n_tokens`` — the budget then
+    denominates in the deployed tokenizer's pieces, which is how real
+    mixes are specified.  Everything else (hash order, prefix rule,
+    hot-group prefilter) is token-definition-agnostic.
     """
     from pyspark.sql.window import Window
 
@@ -289,7 +298,13 @@ def token_budget_sample(
         .orderBy(key, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    # default whitespace count stays INTEGER (the registered oracle's
+    # declared type); a pluggable tokens_col passes through unchanged
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    )
     counted = docs.withColumn("n_tokens", toks)
     single_phase = counted.withColumn(
         "cum_tokens", F.sum("n_tokens").over(w)

@@ -2387,6 +2387,72 @@ def q_quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned BPE merges table (r7, r6 verdict #3).  Tokenizers are
+#: ARTIFACTS: trained once, shipped, and outliving the corpus they were
+#: trained on (GPT-2's vocab.json posture) — so the registered query
+#: encodes under this fixed table and the DuckDB oracle replays the
+#: encoder exactly via bpe_oracle_word_expr's generated nested-replace
+#: chain.  Provenance: train_bpe_merges(documents@sf0.001, n_merges=40,
+#: max_words=5000) — deterministic (ties break lexicographically), so
+#: anyone can re-derive it; training itself is pinned by hand-fixture
+#: pytest (tests/test_extensions_unit.py::test_bpe_training_hand_fixture).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"),
+]
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import bpe_oracle_word_expr
+
+    word_expr = bpe_oracle_word_expr(_BPE_MERGES)
+    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
+    pieces = (
+        "COALESCE(list_sum(list_transform("
+        f"regexp_extract_all(lower(text), '[a-z]+'), w -> {word_expr})), 0)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({n_words} AS INTEGER) AS n_words,
+           CAST({pieces} AS BIGINT) AS bpe_pieces,
+           CASE WHEN {n_words} > 0
+                THEN round(CAST({pieces} AS DOUBLE) / {n_words}, 6)
+           END AS pieces_per_word
+    FROM documents
+    """
+
+
+@register(
+    "bpe_token_counts",
+    oracle=_bpe_oracle(),
+    priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
+    doc="Learned-subword token accounting (operators/bpe.py, r6 verdict "
+    "#3): per-document BPE piece counts under the pinned 40-merge table "
+    "trained deterministically from the corpus (Sennrich word-frequency "
+    "BPE: one vocab-bounded aggregate, driver-side merge loop over the "
+    "tiny freq dict — the unigram-LM collect posture).  Encoding runs "
+    "as an Arrow-batched pandas_udf narrow map (zero shuffles, merges "
+    "broadcast as closure kilobytes); the oracle replays the encoder "
+    "EXACTLY in SQL — characters bracket-serialized, each merge a "
+    "sequential replace() in rank order, bit-identical to merge_pass — "
+    "so the driver hash-checks the tokenizer itself, not just row "
+    "counts.",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_piece_counts
+
+    return bpe_piece_counts(
+        load_table(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 continuation 4: unigram LM scoring, temperature mix, Bloom filter
 # ---------------------------------------------------------------------------

