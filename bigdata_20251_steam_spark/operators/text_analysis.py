@@ -878,3 +878,139 @@ def quality_threshold_filter(
         .filter(F.col("_pct") <= keep_fraction)
         .select("doc_id", group_col, "quality")
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Remove within-document repeated k-token spans (intra-doc dedup).
+
+    The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") intra-document case that
+    :func:`~..operators.dedup.dedupe_segments` (cross-doc) and
+    :func:`repetition_metrics` (flag-only) leave uncleaned: boilerplate
+    runs REPEATED INSIDE one document (nav bars, disclaimer blocks,
+    degenerate completions).  Semantics, chosen to be exactly
+    SQL-replayable:
+
+    - tokens are the whitespace split of the trimmed text;
+    - the k-gram starting at position ``i`` is a REPEAT iff the same
+      k-token sequence starts at any earlier position ``j < i``
+      (overlaps allowed, so ``a a a a`` collapses);
+    - every token position covered by a repeat k-gram is dropped;
+    - ``text_clean`` rebuilds the survivors in order, single-space
+      joined (whitespace is normalized by reconstruction).
+
+    Output: ``(doc_id, n_tokens, n_dropped, text_clean)``; NULL/empty
+    text yields ``(0, 0, '')``.
+
+    Scale shape — zero shuffles, zero Python, near-linear per doc (the
+    winnowing machinery's positioned-shingle style): repeat detection
+    is NOT the quadratic "for each gram, scan earlier grams" — the
+    (gram, pos) pairs are ``array_sort``-ed so equal grams become
+    adjacent (first occurrence first), an index-lambda compares each
+    element to its sorted predecessor, and a second sort restores
+    position order, yielding a position-aligned repeat-flag array.
+    Coverage then probes the flags of the <=k grams overlapping each
+    position via O(1) ``element_at``.
+
+    Implementation constraint that SHAPES the code: each intermediate
+    array is materialized as its own projection column, never re-spelled
+    inside a downstream lambda — a higher-order function re-evaluates
+    its captured subexpressions PER ELEMENT, so inlining the sort tree
+    into the per-position probe would silently turn the operator
+    O(k n^3 log n) (measured: a hang at 200-token docs).  Column
+    references inside lambdas are O(1) attribute reads, keeping the
+    whole pass O(n k + n log n) per document; Catalyst's
+    CollapseProject keeps the multiply-referenced array columns
+    un-inlined because they are non-cheap.
+    """
+    if k < 1:
+        raise ValueError("strip_repeated_spans: k must be >= 1")
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+
+    step = spread_partitions(docs, "doc_id").select(
+        "doc_id", toks.alias("_toks")
+    )
+    tk = F.col("_toks")
+    n = F.size(tk)
+    # (gram, position) pairs sorted by (gram, pos); ' ' join is
+    # unambiguous because whitespace-split tokens cannot contain spaces
+    step = step.withColumn(
+        "_pairs",
+        F.when(
+            n >= k,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.struct(
+                        F.array_join(F.slice(tk, i + 1, k), " ").alias("h"),
+                        i.alias("p"),
+                    ),
+                )
+            ),
+        ),
+    )
+    pairs = F.col("_pairs")
+    # adjacent compare in (h, p) order -> repeat flag; re-sort by p so
+    # index i of the final array IS the flag of the gram starting at i
+    step = step.withColumn(
+        "_rep",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    pairs,
+                    lambda x, j: F.struct(
+                        x["p"].alias("p"),
+                        F.when(
+                            (j > 0)
+                            & (x["h"] == F.element_at(pairs, j)["h"]),
+                            F.lit(1),
+                        )
+                        .otherwise(F.lit(0))
+                        .alias("r"),
+                    ),
+                )
+            ),
+            lambda x: x["r"],
+        ),
+    )
+    rep = F.col("_rep")
+    g_hi = n - k  # last gram start position
+
+    def dropped(p):
+        q_lo = F.greatest(F.lit(0), p - (k - 1))
+        q_hi = F.least(p, g_hi)
+        return F.when(
+            q_lo <= q_hi,
+            F.exists(
+                F.sequence(q_lo, q_hi),
+                lambda q: F.element_at(rep, q + 1) == 1,
+            ),
+        ).otherwise(F.lit(False))
+
+    step = step.withColumn(
+        "_kept",
+        F.when(
+            n >= k,
+            F.filter(F.sequence(F.lit(0), n - 1), lambda p: ~dropped(p)),
+        ),
+    )
+    kept = F.col("_kept")
+    n_tokens = F.coalesce(n, F.lit(0))
+    out_clean = F.when(n_tokens == 0, F.lit("")).otherwise(
+        F.when(
+            n >= k,
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at(tk, p + 1)), " "
+            ),
+        ).otherwise(F.array_join(tk, " "))
+    )
+    n_dropped = F.when(n >= k, n - F.size(kept)).otherwise(F.lit(0))
+    return step.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.coalesce(n_dropped, F.lit(0)).alias("n_dropped"),
+        out_clean.alias("text_clean"),
+    )

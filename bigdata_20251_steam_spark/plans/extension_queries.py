@@ -2387,6 +2387,85 @@ def q_quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTRA_DOC_K = 3
+
+_INTRA_DOC_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+      FROM base
+    ),
+    gram_pos AS (
+      SELECT doc_id, l,
+             unnest(range(1, len(l) - {_INTRA_DOC_K} + 2)) AS pos
+      FROM base
+    ),
+    gram AS (
+      SELECT doc_id, pos,
+             array_to_string(l[pos:pos + {_INTRA_DOC_K - 1}], ' ') AS h
+      FROM gram_pos
+    ),
+    rep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (
+                 PARTITION BY doc_id, h ORDER BY pos) AS rn
+        FROM gram)
+      WHERE rn > 1
+    ),
+    drop_pos AS (
+      SELECT DISTINCT doc_id, pos + d AS pos
+      FROM (SELECT doc_id, pos,
+                   unnest(range(0, {_INTRA_DOC_K})) AS d FROM rep)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.t
+      FROM tok t LEFT JOIN drop_pos d
+        ON t.doc_id = d.doc_id AND t.pos = d.pos
+      WHERE d.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(len(b.l), 0) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(len(b.l), 0) - COALESCE(a.n_kept, 0) AS INTEGER)
+             AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "intra_doc_dedup",
+    oracle=_INTRA_DOC_ORACLE,
+    priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
+    doc="Within-document repeated-span removal "
+    "(operators.text_analysis.strip_repeated_spans, r6 verdict #5): the "
+    "Lee et al. intra-doc dedup case — a k-gram starting at an earlier "
+    "position marks every later occurrence as a repeat, all token "
+    "positions covered by a repeat are dropped, and text_clean rebuilds "
+    "the survivors.  Zero-shuffle array lambdas: repeat detection is "
+    "sort-adjacent-compare-resort (no quadratic earlier-gram scan), "
+    "coverage probes <=k position-aligned flags via O(1) element_at.  "
+    "The oracle replays the semantics relationally (row_number over "
+    "(doc, gram) for first-occurrence, range-unnest for coverage, "
+    "ordered string_agg for reconstruction) — every count and "
+    "reconstructed string hash-pins.",
+)
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.strip_repeated_spans(
+        load_table(spark, sf_dir, "documents"), k=_INTRA_DOC_K
+    )
+
+
 #: Pinned BPE merges table (r7, r6 verdict #3).  Tokenizers are
 #: ARTIFACTS: trained once, shipped, and outliving the corpus they were
 #: trained on (GPT-2's vocab.json posture) — so the registered query

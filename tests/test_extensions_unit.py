@@ -1722,3 +1722,103 @@ def test_token_budget_bpe_tokens_col(spark):
     for g, cums in per_g.items():
         assert sorted(cums) == cums or True  # order not guaranteed in collect
         assert max(cums) <= 60
+
+
+def test_strip_repeated_spans_hand_edges(spark):
+    """Intra-doc repeated-span removal (r6 verdict #5): hand-pinned
+    partial-overlap edges plus NULL/empty/short documents, checked
+    against an independent brute-force reference."""
+    import re as _re
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_repeated_spans,
+    )
+
+    def ref(text, k):
+        toks = [w for w in _re.split(r"\s+", text.strip()) if w] if text else []
+        n = len(toks)
+        if n < k:
+            return n, 0, " ".join(toks)
+        grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+        seen, rep = set(), []
+        for i, g in enumerate(grams):
+            if g in seen:
+                rep.append(i)
+            else:
+                seen.add(g)
+        dropped = {p for i in rep for p in range(i, i + k)}
+        kept = [toks[p] for p in range(n) if p not in dropped]
+        return n, n - len(kept), " ".join(kept)
+
+    cases = [
+        ("a", "x y z a b c x y z a b c tail"),  # full phrase repeat
+        ("b", "a a a a a"),                      # degenerate run collapses
+        ("c", "p q r s p q r x p q"),            # partial overlaps
+        ("d", "one two three four five"),        # no repeats
+        ("e", "u v"),                            # shorter than k
+        ("f", ""),                               # empty
+        ("g", None),                             # null
+        ("h", "m n o m n o m n o m n o"),        # tiling repeats
+        ("i", "  spaced   out   spaced   out   end  "),  # ws normalization
+    ]
+    docs = spark.createDataFrame(cases, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in strip_repeated_spans(docs, k=3).collect()
+    }
+    for doc_id, text in cases:
+        assert got[doc_id] == ref(text, 3), doc_id
+
+    # spot-check the overlap case end to end: the second "x y z a b c"
+    # run disappears, the partial tail repeats ("p q r", "p q") in case
+    # c drop only fully-covered positions
+    assert got["a"][2] == "x y z a b c tail"
+    assert got["b"] == (5, 4, "a")
+
+    try:
+        strip_repeated_spans(docs, k=0)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on k=0")
+
+
+def test_strip_repeated_spans_randomized(spark):
+    """Dense-repeat adversarial sweep: small alphabet, k in {1,2,3,5},
+    every doc checked against the brute-force reference."""
+    import random
+    import re as _re
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_repeated_spans,
+    )
+
+    def ref(text, k):
+        toks = [w for w in _re.split(r"\s+", text.strip()) if w] if text else []
+        n = len(toks)
+        if n < k:
+            return n, 0, " ".join(toks)
+        grams = [" ".join(toks[i:i + k]) for i in range(n - k + 1)]
+        seen, rep = set(), []
+        for i, g in enumerate(grams):
+            if g in seen:
+                rep.append(i)
+            else:
+                seen.add(g)
+        dropped = {p for i in rep for p in range(i, i + k)}
+        kept = [toks[p] for p in range(n) if p not in dropped]
+        return n, n - len(kept), " ".join(kept)
+
+    rng = random.Random(7)
+    cases = [
+        (f"r{i}", " ".join(rng.choice("abc") for _ in range(rng.randint(0, 40))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(cases, "doc_id string, text string")
+    for k in (1, 2, 3, 5):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+            for r in strip_repeated_spans(docs, k=k).collect()
+        }
+        for doc_id, text in cases:
+            assert got[doc_id] == ref(text, k), (k, doc_id)
