@@ -741,3 +741,168 @@ def q_streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("est_ok"),
     )
+
+
+def _streaming_curation_result(
+    spark: SparkSession, sf_dir: str, replay_epoch: int | None = None
+) -> DataFrame:
+    """Shared body of ``streaming_curation_pipeline``.
+
+    ``replay_epoch`` simulates an at-least-once crash replay for the
+    checkpoint-restart pytest: after the stream completes, that epoch's
+    bronze rows are re-appended through the same
+    ``idempotent_epoch_append`` path — the overwrite-by-epoch contract
+    must make the final result bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long, md5_long_lo
+    from ..operators import dedup as dd
+    from ..operators.sampling import temperature_resample, token_budget_sample
+    from ..operators.sketches import bloom_build, bloom_might_contain
+    from ..operators.text_analysis import quality_column
+    from ..streaming.engine import idempotent_epoch_append
+    from .extension_queries import _BLOOM_K, _BLOOM_M
+
+    docs_batch = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # the static decontamination filter is built batch-side BEFORE the
+    # stream starts (benchmark sets are artifacts, like tokenizers)
+    bench = (
+        docs_batch.filter(
+            (F.col("doc_id") % 10 == 7) & F.col("text").isNotNull()
+        )
+        .select("text")
+        .distinct()
+    )
+    filt = bloom_build(bench, "text", m_bits=_BLOOM_M, k=_BLOOM_K)
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA).select(
+        "doc_id", "source", "text"
+    )
+    # ingest stage A: exact dedup on the 120-bit normalized content key —
+    # unbounded dropDuplicates state (the streaming_segment_dedup shape);
+    # keeps FIRST ARRIVAL, which bounds bronze growth but is
+    # arrival-order-dependent, so the batch tail re-asserts the
+    # canonical lowest-doc_id rule below
+    norm = dd.normalized_text(F.col("text"))
+    s1 = (
+        stream.withColumn("_h1", md5_long(norm))
+        .withColumn("_h2", md5_long_lo(norm))
+        .dropDuplicates(["_h1", "_h2"])
+    )
+    # ingest stage B: stateless inline Bloom probe — contamination never
+    # reaches bronze (the streaming_bloom_decontaminate shape)
+    s2 = (
+        bloom_might_contain(
+            filt, s1, "text", m_bits=_BLOOM_M, k=_BLOOM_K, inline=True
+        )
+        .filter(~(F.col("text").isNotNull() & F.col("might_contain")))
+        .select("doc_id", "source", "text", "_h1", "_h2")
+    )
+    work = tempfile.mkdtemp(prefix="curation_stream_")
+    bronze = os.path.join(work, "bronze")
+    q = (
+        s2.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: idempotent_epoch_append(
+                batch_df, bronze, epoch_id
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if replay_epoch is not None:
+        # crash simulation: re-append one epoch's own rows under the same
+        # epoch id — at-least-once delivery replaying a committed batch.
+        # A real replay re-delivers the batch from the SOURCE (checkpoint
+        # offsets), so materialize the rows before the overwrite — a lazy
+        # read of epoch_dir would have its input deleted mid-rewrite.
+        epoch_dir = os.path.join(bronze, f"epoch={replay_epoch}")
+        replayed = spark.read.parquet(epoch_dir)
+        rows = replayed.collect()
+        idempotent_epoch_append(
+            spark.createDataFrame(rows, replayed.schema), bronze, replay_epoch
+        )
+
+    corpus = spark.read.parquet(bronze).select(
+        "doc_id", "source", "text", "_h1", "_h2"
+    )
+    # batch tail, stage 1': authoritative first-occurrence rule — the
+    # ingest dedup kept first-arrival; re-keying bronze by lowest doc_id
+    # makes the end-to-end result independent of arrival order (and of
+    # how the file source batched the input), so the batch pipeline's
+    # oracle applies verbatim
+    w1 = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
+    s3_in = (
+        corpus.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    # stages 3-5: identical parameters to curation_pipeline_end_to_end
+    w3 = Window.partitionBy("source").orderBy(
+        F.col("_q").desc(), F.col("doc_id").asc()
+    )
+    s3 = (
+        s3_in.withColumn("_q", quality_column(F.col("text")))
+        .withColumn("_pr", F.round(F.percent_rank().over(w3), 6))
+        .filter(F.col("_pr") <= 0.6)
+        .select("doc_id", "source", "text")
+    )
+    s4 = temperature_resample(
+        s3, group_col="source", id_col="doc_id", target_rows=120, alpha=0.5
+    )
+    s5 = token_budget_sample(
+        s4, group_col="source", id_col="doc_id", budget_tokens=400
+    )
+    raw = docs_batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    final = s5.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.sum("n_tokens").cast("long").alias("_kt"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    out = raw.join(final, "source", "left").select(
+        "source",
+        "n_raw",
+        F.coalesce(F.col("_nk"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("_kt"), F.lit(0).cast("long")).alias("kept_tokens"),
+        "min_doc",
+        "max_doc",
+    )
+    # materialize the tiny per-source result so the per-run work dir can
+    # be deleted now (the streaming_token_budget tempdir pattern)
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "streaming_curation_pipeline",
+    oracle=QUERIES["curation_pipeline_end_to_end"].oracle,
+    priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
+    doc="The streaming curation capstone (r6 verdict #4): documents "
+    "arrive as a stream, ingest-time exact dedup (unbounded "
+    "dropDuplicates state on the 120-bit normalized content key) and "
+    "stateless inline Bloom decontamination run IN the stream — "
+    "contamination and duplicates never reach bronze — the survivors "
+    "land exactly-once via epoch-keyed idempotent appends, and the "
+    "batch mix tail (canonical first-occurrence re-key, per-source "
+    "quality quantile 0.6, temperature alpha=0.5, token budget 400) "
+    "runs over the reconstructed corpus with the same parameters as "
+    "curation_pipeline_end_to_end — whose full SQL replay is this "
+    "query's oracle, so the driver pins that the production "
+    "ingest-then-curate shape reproduces the batch pipeline document "
+    "for document.  Checkpoint-restart pytest replays a committed "
+    "epoch through the same append path and asserts a bit-identical "
+    "result.",
+)
+def q_streaming_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _streaming_curation_result(spark, sf_dir)

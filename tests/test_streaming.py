@@ -439,3 +439,28 @@ def test_streaming_asof_enrich_batch_stream_parity(spark):
     assert streamed == {
         (e, None if v is None else round(v, 6), t) for e, v, t in batch_scd
     }
+
+
+def test_streaming_curation_epoch_replay_is_idempotent(spark):
+    """r6 verdict #4 'Done' criterion: replaying a committed epoch
+    through idempotent_epoch_append (the at-least-once crash case) must
+    leave the streaming curation pipeline's result bit-identical."""
+    from bigdata_20251_steam_spark.plans.streaming_queries import (
+        _streaming_curation_result,
+    )
+
+    from .conftest import SF_SMOKE
+
+    base = sorted(
+        map(tuple, _streaming_curation_result(spark, SF_SMOKE).collect())
+    )
+    replayed = sorted(
+        map(
+            tuple,
+            _streaming_curation_result(
+                spark, SF_SMOKE, replay_epoch=0
+            ).collect(),
+        )
+    )
+    assert base == replayed
+    assert base, "pipeline produced no per-source rows"
