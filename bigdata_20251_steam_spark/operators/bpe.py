@@ -186,6 +186,13 @@ def bpe_piece_counts(
     )
     n_words = F.coalesce(F.size(words), F.lit(0))
     pieces = F.coalesce(_pieces(F.col(text_col)), F.lit(0))
+    # a small corpus arrives as one scan task; Python encoding is the
+    # whole cost here, so spread rows across cores before the UDF (at
+    # real scale the scan already has many input splits and the
+    # repartition coalesces away under AQE)
+    from .dedup import spread_partitions
+
+    docs = spread_partitions(docs, "doc_id")
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),

@@ -977,37 +977,52 @@ def strip_repeated_spans(
         ),
     )
     rep = F.col("_rep")
-    g_hi = n - k  # last gram start position
 
+    # position p is dropped iff any of the <=k grams overlapping it is a
+    # repeat.  k is a Python constant, so the probe unrolls to a static
+    # OR chain over F.get (0-based, NULL-safe out of range) — no
+    # per-position sequence() allocation, no nested lambda: the HOF
+    # interpreter evaluates these per element, so allocation in the
+    # probe is the dominant constant at corpus scale (measured 2x).
     def dropped(p):
-        q_lo = F.greatest(F.lit(0), p - (k - 1))
-        q_hi = F.least(p, g_hi)
-        return F.when(
-            q_lo <= q_hi,
-            F.exists(
-                F.sequence(q_lo, q_hi),
-                lambda q: F.element_at(rep, q + 1) == 1,
-            ),
-        ).otherwise(F.lit(False))
+        import functools
+        import operator
 
+        return functools.reduce(
+            operator.or_,
+            [
+                F.coalesce(F.get(rep, p - d), F.lit(0)) == 1
+                for d in range(k)
+            ],
+        )
+
+    # clean-document short-circuit: most real documents contain no
+    # intra-doc repeats at all; one O(n) scan of the flag array skips
+    # the O(n k) probe + rebuild for them entirely
+    step = step.withColumn(
+        "_hasrep", F.exists(rep, lambda r: r == 1)
+    )
     step = step.withColumn(
         "_kept",
         F.when(
-            n >= k,
+            (n >= k) & F.col("_hasrep"),
             F.filter(F.sequence(F.lit(0), n - 1), lambda p: ~dropped(p)),
         ),
     )
     kept = F.col("_kept")
     n_tokens = F.coalesce(n, F.lit(0))
+    passthrough = F.array_join(tk, " ")
     out_clean = F.when(n_tokens == 0, F.lit("")).otherwise(
         F.when(
-            n >= k,
+            (n >= k) & F.col("_hasrep"),
             F.array_join(
                 F.transform(kept, lambda p: F.element_at(tk, p + 1)), " "
             ),
-        ).otherwise(F.array_join(tk, " "))
+        ).otherwise(passthrough)
     )
-    n_dropped = F.when(n >= k, n - F.size(kept)).otherwise(F.lit(0))
+    n_dropped = F.when(
+        (n >= k) & F.col("_hasrep"), n - F.size(kept)
+    ).otherwise(F.lit(0))
     return step.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -2446,6 +2446,7 @@ _INTRA_DOC_ORACLE = f"""
 @register(
     "intra_doc_dedup",
     oracle=_INTRA_DOC_ORACLE,
+    headline=True,  # bench promotion (r6 verdict #6 / r7 additions)
     priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
     doc="Within-document repeated-span removal "
     "(operators.text_analysis.strip_repeated_spans, r6 verdict #5): the "
@@ -2511,6 +2512,7 @@ def _bpe_oracle() -> str:
 @register(
     "bpe_token_counts",
     oracle=_bpe_oracle(),
+    headline=True,  # bench promotion (r6 verdict #6 / r7 additions)
     priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
     doc="Learned-subword token accounting (operators/bpe.py, r6 verdict "
     "#3): per-document BPE piece counts under the pinned 40-merge table "
@@ -2566,6 +2568,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sc.n_oov / sc.nt, 6)                     AS oov_ratio
     FROM documents d LEFT JOIN scored sc USING (doc_id)
     """,
+    headline=True,  # bench promotion (r6 verdict #6 / r7 additions)
     priority=63,  # r6 continuation-4 addition: r7 first-in-line
     doc="Corpus-trained unigram LM quality scoring "
     "(operators.text_analysis.unigram_lm_scores, the CCNet shape one "
@@ -2689,6 +2692,7 @@ def _bloom_oracle_sql() -> str:
 @register(
     "bloom_decontaminate",
     oracle=_bloom_oracle_sql(),
+    headline=True,  # bench promotion (r6 verdict #6 / r7 additions)
     priority=63,  # r6 continuation-4 addition: r7 first-in-line
     doc="Bloom-filter benchmark decontamination "
     "(operators.sketches.bloom_build/bloom_might_contain): the "
@@ -3103,6 +3107,7 @@ _PROFILE_ORACLE = """
 @register(
     "profile_documents",
     oracle=_PROFILE_ORACLE,
+    headline=True,  # bench promotion (r6 verdict #6 / r7 additions)
     priority=63,  # r6 late addition: r7 first-in-line, never driver-checked
     doc="Exact per-column census of the documents table via the "
     "melt-then-double-aggregate profiler (operators/profiling.py): "

@@ -66,6 +66,14 @@ PROBES = [
     # shuffle is bounded by distinct (column, value) pairs
     "winnow_fingerprints",
     "profile_documents",
+    # round-7 additions: banded hot-group rank decomposition (every-row
+    # and filter-only forms), sorted-adjacent intra-doc span removal,
+    # Arrow-batched BPE encoding, bins-bounded histogram
+    "quality_threshold_filter",
+    "curriculum_order",
+    "intra_doc_dedup",
+    "bpe_token_counts",
+    "histogram_event_values",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -110,6 +118,11 @@ PROBE_TABLES = {
     "cms_word_frequencies": {"documents"},
     "winnow_fingerprints": {"documents"},
     "profile_documents": {"documents"},
+    "histogram_event_values": {"events"},
+    "intra_doc_dedup": {"documents"},
+    "bpe_token_counts": {"documents"},
+    "quality_threshold_filter": {"documents"},
+    "curriculum_order": {"documents"},
 }
 
 
@@ -174,7 +187,13 @@ def main() -> None:
             best = math.inf
             for _ in range(2):  # min-of-2: exclude JIT/VM stalls
                 t0 = time.perf_counter()
-                QUERIES[q].fn(spark, d).count()
+                df = QUERIES[q].fn(spark, d)
+                # full-column xxhash64 fold, not count(): count lets the
+                # optimizer prune every computed column of a narrow-map
+                # query and time the bare scan (r7 bench-harness fix)
+                df.select(F.xxhash64(*df.columns).alias("_h")).agg(
+                    F.bit_xor("_h")
+                ).collect()
                 best = min(best, time.perf_counter() - t0)
             results[q][mult] = round(best, 3)
         print(json.dumps({"mult": mult, "times": {q: results[q][mult] for q in probes}}), flush=True)
