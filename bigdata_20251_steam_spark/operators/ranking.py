@@ -56,6 +56,8 @@ def banded_percent_rank(
     id_col: str,
     n_bands: int = 64,
     accuracy: int = 10_000,
+    persist_input: bool = True,
+    broadcast_edges: bool = True,
 ) -> DataFrame:
     """Exact rank under ``(value DESC, id ASC)`` within each group.
 
@@ -71,10 +73,37 @@ def banded_percent_rank(
 
     NULL values sort last (one extra band past the edges), matching the
     ``DESC`` default NULLS LAST ordering of the single-window form.
+
+    ``persist_input`` (default True): the decomposition scans ``base``
+    three times (edges aggregate, band counts, ranking pass).  Spark
+    does not share subtrees across those scans — without a persist the
+    whole ``base`` lineage (at worst a corpus read plus the quality
+    projection) re-executes per scan, and a lineage containing its own
+    joins multiplies (the r7 two-phase filter compiled to a 40-scan
+    plan this way).  Persisting the narrow rank input
+    (``MEMORY_AND_DISK``, ~tens of bytes/row: ids + group + order
+    value, never document text) makes the source lineage run once; the
+    cache is released to Spark's LRU — callers that manage their own
+    persistence pass ``persist_input=False``.
+
+    ``broadcast_edges`` (default True): the per-group edges and offsets
+    frames are ``groups × n_bands`` doubles — broadcast-safe up to
+    ~1e6 distinct groups at the default 64 bands (~512 MB driver-side
+    ceiling; Spark's own broadcast limit raises first).  A
+    higher-cardinality group column must pass ``False`` to route both
+    joins through a hash shuffle instead of the driver.
     """
     if n_bands < 2:
         raise ValueError("banded_percent_rank: n_bands must be >= 2")
     from pyspark.sql.window import Window
+
+    if persist_input:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_edges else df
 
     probs = F.array(
         *[F.lit(i / n_bands) for i in range(1, n_bands)]
@@ -96,7 +125,7 @@ def banded_percent_rank(
             F.lit(n_bands),
         )
     )
-    banded = base.join(F.broadcast(edges), group_col).withColumn(
+    banded = base.join(_small(edges), group_col).withColumn(
         "_band", band
     )
     band_counts = banded.groupBy(group_col, "_band").agg(
@@ -116,7 +145,7 @@ def banded_percent_rank(
         v.desc(), F.col(id_col).asc()
     )
     return (
-        banded.join(F.broadcast(offsets), [group_col, "_band"])
+        banded.join(_small(offsets), [group_col, "_band"])
         .withColumn("_rank", F.col("_off") + F.row_number().over(w_band))
         .drop("_edges", "_band", "_off")
     )

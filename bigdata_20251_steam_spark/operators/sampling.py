@@ -512,6 +512,14 @@ def curriculum_order(
         )
 
     if hot_threshold is not None:
+        # persist-around-the-count: the eager hot-detection job doubles
+        # as cache population, so the banded ranker's three passes read
+        # the narrow cached frame and the corpus text is scanned once
+        # (see quality_quantile_filter); cold branch leaves nothing
+        # resident.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         any_hot = (
             base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -519,10 +527,12 @@ def curriculum_order(
             .limit(1)
             .count()
         )
+        if not any_hot:
+            base.unpersist()
         if any_hot:
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
-                n_bands=n_bands, accuracy=accuracy,
+                n_bands=n_bands, accuracy=accuracy, persist_input=False,
             )
             return ranked.select(
                 "doc_id",

@@ -714,6 +714,15 @@ def quality_quantile_filter(
         "doc_id", group_col, quality_column(F.col(text_col)).alias("quality")
     )
     if hot_threshold is not None:
+        # persist the narrow score frame BEFORE the eager hot-detection
+        # count so that one job doubles as cache population — the banded
+        # ranker's three passes then read the cache and the corpus text
+        # is scanned exactly once on the hot path.  The cold branch
+        # unpersists immediately: a healthy corpus pays one count and
+        # leaves nothing resident.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         any_hot = (
             base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -724,7 +733,7 @@ def quality_quantile_filter(
         if any_hot:
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
-                n_bands=n_bands, accuracy=accuracy,
+                n_bands=n_bands, accuracy=accuracy, persist_input=False,
             )
             return ranked.select(
                 "doc_id",
@@ -734,6 +743,7 @@ def quality_quantile_filter(
                     percent_rank_expr(F.col("_rank"), F.col("_n")), 6
                 ).alias("pct_rank"),
             ).withColumn("kept", F.col("pct_rank") <= keep_fraction)
+        base.unpersist()
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
@@ -819,6 +829,19 @@ def quality_threshold_filter(
     # rank error (<= ~1/accuracy) cannot push the cutoff above the true
     # keep boundary; the shortfall guard below makes even that case
     # exact rather than approximate.
+    #
+    # base is persisted (MEMORY_AND_DISK, narrow: id + group + quality,
+    # never text) across the hot path's passes — stats aggregate,
+    # candidate prefilter, shortfall fallback — so the corpus text is
+    # read and the quality projection computed exactly ONCE; without it
+    # Spark re-expands the lineage per pass (the r7 plan compiled to 40
+    # corpus scans).  The eager any_hot count below doubles as the
+    # cache-population job; the cold branch unpersists before
+    # returning, making the healthy-corpus cost one count and nothing
+    # resident.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     p_cut = max(0.0, min(1.0, 1.0 - keep_fraction - margin))
     stats = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_cnt"),
@@ -828,6 +851,7 @@ def quality_threshold_filter(
     )
     any_hot = stats.filter(F.col("_cnt") > hot_threshold).limit(1).count()
     if any_hot == 0:
+        base.unpersist()
         return single_phase
     # candidate pool: hot groups prefiltered at the cutoff (>= keeps all
     # boundary ties — the candidate set must contain EVERY row at or
@@ -839,12 +863,18 @@ def quality_threshold_filter(
     cand = base.join(F.broadcast(stats), group_col).filter(
         (~is_hot) | F.col("_cut").isNull() | (F.col("quality") >= F.col("_cut"))
     )
-    # ceil(f*(n-1)) + 1 upper-bounds the rows the rounded-pct keep test
-    # can accept (pct_rank <= f  =>  rank - 1 <= f*(n-1) modulo 6dp
-    # rounding, absorbed by the +1); derived from stats LEFT JOIN the
-    # candidate counts so a short group is never silently lost.
+    # The keep test compares the 6dp-ROUNDED percent_rank, so it can
+    # accept ranks up to (f + 5e-7)*(n-1) + 1 — half an ulp of the 6th
+    # decimal above the nominal boundary.  The candidate pool must
+    # cover every rank the rounded test can keep, so the shortfall
+    # bound is sized to the rounded test, not the exact one:
+    # needed = ceil((f + 5e-7)*(n-1)) + 1.  (r7 advice: at ~2M-row
+    # groups the unrounded bound could pass the guard while the pool
+    # missed boundary rows the flag variant keeps.)  Derived from stats
+    # LEFT JOIN the candidate counts so a short group is never
+    # silently lost.
     needed = F.ceil(
-        F.lit(float(keep_fraction)) * (F.col("_cnt") - 1)
+        F.lit(float(keep_fraction) + 5e-7) * (F.col("_cnt") - 1)
     ).cast("long") + 1
     cand_counts = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_m"))
     short = (
@@ -862,13 +892,26 @@ def quality_threshold_filter(
     # exact rank among the pool == exact rank in the full group for
     # every emitted row (prefix argument above); percent_rank uses the
     # FULL group size from stats, not the pool size.
+    #
+    # The pool (narrow, <= corpus rows) is materialized eagerly and
+    # becomes the single resident cache: the banded ranker scans it
+    # three times, and pinning it here lets base — whose cache the pool
+    # job reads — be released immediately, so hot-path memory is one
+    # narrow frame, not two.  (An evicted pool partition recomputes
+    # through the unpersisted base lineage; correctness is unaffected.)
+    pool = pool.select("doc_id", group_col, "quality", "_cnt").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pool.count()
+    base.unpersist()
     ranked = banded_percent_rank(
-        pool.select("doc_id", group_col, "quality", "_cnt"),
+        pool,
         group_col,
         "quality",
         "doc_id",
         n_bands=n_bands,
         accuracy=accuracy,
+        persist_input=False,
     )
     return (
         ranked.withColumn(

@@ -2534,6 +2534,62 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_packed_oracle() -> str:
+    from ..operators.bpe import bpe_oracle_word_expr
+
+    word_expr = bpe_oracle_word_expr(_BPE_MERGES)
+    pieces = (
+        "COALESCE(list_sum(list_transform("
+        f"regexp_extract_all(lower(text), '[a-z]+'), w -> {word_expr})), 0)"
+    )
+    return f"""
+    WITH pc AS (
+      SELECT doc_id, text, CAST({pieces} AS BIGINT) AS n FROM documents),
+    c AS (
+      SELECT doc_id, text, n,
+             sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+      FROM pc)
+    SELECT CAST(0 AS INT)               AS shard,
+           CAST(off // 512 AS BIGINT)   AS pack_id,
+           count(*)                     AS n_docs,
+           CAST(sum(n) AS BIGINT)       AS total_tokens,
+           string_agg(text, '<|doc|>' ORDER BY doc_id) AS packed_text
+    FROM c GROUP BY 2
+    """
+
+
+@register(
+    "bpe_packed_sequences",
+    oracle=_bpe_packed_oracle(),
+    priority=30,  # new in r8 — first driver row (registry rotation)
+    doc="Packing denominated in LEARNED tokens (r7 verdict #4): "
+    "operators.packing.materialize_packs with the per-doc count fed by "
+    "operators.bpe.bpe_piece_count_column under the pinned 40-merge "
+    "table — pack capacity in deployed-tokenizer subword tokens, the "
+    "budget a context window actually enforces, instead of the "
+    "whitespace proxy of the packed_sequences sibling.  The plan stays "
+    "the sibling's ONE (shard, pack_id) shuffle; the piece count rides "
+    "the scan as an Arrow-batched pandas_udf column (merges are closure "
+    "kilobytes).  The oracle replays the ENTIRE path in SQL — "
+    "nested-replace BPE encoding per word, prefix-sum offset packing, "
+    "string_agg ORDER BY materialization — so the driver hash-checks "
+    "tokenizer, assignment and packed text together.",
+)
+def q_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_piece_count_column
+    from ..operators.packing import materialize_packs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        bpe_piece_count_column(_BPE_MERGES, F.col("text")).alias("n"),
+    )
+    return materialize_packs(
+        docs, id_col="doc_id", token_count_col="n", text_col="text",
+        budget=512, n_shards=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 continuation 4: unigram LM scoring, temperature mix, Bloom filter
 # ---------------------------------------------------------------------------

@@ -783,29 +783,59 @@ def _streaming_curation_result(
         "doc_id", "source", "text"
     )
     # ingest stage A: exact dedup on the 120-bit normalized content key —
-    # unbounded dropDuplicates state (the streaming_segment_dedup shape);
-    # keeps FIRST ARRIVAL, which bounds bronze growth but is
-    # arrival-order-dependent, so the batch tail re-asserts the
-    # canonical lowest-doc_id rule below
+    # a stateful min_by(doc_id) aggregation (update mode), NOT
+    # dropDuplicates: dropDuplicates keeps an arbitrary FIRST ARRIVAL,
+    # and once a later-arriving LOWER doc_id is dropped at ingest no
+    # batch tail can recover the canonical lowest-doc_id copy (r7
+    # advice).  min_by state is the same one-row-per-key bound, but the
+    # stream re-emits a key whenever its minimum improves, so bronze is
+    # guaranteed to contain each key's true lowest-doc_id row
+    # regardless of arrival order; superseded earlier emissions are
+    # discarded by the batch tail's re-key.
     norm = dd.normalized_text(F.col("text"))
     s1 = (
         stream.withColumn("_h1", md5_long(norm))
         .withColumn("_h2", md5_long_lo(norm))
-        .dropDuplicates(["_h1", "_h2"])
-    )
-    # ingest stage B: stateless inline Bloom probe — contamination never
-    # reaches bronze (the streaming_bloom_decontaminate shape)
-    s2 = (
-        bloom_might_contain(
-            filt, s1, "text", m_bits=_BLOOM_M, k=_BLOOM_K, inline=True
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "text"), F.col("doc_id")
+            ).alias("_r")
         )
-        .filter(~(F.col("text").isNotNull() & F.col("might_contain")))
-        .select("doc_id", "source", "text", "_h1", "_h2")
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.source").alias("source"),
+            F.col("_r.text").alias("text"),
+            "_h1",
+            "_h2",
+        )
+    )
+    # ingest stage B: inline Bloom probe on each emitted min-row.  The
+    # batch pipeline probes the DEDUP WINNER's raw text (normalized
+    # duplicates can differ in raw text), so a contaminated winner must
+    # kill its key, not fall back to a clean higher-doc_id copy —
+    # contaminated emissions become TOMBSTONES (text nulled, _contam
+    # flag) rather than being filtered: the tail sees that the key's
+    # canonical row was contaminated and drops the key, while the
+    # contaminated text itself still never reaches bronze.
+    probed = bloom_might_contain(
+        filt, s1, "text", m_bits=_BLOOM_M, k=_BLOOM_K, inline=True
+    ).withColumn(
+        "_contam", F.col("text").isNotNull() & F.col("might_contain")
+    )
+    s2 = probed.select(
+        "doc_id",
+        "source",
+        F.when(~F.col("_contam"), F.col("text")).alias("text"),
+        "_h1",
+        "_h2",
+        "_contam",
     )
     work = tempfile.mkdtemp(prefix="curation_stream_")
     bronze = os.path.join(work, "bronze")
     q = (
-        s2.writeStream.foreachBatch(
+        s2.writeStream.outputMode("update")
+        .foreachBatch(
             lambda batch_df, epoch_id: idempotent_epoch_append(
                 batch_df, bronze, epoch_id
             )
@@ -829,17 +859,21 @@ def _streaming_curation_result(
         )
 
     corpus = spark.read.parquet(bronze).select(
-        "doc_id", "source", "text", "_h1", "_h2"
+        "doc_id", "source", "text", "_h1", "_h2", "_contam"
     )
-    # batch tail, stage 1': authoritative first-occurrence rule — the
-    # ingest dedup kept first-arrival; re-keying bronze by lowest doc_id
-    # makes the end-to-end result independent of arrival order (and of
-    # how the file source batched the input), so the batch pipeline's
-    # oracle applies verbatim
+    # batch tail, stage 1': authoritative lowest-doc_id rule — bronze
+    # holds every improving min emission per key (the stateful min_by
+    # guarantees the true minimum is among them, whatever the arrival
+    # order), so the re-key picks each key's canonical row; a
+    # tombstoned winner means the batch pipeline would have
+    # decontaminated the key away, so it is dropped AFTER the re-key,
+    # never falling back to a clean non-canonical copy.  With this the
+    # batch pipeline's oracle applies verbatim.
     w1 = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
     s3_in = (
         corpus.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") == 1)
+        .filter(~F.col("_contam"))
         .select("doc_id", "source", "text")
     )
     # stages 3-5: identical parameters to curation_pipeline_end_to_end
@@ -887,12 +921,17 @@ def _streaming_curation_result(
     oracle=QUERIES["curation_pipeline_end_to_end"].oracle,
     priority=30,  # new in r7 — first driver row (registry _R7_ROTATION)
     doc="The streaming curation capstone (r6 verdict #4): documents "
-    "arrive as a stream, ingest-time exact dedup (unbounded "
-    "dropDuplicates state on the 120-bit normalized content key) and "
-    "stateless inline Bloom decontamination run IN the stream — "
-    "contamination and duplicates never reach bronze — the survivors "
-    "land exactly-once via epoch-keyed idempotent appends, and the "
-    "batch mix tail (canonical first-occurrence re-key, per-source "
+    "arrive as a stream, ingest-time exact dedup (stateful "
+    "min_by(doc_id) per 120-bit normalized content key, update mode — "
+    "one state row per key, re-emitting when the minimum improves, so "
+    "the canonical lowest-doc_id copy reaches bronze under ANY arrival "
+    "order; the r7-advice dropDuplicates first-arrival hole) and "
+    "inline Bloom decontamination run IN the stream — a contaminated "
+    "min-row becomes a text-nulled tombstone so contaminated text "
+    "never reaches bronze yet the key still dies like the batch "
+    "pipeline's would — survivors land exactly-once via epoch-keyed "
+    "idempotent appends, and the batch mix tail (lowest-doc_id re-key "
+    "+ tombstone drop, per-source "
     "quality quantile 0.6, temperature alpha=0.5, token budget 400) "
     "runs over the reconstructed corpus with the same parameters as "
     "curation_pipeline_end_to_end — whose full SQL replay is this "

@@ -74,6 +74,9 @@ PROBES = [
     "intra_doc_dedup",
     "bpe_token_counts",
     "histogram_event_values",
+    # round-8 addition: the r1-anchored headliner whose old anchor was
+    # measured under the prunable count() probe (r7 harness fix)
+    "repetition_metrics",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -123,6 +126,7 @@ PROBE_TABLES = {
     "bpe_token_counts": {"documents"},
     "quality_threshold_filter": {"documents"},
     "curriculum_order": {"documents"},
+    "repetition_metrics": {"documents"},
 }
 
 

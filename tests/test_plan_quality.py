@@ -324,18 +324,66 @@ def test_two_phase_sampler_guard_sides_broadcast(spark):
     ), plan
 
 
-def test_quality_window_queries_single_scan(spark):
-    """quality_quantile_filter / curriculum_order (r6) must compute the
-    quality score INLINE: one corpus scan, one group-key exchange — a
+def _logical_leaves(df) -> dict:
+    """Leaf node-name counts of the OPTIMIZED logical plan.
+
+    Cache-substituted subtrees appear as single ``InMemoryRelation``
+    leaves here, whereas the executed-plan string re-prints the whole
+    cached lineage inside every ``InMemoryTableScan`` — counting
+    ``FileScan`` in that string overstates the plan's real reads.
+    """
+    from collections import Counter
+
+    lv = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    return dict(Counter(lv.apply(i).nodeName() for i in range(lv.size())))
+
+
+def test_quality_window_queries_cold_single_scan(spark):
+    """COLD contract (hot_threshold=None, the default single-window
+    plan): quality_quantile_filter / curriculum_order compute the
+    quality score INLINE — one corpus scan, one group-key exchange; a
     self-join back onto the quality projection (2 scans + a doc_id
-    exchange) is the regression this pins against."""
+    exchange) is the r6 regression this pins against.  Nothing may be
+    left persisted (the cold path must not pay the hot path's cache)."""
     import re
 
-    for name in ("quality_quantile_filter", "curriculum_order"):
-        df = QUERIES[name].fn(spark, SF_SMOKE)
+    from bigdata_20251_steam_spark.operators.sampling import curriculum_order
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_quantile_filter,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for df in (
+        quality_quantile_filter(docs, keep_fraction=0.5),
+        curriculum_order(docs, n_bins=10, epoch=0),
+    ):
         plan = _final_plan(df)
-        assert len(re.findall(r"FileScan parquet", plan)) == 1, (name, plan)
-        assert len(re.findall(r"Exchange", plan)) == 1, (name, plan)
+        assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+        assert len(re.findall(r"Exchange", plan)) == 1, plan
+        assert "InMemoryTableScan" not in plan, plan
+
+
+def test_quality_window_queries_hot_banded_cached_input(spark):
+    """HOT contract (the registered queries pass hot_threshold=10,
+    engaging the r7 banded rank splitter): the RETURNED plan's only
+    leaves are InMemoryRelation references to the persisted narrow rank
+    input — the corpus parquet was read exactly once, by the eager
+    hot-detection / pool-materialization job that doubled as cache
+    population.  Re-expanding the score lineage per banded pass (the
+    40-FileScan plan the r7 two-phase filter compiled to) is the
+    regression this pins against."""
+    for name in (
+        "quality_quantile_filter",
+        "curriculum_order",
+        "quality_threshold_filter",
+    ):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        leaves = _logical_leaves(df)
+        assert set(leaves) == {"InMemoryRelation"}, (name, leaves)
+        # 3 banded passes + the offsets subtree — bounded, not lineage-
+        # exploded (the broken shape had dozens of relation leaves)
+        assert leaves["InMemoryRelation"] <= 6, (name, leaves)
 
 
 def test_lm_scorer_pass2_shuffle_free(spark):
