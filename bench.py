@@ -18,7 +18,8 @@ projection-only operators (measured at sf0.1: intra_doc_dedup 0.27 s
 pruned vs 5.9 s real pre-optimization, bpe_token_counts 0.10 s vs 3.2 s;
 shuffle/aggregate queries were unaffected — their numbers are comparable
 across rounds; the affected r1-anchored headliner is repetition_metrics,
-re-anchored in SCALING.md).  The fold's own cost is one hash per output
+re-anchored in SCALING.md's round-8 section along with every other
+projection-heavy slope row).  The fold's own cost is one hash per output
 row — negligible against any real query.
 """
 

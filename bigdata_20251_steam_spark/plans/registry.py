@@ -94,122 +94,109 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
-#: Round-7 window rotation (r6 verdict #1, the registry's own r7 note).
-#: The driver checks the first 50 of 110 registered queries.  Candidates
-#: this round: the FOURTEEN r6 registrations that have never had a
-#: driver row, the FOUR new r7 queries, the THREE r6-green queries whose
-#: code changed in r7, and the 42 r5-green queries that sat r6 out
-#: (due now under the <=2-round staleness invariant).  That is 63 names
-#: for 50 slots, so the 13 lowest-risk r5-green queries slip to r8 —
-#: each chosen because an in-window or r6-green sibling exercises the
-#: same operator path (the r6 displacement precedent), and every one
-#: stays covered by the local sf0.001 oracle suite in CI plus this
-#: round's bare-session sf0.01 sweep:
+#: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
+#: The driver checks the first 50 of 112 registered queries.  Candidates:
+#: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
+#: they enter FIRST), the TWO new r8 registrations, the FOUR queries
+#: whose code changed in r8 (banded-rank persist rewrite, streaming
+#: capstone min_by rewrite), and the 47 r6-green queries due under the
+#: <=2-round staleness invariant.  13 + 2 + 4 + 47 = 66 names for 50
+#: slots, so 16 r6-green queries slip to r9 — each chosen because an
+#: in-window or r7-green sibling exercises the same operator path
+#: (itemized at tier 80 below), and every one stays covered by the
+#: local sf0.001 oracle suite in CI plus the r8 bare-session full-
+#: registry sweep:
 #:
-#: - 30: NEW in r7, first rows + new code — bpe_token_counts,
-#:   intra_doc_dedup, quality_threshold_filter,
-#:   streaming_curation_pipeline;
-#: - 42: registered r6 after the window filled, never driver-checked
-#:   (r6 verdict weak mark #1) — first-ever rows;
-#: - 44: last green row r5 — due now (29 of the 42; the 13 slips are
+#: - 28: NEW in r8, first rows + new code — bpe_packed_sequences
+#:   (BPE-denominated packing), streaming_curation_bounded_state
+#:   (watermarked-state ingest dedup);
+#: - 30: last green row r5 — three rounds stale, the r7 slips, due
+#:   before everything else;
+#: - 32: green r7 but code CHANGED in r8 and must re-prove —
+#:   quality_quantile_filter / curriculum_order /
+#:   quality_threshold_filter (persisted banded-rank input, shortfall
+#:   bound resized to the 6dp-rounded keep test) and
+#:   streaming_curation_pipeline (first-arrival dropDuplicates ->
+#:   stateful min_by + contamination tombstones);
+#: - 44: last green row r6 — due now (31 of the 47; the 16 slips are
 #:   itemized below);
-#: - 60: r6-green whose CODE CHANGED in r7 and must re-prove —
-#:   quality_quantile_filter / curriculum_order (approx-quantile
-#:   hot-group prefilter, r6 verdict #2) and token_budget_sample
-#:   (pluggable tokens_col for BPE accounting, r6 verdict #3);
-#: - 80 (via the reset): the 13 slipped r5-green queries —
-#:   streaming_sentiment_hourly / streaming_session_windows /
-#:   streaming_asof_enrich / streaming_api_source /
-#:   streaming_dim_enrich (batch twins sentiment_hourly,
-#:   session_windows, asof_join_last_good, api_source_reviews, dim_join
-#:   all in-window), multimodal_frames (multimodal_meta in-window),
-#:   asof_join_nearest (asof_join_last_good in-window), hll_user_rollup
-#:   (streaming_hll_windows in-window, same register math), doc_chunks
-#:   (streaming_doc_chunks r6-green, same chunker), value_percentiles
-#:   (user_value_quartiles r6-green, same percentile path),
-#:   rollup_orders (cube_orders r6-green, same grouping-sets path),
-#:   daily_user_rank (moving_avg_daily r6-green, same window-function
-#:   path), minhash_dedup_resolve (dedup_pipeline_end_to_end in-window,
-#:   same closure+resolve) — plus every r6-green query with unchanged
-#:   code, returning in r8.
+#: - 80 (via the reset): the 16 slipped r6-green queries, each with a
+#:   sibling on the same path — q3_top_revenue / q14_promo_share /
+#:   q6_revenue_delta / supplier_nation_stats / top_spenders (q1 + q5
+#:   in-window cover scan-agg and the multi-join path),
+#:   anti_join_customers (semi_join_orders in-window, same
+#:   broadcast-semi machinery), lsh_recall_vs_exact /
+#:   ivf_recall_vs_exact / ivf_sampled_recall (embed_topk_lsh
+#:   in-window; bruteforce + ivf r7-green, same recall-gate math),
+#:   multimodal_features (multimodal_meta r7-green + multimodal_frames
+#:   in-window), global_stats (sentiment_summary in-window, same
+#:   scalar-agg path), latest_event (recent_windows in-window, same
+#:   latest-row path), streaming_doc_chunks (batch twin doc_chunks
+#:   in-window), streaming_token_budget (streaming curation pipelines
+#:   in-window exercise the budget path), packing_assignments /
+#:   packed_sequences (bpe_packed_sequences in-window runs
+#:   pack_documents AND materialize_packs end-to-end) — plus every
+#:   r7-green query with unchanged code, returning in r9.
 #:
-#: 4 + 14 + 29 + 3 = 50 — the window is exact, no filler.  The overlay
+#: 2 + 13 + 4 + 31 = 50 — the window is exact, no filler.  The overlay
 #: RESETS every unnamed query to the 80 pool first, so declared module
 #: tiers can't accidentally displace a scheduled row.
-_R7_ROTATION: dict[str, int] = {
-    # new in r7 — first rows, new code
-    "bpe_token_counts": 30,
-    "intra_doc_dedup": 30,
-    "quality_threshold_filter": 30,
-    "streaming_curation_pipeline": 30,
-    # registered r6 after the window filled — never driver-checked
-    "streaming_segment_dedup": 42,
-    "unigram_lm_scores": 42,
-    "temperature_mix_sample": 42,
-    "bloom_decontaminate": 42,
-    "cms_word_frequencies": 42,
-    "streaming_bloom_decontaminate": 42,
-    "curation_pipeline_end_to_end": 42,
-    "fuzzy_part_names": 42,
-    "key_skew_orders": 42,
-    "streaming_hll_windows": 42,
-    "winnow_fingerprints": 42,
-    "normalize_text": 42,
-    "profile_documents": 42,
-    "histogram_event_values": 42,
-    # last green row r5 — due now (staleness invariant)
-    "sentiment_hourly": 44,
-    "genre_distribution": 44,
-    "peak_activity": 44,
-    "epoch_casts": 44,
-    "dim_join": 44,
-    "dedup_exact": 44,
-    "minhash_signatures": 44,
-    "minhash_dedup_pairs": 44,
-    "simhash_signatures": 44,
-    "ngram_jaccard_pairs": 44,
-    "embed_topk_bruteforce": 44,
-    "embed_topk_ivf": 44,
-    "embed_near_dup_pairs": 44,
-    "token_counts": 44,
-    "language_id": 44,
-    "quality_scores": 44,
-    "doc_fingerprints": 44,
-    "clean_html_roundtrip": 44,
-    "multimodal_meta": 44,
-    "sql_interface": 44,
-    "sliding_windows": 44,
-    "session_windows": 44,
-    "asof_join_last_good": 44,
-    "interval_event_counts": 44,
-    "dedup_pipeline_end_to_end": 44,
-    "api_source_reviews": 44,
-    "epoch_shuffle_order": 44,
-    "streaming_genre_counts": 44,
-    "streaming_player_windows": 44,
-    # r6-green whose code changed in r7 — re-prove immediately
-    "quality_quantile_filter": 60,
-    "curriculum_order": 60,
-    "token_budget_sample": 60,
+_R8_ROTATION: dict[str, int] = {
+    # new in r8 — first rows, new code
+    "bpe_packed_sequences": 28,
+    "streaming_curation_bounded_state": 28,
+    # last green row r5 — three rounds stale, enter first (r7 verdict #3)
+    "streaming_sentiment_hourly": 30,
+    "streaming_session_windows": 30,
+    "streaming_asof_enrich": 30,
+    "streaming_api_source": 30,
+    "streaming_dim_enrich": 30,
+    "multimodal_frames": 30,
+    "asof_join_nearest": 30,
+    "hll_user_rollup": 30,
+    "doc_chunks": 30,
+    "value_percentiles": 30,
+    "rollup_orders": 30,
+    "daily_user_rank": 30,
+    "minhash_dedup_resolve": 30,
+    # green r7, code changed in r8 — re-prove immediately
+    "quality_quantile_filter": 32,
+    "curriculum_order": 32,
+    "quality_threshold_filter": 32,
+    "streaming_curation_pipeline": 32,
+    # last green row r6 — due now (staleness invariant)
+    "review_bomb": 44,
+    "top_genres": 44,
+    "player_windows": 44,
+    "sentiment_summary": 44,
+    "event_share": 44,
+    "recent_windows": 44,
+    "props_json": 44,
+    "q1_pricing_summary": 44,
+    "q5_region_revenue": 44,
+    "semi_join_orders": 44,
+    "embed_topk_lsh": 44,
+    "approx_stats": 44,
+    "hash_split_assignments": 44,
+    "stratified_sample_counts": 44,
+    "repetition_metrics": 44,
+    "dedup_components": 44,
+    "tfidf_top_terms": 44,
+    "incremental_dedup_status": 44,
+    "embed_quantize": 44,
+    "pivot_event_matrix": 44,
+    "cube_orders": 44,
+    "moving_avg_daily": 44,
+    "set_ops_users": 44,
+    "udtf_sentences": 44,
+    "user_value_quartiles": 44,
+    "pii_redaction": 44,
+    "cross_split_contamination": 44,
+    "source_capped_sample": 44,
+    "segment_dedup": 44,
+    "streaming_running_totals": 44,
+    "streaming_stream_join": 44,
 }
-
-
-#: r8 ROTATION NOTE (for the next session): the r7 window covers exactly
-#: the 50 names at tiers 30/42/44/60 in _R7_ROTATION.  Sat out with last
-#: green row r5 (slipped, covered by the siblings named above — rotate
-#: these in FIRST in r8, they will be 3 rounds stale):
-#: streaming_sentiment_hourly, streaming_session_windows,
-#: streaming_asof_enrich, streaming_api_source, streaming_dim_enrich,
-#: multimodal_frames, asof_join_nearest, hll_user_rollup, doc_chunks,
-#: value_percentiles, rollup_orders, daily_user_rank,
-#: minhash_dedup_resolve (13).  Sat out with last green row r6 (due in
-#: r8 under the <=2-round invariant): the whole r6 window minus the
-#: three changed-code re-proves — 47 names.  13 + 47 = 60 candidates
-#: for 50 slots: prefer the 13 three-round-stale slips plus the r6
-#: tier-42 first-row queries, then fill with the rest, letting ~10
-#: lowest-risk r6-green queries slip to r9 by the same sibling-coverage
-#: rule.  Every registered query stays covered by the local sf0.001
-#: oracle suite in CI plus the per-round bare-session sf0.01 sweep.
 
 
 def _load_all() -> None:
@@ -227,7 +214,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R7_ROTATION.get(name, 80)
+        prio = _R8_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

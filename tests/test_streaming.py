@@ -464,3 +464,264 @@ def test_streaming_curation_epoch_replay_is_idempotent(spark):
     )
     assert base == replayed
     assert base, "pipeline produced no per-source rows"
+
+
+def test_streaming_curation_matches_batch_with_normalized_dups(spark, tmp_path):
+    """r7 advice: the capstone's arrival-order claim was untested because
+    the synthetic corpus holds no normalized duplicates with distinct
+    doc_ids.  This fixture has them — including the adversarial corner
+    where the CANONICAL (lowest-doc_id) copy is benchmark-contaminated
+    while a higher-doc_id duplicate is clean: the batch pipeline dedups
+    to the canonical copy and then decontaminates it away (the key
+    dies); a first-arrival ingest dedup could keep the clean copy
+    instead.  Stream and batch pipelines must agree row-for-row."""
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        q_curation_pipeline_end_to_end,
+    )
+    from bigdata_20251_steam_spark.plans.streaming_queries import (
+        _streaming_curation_result,
+    )
+
+    rows = []
+    # doc 7 is in the benchmark set (doc_id % 10 == 7); doc 12 is its
+    # normalized duplicate (case/punctuation differ) — the corner above
+    rows.append((7, "Secret Benchmark Answer Seven", "en", "a"))
+    rows.append((12, "secret benchmark answer seven!!", "en", "a"))
+    # clean canonical duplicate pair: lowest doc_id must survive
+    rows.append((3, "common crawl page alpha body text", "en", "a"))
+    rows.append((9, "Common   CRAWL page alpha body text.", "en", "a"))
+    # byte-identical duplicate pair
+    rows.append((4, "exact duplicate text body here", "en", "b"))
+    rows.append((8, "exact duplicate text body here", "en", "b"))
+    # a NULL-text document (unkeyable by content, never contaminated)
+    rows.append((6, None, "en", "b"))
+    # filler singletons so quality/mix/budget stages bind per source
+    for i in range(13, 60):
+        if i % 10 == 7 or i in {d for d, *_ in rows}:
+            continue
+        src = "a" if i % 2 else "b"
+        rows.append(
+            (i, f"the quick document number {i} talks about topic {i % 5} "
+                f"and is of ordinary quality with some words", "en", src)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    d = str(tmp_path / "dupfix")
+    df.withColumn("n_chars", F.length("text")).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    batch = sorted(
+        map(tuple, q_curation_pipeline_end_to_end(spark, d).collect())
+    )
+    stream = sorted(map(tuple, _streaming_curation_result(spark, d).collect()))
+    assert batch == stream
+    assert batch, "fixture produced no per-source rows"
+
+
+def test_streaming_min_by_dedup_recovers_late_lower_doc_id(spark, tmp_path):
+    """Stage-A semantics across MICRO-BATCH boundaries: a lower-doc_id
+    duplicate arriving in a LATER micro-batch must still reach bronze
+    (the stateful min_by re-emits the key when its minimum improves) —
+    the exact case first-arrival dropDuplicates loses, because it drops
+    the late canonical copy at ingest with no way to recover it."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_20251_steam_spark.functions.hashing import md5_long, md5_long_lo
+    from bigdata_20251_steam_spark.operators import dedup as dd
+    from bigdata_20251_steam_spark.streaming.engine import (
+        file_stream,
+        idempotent_epoch_append,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    src = str(tmp_path / "arrivals")
+    _os.makedirs(src)
+    t1 = pa.table(
+        {"doc_id": [12, 20], "source": ["a", "a"],
+         "text": ["dup text body", "unique one"]}
+    )
+    t2 = pa.table(
+        {"doc_id": [5, 21], "source": ["a", "a"],
+         "text": ["Dup   TEXT body!!", "unique two"]}
+    )
+    pq.write_table(t1, f"{src}/b1.parquet")
+    pq.write_table(t2, f"{src}/b2.parquet")
+    # file source processes oldest-modified first; pin the order
+    _os.utime(f"{src}/b1.parquet", (1_700_000_000, 1_700_000_000))
+    _os.utime(f"{src}/b2.parquet", (1_700_000_600, 1_700_000_600))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("source", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    norm = dd.normalized_text(F.col("text"))
+    agg = (
+        stream.withColumn("_h1", md5_long(norm))
+        .withColumn("_h2", md5_long_lo(norm))
+        .groupBy("_h1", "_h2")
+        .agg(
+            F.min_by(F.struct("doc_id", "source", "text"), F.col("doc_id")).alias("_r")
+        )
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.source").alias("source"),
+            F.col("_r.text").alias("text"),
+            "_h1",
+            "_h2",
+        )
+    )
+    bronze = str(tmp_path / "bronze")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda b, e: idempotent_epoch_append(b, bronze, e)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    corpus = spark.read.parquet(bronze)
+    # both emissions of the dup key are in bronze: batch 1's min (12),
+    # then batch 2's improved min (5) — group on the content key (raw
+    # texts differ; only the normalized form is equal)
+    by_key = {}
+    for r in corpus.collect():
+        by_key.setdefault((r["_h1"], r["_h2"]), []).append(r["doc_id"])
+    multi = [sorted(v) for v in by_key.values() if len(v) > 1]
+    assert multi == [[5, 12]], by_key
+    # the tail re-key picks the canonical lowest doc_id per key
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
+    winners = sorted(
+        r["doc_id"]
+        for r in corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    assert winners == [5, 20, 21], winners
+
+
+def test_bounded_dedup_state_evicts_and_tail_cleans_late_dups(spark, tmp_path):
+    """streaming_curation_bounded_state's stage-A contract, pinned on a
+    multi-batch skewed-arrival fixture: (a) an in-watermark duplicate is
+    dropped by the state store; (b) the state for a key is EVICTED once
+    the watermark passes its first sighting plus the delay (bounded
+    state — the metrics must show removed rows); (c) a duplicate
+    arriving after eviction passes through ingest but the batch tail's
+    lowest-doc_id re-key still dedups it (the safety net)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_20251_steam_spark.functions.hashing import md5_long, md5_long_lo
+    from bigdata_20251_steam_spark.operators import dedup as dd
+    from bigdata_20251_steam_spark.streaming.engine import (
+        file_stream,
+        idempotent_epoch_append,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from pyspark.sql.window import Window
+
+    src = str(tmp_path / "arrivals")
+    _os.makedirs(src)
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1, 0, 0, 0) + _dt.timedelta(seconds=s)
+
+    batches = [
+        # b1: first sighting of the dup key + a singleton
+        {"doc_id": [10, 30], "text": ["boilerplate page", "single one"],
+         "arrival_ts": [ts(1000), ts(1000)]},
+        # b2: in-watermark duplicate (5 s later, delay is 10 s) — dropped
+        {"doc_id": [11], "text": ["Boilerplate   PAGE!!"],
+         "arrival_ts": [ts(1005)]},
+        # b3: watermark pusher — raises the watermark past the dup key's
+        # expiry (1000 + 10)...
+        {"doc_id": [31], "text": ["single two"], "arrival_ts": [ts(1500)]},
+        # b4: ...and a second pusher, because state eviction runs at
+        # batch COMMIT with that batch's watermark (computed from the
+        # PREVIOUS batch's max event time): the key is evicted at the
+        # end of this batch, not during b3
+        {"doc_id": [32], "text": ["single three"], "arrival_ts": [ts(1600)]},
+        # b5: late duplicate, after eviction — passes through ingest
+        {"doc_id": [12], "text": ["boilerplate page"],
+         "arrival_ts": [ts(2000)]},
+    ]
+    for i, b in enumerate(batches):
+        t = pa.table(
+            {"doc_id": pa.array(b["doc_id"], pa.int64()),
+             "text": pa.array(b["text"], pa.string()),
+             "arrival_ts": pa.array(b["arrival_ts"],
+                                    pa.timestamp("us", tz="UTC"))}
+        )
+        p = f"{src}/b{i}.parquet"
+        pq.write_table(t, p)
+        _os.utime(p, (1_700_000_000 + 600 * i,) * 2)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("arrival_ts", TimestampType(), True),
+        ]
+    )
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    norm = dd.normalized_text(F.col("text"))
+    deduped = (
+        stream.withColumn("_h1", md5_long(norm))
+        .withColumn("_h2", md5_long_lo(norm))
+        .withWatermark("arrival_ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["_h1", "_h2"])
+        .select("doc_id", "text", "_h1", "_h2")
+    )
+    bronze = str(tmp_path / "bronze")
+    progresses = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: idempotent_epoch_append(b, bronze, e))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+
+    corpus = spark.read.parquet(bronze)
+    got = sorted(r["doc_id"] for r in corpus.collect())
+    # 11 dropped in-watermark; 12 re-admitted after state eviction
+    assert got == [10, 12, 30, 31, 32], got
+    # state rows were removed by the watermark at least once (bounded
+    # state — the whole point of the variant)
+    removed = sum(
+        int(so.get("numRowsRemoved", 0))
+        for p in progresses
+        for so in p["stateOperators"]
+    )
+    assert removed >= 1, progresses
+    # the batch tail's lowest-doc_id re-key cleans the late duplicate
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id")
+    winners = sorted(
+        r["doc_id"]
+        for r in corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    )
+    assert winners == [10, 30, 31, 32], winners
