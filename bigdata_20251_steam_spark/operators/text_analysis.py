@@ -1072,3 +1072,267 @@ def strip_repeated_spans(
         F.coalesce(n_dropped, F.lit(0)).alias("n_dropped"),
         out_clean.alias("text_clean"),
     )
+
+
+def strip_cross_doc_spans(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove CORPUS-WIDE repeated k-token spans (cross-doc span dedup).
+
+    The full Lee et al. 2022 ExactSubstr case at k-gram granularity:
+    boilerplate (license headers, nav bars, templated intros) repeated
+    ACROSS documents, which document-level dedup
+    (:func:`~..operators.dedup` family, whole/segment keys) and
+    :func:`strip_repeated_spans` (within one doc) both leave in place.
+    Lee et al. build a corpus suffix array offline; the distributed
+    re-expression here compares every k-gram occurrence globally
+    through one hash-keyed exchange.  Semantics, exactly
+    SQL-replayable and a strict superset of the intra-doc operator:
+
+    - tokens are the whitespace split of the trimmed text;
+    - the k-gram at ``(doc, pos)`` is a REPEAT iff the same k-token
+      sequence occurs at any lexicographically earlier ``(doc', pos')``
+      under ``(doc_id ASC, pos ASC)`` — the first occurrence in the
+      canonical corpus order survives, every echo is flagged;
+    - every token position covered by a repeat k-gram is dropped;
+    - ``text_clean`` rebuilds the survivors in order, single-space
+      joined.
+
+    Output: ``(doc_id, n_tokens, n_dropped, text_clean)``; NULL/empty
+    text yields ``(0, 0, '')``.
+
+    Scale shape — two bounded exchanges, zero Python:
+
+    1. gram occurrences shuffle ONCE keyed by the 120-bit md5 pair of
+       the gram text (16-byte keys + two longs — the dedup-module
+       posture: gram text itself never shuffles); a row_number window
+       over ``(doc_id, pos)`` inside each gram key flags every
+       non-first occurrence.  ~n_tokens rows of ~32 bytes — the same
+       order as the CMS/winnowing token exchanges.
+    2. ONLY the repeat rows (empty on a boilerplate-free corpus) are
+       regrouped per document into a sorted repeat-start array and
+       joined back to the corpus on ``doc_id``.
+
+    The rebuild then runs as zero-shuffle array lambdas: the sparse
+    start list is merged against the dense gram-position sequence with
+    one ``array_sort`` + adjacent-compare (the intra-doc alignment
+    trick — NO per-position membership scan, which would be O(n·r) per
+    doc and quadratic on boilerplate-heavy corpora), yielding a
+    position-aligned repeat-flag array probed at O(1) per position via
+    the same unrolled ``F.get`` chain as :func:`strip_repeated_spans`.
+    Each intermediate array is materialized as its own projection
+    column — higher-order functions re-evaluate captured subexpressions
+    PER ELEMENT (the documented O(k n^3 log n) inlining trap).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long, md5_long_lo
+    from .dedup import spread_partitions
+
+    if k < 1:
+        raise ValueError("strip_cross_doc_spans: k must be >= 1")
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+    base = spread_partitions(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
+    tk = F.col("_toks")
+    n = F.size(tk)
+
+    # pass 1 (distributed): every gram occurrence, keyed by gram hash.
+    # ' ' join is unambiguous: whitespace-split tokens contain no spaces.
+    occ = (
+        base.filter(n >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.array_join(F.slice(tk, i + 1, k), " ").alias("g"),
+                    ),
+                )
+            ).alias("_o"),
+        )
+        .select(
+            "doc_id",
+            F.col("_o.p").alias("p"),
+            md5_long(F.col("_o.g")).alias("_h1"),
+            md5_long_lo(F.col("_o.g")).alias("_h2"),
+        )
+    )
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "p")
+    repeats = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "p")
+    )
+    starts = repeats.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("p")).alias("_starts")
+    )
+
+    step = base.join(starts, "doc_id", "left")
+    st = F.col("_starts")
+    # sparse->dense alignment: merge (start, 1) markers into the dense
+    # gram-position sequence, sort by (p, marker), then for each dense
+    # (p, 0) entry the marker — if any — is its immediate successor.
+    step = step.withColumn(
+        "_m",
+        F.when(
+            (n >= k) & st.isNotNull(),
+            F.array_sort(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.lit(0), n - k),
+                        lambda i: F.struct(i.alias("p"), F.lit(0).alias("r")),
+                    ),
+                    F.transform(
+                        st,
+                        lambda s: F.struct(s.alias("p"), F.lit(1).alias("r")),
+                    ),
+                )
+            ),
+        ),
+    )
+    m = F.col("_m")
+    step = step.withColumn(
+        "_rep",
+        F.when(
+            m.isNotNull(),
+            F.transform(
+                F.filter(
+                    F.transform(
+                        m,
+                        lambda x, j: F.struct(
+                            x["r"].alias("r"),
+                            F.coalesce(
+                                F.try_element_at(m, j + 2)["p"] == x["p"],
+                                F.lit(False),
+                            )
+                            .cast("int")
+                            .alias("d"),
+                        ),
+                    ),
+                    lambda x: x["r"] == 0,
+                ),
+                lambda x: x["d"],
+            ),
+        ),
+    )
+    rep = F.col("_rep")
+
+    # position p is dropped iff any of the <=k grams overlapping it is a
+    # repeat — the strip_repeated_spans unrolled O(1)-per-probe chain
+    def dropped(p):
+        import functools
+        import operator
+
+        return functools.reduce(
+            operator.or_,
+            [
+                F.coalesce(F.get(rep, p - d), F.lit(0)) == 1
+                for d in range(k)
+            ],
+        )
+
+    has_rep = rep.isNotNull() & F.exists(rep, lambda r: r == 1)
+    step = step.withColumn("_hasrep", F.coalesce(has_rep, F.lit(False)))
+    step = step.withColumn(
+        "_kept",
+        F.when(
+            (n >= k) & F.col("_hasrep"),
+            F.filter(F.sequence(F.lit(0), n - 1), lambda p: ~dropped(p)),
+        ),
+    )
+    kept = F.col("_kept")
+    n_tokens = F.coalesce(n, F.lit(0))
+    passthrough = F.array_join(tk, " ")
+    out_clean = F.when(n_tokens == 0, F.lit("")).otherwise(
+        F.when(
+            (n >= k) & F.col("_hasrep"),
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at(tk, p + 1)), " "
+            ),
+        ).otherwise(passthrough)
+    )
+    n_dropped = F.when(
+        (n >= k) & F.col("_hasrep"), n - F.size(kept)
+    ).otherwise(F.lit(0))
+    return step.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.coalesce(n_dropped, F.lit(0)).alias("n_dropped"),
+        out_clean.alias("text_clean"),
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The published Gopher document-quality rules as an auditable filter.
+
+    Rae et al. 2021 ("Scaling Language Models", §A1.1) document filters
+    — the standard rule set real curation stacks start from, distinct
+    from the engine's heuristic composite (:func:`quality_scores`) and
+    the learned tier (``operators/classifier``):
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length within ``[min_mean_len, max_mean_len]``;
+    - symbol-to-word ratio below ``max_symbol_ratio`` (symbols =
+      non-alphanumeric, non-whitespace characters);
+    - fraction of words containing an alphabetic character at least
+      ``min_alpha_frac``;
+    - at least ``min_stopwords`` English stopword hits (the
+      "real prose" check).
+
+    Output keeps EVERY document with its per-rule metrics plus the
+    final ``keep`` flag — one pass serves survivors and audit (the
+    quality_quantile_filter convention).  Wordless/NULL documents emit
+    NULL metrics and ``keep = false``.
+
+    Zero shuffles: all metrics are array lambdas and regexp counts
+    fused into the scan; integer counts divided once and rounded to
+    6dp keep every ratio bit-exact cross-engine.
+    """
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+    n = F.size(toks)
+    has = n > 0
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(has, F.round(len_sum / n, 6))
+    symbols = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]"))
+    symbol_ratio = F.when(has, F.round(symbols / n, 6))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(has, F.round(alpha / n, 6))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(en_stop, F.lower(w)))
+    )
+    keep = (
+        has
+        & n.between(min_words, max_words)
+        & mean_len.between(min_mean_len, max_mean_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(n, F.lit(0)).alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.when(has, n_stop).alias("n_stopwords"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

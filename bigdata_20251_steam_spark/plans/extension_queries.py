@@ -483,6 +483,60 @@ def q_embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_resolve",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_bucket_sql('CAST(embedding AS DOUBLE[])')} AS BIGINT) AS bucket
+      FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM base a JOIN base b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM prs
+      UNION SELECT ib, ia FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS vec_id, min(b) AS component_id FROM reach GROUP BY a)
+    SELECT e.vec_id,
+           COALESCE(c.component_id, e.vec_id) AS cluster_id,
+           e.vec_id = COALESCE(c.component_id, e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Semantic deduplication resolve (SemDeDup, Abbas et al. 2023 "
+    "shape): embedding-cosine near-duplicate pairs (sign-LSH blocked, "
+    "never all-pairs) -> transitive closure via the pointer-jumped "
+    "connected components -> one KEEPER per semantic cluster (lowest "
+    "vec_id), singletons keep themselves.  Completes the dedup ladder "
+    "on the embedding side the way minhash_dedup_resolve does on the "
+    "lexical side — same closure machinery, different similarity "
+    "channel; the output labels EVERY vector with its cluster and keep "
+    "flag so a pipeline can both filter and audit cluster sizes.  "
+    "Oracle: the cosine-pair replay + a recursive-CTE closure.",
+)
+def q_semantic_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_near_dup_pairs(
+        emb, planes=_PLANES, threshold=0.3
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = dd.connected_components(pairs).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = emb.select("vec_id").join(comp, "vec_id", "left")
+    cluster = F.coalesce(F.col("component_id"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (F.col("vec_id") == cluster).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2467,6 +2521,90 @@ def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_DOC_K = 5
+
+_CROSS_DOC_SPANS_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+      FROM base
+    ),
+    gram_pos AS (
+      SELECT doc_id, l,
+             unnest(range(1, len(l) - {_CROSS_DOC_K} + 2)) AS pos
+      FROM base
+    ),
+    gram AS (
+      SELECT doc_id, pos,
+             array_to_string(l[pos:pos + {_CROSS_DOC_K - 1}], ' ') AS h
+      FROM gram_pos
+    ),
+    rep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (
+                 PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM gram)
+      WHERE rn > 1
+    ),
+    drop_pos AS (
+      SELECT DISTINCT doc_id, pos + d AS pos
+      FROM (SELECT doc_id, pos,
+                   unnest(range(0, {_CROSS_DOC_K})) AS d FROM rep)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.t
+      FROM tok t LEFT JOIN drop_pos d
+        ON t.doc_id = d.doc_id AND t.pos = d.pos
+      WHERE d.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(len(b.l), 0) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(len(b.l), 0) - COALESCE(a.n_kept, 0) AS INTEGER)
+             AS n_dropped,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "cross_doc_span_dedup",
+    oracle=_CROSS_DOC_SPANS_ORACLE,
+    headline=True,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Corpus-wide repeated-span removal "
+    "(operators.text_analysis.strip_cross_doc_spans, new r8): the full "
+    "Lee et al. ExactSubstr case at k-gram granularity — a k-gram is a "
+    "repeat iff the same token sequence occurs at an earlier (doc_id, "
+    "pos) ANYWHERE in the corpus; the canonical first occurrence "
+    "survives, every cross-document echo's covered positions are "
+    "dropped, text_clean rebuilds the survivors.  Completes the dedup "
+    "ladder: whole-doc (dedup_exact) -> segment (segment_dedup) -> "
+    "within-doc span (intra_doc_dedup) -> cross-doc span (this).  One "
+    "gram-hash-keyed token exchange (16-byte md5 pair, gram text never "
+    "shuffles) + a repeats-only doc regroup; rebuild is zero-shuffle "
+    "array lambdas with the sparse-to-dense sort-merge alignment (no "
+    "per-position membership scan).  The oracle replays it relationally "
+    "— global row_number over gram text, range-unnest coverage, ordered "
+    "string_agg reconstruction — so the driver hash-pins every "
+    "reconstructed document.",
+)
+def q_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.strip_cross_doc_spans(
+        load_table(spark, sf_dir, "documents"), k=_CROSS_DOC_K
+    )
+
+
 #: Pinned BPE merges table (r7, r6 verdict #3).  Tokenizers are
 #: ARTIFACTS: trained once, shipped, and outliving the corpus they were
 #: trained on (GPT-2's vocab.json posture) — so the registered query
@@ -2587,6 +2725,227 @@ def q_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_packs(
         docs, id_col="doc_id", token_count_col="n", text_col="text",
         budget=512, n_shards=1,
+    )
+
+
+#: Pinned NB classifier weights (r8) — integer micro-nat log-odds per
+#: md5-hashed word bucket.  Classifiers are ARTIFACTS (the BPE-merges
+#: posture): trained once, shipped, outliving their training corpus.
+#: Provenance: operators.classifier.train_nb_weights(documents@sf0.001,
+#: positive = doc_id % 7 == 3, n_buckets=256, alpha=0.5) — deterministic
+#: (exact integer counts, one math.log pass, 1e-6 quantization);
+#: re-derivation is pinned by tests (test_nb_weights_provenance).
+_NB_BUCKETS = 256
+_NB_WEIGHTS: list[tuple[int, int]] = [
+    (4, 117418), (7, -37208), (9, -25396), (17, -187820), (23, -132244),
+    (34, 8592), (36, -59833), (46, -18526), (52, -60376), (74, 63036),
+    (81, 97743), (82, 30498), (93, 131214), (105, -202867), (106, 71491),
+    (109, -213457), (115, -36807), (151, -94609), (152, 34086),
+    (158, -215763), (161, -57960), (162, 94466), (180, -8910),
+    (186, -140901), (191, 81624), (192, 91508), (217, 35688),
+    (226, 32588), (233, -16176), (234, -264222), (236, -174763),
+]
+
+
+def _nb_oracle() -> str:
+    from ..operators.classifier import nb_oracle_score_sql
+
+    total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
+    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
+    score = f"round(CAST({total} AS DOUBLE) / 1000000.0 / {n_words}, 6)"
+    return f"""
+    SELECT doc_id,
+           CAST({n_words} AS INTEGER) AS n_words,
+           CASE WHEN {n_words} > 0 THEN {score} END AS score,
+           CASE WHEN {n_words} > 0 THEN {score} > 0 END AS pred
+    FROM documents
+    """
+
+
+@register(
+    "nb_classifier_scores",
+    oracle=_nb_oracle(),
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Model-based quality classification "
+    "(operators/classifier.py, new r8): hashed Naive-Bayes log-odds "
+    "scoring — the learned does-this-look-like-the-reference-corpus "
+    "tier (CCNet / fastText CommonCrawl-filter shape) that the "
+    "heuristic quality_scores family does not cover.  Training is ONE "
+    "bucket-bounded aggregate (shuffle <= n_buckets rows, the CMS "
+    "posture) + a driver-side log-odds pass over <= 256 count rows; "
+    "the registered query scores under the PINNED integer micro-nat "
+    "weights table (classifiers are shipped artifacts, the BPE-merges "
+    "posture), so scoring is a zero-shuffle scan-fused projection and "
+    "the integer sums make per-doc scores bit-exact across engines "
+    "regardless of aggregation order — the oracle replays the full "
+    "lookup-sum-divide-round chain via a dense list literal.",
+)
+def q_nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_quality_scores
+
+    return nb_quality_scores(
+        load_table(spark, sf_dir, "documents"), _NB_WEIGHTS, _NB_BUCKETS
+    )
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_TOKS}, x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id, toks, symbols, len(toks) AS n,
+             list_sum(list_transform(toks, w -> length(w))) AS len_sum,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha,
+             len(list_filter(toks,
+                   w -> list_contains([{_EN_STOP_SQL}], lower(w))))
+               AS n_stop
+      FROM t),
+    r AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0 THEN round(CAST(len_sum AS DOUBLE) / n, 6) END
+               AS mean_word_len,
+             CASE WHEN n > 0 THEN round(CAST(symbols AS DOUBLE) / n, 6) END
+               AS symbol_ratio,
+             CASE WHEN n > 0 THEN round(CAST(alpha AS DOUBLE) / n, 6) END
+               AS alpha_word_frac,
+             CASE WHEN n > 0 THEN n_stop END AS n_stopwords
+      FROM m)
+    SELECT doc_id,
+           CAST(COALESCE(n, 0) AS INTEGER) AS n_words,
+           mean_word_len, symbol_ratio, alpha_word_frac,
+           CAST(n_stopwords AS INTEGER) AS n_stopwords,
+           COALESCE(n > 0
+             AND n BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_ratio < 0.1
+             AND alpha_word_frac >= 0.8
+             AND n_stopwords >= 2, FALSE) AS keep
+    FROM r
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="The published Gopher document-quality rules "
+    "(operators.text_analysis.gopher_quality_filter, Rae et al. 2021 "
+    "SSA1.1): word-count bounds, mean-word-length band, symbol-to-word "
+    "ratio, alphabetic-word fraction, minimum stopword hits — the "
+    "citable rule set real curation stacks start from, emitted with "
+    "per-rule metrics AND the keep flag so one pass serves survivors "
+    "and audit.  Zero shuffles (scan-fused array lambdas + regexp "
+    "counts); integer counts divided once and 6dp-rounded pin every "
+    "ratio cross-engine.",
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.gopher_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dataset_card",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(list_filter({_TOKS}, x -> x <> '')) END AS n_toks
+      FROM documents),
+    qq AS (
+      SELECT doc_id, source, lang, n_toks,
+             CAST(round(round(least(greatest(
+               (0.5 * (len(list_filter(string_split_regex(lower(trim(text)),
+                         '\\s+'), w -> list_contains([{_EN_STOP_SQL}], w)))
+                  / greatest(CAST(len(string_split_regex(lower(trim(text)),
+                         '\\s+')) AS BIGINT), 1))
+                + 0.5 * (1 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / greatest(length(text), 1)))
+               * least(len(string_split_regex(lower(trim(text)), '\\s+'))
+                       / 20.0, 1.0), 0.0), 1.0), 6) * 1000000)
+               AS BIGINT) AS q_micro
+      FROM q),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN q_micro IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_text,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(sum(COALESCE(q_micro, 0)) AS BIGINT) AS q_sum,
+             CAST(count(q_micro) AS BIGINT) AS q_n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM qq GROUP BY source),
+    lang_counts AS (
+      SELECT source, lang, count(*) AS c FROM qq
+      WHERE lang IS NOT NULL GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rn
+        FROM lang_counts) t WHERE rn = 1)
+    SELECT p.source, p.n_docs, p.n_null_text, p.total_tokens,
+           CASE WHEN p.q_n > 0
+                THEN round(CAST(p.q_sum AS DOUBLE) / 1000000.0 / p.q_n, 6)
+           END AS avg_quality,
+           p.n_langs, t.top_lang
+    FROM per_source p LEFT JOIN top t USING (source)
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="One-pass per-source dataset card: the summary artifact a "
+    "curation run publishes next to its shards — doc count, NULL-text "
+    "count, whitespace-token mass, mean heuristic quality, language "
+    "cardinality and modal language (deterministic lexicographic "
+    "tie-break).  The quality mean sums 6dp-rounded per-doc scores as "
+    "INTEGER micro-units (order-free exact arithmetic — the unigram-LM "
+    "/ NB-classifier convention), so the cross-engine hash pins every "
+    "aggregate; one group-key exchange plus a languages-bounded modal "
+    "aggregate.",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+    n_toks = F.when(t.isNull(), F.lit(0)).otherwise(F.size(toks))
+    q_micro = F.round(ta.quality_column(t) * 1_000_000).cast("long")
+    base = docs.select(
+        "source", "lang", n_toks.alias("_nt"), q_micro.alias("_qm")
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_qm").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("_qm"), F.lit(0))).cast("long").alias("_qs"),
+        F.count("_qm").alias("_qn"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_counts = (
+        base.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("_c").desc(), F.col("lang").asc()
+    )
+    top = (
+        lang_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    avg_q = F.when(
+        F.col("_qn") > 0,
+        F.round(F.col("_qs") / F.lit(1_000_000.0) / F.col("_qn"), 6),
+    )
+    return per_source.join(top, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_null_text",
+        "total_tokens",
+        avg_q.alias("avg_quality"),
+        "n_langs",
+        "top_lang",
     )
 
 

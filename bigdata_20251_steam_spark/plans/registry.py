@@ -97,11 +97,11 @@ def oracle_map() -> dict[str, str]:
 #: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
 #: The driver checks the first 50 of 112 registered queries.  Candidates:
 #: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
-#: they enter FIRST), the TWO new r8 registrations, the FOUR queries
+#: they enter FIRST), the SEVEN new r8 registrations, the FOUR queries
 #: whose code changed in r8 (banded-rank persist rewrite, streaming
 #: capstone min_by rewrite), and the 47 r6-green queries due under the
-#: <=2-round staleness invariant.  13 + 2 + 4 + 47 = 66 names for 50
-#: slots, so 16 r6-green queries slip to r9 — each chosen because an
+#: <=2-round staleness invariant.  13 + 7 + 4 + 47 = 71 names for 50
+#: slots, so 21 r6-green queries slip to r9 — each chosen because an
 #: in-window or r7-green sibling exercises the same operator path
 #: (itemized at tier 80 below), and every one stays covered by the
 #: local sf0.001 oracle suite in CI plus the r8 bare-session full-
@@ -109,7 +109,12 @@ def oracle_map() -> dict[str, str]:
 #:
 #: - 28: NEW in r8, first rows + new code — bpe_packed_sequences
 #:   (BPE-denominated packing), streaming_curation_bounded_state
-#:   (watermarked-state ingest dedup);
+#:   (watermarked-state ingest dedup), cross_doc_span_dedup
+#:   (corpus-wide repeated-span removal), nb_classifier_scores
+#:   (hashed-NB model-based quality tier), semantic_dedup_resolve
+#:   (SemDeDup embedding-cluster keepers), gopher_quality_filter
+#:   (the published Gopher rule set), dataset_card (per-source summary
+#:   artifact);
 #: - 30: last green row r5 — three rounds stale, the r7 slips, due
 #:   before everything else;
 #: - 32: green r7 but code CHANGED in r8 and must re-prove —
@@ -118,10 +123,15 @@ def oracle_map() -> dict[str, str]:
 #:   bound resized to the 6dp-rounded keep test) and
 #:   streaming_curation_pipeline (first-arrival dropDuplicates ->
 #:   stateful min_by + contamination tombstones);
-#: - 44: last green row r6 — due now (31 of the 47; the 16 slips are
+#: - 44: last green row r6 — due now (26 of the 47; the 21 slips are
 #:   itemized below);
-#: - 80 (via the reset): the 16 slipped r6-green queries, each with a
-#:   sibling on the same path — q3_top_revenue / q14_promo_share /
+#: - 80 (via the reset): the 21 slipped r6-green queries, each with a
+#:   sibling on the same path — top_genres (genre_distribution
+#:   r7-green, same explode+count+top-k path), moving_avg_daily
+#:   (daily_user_rank in-window, same date-window function path),
+#:   cube_orders + pivot_event_matrix (rollup_orders in-window, the
+#:   grouping-variants family), user_value_quartiles
+#:   (value_percentiles in-window, same percentile/ntile family), q3_top_revenue / q14_promo_share /
 #:   q6_revenue_delta / supplier_nation_stats / top_spenders (q1 + q5
 #:   in-window cover scan-agg and the multi-join path),
 #:   anti_join_customers (semi_join_orders in-window, same
@@ -138,13 +148,18 @@ def oracle_map() -> dict[str, str]:
 #:   pack_documents AND materialize_packs end-to-end) — plus every
 #:   r7-green query with unchanged code, returning in r9.
 #:
-#: 2 + 13 + 4 + 31 = 50 — the window is exact, no filler.  The overlay
+#: 7 + 13 + 4 + 26 = 50 — the window is exact, no filler.  The overlay
 #: RESETS every unnamed query to the 80 pool first, so declared module
 #: tiers can't accidentally displace a scheduled row.
 _R8_ROTATION: dict[str, int] = {
     # new in r8 — first rows, new code
     "bpe_packed_sequences": 28,
     "streaming_curation_bounded_state": 28,
+    "cross_doc_span_dedup": 28,
+    "nb_classifier_scores": 28,
+    "semantic_dedup_resolve": 28,
+    "gopher_quality_filter": 28,
+    "dataset_card": 28,
     # last green row r5 — three rounds stale, enter first (r7 verdict #3)
     "streaming_sentiment_hourly": 30,
     "streaming_session_windows": 30,
@@ -166,7 +181,6 @@ _R8_ROTATION: dict[str, int] = {
     "streaming_curation_pipeline": 32,
     # last green row r6 — due now (staleness invariant)
     "review_bomb": 44,
-    "top_genres": 44,
     "player_windows": 44,
     "sentiment_summary": 44,
     "event_share": 44,
@@ -184,12 +198,8 @@ _R8_ROTATION: dict[str, int] = {
     "tfidf_top_terms": 44,
     "incremental_dedup_status": 44,
     "embed_quantize": 44,
-    "pivot_event_matrix": 44,
-    "cube_orders": 44,
-    "moving_avg_daily": 44,
     "set_ops_users": 44,
     "udtf_sentences": 44,
-    "user_value_quartiles": 44,
     "pii_redaction": 44,
     "cross_split_contamination": 44,
     "source_capped_sample": 44,

@@ -77,6 +77,11 @@ PROBES = [
     # round-8 addition: the r1-anchored headliner whose old anchor was
     # measured under the prunable count() probe (r7 harness fix)
     "repetition_metrics",
+    # round-8 additions: corpus-wide span dedup (the gram-hash token
+    # exchange is the shape most worth watching at scale) and the
+    # zero-shuffle NB classifier scoring pass
+    "cross_doc_span_dedup",
+    "nb_classifier_scores",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -127,6 +132,8 @@ PROBE_TABLES = {
     "quality_threshold_filter": {"documents"},
     "curriculum_order": {"documents"},
     "repetition_metrics": {"documents"},
+    "cross_doc_span_dedup": {"documents"},
+    "nb_classifier_scores": {"documents"},
 }
 
 

@@ -1822,3 +1822,236 @@ def test_strip_repeated_spans_randomized(spark):
         }
         for doc_id, text in cases:
             assert got[doc_id] == ref(text, k), (k, doc_id)
+
+
+def _cross_doc_ref(cases, k):
+    """Brute-force corpus-wide reference: one GLOBAL seen-set, docs
+    scanned in doc_id order, overlaps allowed (same as the per-doc
+    reference but shared across documents)."""
+    import re as _re
+
+    seen = {}
+    out = {}
+    for doc_id, text in sorted(cases):
+        toks = [w for w in _re.split(r"\s+", text.strip()) if w] if text else []
+        n = len(toks)
+        if n < k:
+            out[doc_id] = (n, 0, " ".join(toks))
+            continue
+        rep = []
+        for i in range(n - k + 1):
+            g = " ".join(toks[i:i + k])
+            if g in seen:
+                rep.append(i)
+            else:
+                seen[g] = (doc_id, i)
+        dropped = {p for i in rep for p in range(i, i + k)}
+        kept = [toks[p] for p in range(n) if p not in dropped]
+        out[doc_id] = (n, n - len(kept), " ".join(kept))
+    return out
+
+
+def test_strip_cross_doc_spans_hand_edges(spark):
+    """Cross-doc span removal (r8): the canonical FIRST occurrence in
+    (doc_id, pos) order survives; echoes in LATER documents drop; a
+    doc's self-repeats still drop (superset of the intra-doc operator);
+    NULL/empty/short docs pass through."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_cross_doc_spans,
+    )
+
+    cases = [
+        (1, "alpha beta gamma delta one two"),       # canonical source
+        (2, "xx alpha beta gamma delta yy"),          # cross-doc echo drops
+        (3, "p q r p q r p q r"),                     # intra-doc tiling
+        (4, "fresh words only here today"),           # untouched
+        (5, "u v"),                                   # shorter than k
+        (6, ""),                                      # empty
+        (7, None),                                    # null
+        (8, "one two alpha beta gamma"),              # echo of doc 1's tail? no — different 3-grams
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in strip_cross_doc_spans(
+            spark.createDataFrame(cases, "doc_id long, text string"), k=3
+        ).collect()
+    }
+    ref = _cross_doc_ref(cases, 3)
+    for doc_id, _ in cases:
+        assert got[doc_id] == ref[doc_id], (doc_id, got[doc_id], ref[doc_id])
+    # the echo inside doc 2 is gone, its unique frame survives
+    assert got[2][2] == "xx yy"
+    # doc 1 (canonical) is untouched
+    assert got[1] == (6, 0, "alpha beta gamma delta one two")
+
+    try:
+        strip_cross_doc_spans(
+            spark.createDataFrame(cases, "doc_id long, text string"), k=0
+        )
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on k=0")
+
+
+def test_strip_cross_doc_spans_randomized(spark):
+    """Dense cross-doc adversarial sweep: tiny alphabet forces heavy
+    cross-document gram collisions; every doc checked against the
+    global brute-force reference for k in {1,2,3,5}."""
+    import random
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_cross_doc_spans,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        (i, " ".join(rng.choice("abc") for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    for k in (1, 2, 3, 5):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+            for r in strip_cross_doc_spans(docs, k=k).collect()
+        }
+        ref = _cross_doc_ref(cases, k)
+        for doc_id, _ in cases:
+            assert got[doc_id] == ref[doc_id], (k, doc_id)
+
+
+def test_nb_weights_provenance(spark):
+    """The pinned _NB_WEIGHTS artifact re-derives bit-for-bit from its
+    documented provenance (sf0.001 documents, positive = doc_id%7==3,
+    256 buckets, alpha 0.5) — the BPE-merges artifact discipline."""
+    from bigdata_20251_steam_spark.operators.classifier import train_nb_weights
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _NB_BUCKETS,
+        _NB_WEIGHTS,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = train_nb_weights(
+        docs, positive=(F.col("doc_id") % 7 == 3), n_buckets=_NB_BUCKETS
+    )
+    assert got == _NB_WEIGHTS
+
+
+def test_nb_classifier_hand_fixture(spark):
+    """Training and scoring against an independent pure-Python
+    reference on a tiny labeled corpus, including bucket collisions
+    (n_buckets=8 forces them), NULL text, and the wordless-doc NULLs."""
+    import hashlib
+    import math as _m
+
+    from bigdata_20251_steam_spark.operators.classifier import (
+        nb_quality_scores,
+        train_nb_weights,
+    )
+
+    rows = [
+        (1, "good clean prose text here", True),
+        (2, "good text again clean words", True),
+        (3, "spam spam buy now spam", False),
+        (4, "buy spam now now now", False),
+        (5, "mixed good spam text", False),
+        (6, None, True),
+        (7, "12345 !!!", False),  # wordless after [a-z]+ extraction
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    D, alpha = 8, 0.5
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % D
+
+    import re as _re
+
+    pc, nc = {}, {}
+    for _, text, pos in rows:
+        for w in _re.findall(r"[a-z]+", (text or "").lower()):
+            (pc if pos else nc)[bucket(w)] = (pc if pos else nc).get(
+                bucket(w), 0
+            ) + 1
+    pt, nt = sum(pc.values()), sum(nc.values())
+    exp_w = {
+        b: round(
+            (
+                _m.log((pc.get(b, 0) + alpha) / (pt + alpha * D))
+                - _m.log((nc.get(b, 0) + alpha) / (nt + alpha * D))
+            )
+            * 1_000_000
+        )
+        for b in sorted(set(pc) | set(nc))
+    }
+    got_w = train_nb_weights(docs, positive=F.col("pos"), n_buckets=D)
+    assert dict(got_w) == exp_w
+
+    scored = {
+        r["doc_id"]: (r["n_words"], r["score"], r["pred"])
+        for r in nb_quality_scores(docs, got_w, D).collect()
+    }
+    for doc_id, text, _ in rows:
+        ws = _re.findall(r"[a-z]+", (text or "").lower())
+        if not ws:
+            assert scored[doc_id] == (0, None, None), doc_id
+        else:
+            # Spark/DuckDB round() is decimal HALF_UP on the double's
+            # shortest repr; Python round() is banker's — emulate the
+            # engines' convention for the reference
+            from decimal import ROUND_HALF_UP, Decimal
+
+            raw = sum(exp_w.get(bucket(w), 0) for w in ws) / 1e6 / len(ws)
+            s = float(
+                Decimal(repr(raw)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert scored[doc_id] == (len(ws), s, s > 0), doc_id
+    # positives score above negatives on this separable fixture
+    assert scored[1][1] > 0 and scored[3][1] < 0
+
+    try:
+        train_nb_weights(docs, positive=F.col("pos"), n_buckets=0)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError on n_buckets=0")
+
+
+def test_gopher_filter_each_rule_binds(spark):
+    """Each Gopher rule trips independently on a crafted fixture; the
+    thresholds are parameters, so the fixture uses permissive bounds
+    that isolate one rule at a time."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    cases = [
+        (1, "the cat and the dog sat on the mat with the hat"),  # passes
+        (2, "the cat"),                                # too few words
+        (3, "the ab cd ef gh ij kl mn op qr st uv"),   # mean len < 3
+        (4, "the !! ?? ## $$ %% ^^ && ** (( )) @@"),   # symbols + alpha frac
+        (5, "zz yy xx ww vv uu tt ss rr qq pp oo"),    # no stopwords
+        (6, None),                                      # null
+        (7, ""),                                        # empty
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            docs, min_words=5, max_words=100, min_mean_len=2.5,
+            max_mean_len=10.0, max_symbol_ratio=0.1, min_alpha_frac=0.8,
+            min_stopwords=2,
+        ).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 2
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] < 2.5
+    assert got[4]["keep"] is False and got[4]["alpha_word_frac"] < 0.8
+    assert got[5]["keep"] is False and got[5]["n_stopwords"] == 0
+    for d in (6, 7):
+        assert got[d]["keep"] is False and got[d]["n_words"] == 0
+        assert got[d]["mean_word_len"] is None

@@ -487,3 +487,37 @@ def test_normalize_text_narrow_map(spark):
     assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
         f"normalize_text plans a key shuffle:\n{plan}"
     )
+
+
+def test_cross_doc_span_dedup_shuffles_hashes_not_gram_text(spark):
+    """cross_doc_span_dedup (r8): the global gram comparison must travel
+    as the 120-bit md5 pair — every hash exchange in the plan is keyed
+    by (_h1, _h2) or doc_id, never by the gram string; and the corpus
+    is scanned at most twice (occurrence pass + rebuild join), with no
+    lineage re-expansion beyond that."""
+    import re
+
+    df = QUERIES["cross_doc_span_dedup"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    exchanges = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    ]
+    assert any("_h1" in e and "_h2" in e for e in exchanges), plan
+    for e in exchanges:
+        assert "_h1" in e or "doc_id" in e, (
+            f"unexpected exchange key (gram text?):\n{e}"
+        )
+    assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
+
+
+def test_nb_classifier_scoring_shuffle_free(spark):
+    """nb_classifier_scores (r8): the pinned weights ride as a map
+    literal, so the scoring pass must be a single-scan, zero-exchange
+    narrow projection — the unigram-LM pass-2 contract."""
+    import re
+
+    df = QUERIES["nb_classifier_scores"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"NB scoring pass shuffles:\n{plan}"
