@@ -2055,3 +2055,39 @@ def test_gopher_filter_each_rule_binds(spark):
     for d in (6, 7):
         assert got[d]["keep"] is False and got[d]["n_words"] == 0
         assert got[d]["mean_word_len"] is None
+
+
+def test_banded_rank_shuffle_join_path_parity(spark):
+    """banded_percent_rank(broadcast_edges=False) — the high-group-
+    cardinality escape hatch (r7 advice) — must reproduce the broadcast
+    path and the plain window rank exactly, with no broadcast hint in
+    its analyzed plan."""
+    from pyspark.sql.window import Window
+
+    from bigdata_20251_steam_spark.operators.ranking import (
+        banded_percent_rank,
+    )
+
+    rows = [
+        (i, f"g{i % 5}", float((i * 37) % 11))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("doc_id").asc())
+    expect = {
+        (r["doc_id"]): (r["rk"], r["n"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    for bcast in (True, False):
+        ranked = banded_percent_rank(
+            df, "g", "v", "doc_id", n_bands=4, persist_input=False,
+            broadcast_edges=bcast,
+        )
+        if not bcast:
+            assert "UnresolvedHint" not in ranked._jdf.queryExecution().logical().toString()
+        got = {
+            r["doc_id"]: (r["_rank"], r["_n"]) for r in ranked.collect()
+        }
+        assert got == expect, f"broadcast_edges={bcast}"
