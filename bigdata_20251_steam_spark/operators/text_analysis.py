@@ -1336,3 +1336,171 @@ def gopher_quality_filter(
         F.when(has, n_stop).alias("n_stopwords"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    bigram_size: int = 24,
+    text_col: str = "text",
+    oov_alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007).
+
+    One modeling step up from :func:`unigram_lm_scores` toward CCNet's
+    KenLM: score each token by its conditional probability given the
+    previous token, backing off to ``backoff ×`` the unigram
+    probability when the bigram is unseen — the "stupid backoff"
+    smoothing that Brants et al. showed matches Kneser-Ney at corpus
+    scale for a fraction of the cost, and the scheme a distributed
+    engine can replay exactly.
+
+    Model (all tables bounded, trained on the corpus itself):
+
+    - top-``vocab_size`` unigrams with counts (one word-count
+      aggregate, shuffle bounded by the vocabulary);
+    - top-``bigram_size`` adjacent pairs whose CONTEXT word is in the
+      vocabulary (one pair-count aggregate; the context restriction is
+      what keeps the conditional's denominator available and the table
+      bounded), ``P(cur|ctx) = c(ctx,cur) / c(ctx)``;
+    - position 1 scores by unigram (OOV floor ``oov_alpha/N``);
+      positions 2..n score by the bigram, else ``backoff × P(cur)``,
+      else ``backoff × oov_alpha/N``.
+
+    Output: ``(doc_id, n_tokens, avg_logp10, bigram_hit_ratio)`` —
+    the hit ratio (pairs found in the bigram table / (n-1)) is the
+    fluency signal a repetitive or shuffled document fails; NULL for
+    docs with < 2 tokens, all-NULL scores for empty/NULL text.
+
+    Cross-engine exactness (the unigram convention): every log-prob is
+    quantized to integer nano-log10s at TRAIN time — per-doc sums are
+    exact long arithmetic, order-independent; one division + 6dp round
+    at the end.  Scoring is a zero-shuffle narrow projection: both
+    tables ride as map literals (kilobytes), pair keys are
+    ``ctx || ' ' || cur`` (unambiguous — whitespace-split tokens
+    contain no spaces).
+    """
+    import math
+
+    if vocab_size < 1 or bigram_size < 1:
+        raise ValueError("bigram_lm_scores: table sizes must be >= 1")
+    if vocab_size > 10_000 or bigram_size > 10_000:
+        raise ValueError(
+            "bigram_lm_scores inlines both tables as map literals; "
+            "sizes above 10k need the explode -> broadcast-join -> "
+            "re-aggregate form (see unigram_lm_scores)"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = counts.agg(F.sum("c")).collect()[0][0]
+    if not n_total:
+        raise ValueError("bigram_lm_scores: corpus has no tokens")
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        vocab_size
+    ).collect()
+    uni_c = {r["w"]: int(r["c"]) for r in top}
+
+    def q(x: float) -> int:
+        return int(math.floor(math.log10(x) * 1e9))
+
+    uni_lp = {w: q(c / n_total) for w, c in uni_c.items()}
+    back_lp = {w: q(backoff * c / n_total) for w, c in uni_c.items()}
+    oov_first = q(oov_alpha / n_total)
+    oov_back = q(backoff * oov_alpha / n_total)
+
+    vocab_lit = F.array(*[F.lit(w) for w in uni_c])
+    pair_src = docs.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    tk0 = F.col("_t")
+    pair_rows = (
+        pair_src.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk0) - 1),
+                    lambda i: F.struct(
+                        F.get(tk0, i - 1).alias("ctx"),
+                        F.get(tk0, i).alias("cur"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.ctx", "_p.cur")
+        .filter(F.array_contains(vocab_lit, F.col("ctx")))
+        .groupBy("ctx", "cur")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .orderBy(F.col("cp").desc(), F.col("ctx").asc(), F.col("cur").asc())
+        .limit(bigram_size)
+        .collect()
+    )
+    pair_lp = {
+        f"{r['ctx']} {r['cur']}": q(int(r["cp"]) / uni_c[r["ctx"]])
+        for r in pair_rows
+    }
+
+    def _lit_map(d: dict, keys):
+        return F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]),
+            F.array(*[F.lit(d[k]).cast("long") for k in keys]),
+        )
+
+    uni_map = _lit_map(uni_lp, list(uni_c))
+    back_map = _lit_map(back_lp, list(uni_c))
+    pair_map = (
+        _lit_map(pair_lp, list(pair_lp))
+        if pair_lp
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<long>")
+        )
+    )
+
+    step = spread_partitions(docs, "doc_id").select(
+        "doc_id", toks.alias("_toks")
+    )
+    tk = F.col("_toks")
+    n = F.size(tk)
+    first_lp = F.coalesce(
+        F.element_at(uni_map, F.get(tk, 0)), F.lit(oov_first).cast("long")
+    )
+    pkey = lambda i: F.concat(F.get(tk, i - 1), F.lit(" "), F.get(tk, i))  # noqa: E731
+    pos_lp = lambda i: F.coalesce(  # noqa: E731
+        F.element_at(pair_map, pkey(i)),
+        F.element_at(back_map, F.get(tk, i)),
+        F.lit(oov_back).cast("long"),
+    )
+    rest = F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + pos_lp(i),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    hits = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.element_at(pair_map, pkey(i)).isNotNull(),
+            )
+        ),
+    )
+    n_toks = F.when(tk.isNull(), F.lit(0)).otherwise(n)
+    nonempty = n_toks > 0
+    total = first_lp + rest
+    return step.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.when(
+            nonempty, F.round(total.cast("double") / n_toks / F.lit(1e9), 6)
+        ).alias("avg_logp10"),
+        F.when(
+            n_toks >= 2, F.round(hits / (n_toks - 1), 6)
+        ).alias("bigram_hit_ratio"),
+    )

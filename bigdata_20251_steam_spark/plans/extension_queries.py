@@ -3004,6 +3004,80 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_lm_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    dw AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+           FROM toks),
+    counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+    vocab AS (SELECT w, c,
+                     CAST(floor(log10(c / n) * 1e9) AS BIGINT) AS lp_uni,
+                     CAST(floor(log10(0.4 * c / n) * 1e9) AS BIGINT) AS lp_back
+              FROM counts, tot ORDER BY c DESC, w LIMIT 16),
+    prs AS (SELECT a.doc_id, b.pos, a.w AS ctx, b.w AS cur
+            FROM dw a JOIN dw b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pc AS (SELECT ctx, cur, CAST(count(*) AS BIGINT) AS cp
+           FROM prs JOIN vocab v ON prs.ctx = v.w GROUP BY ctx, cur),
+    bg AS (SELECT pc.ctx, pc.cur,
+                  CAST(floor(log10(CAST(cp AS DOUBLE) / v.c) * 1e9)
+                       AS BIGINT) AS lp
+           FROM pc JOIN vocab v ON pc.ctx = v.w
+           ORDER BY cp DESC, pc.ctx, pc.cur LIMIT 24),
+    oov AS (SELECT CAST(floor(log10(0.5 / n) * 1e9) AS BIGINT) AS first_lp,
+                   CAST(floor(log10(0.4 * 0.5 / n) * 1e9) AS BIGINT) AS back_lp
+            FROM tot),
+    pos_lp AS (
+      SELECT dw.doc_id, dw.pos,
+             CASE WHEN dw.pos = 1 THEN coalesce(v.lp_uni, o.first_lp)
+                  ELSE coalesce(b.lp, v.lp_back, o.back_lp) END AS lp,
+             CASE WHEN dw.pos > 1 AND b.lp IS NOT NULL
+                  THEN 1 ELSE 0 END AS hit
+      FROM dw
+      LEFT JOIN dw prev
+        ON prev.doc_id = dw.doc_id AND prev.pos = dw.pos - 1
+      LEFT JOIN bg b
+        ON dw.pos > 1 AND b.ctx = prev.w AND b.cur = dw.w
+      LEFT JOIN vocab v ON v.w = dw.w
+      CROSS JOIN oov o),
+    sc AS (SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS nt,
+                  CAST(sum(hit) AS BIGINT) AS hits
+           FROM pos_lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.nt, 0) AS INTEGER)          AS n_tokens,
+           round(CAST(sc.s AS DOUBLE) / sc.nt / 1e9, 6) AS avg_logp10,
+           CASE WHEN sc.nt >= 2
+                THEN round(CAST(sc.hits AS DOUBLE) / (sc.nt - 1), 6)
+           END AS bigram_hit_ratio
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Bigram LM scoring with Stupid Backoff "
+    "(operators.text_analysis.bigram_lm_scores, Brants et al. 2007): "
+    "one modeling step from the unigram scorer toward CCNet's KenLM — "
+    "P(cur|ctx) from a top-24 bigram table (contexts restricted to the "
+    "top-16 vocabulary so the conditional's denominator is available "
+    "and the table bounded), backoff 0.4x unigram, OOV floor; emits "
+    "the bigram hit ratio as a fluency signal.  Training is two "
+    "bounded aggregates; scoring is a zero-shuffle projection with "
+    "both tables as map literals; integer nano-log10 quantization "
+    "makes per-doc sums exact long arithmetic (order-free), the "
+    "unigram convention.  The oracle retrains AND rescores the whole "
+    "model relationally.",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), vocab_size=16, bigram_size=24
+    )
+
+
+@register(
     "temperature_mix_sample",
     oracle=f"""
     WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n

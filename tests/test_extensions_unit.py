@@ -2091,3 +2091,85 @@ def test_banded_rank_shuffle_join_path_parity(spark):
             r["doc_id"]: (r["_rank"], r["_n"]) for r in ranked.collect()
         }
         assert got == expect, f"broadcast_edges={bcast}"
+
+
+def test_bigram_lm_hand_fixture(spark):
+    """Bigram LM (stupid backoff) against an independent pure-Python
+    reference on a corpus tiny enough to enumerate: exercises the
+    bigram-hit, backoff-to-unigram, backoff-to-OOV, first-position and
+    sub-2-token paths."""
+    import math as _m
+    import re as _re
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    rows = [
+        (1, "the cat sat the cat sat the cat"),
+        (2, "the dog sat"),
+        (3, "zebra quantum the cat"),   # OOV-ish start, known bigram end
+        (4, "one"),                      # single token: no bigram stage
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    V, B, alpha, bo = 4, 3, 0.5, 0.4
+
+    toks_of = lambda t: [w for w in _re.split(r"\s+", (t or "").strip().lower()) if w]  # noqa: E731
+    from collections import Counter
+
+    uni = Counter(w for _, t in rows for w in toks_of(t))
+    n_total = sum(uni.values())
+    vocab = dict(
+        sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    )
+    pairs = Counter()
+    for _, t in rows:
+        ws = toks_of(t)
+        for a, b in zip(ws, ws[1:]):
+            if a in vocab:
+                pairs[(a, b)] += 1
+    top_pairs = dict(
+        sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:B]
+    )
+    q = lambda x: int(_m.floor(_m.log10(x) * 1e9))  # noqa: E731
+    exp = {}
+    for doc_id, t in rows:
+        ws = toks_of(t)
+        n = len(ws)
+        if n == 0:
+            exp[doc_id] = (0, None, None)
+            continue
+        lp = [
+            q(vocab[ws[0]] / n_total) if ws[0] in vocab else q(alpha / n_total)
+        ]
+        hits = 0
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in top_pairs:
+                lp.append(q(top_pairs[(a, b)] / vocab[a]))
+                hits += 1
+            elif b in vocab:
+                lp.append(q(bo * vocab[b] / n_total))
+            else:
+                lp.append(q(bo * alpha / n_total))
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r6 = lambda x: float(  # noqa: E731
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        exp[doc_id] = (
+            n,
+            r6(sum(lp) / n / 1e9),
+            r6(hits / (n - 1)) if n >= 2 else None,
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp10"], r["bigram_hit_ratio"])
+        for r in bigram_lm_scores(
+            docs, vocab_size=V, bigram_size=B, oov_alpha=alpha, backoff=bo
+        ).collect()
+    }
+    for doc_id, _ in rows:
+        assert got[doc_id] == exp[doc_id], (doc_id, got[doc_id], exp[doc_id])
+    # the repeated "the cat" doc has real bigram hits
+    assert got[1][2] > 0
