@@ -155,3 +155,31 @@ def activity_windows(
             "n_samples",
         )
     )
+
+
+def evaluation_barrier(df: DataFrame) -> DataFrame:
+    """Force every current column to be evaluated exactly once per row.
+
+    Catalyst's filter pushdown and project collapse SUBSTITUTE producer
+    expressions into consumers: a filter on a frame whose column is an
+    expensive derived expression (e.g. the reconstructed ``text_clean``
+    of the span-dedup operators — a chain of sorted-array lambdas) gets
+    pushed below the projection with the full expression inlined at
+    EVERY reference, and the substitution recurses through each
+    intermediate projection column — re-triggering, across operator
+    boundaries, the per-element re-evaluation trap the operators
+    guard against internally (measured: the curation v2 capstone went
+    ~100x slower than the sum of its stages before this barrier).
+
+    The barrier is a 1:1 ``explode(array(struct(*)))`` — a Generate
+    node, which predicates do not push through and projections do not
+    collapse across, evaluated once per row with no shuffle and no
+    materialization.  Insert it between an operator producing expensive
+    derived columns and a consumer that FILTERS or re-derives on them;
+    plans that consume each column once (the registered single-operator
+    queries) do not need it.
+    """
+    cols = df.columns
+    return df.select(
+        F.explode(F.array(F.struct(*cols))).alias("_row")
+    ).select(*[F.col(f"_row.{c}").alias(c) for c in cols])

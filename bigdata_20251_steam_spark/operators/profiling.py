@@ -162,3 +162,74 @@ def value_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-source dataset card — the summary a curation run
+    publishes next to its shards.
+
+    Output per source: ``(source, n_docs, n_null_text, total_tokens,
+    avg_quality, n_langs, top_lang)`` — doc count, NULL-text count,
+    whitespace-token mass, mean heuristic quality, language cardinality
+    and the modal language (deterministic lexicographic tie-break).
+
+    Cross-engine exactness: the quality mean sums 6dp-rounded per-doc
+    scores as INTEGER micro-units (order-free exact arithmetic — the
+    unigram-LM / NB-classifier convention), dividing once at the end.
+
+    Scale shape — ONE aggregation chain, zero joins: stats roll up
+    through a (source, lang) pre-aggregate and re-aggregate to source
+    level, with the modal language picked by ``min_by`` over
+    ``(-count, lang)`` (deterministic lexicographic tie-break) from the
+    same pre-aggregate.  The naive formulation — separate per-source
+    and per-language branches joined at the end — re-expands the whole
+    input lineage per branch (ruinous when the input is itself a
+    pipeline, e.g. the curation capstone feeding survivors in); this
+    shape expands it once.
+    """
+    from .text_analysis import quality_column
+
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+    n_toks = F.when(t.isNull(), F.lit(0)).otherwise(F.size(toks))
+    q_micro = F.round(quality_column(t) * 1_000_000).cast("long")
+    base = docs.select(
+        "source", "lang", n_toks.alias("_nt"), q_micro.alias("_qm")
+    )
+    per_sl = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_qm").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_nulls"),
+        F.sum("_nt").cast("long").alias("_toks"),
+        F.sum(F.coalesce(F.col("_qm"), F.lit(0))).cast("long").alias("_qs"),
+        F.count("_qm").alias("_qn"),
+    )
+    lang_ok = F.col("lang").isNotNull()
+    per_source = per_sl.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_nulls").cast("long").alias("n_null_text"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum("_qs").cast("long").alias("_qs"),
+        F.sum("_qn").cast("long").alias("_qn"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).cast("long").alias("n_langs"),
+        # null ordering value => row ignored by min_by, so null-lang
+        # rows never become the mode and an all-null source yields NULL
+        F.min_by(
+            "lang",
+            F.when(lang_ok, F.struct((-F.col("_n")).alias("nc"), F.col("lang"))),
+        ).alias("top_lang"),
+    )
+    avg_q = F.when(
+        F.col("_qn") > 0,
+        F.round(F.col("_qs") / F.lit(1_000_000.0) / F.col("_qn"), 6),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_null_text",
+        "total_tokens",
+        avg_q.alias("avg_quality"),
+        "n_langs",
+        "top_lang",
+    )

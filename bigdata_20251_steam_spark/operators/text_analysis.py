@@ -1303,7 +1303,40 @@ def gopher_quality_filter(
     fused into the scan; integer counts divided once and rounded to
     6dp keep every ratio bit-exact cross-engine.
     """
-    t = F.col(text_col)
+    metrics, keep = gopher_columns(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_len=min_mean_len,
+        max_mean_len=max_mean_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_frac=min_alpha_frac,
+        min_stopwords=min_stopwords,
+    )
+    return docs.select(
+        "doc_id",
+        *[col.alias(name) for name, col in metrics.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_columns(
+    t: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> tuple[dict, Column]:
+    """The Gopher rule metrics as inline column expressions.
+
+    Returns ``(metrics, keep)`` where metrics is an ordered dict of the
+    five per-rule columns — consumers that only need the gate (e.g. the
+    curation capstone) embed ``keep`` directly in their own select so
+    the filter fuses into their scan instead of semi-joining the
+    operator's output back (the accidental-recompute shape)."""
     toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
     n = F.size(toks)
     has = n > 0
@@ -1327,15 +1360,14 @@ def gopher_quality_filter(
         & (alpha_frac >= min_alpha_frac)
         & (n_stop >= min_stopwords)
     )
-    return docs.select(
-        "doc_id",
-        F.coalesce(n, F.lit(0)).alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        F.when(has, n_stop).alias("n_stopwords"),
-        F.coalesce(keep, F.lit(False)).alias("keep"),
-    )
+    metrics = {
+        "n_words": F.coalesce(n, F.lit(0)),
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stopwords": F.when(has, n_stop),
+    }
+    return metrics, F.coalesce(keep, F.lit(False))
 
 
 def bigram_lm_scores(

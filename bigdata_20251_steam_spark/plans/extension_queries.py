@@ -2605,6 +2605,166 @@ def q_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned NB classifier weights (r8) — integer micro-nat log-odds per
+#: md5-hashed word bucket.  Classifiers are ARTIFACTS (the BPE-merges
+#: posture): trained once, shipped, outliving their training corpus.
+#: Provenance: operators.classifier.train_nb_weights(documents@sf0.001,
+#: positive = doc_id % 7 == 3, n_buckets=256, alpha=0.5) — deterministic
+#: (exact integer counts, one math.log pass, 1e-6 quantization);
+#: re-derivation is pinned by tests (test_nb_weights_provenance).
+_NB_BUCKETS = 256
+_NB_WEIGHTS: list[tuple[int, int]] = [
+    (4, 117418), (7, -37208), (9, -25396), (17, -187820), (23, -132244),
+    (34, 8592), (36, -59833), (46, -18526), (52, -60376), (74, 63036),
+    (81, 97743), (82, 30498), (93, 131214), (105, -202867), (106, 71491),
+    (109, -213457), (115, -36807), (151, -94609), (152, 34086),
+    (158, -215763), (161, -57960), (162, 94466), (180, -8910),
+    (186, -140901), (191, 81624), (192, 91508), (217, 35688),
+    (226, 32588), (233, -16176), (234, -264222), (236, -174763),
+]
+
+
+def _curation_v2_oracle() -> str:
+    from ..operators.classifier import nb_oracle_score_sql
+
+    nb_total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS, "text")
+    nb_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
+    nb_score = (
+        f"round(CAST({nb_total} AS DOUBLE) / 1000000.0 / {nb_words}, 6)"
+    )
+    # the cross-doc span CTE chain, verbatim from the stage-1 oracle
+    span_ctes = _CROSS_DOC_SPANS_ORACLE.split("SELECT b.doc_id")[0].rstrip()
+    span_ctes = span_ctes.rstrip().rstrip(",")
+    return f"""{span_ctes},
+    cleaned AS (
+      SELECT b.doc_id, d.source, d.lang,
+             COALESCE(a.text_clean, '') AS text
+      FROM base b
+      JOIN documents d USING (doc_id)
+      LEFT JOIN agg a USING (doc_id)),
+    gm AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS symbols
+      FROM cleaned),
+    gr AS (
+      SELECT doc_id, source, lang, text, symbols,
+             len(toks) AS n,
+             list_sum(list_transform(toks, w -> length(w))) AS len_sum,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha,
+             len(list_filter(toks,
+                   w -> list_contains([{_EN_STOP_SQL}], lower(w))))
+               AS n_stop
+      FROM gm),
+    surv AS (
+      SELECT doc_id, source, lang, text FROM gr
+      WHERE n > 0
+        AND n BETWEEN 30 AND 100000
+        AND round(CAST(len_sum AS DOUBLE) / n, 6) BETWEEN 3.0 AND 10.0
+        AND round(CAST(symbols AS DOUBLE) / n, 6) < 0.1
+        AND round(CAST(alpha AS DOUBLE) / n, 6) >= 0.8
+        AND n_stop >= 1
+        AND {nb_score} >= -0.04),
+    q AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(list_filter(string_split_regex(trim(text),
+                           '\\s+'), x -> x <> '')) END AS n_toks
+      FROM surv),
+    qq AS (
+      SELECT doc_id, source, lang, n_toks,
+             CAST(round(round(least(greatest(
+               (0.5 * (len(list_filter(string_split_regex(lower(trim(text)),
+                         '\\s+'), w -> list_contains([{_EN_STOP_SQL}], w)))
+                  / greatest(CAST(len(string_split_regex(lower(trim(text)),
+                         '\\s+')) AS BIGINT), 1))
+                + 0.5 * (1 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / greatest(length(text), 1)))
+               * least(len(string_split_regex(lower(trim(text)), '\\s+'))
+                       / 20.0, 1.0), 0.0), 1.0), 6) * 1000000)
+               AS BIGINT) AS q_micro
+      FROM q),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN q_micro IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_text,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(sum(COALESCE(q_micro, 0)) AS BIGINT) AS q_sum,
+             CAST(count(q_micro) AS BIGINT) AS q_n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM qq GROUP BY source),
+    lang_counts AS (
+      SELECT source, lang, count(*) AS c FROM qq
+      WHERE lang IS NOT NULL GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rn
+        FROM lang_counts) t WHERE rn = 1)
+    SELECT p.source, p.n_docs, p.n_null_text, p.total_tokens,
+           CASE WHEN p.q_n > 0
+                THEN round(CAST(p.q_sum AS DOUBLE) / 1000000.0 / p.q_n, 6)
+           END AS avg_quality,
+           p.n_langs, t.top_lang
+    FROM per_source p LEFT JOIN top t USING (source)
+    """
+
+
+@register(
+    "curation_v2_end_to_end",
+    oracle=_curation_v2_oracle(),
+    headline=True,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="The round-8 curation capstone: corpus-wide repeated-span "
+    "removal (cross_doc_span_dedup, k=5) -> the published Gopher rule "
+    "gate on the CLEANED text (word-count/mean-length/symbol/alpha/"
+    "stopword rules at capstone thresholds) -> learned NB "
+    "reference-likeness gate (pinned micro-nat weights, score >= "
+    "-0.04) -> per-source dataset card over the survivors — the "
+    "sibling of curation_pipeline_end_to_end built from this round's "
+    "operator tier, demonstrating the new stages COMPOSE in one lazy "
+    "plan (the span removal's two bounded exchanges, then scan-fused "
+    "gate projections, then the card's group-key aggregate; both "
+    "filter gates are inline column expressions, never semi-joins "
+    "back onto the cleaned corpus — the accidental-recompute shape).  "
+    "The oracle replays all four stages in one SQL chain, pinning "
+    "WHICH documents survive and every card aggregate.",
+)
+def q_curation_v2_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_score_column
+    from ..operators.core import evaluation_barrier
+    from ..operators.profiling import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the barrier pins text_clean to ONE evaluation per row: without it
+    # the gate filter pushes below the span-dedup projections and
+    # inlines the whole rebuild expression at every metric reference
+    # (measured ~100x blowup) — see operators.core.evaluation_barrier
+    cleaned = evaluation_barrier(
+        docs.select("doc_id", "source", "lang").join(
+            ta.strip_cross_doc_spans(docs, k=_CROSS_DOC_K).select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+    )
+    _, gopher_keep = ta.gopher_columns(
+        F.col("text"), min_words=30, max_words=100_000, min_stopwords=1
+    )
+    nb_words, nb_total = nb_score_column(
+        _NB_WEIGHTS, _NB_BUCKETS, F.col("text")
+    )
+    nb_score = F.when(
+        nb_words > 0, F.round(nb_total / F.lit(1_000_000.0) / nb_words, 6)
+    )
+    surv = cleaned.filter(gopher_keep & (nb_score >= F.lit(-0.04)))
+    return dataset_card(surv)
+
+
 #: Pinned BPE merges table (r7, r6 verdict #3).  Tokenizers are
 #: ARTIFACTS: trained once, shipped, and outliving the corpus they were
 #: trained on (GPT-2's vocab.json posture) — so the registered query
@@ -2726,25 +2886,6 @@ def q_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", token_count_col="n", text_col="text",
         budget=512, n_shards=1,
     )
-
-
-#: Pinned NB classifier weights (r8) — integer micro-nat log-odds per
-#: md5-hashed word bucket.  Classifiers are ARTIFACTS (the BPE-merges
-#: posture): trained once, shipped, outliving their training corpus.
-#: Provenance: operators.classifier.train_nb_weights(documents@sf0.001,
-#: positive = doc_id % 7 == 3, n_buckets=256, alpha=0.5) — deterministic
-#: (exact integer counts, one math.log pass, 1e-6 quantization);
-#: re-derivation is pinned by tests (test_nb_weights_provenance).
-_NB_BUCKETS = 256
-_NB_WEIGHTS: list[tuple[int, int]] = [
-    (4, 117418), (7, -37208), (9, -25396), (17, -187820), (23, -132244),
-    (34, 8592), (36, -59833), (46, -18526), (52, -60376), (74, 63036),
-    (81, 97743), (82, 30498), (93, 131214), (105, -202867), (106, 71491),
-    (109, -213457), (115, -36807), (151, -94609), (152, 34086),
-    (158, -215763), (161, -57960), (162, 94466), (180, -8910),
-    (186, -140901), (191, 81624), (192, 91508), (217, 35688),
-    (226, 32588), (233, -16176), (234, -264222), (236, -174763),
-]
 
 
 def _nb_oracle() -> str:
@@ -2901,52 +3042,9 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate.",
 )
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.profiling import dataset_card
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
-    n_toks = F.when(t.isNull(), F.lit(0)).otherwise(F.size(toks))
-    q_micro = F.round(ta.quality_column(t) * 1_000_000).cast("long")
-    base = docs.select(
-        "source", "lang", n_toks.alias("_nt"), q_micro.alias("_qm")
-    )
-    per_source = base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("_qm").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_null_text"),
-        F.sum("_nt").cast("long").alias("total_tokens"),
-        F.sum(F.coalesce(F.col("_qm"), F.lit(0))).cast("long").alias("_qs"),
-        F.count("_qm").alias("_qn"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
-    lang_counts = (
-        base.filter(F.col("lang").isNotNull())
-        .groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("_c").desc(), F.col("lang").asc()
-    )
-    top = (
-        lang_counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"))
-    )
-    avg_q = F.when(
-        F.col("_qn") > 0,
-        F.round(F.col("_qs") / F.lit(1_000_000.0) / F.col("_qn"), 6),
-    )
-    return per_source.join(top, "source", "left").select(
-        "source",
-        "n_docs",
-        "n_null_text",
-        "total_tokens",
-        avg_q.alias("avg_quality"),
-        "n_langs",
-        "top_lang",
-    )
+    return dataset_card(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

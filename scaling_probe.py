@@ -82,6 +82,9 @@ PROBES = [
     # zero-shuffle NB classifier scoring pass
     "cross_doc_span_dedup",
     "nb_classifier_scores",
+    # round-8 continuation: bounded-table bigram LM and the v2 capstone
+    "bigram_lm_scores",
+    "curation_v2_end_to_end",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -134,6 +137,8 @@ PROBE_TABLES = {
     "repetition_metrics": {"documents"},
     "cross_doc_span_dedup": {"documents"},
     "nb_classifier_scores": {"documents"},
+    "bigram_lm_scores": {"documents"},
+    "curation_v2_end_to_end": {"documents"},
 }
 
 

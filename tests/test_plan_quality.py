@@ -521,3 +521,19 @@ def test_nb_classifier_scoring_shuffle_free(spark):
     plan = _final_plan(df)
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     assert "Exchange" not in plan, f"NB scoring pass shuffles:\n{plan}"
+
+
+def test_curation_v2_single_lineage_expansion(spark):
+    """curation_v2_end_to_end (r8): the dataset-card tail must be ONE
+    aggregation chain over the survivor subtree — the two-branch
+    card formulation re-expanded the whole span-dedup pipeline per
+    branch (6 scans); this pins the single-expansion shape (<= 3 scans:
+    the span pass, the rebuild join, the source/lang join) and the
+    card's zero-join tail."""
+    import re
+
+    df = QUERIES["curation_v2_end_to_end"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) <= 3, plan
+    # exactly one (source, lang) pre-aggregate exchange feeds the card
+    assert len(re.findall(r"Exchange hashpartitioning\(source#\d+, lang#", plan)) == 1, plan
