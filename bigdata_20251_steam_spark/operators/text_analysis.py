@@ -1536,3 +1536,48 @@ def bigram_lm_scores(
             n_toks >= 2, F.round(hits / (n_toks - 1), 6)
         ).alias("bigram_hit_ratio"),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level blocklist screening — the bad-terms curation stage.
+
+    Real pipelines drop or flag documents matching curated blocklists
+    (toxicity word lists, spam markers, boilerplate sentinels).  This
+    is the exact-token form: a document hits when any whitespace token
+    equals a blocklisted term case-insensitively.  Output keeps every
+    document with its audit columns — ``n_hits`` (total matching token
+    occurrences), ``hit_terms`` (sorted distinct matched terms,
+    comma-joined), and the ``keep = n_hits == 0`` gate — one pass for
+    survivors and review queue both.
+
+    The list rides as an array literal (blocklists are curated
+    artifacts, like the NB weights); matching is zero-shuffle array
+    lambdas fused into the scan.  Lists too large to inline (>~10k
+    terms) should build a Bloom filter instead
+    (:mod:`..operators.sketches`) and accept its false-positive review
+    queue.
+    """
+    if not terms:
+        raise ValueError("blocklist_filter: terms must be non-empty")
+    if len(terms) > 10_000:
+        raise ValueError(
+            "blocklist_filter inlines the list as an array literal; "
+            f"{len(terms)} terms exceeds the 10k bound — route large "
+            "lists through a Bloom filter (operators/sketches.py)"
+        )
+    t = F.col(text_col)
+    toks = F.array_remove(F.split(F.lower(F.trim(t)), r"\s+"), "")
+    bl = F.array(*[F.lit(w.lower()) for w in sorted(set(terms))])
+    hits = F.filter(toks, lambda w: F.array_contains(bl, w))
+    n_hits = F.coalesce(F.size(hits), F.lit(0))
+    hit_terms = F.array_join(F.array_sort(F.array_distinct(hits)), ",")
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        F.coalesce(hit_terms, F.lit("")).alias("hit_terms"),
+        (n_hits == 0).alias("keep"),
+    )

@@ -2983,6 +2983,50 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.gopher_quality_filter(load_table(spark, sf_dir, "documents"))
 
 
+#: Demo blocklist: curated artifact, pinned like the NB weights / BPE
+#: merges (real lists are toxicity/spam lexicons; these two corpus
+#: words make the gate bind at test scale).
+_BLOCKLIST = ["dup", "slow"]
+
+_BLOCKLIST_SQL = ", ".join(repr(w) for w in sorted(set(_BLOCKLIST)))
+
+
+@register(
+    "blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_filter(toks, w -> list_contains([{_BLOCKLIST_SQL}], w))
+               AS hits
+      FROM t)
+    SELECT doc_id,
+           CAST(COALESCE(len(hits), 0) AS INTEGER) AS n_hits,
+           COALESCE(array_to_string(list_sort(list_distinct(hits)), ','),
+                    '') AS hit_terms,
+           COALESCE(len(hits), 0) = 0 AS keep
+    FROM h
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Token-level blocklist screening "
+    "(operators.text_analysis.blocklist_filter): the bad-terms curation "
+    "stage — exact case-insensitive token match against a pinned "
+    "curated list (toxicity/spam lexicon posture), emitting hit count, "
+    "sorted matched terms and the keep gate so one pass serves "
+    "survivors and the review queue.  Zero-shuffle array lambdas; the "
+    "list rides as an array literal; >10k lists are directed to the "
+    "Bloom path with a loud error.",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.blocklist_filter(
+        load_table(spark, sf_dir, "documents"), _BLOCKLIST
+    )
+
+
 @register(
     "dataset_card",
     oracle=f"""

@@ -97,11 +97,11 @@ def oracle_map() -> dict[str, str]:
 #: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
 #: The driver checks the first 50 of 112 registered queries.  Candidates:
 #: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
-#: they enter FIRST), the NINE new r8 registrations, the FOUR queries
+#: they enter FIRST), the ELEVEN new r8 registrations, the FOUR queries
 #: whose code changed in r8 (banded-rank persist rewrite, streaming
 #: capstone min_by rewrite), and the 47 r6-green queries due under the
-#: <=2-round staleness invariant.  13 + 9 + 4 + 47 = 73 names for 50
-#: slots, so 23 r6-green queries slip to r9 — each chosen because an
+#: <=2-round staleness invariant.  13 + 11 + 4 + 47 = 75 names for 50
+#: slots, so 25 r6-green queries slip to r9 — each chosen because an
 #: in-window or r7-green sibling exercises the same operator path
 #: (itemized at tier 80 below), and every one stays covered by the
 #: local sf0.001 oracle suite in CI plus the r8 bare-session full-
@@ -116,7 +116,8 @@ def oracle_map() -> dict[str, str]:
 #:   (the published Gopher rule set), dataset_card (per-source summary
 #:   artifact), bigram_lm_scores (stupid-backoff bigram LM),
 #:   curation_v2_end_to_end (the r8 capstone composing span dedup ->
-#:   Gopher gate -> NB gate -> dataset card);
+#:   Gopher gate -> NB gate -> dataset card), blocklist_filter (the
+#:   bad-terms gate), streaming_quality_gate (both gates in-stream);
 #: - 30: last green row r5 — three rounds stale, the r7 slips, due
 #:   before everything else;
 #: - 32: green r7 but code CHANGED in r8 and must re-prove —
@@ -125,7 +126,7 @@ def oracle_map() -> dict[str, str]:
 #:   bound resized to the 6dp-rounded keep test) and
 #:   streaming_curation_pipeline (first-arrival dropDuplicates ->
 #:   stateful min_by + contamination tombstones);
-#: - 44: last green row r6 — due now (24 of the 47; the 23 slips are
+#: - 44: last green row r6 — due now (22 of the 47; the 25 slips are
 #:   itemized below);
 #: - 80 (via the reset): the 21 slipped r6-green queries, each with a
 #:   sibling on the same path — top_genres (genre_distribution
@@ -135,7 +136,10 @@ def oracle_map() -> dict[str, str]:
 #:   grouping-variants family), user_value_quartiles
 #:   (value_percentiles in-window, same percentile/ntile family),
 #:   set_ops_users (semi_join_orders in-window, the set-membership
-#:   join family), streaming_running_totals (review_bomb in-window —
+#:   join family), stratified_sample_counts (hash_split_assignments
+#:   in-window, the same salted-hash-bucket machinery), embed_quantize
+#:   (embed_topk_lsh in-window, the embedding array-lambda family),
+#:   streaming_running_totals (review_bomb in-window —
 #:   the same unbounded per-key agg re-expression — and
 #:   streaming_genre_counts r7-green on the stateful streaming path), q3_top_revenue / q14_promo_share /
 #:   q6_revenue_delta / supplier_nation_stats / top_spenders (q1 + q5
@@ -154,7 +158,7 @@ def oracle_map() -> dict[str, str]:
 #:   pack_documents AND materialize_packs end-to-end) — plus every
 #:   r7-green query with unchanged code, returning in r9.
 #:
-#: 9 + 13 + 4 + 24 = 50 — the window is exact, no filler.  The overlay
+#: 11 + 13 + 4 + 22 = 50 — the window is exact, no filler.  The overlay
 #: RESETS every unnamed query to the 80 pool first, so declared module
 #: tiers can't accidentally displace a scheduled row.
 _R8_ROTATION: dict[str, int] = {
@@ -166,6 +170,8 @@ _R8_ROTATION: dict[str, int] = {
     "semantic_dedup_resolve": 28,
     "bigram_lm_scores": 28,
     "curation_v2_end_to_end": 28,
+    "blocklist_filter": 28,
+    "streaming_quality_gate": 28,
     "gopher_quality_filter": 28,
     "dataset_card": 28,
     # last green row r5 — three rounds stale, enter first (r7 verdict #3)
@@ -200,12 +206,10 @@ _R8_ROTATION: dict[str, int] = {
     "embed_topk_lsh": 44,
     "approx_stats": 44,
     "hash_split_assignments": 44,
-    "stratified_sample_counts": 44,
     "repetition_metrics": 44,
     "dedup_components": 44,
     "tfidf_top_terms": 44,
     "incremental_dedup_status": 44,
-    "embed_quantize": 44,
     "udtf_sentences": 44,
     "pii_redaction": 44,
     "cross_split_contamination": 44,

@@ -1014,3 +1014,92 @@ def q_streaming_curation_bounded_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _streaming_curation_result(spark, sf_dir, bounded_delay="30 days")
+
+
+def _streaming_quality_gate_oracle() -> str:
+    from .extension_queries import _BLOCKLIST_SQL, _EN_STOP_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, symbols, len(toks) AS n,
+             list_sum(list_transform(toks, w -> length(w))) AS len_sum,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha,
+             len(list_filter(toks,
+                   w -> list_contains([{_EN_STOP_SQL}], lower(w))))
+               AS n_stop,
+             len(list_filter(toks,
+                   w -> list_contains([{_BLOCKLIST_SQL}], lower(w))))
+               AS n_block
+      FROM t),
+    f AS (
+      SELECT source,
+             CASE WHEN n > 0
+               AND n BETWEEN 30 AND 100000
+               AND round(CAST(len_sum AS DOUBLE) / n, 6)
+                     BETWEEN 3.0 AND 10.0
+               AND round(CAST(symbols AS DOUBLE) / n, 6) < 0.1
+               AND round(CAST(alpha AS DOUBLE) / n, 6) >= 0.8
+               AND n_stop >= 1 THEN 1 ELSE 0 END AS gk,
+             CASE WHEN n_block = 0 THEN 1 ELSE 0 END AS bk
+      FROM m)
+    SELECT source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(gk) AS BIGINT)       AS n_gopher_keep,
+           CAST(sum(bk) AS BIGINT)       AS n_blocklist_keep,
+           CAST(sum(gk * bk) AS BIGINT)  AS n_keep_both
+    FROM f GROUP BY source
+    """
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=_streaming_quality_gate_oracle(),
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="The r8 gate tier running IN the stream: documents arrive as a "
+    "file stream, the Gopher rule gate and the blocklist gate evaluate "
+    "as stateless scan-fused projections on each micro-batch (both are "
+    "pure per-row expressions — the honest streaming form, no state), "
+    "and a complete-mode per-source aggregate reports docs seen / "
+    "Gopher survivors / blocklist survivors / both — the live curation "
+    "dashboard a 100 TB ingest watches.  Oracle: full batch replay of "
+    "both gates and the rollup; batch/stream parity is the assertion.",
+)
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import gopher_columns
+    from .extension_queries import _BLOCKLIST
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    _, gk = gopher_columns(
+        F.col("text"), min_words=30, max_words=100_000, min_stopwords=1
+    )
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+    )
+    bl = F.array(*[F.lit(w.lower()) for w in sorted(set(_BLOCKLIST))])
+    bk = (
+        F.coalesce(
+            F.size(F.filter(toks, lambda w: F.array_contains(bl, w))),
+            F.lit(0),
+        )
+        == 0
+    )
+    flagged = stream.select(
+        "source",
+        F.when(gk, 1).otherwise(0).alias("_g"),
+        F.when(bk, 1).otherwise(0).alias("_b"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_g").cast("long").alias("n_gopher_keep"),
+        F.sum("_b").cast("long").alias("n_blocklist_keep"),
+        F.sum(F.col("_g") * F.col("_b")).cast("long").alias("n_keep_both"),
+    )
+    return run_available_now(agg, output_mode="complete")
