@@ -2173,3 +2173,34 @@ def test_bigram_lm_hand_fixture(spark):
         assert got[doc_id] == exp[doc_id], (doc_id, got[doc_id], exp[doc_id])
     # the repeated "the cat" doc has real bigram hits
     assert got[1][2] > 0
+
+
+def test_evaluation_barrier_semantics_and_plan(spark):
+    """evaluation_barrier (r8): row-for-row identity (NULLs, duplicates,
+    empty frame preserved), a Generate node in the plan, and — the
+    point — a downstream filter must NOT push through it into the
+    producer projection (the cross-operator expression-inlining blowup
+    the barrier exists to stop)."""
+    from bigdata_20251_steam_spark.operators.core import evaluation_barrier
+
+    rows = [(1, "a"), (2, None), (2, None), (3, "c")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    derived = df.select("id", F.upper("v").alias("u"))
+    out = evaluation_barrier(derived)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        [(1, "A"), (2, None), (2, None), (3, "C")]
+    )
+    assert out.columns == ["id", "u"]
+    empty = evaluation_barrier(derived.filter("id < 0"))
+    assert empty.count() == 0
+
+    filtered = out.filter(F.col("u") == "A")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan, plan
+    # the filter stays ABOVE the Generate: everything after the last
+    # Generate line (deeper in the tree = the producer side) must not
+    # contain the pushed predicate
+    below = plan[plan.rindex("Generate"):]
+    assert "Filter" not in below, (
+        f"predicate was pushed through the barrier:\n{plan}"
+    )
