@@ -2204,3 +2204,38 @@ def test_evaluation_barrier_semantics_and_plan(spark):
     assert "Filter" not in below, (
         f"predicate was pushed through the barrier:\n{plan}"
     )
+
+
+def test_strip_cross_doc_spans_long_document_no_blowup(spark):
+    """A multi-thousand-token doc with dense repeats must complete fast
+    and exactly — the per-element re-evaluation trap (or an O(n·r)
+    membership scan in the rebuild) turns this case into minutes; the
+    sort-merge alignment keeps it O(n log n) per doc."""
+    import random
+    import time
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_cross_doc_spans,
+    )
+
+    rng = random.Random(3)
+    long_tokens = [rng.choice("abcdef") for _ in range(5000)]
+    cases = [
+        (1, " ".join(long_tokens)),
+        (2, " ".join(rng.choice("abcdef") for _ in range(400))),
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    t0 = time.perf_counter()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in strip_cross_doc_spans(docs, k=3).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    ref = _cross_doc_ref(cases, 3)
+    for doc_id, _ in cases:
+        assert got[doc_id] == ref[doc_id], doc_id
+    # dense 6-symbol alphabet: nearly everything past the first few
+    # hundred grams is a repeat, so the sparse starts list is ~n — the
+    # adversarial case for the alignment machinery
+    assert got[1][1] > 4000
+    assert elapsed < 60, f"long-doc pass took {elapsed:.1f}s"
