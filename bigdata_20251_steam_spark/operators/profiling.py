@@ -233,3 +233,63 @@ def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Keep-rate curve over candidate filter thresholds — policy tuning.
+
+    Choosing a quality/classifier cutoff is a data decision: operators
+    ship the score, this reports what each candidate threshold would
+    KEEP — ``(threshold, n_total, n_keep, frac_keep, kept_weight)``,
+    with ``keep = score >= threshold`` (NULL scores never keep) and
+    ``kept_weight`` summing ``weight_col`` (e.g. token counts — the
+    axis a mix budget actually cares about; rows count when omitted).
+
+    One pass: each row fans out once per threshold (a handful of
+    literals), then a thresholds-bounded aggregate — the exchange
+    carries |thresholds| groups regardless of corpus size.  All
+    arithmetic is integer counts plus one rounded division, exact
+    cross-engine.
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep: thresholds must be non-empty")
+    if len(thresholds) > 1000:
+        raise ValueError(
+            "threshold_sweep fans every row out per threshold; "
+            f"{len(thresholds)} thresholds is past the 1000 bound"
+        )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    base = df.select(
+        F.col(score_col).alias("_s"),
+        F.coalesce(w, F.lit(0)).alias("_w"),
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in sorted(set(thresholds))])
+        ).alias("threshold"),
+    )
+    keep = F.col("_s").isNotNull() & (F.col("_s") >= F.col("threshold"))
+    return (
+        base.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.sum(F.when(keep, F.col("_w")).otherwise(0))
+            .cast("long")
+            .alias("kept_weight"),
+        )
+        .select(
+            "threshold",
+            "n_total",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_total"), 6).alias("frac_keep"),
+            "kept_weight",
+        )
+    )

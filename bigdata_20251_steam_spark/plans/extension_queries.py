@@ -2929,6 +2929,59 @@ def q_nb_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_SWEEP = [-0.06, -0.05, -0.04, -0.03, -0.02, -0.01, 0.0]
+
+
+def _nb_sweep_oracle() -> str:
+    from ..operators.classifier import nb_oracle_score_sql
+
+    total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
+    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
+    score = f"round(CAST({total} AS DOUBLE) / 1000000.0 / {n_words}, 6)"
+    th = ", ".join(str(t) for t in _NB_SWEEP)
+    return f"""
+    WITH s AS (
+      SELECT CASE WHEN {n_words} > 0 THEN {score} END AS sc,
+             CAST({n_words} AS BIGINT) AS w
+      FROM documents),
+    f AS (SELECT sc, w, unnest([{th}]) AS threshold FROM s)
+    SELECT threshold,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN sc IS NOT NULL AND sc >= threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(CAST(sum(CASE WHEN sc IS NOT NULL AND sc >= threshold
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_keep,
+           CAST(sum(CASE WHEN sc IS NOT NULL AND sc >= threshold
+                         THEN w ELSE 0 END) AS BIGINT) AS kept_weight
+    FROM f GROUP BY threshold
+    """
+
+
+@register(
+    "nb_threshold_sweep",
+    oracle=_nb_sweep_oracle(),
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Keep-rate curve for the NB classifier gate "
+    "(operators.profiling.threshold_sweep): for each candidate cutoff, "
+    "how many documents and how much token mass survive — the policy-"
+    "tuning report a curation run consults before pinning a threshold "
+    "(the capstone's -0.04 came from exactly this curve).  One pass, "
+    "thresholds-bounded exchange; integer counts + one rounded "
+    "division keep it exact cross-engine.",
+)
+def q_nb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_quality_scores
+    from ..operators.profiling import threshold_sweep
+
+    scores = nb_quality_scores(
+        load_table(spark, sf_dir, "documents"), _NB_WEIGHTS, _NB_BUCKETS
+    )
+    return threshold_sweep(
+        scores, "score", _NB_SWEEP, weight_col="n_words"
+    )
+
+
 @register(
     "gopher_quality_filter",
     oracle=f"""
