@@ -194,11 +194,18 @@ def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_toks = F.when(t.isNull(), F.lit(0)).otherwise(F.size(toks))
     q_micro = F.round(quality_column(t) * 1_000_000).cast("long")
     base = docs.select(
-        "source", "lang", n_toks.alias("_nt"), q_micro.alias("_qm")
+        "source",
+        "lang",
+        n_toks.alias("_nt"),
+        q_micro.alias("_qm"),
+        # counted directly: quality_column clamps through greatest(),
+        # which IGNORES nulls on both engines, so a NULL text scores
+        # 0.0 rather than NULL — a null-count via _qm would always be 0
+        t.isNull().alias("_tnull"),
     )
     per_sl = base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.when(F.col("_qm").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_tnull"), 1).otherwise(0))
         .cast("long")
         .alias("_nulls"),
         F.sum("_nt").cast("long").alias("_toks"),

@@ -2675,6 +2675,7 @@ def _curation_v2_oracle() -> str:
       FROM surv),
     qq AS (
       SELECT doc_id, source, lang, n_toks,
+             CASE WHEN text IS NULL THEN 1 ELSE 0 END AS tnull,
              CAST(round(round(least(greatest(
                (0.5 * (len(list_filter(string_split_regex(lower(trim(text)),
                          '\\s+'), w -> list_contains([{_EN_STOP_SQL}], w)))
@@ -2689,8 +2690,7 @@ def _curation_v2_oracle() -> str:
     per_source AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN q_micro IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_null_text,
+             CAST(sum(tnull) AS BIGINT) AS n_null_text,
              CAST(sum(n_toks) AS BIGINT) AS total_tokens,
              CAST(sum(COALESCE(q_micro, 0)) AS BIGINT) AS q_sum,
              CAST(count(q_micro) AS BIGINT) AS q_n,
@@ -3090,6 +3090,7 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     qq AS (
       SELECT doc_id, source, lang, n_toks,
+             CASE WHEN text IS NULL THEN 1 ELSE 0 END AS tnull,
              CAST(round(round(least(greatest(
                (0.5 * (len(list_filter(string_split_regex(lower(trim(text)),
                          '\\s+'), w -> list_contains([{_EN_STOP_SQL}], w)))
@@ -3104,8 +3105,7 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CASE WHEN q_micro IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_null_text,
+             CAST(sum(tnull) AS BIGINT) AS n_null_text,
              CAST(sum(n_toks) AS BIGINT) AS total_tokens,
              CAST(sum(COALESCE(q_micro, 0)) AS BIGINT) AS q_sum,
              CAST(count(q_micro) AS BIGINT) AS q_n,

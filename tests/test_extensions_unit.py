@@ -2239,3 +2239,32 @@ def test_strip_cross_doc_spans_long_document_no_blowup(spark):
     # adversarial case for the alignment machinery
     assert got[1][1] > 4000
     assert elapsed < 60, f"long-doc pass took {elapsed:.1f}s"
+
+
+def test_dataset_card_null_lang_and_null_text(spark):
+    """dataset_card corners the driver corpus lacks: NULL text must
+    count in n_null_text (quality_column clamps through greatest(),
+    which ignores NULLs on both engines, so the score-based null count
+    silently reads 0 — the r8 fix counts the text column directly);
+    null-lang rows never become the modal language and an all-null
+    source yields NULL top_lang with n_langs 0."""
+    from bigdata_20251_steam_spark.operators.profiling import dataset_card
+
+    rows = [
+        (1, "mixed null and real langs doc", "en", "s1"),
+        (2, "another english document here", "en", "s1"),
+        (3, "ein deutsches dokument hier ja", "de", "s1"),
+        (4, None, None, "s1"),
+        (5, "doc with null lang only", None, "s1"),
+        (6, "all null lang source doc", None, "s2"),
+        (7, None, None, "s2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_null_text"], r["n_langs"], r["top_lang"])
+        for r in dataset_card(df).collect()
+    }
+    assert got["s1"] == (5, 1, 2, "en"), got["s1"]
+    assert got["s2"] == (2, 1, 0, None), got["s2"]
