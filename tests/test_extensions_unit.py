@@ -2268,3 +2268,21 @@ def test_dataset_card_null_lang_and_null_text(spark):
     }
     assert got["s1"] == (5, 1, 2, "en"), got["s1"]
     assert got["s2"] == (2, 1, 0, None), got["s2"]
+
+
+def test_bigram_lm_no_qualifying_pairs(spark):
+    """Degenerate corpus where NO bigram qualifies (every doc is a
+    single token): the empty pair-map branch must build, position 1
+    scores by unigram/OOV, and hit ratios are NULL (n < 2)."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    rows = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bigram_hit_ratio"])
+        for r in bigram_lm_scores(docs, vocab_size=2, bigram_size=3).collect()
+    }
+    assert got[1] == (1, None) and got[2] == (1, None)
+    assert got[4] == (0, None)
