@@ -553,3 +553,69 @@ def curriculum_order(
         _bin(F.percent_rank().over(w)).alias("bin"),
         key.alias("shuffle_key"),
     )
+
+
+def temperature_mix_report(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    salt: str = "temper",
+) -> DataFrame:
+    """Achieved-vs-target audit for :func:`temperature_resample`.
+
+    A mix is a POLICY with a promise — each source keeps rows at rate
+    ``min(1, target · n^alpha / Σn^alpha / n)`` — and the hash-threshold
+    mechanism only approximates that rate on any finite source, so a
+    real run publishes the achieved rates next to the shards.  Per
+    source: ``(n_docs, n_kept, target_rate, achieved_rate)`` under the
+    exact thresholds the sampler uses, so the report IS the audit of
+    what :func:`temperature_resample` with the same parameters kept.
+
+    Scale shape (the sampler's): one tiny per-source count, rate
+    arithmetic on that frame, broadcast join back, one conditional
+    aggregate — the corpus never shuffles and the final exchange
+    carries one row per source.
+    """
+    from pyspark.sql.window import Window
+
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weighted = counts.withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_rows)) * F.col("_w") / F.col("_tw") / F.col("_n"),
+    )
+    rates = weighted.withColumn(
+        "_tw", F.sum("_w").over(Window.partitionBy())
+    ).select(
+        group_col,
+        F.col("_n"),
+        F.round(rate, 6).alias("_rate"),
+        F.floor(rate * _HASH_RANGE).cast("long").alias("_thr"),
+    )
+    key = md5_long(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    keyed = df.select(group_col, id_col).join(F.broadcast(rates), group_col)
+    return (
+        keyed.groupBy(group_col)
+        .agg(
+            F.min("_n").alias("n_docs"),
+            F.sum(F.when(key < F.col("_thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.min("_rate").alias("target_rate"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "target_rate",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias(
+                "achieved_rate"
+            ),
+        )
+    )

@@ -3329,6 +3329,50 @@ def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mix_report",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(pow(n, 0.5)) AS tw FROM c),
+    r AS (SELECT source, n,
+                 round(least(1.0, 250.0 * pow(n, 0.5) / tw / n), 6)
+                   AS target_rate,
+                 CAST(floor(least(1.0, 250.0 * pow(n, 0.5) / tw / n)
+                      * 1152921504606846976) AS BIGINT) AS thr
+          FROM c, t),
+    k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+          FROM documents d JOIN r USING (source)
+          WHERE {md5_long_sql("('temper:' || CAST(doc_id AS VARCHAR))")} < thr
+          GROUP BY d.source)
+    SELECT r.source, r.n AS n_docs,
+           coalesce(k.n_kept, 0) AS n_kept,
+           r.target_rate,
+           round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / r.n, 6)
+             AS achieved_rate
+    FROM r LEFT JOIN k USING (source)
+    """,
+    priority=28,  # new in r8 — first driver row (registry rotation)
+    doc="Achieved-vs-target mix audit "
+    "(operators.sampling.temperature_mix_report): per source, the rate "
+    "the temperature mix PROMISES (min(1, target*n^alpha/sum/n)) next "
+    "to the rate the hash threshold actually DELIVERED — the report a "
+    "run publishes beside its shards, computed under the exact "
+    "thresholds temperature_mix_sample uses (same salt, same key "
+    "arithmetic).  Corpus never shuffles; one conditional aggregate.",
+)
+def q_temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix_report
+
+    return temperature_mix_report(
+        load_table(spark, sf_dir, "documents"),
+        group_col="source",
+        id_col="doc_id",
+        target_rows=250,
+        alpha=0.5,
+    )
+
+
 _BLOOM_M, _BLOOM_K = 8192, 3
 
 

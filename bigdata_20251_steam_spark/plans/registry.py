@@ -97,11 +97,11 @@ def oracle_map() -> dict[str, str]:
 #: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
 #: The driver checks the first 50 of 112 registered queries.  Candidates:
 #: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
-#: they enter FIRST), the TWELVE new r8 registrations, the FOUR queries
+#: they enter FIRST), the THIRTEEN new r8 registrations, the FOUR queries
 #: whose code changed in r8 (banded-rank persist rewrite, streaming
 #: capstone min_by rewrite), and the 47 r6-green queries due under the
-#: <=2-round staleness invariant.  13 + 12 + 4 + 47 = 76 names for 50
-#: slots, so 26 r6-green queries slip to r9 — each chosen because an
+#: <=2-round staleness invariant.  13 + 13 + 4 + 47 = 77 names for 50
+#: slots, so 27 r6-green queries slip to r9 — each chosen because an
 #: in-window or r7-green sibling exercises the same operator path
 #: (itemized at tier 80 below), and every one stays covered by the
 #: local sf0.001 oracle suite in CI plus the r8 bare-session full-
@@ -118,7 +118,8 @@ def oracle_map() -> dict[str, str]:
 #:   curation_v2_end_to_end (the r8 capstone composing span dedup ->
 #:   Gopher gate -> NB gate -> dataset card), blocklist_filter (the
 #:   bad-terms gate), streaming_quality_gate (both gates in-stream),
-#:   nb_threshold_sweep (keep-rate curve for policy tuning);
+#:   nb_threshold_sweep (keep-rate curve for policy tuning),
+#:   temperature_mix_report (achieved-vs-target mix audit);
 #: - 30: last green row r5 — three rounds stale, the r7 slips, due
 #:   before everything else;
 #: - 32: green r7 but code CHANGED in r8 and must re-prove —
@@ -127,7 +128,7 @@ def oracle_map() -> dict[str, str]:
 #:   bound resized to the 6dp-rounded keep test) and
 #:   streaming_curation_pipeline (first-arrival dropDuplicates ->
 #:   stateful min_by + contamination tombstones);
-#: - 44: last green row r6 — due now (21 of the 47; the 26 slips are
+#: - 44: last green row r6 — due now (20 of the 47; the 27 slips are
 #:   itemized below);
 #: - 80 (via the reset): the 21 slipped r6-green queries, each with a
 #:   sibling on the same path — top_genres (genre_distribution
@@ -137,7 +138,9 @@ def oracle_map() -> dict[str, str]:
 #:   grouping-variants family), user_value_quartiles
 #:   (value_percentiles in-window, same percentile/ntile family),
 #:   set_ops_users (semi_join_orders in-window, the set-membership
-#:   join family), stratified_sample_counts (hash_split_assignments
+#:   join family), props_json (api_source_reviews in-window + 
+#:   streaming_api_source in-window, the JSON parse/flatten path),
+#:   stratified_sample_counts (hash_split_assignments
 #:   in-window, the same salted-hash-bucket machinery), approx_stats
 #:   (value_percentiles + histogram_event_values in-window, the same
 #:   sketch-invariant audit family), embed_quantize
@@ -161,7 +164,7 @@ def oracle_map() -> dict[str, str]:
 #:   pack_documents AND materialize_packs end-to-end) — plus every
 #:   r7-green query with unchanged code, returning in r9.
 #:
-#: 12 + 13 + 4 + 21 = 50 — the window is exact, no filler.  The overlay
+#: 13 + 13 + 4 + 20 = 50 — the window is exact, no filler.  The overlay
 #: RESETS every unnamed query to the 80 pool first, so declared module
 #: tiers can't accidentally displace a scheduled row.
 _R8_ROTATION: dict[str, int] = {
@@ -176,6 +179,7 @@ _R8_ROTATION: dict[str, int] = {
     "blocklist_filter": 28,
     "streaming_quality_gate": 28,
     "nb_threshold_sweep": 28,
+    "temperature_mix_report": 28,
     "gopher_quality_filter": 28,
     "dataset_card": 28,
     # last green row r5 — three rounds stale, enter first (r7 verdict #3)
@@ -203,7 +207,6 @@ _R8_ROTATION: dict[str, int] = {
     "sentiment_summary": 44,
     "event_share": 44,
     "recent_windows": 44,
-    "props_json": 44,
     "q1_pricing_summary": 44,
     "q5_region_revenue": 44,
     "semi_join_orders": 44,
