@@ -55,8 +55,6 @@ from ..functions.hashing import md5_long
 #: driver at train time.
 MAX_BUCKETS = 65_536
 
-_WORDS_EXPR = "regexp_extract_all(lower({col}), '[a-z]+', 0)"
-
 
 def _bucket(word: Column, n_buckets: int) -> Column:
     """md5-derived feature bucket (0..n_buckets-1), JVM-side, no UDF."""
@@ -91,7 +89,9 @@ def train_nb_weights(
             "one count row per bucket is collected to the driver; raise "
             "MAX_BUCKETS consciously if a bigger feature space is required"
         )
-    words = F.expr(_WORDS_EXPR.format(col=text_col))
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
     occ = (
         docs.filter(positive.isNotNull())
         .select(positive.alias("_pos"), F.explode(words).alias("_w"))

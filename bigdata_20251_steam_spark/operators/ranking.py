@@ -58,6 +58,7 @@ def banded_percent_rank(
     accuracy: int = 10_000,
     persist_input: bool = True,
     broadcast_edges: bool = True,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Exact rank under ``(value DESC, id ASC)`` within each group.
 
@@ -82,9 +83,15 @@ def banded_percent_rank(
     joins multiplies (the r7 two-phase filter compiled to a 40-scan
     plan this way).  Persisting the narrow rank input
     (``MEMORY_AND_DISK``, ~tens of bytes/row: ids + group + order
-    value, never document text) makes the source lineage run once; the
-    cache is released to Spark's LRU — callers that manage their own
-    persistence pass ``persist_input=False``.
+    value, never document text) makes the source lineage run once.
+    LIFECYCLE: the returned frame is backed by that cache and there is
+    no safe point inside this function to release it — Spark's LRU
+    evicts only the MEMORY tier of ``MEMORY_AND_DISK``; disk blocks are
+    freed solely by ``unpersist``.  A registered-query/driver session
+    (bounded, exits) can ignore this; a long-lived caller must either
+    pass ``cache_tracker`` (a list the persisted frame is appended to —
+    unpersist after consuming the result) or manage persistence itself
+    via ``persist_input=False``.
 
     ``broadcast_edges`` (default True): the per-group edges and offsets
     frames are ``groups × n_bands`` doubles — broadcast-safe up to
@@ -101,6 +108,8 @@ def banded_percent_rank(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_tracker is not None:
+            cache_tracker.append(base)
 
     def _small(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_edges else df

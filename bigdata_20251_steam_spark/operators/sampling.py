@@ -453,6 +453,7 @@ def curriculum_order(
     hot_threshold: int | None = None,
     n_bands: int = 64,
     accuracy: int = 10_000,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Curriculum training order: quality-binned stages, shuffled within.
 
@@ -530,6 +531,9 @@ def curriculum_order(
         if not any_hot:
             base.unpersist()
         if any_hot:
+            # returned frame reads this cache; see banded_percent_rank
+            if cache_tracker is not None:
+                cache_tracker.append(base)
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
                 n_bands=n_bands, accuracy=accuracy, persist_input=False,

@@ -668,6 +668,7 @@ def quality_quantile_filter(
     hot_threshold: int | None = None,
     n_bands: int = 64,
     accuracy: int = 10_000,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Keep the top ``keep_fraction`` of each group by heuristic quality.
 
@@ -731,6 +732,11 @@ def quality_quantile_filter(
             .count()
         )
         if any_hot:
+            # the returned frame reads this cache; long-lived callers
+            # pass cache_tracker and unpersist after consuming (LRU
+            # frees only the memory tier — see banded_percent_rank)
+            if cache_tracker is not None:
+                cache_tracker.append(base)
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
                 n_bands=n_bands, accuracy=accuracy, persist_input=False,
@@ -764,6 +770,7 @@ def quality_threshold_filter(
     margin: float = 0.05,
     accuracy: int = 10_000,
     n_bands: int = 64,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Survivors-only per-group quality-quantile filter (two-phase form).
 
@@ -904,6 +911,11 @@ def quality_threshold_filter(
     )
     pool.count()
     base.unpersist()
+    # the returned frame reads the pool cache; long-lived callers pass
+    # cache_tracker and unpersist after consuming (LRU frees only the
+    # memory tier — see banded_percent_rank)
+    if cache_tracker is not None:
+        cache_tracker.append(pool)
     ranked = banded_percent_rank(
         pool,
         group_col,
@@ -1569,15 +1581,29 @@ def blocklist_filter(
             f"{len(terms)} terms exceeds the 10k bound — route large "
             "lists through a Bloom filter (operators/sketches.py)"
         )
-    t = F.col(text_col)
+    n_hits, hit_terms, keep = blocklist_columns(terms, F.col(text_col))
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        hit_terms.alias("hit_terms"),
+        keep.alias("keep"),
+    )
+
+
+def blocklist_columns(
+    terms: list[str], t: Column
+) -> tuple[Column, Column, Column]:
+    """``(n_hits, hit_terms, keep)`` as inline column expressions.
+
+    The single source of the blocklist matching rule — the batch
+    operator and the streaming gate both build from this, so a
+    semantics change (normalization, Bloom routing) cannot drift
+    between them (the gopher_columns convention)."""
     toks = F.array_remove(F.split(F.lower(F.trim(t)), r"\s+"), "")
     bl = F.array(*[F.lit(w.lower()) for w in sorted(set(terms))])
     hits = F.filter(toks, lambda w: F.array_contains(bl, w))
     n_hits = F.coalesce(F.size(hits), F.lit(0))
-    hit_terms = F.array_join(F.array_sort(F.array_distinct(hits)), ",")
-    return docs.select(
-        "doc_id",
-        n_hits.alias("n_hits"),
-        F.coalesce(hit_terms, F.lit("")).alias("hit_terms"),
-        (n_hits == 0).alias("keep"),
+    hit_terms = F.coalesce(
+        F.array_join(F.array_sort(F.array_distinct(hits)), ","), F.lit("")
     )
+    return n_hits, hit_terms, n_hits == 0

@@ -2624,55 +2624,17 @@ _NB_WEIGHTS: list[tuple[int, int]] = [
 ]
 
 
-def _curation_v2_oracle() -> str:
-    from ..operators.classifier import nb_oracle_score_sql
-
-    nb_total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS, "text")
-    nb_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
-    nb_score = (
-        f"round(CAST({nb_total} AS DOUBLE) / 1000000.0 / {nb_words}, 6)"
-    )
-    # the cross-doc span CTE chain, verbatim from the stage-1 oracle
-    span_ctes = _CROSS_DOC_SPANS_ORACLE.split("SELECT b.doc_id")[0].rstrip()
-    span_ctes = span_ctes.rstrip().rstrip(",")
-    return f"""{span_ctes},
-    cleaned AS (
-      SELECT b.doc_id, d.source, d.lang,
-             COALESCE(a.text_clean, '') AS text
-      FROM base b
-      JOIN documents d USING (doc_id)
-      LEFT JOIN agg a USING (doc_id)),
-    gm AS (
-      SELECT doc_id, source, lang, text,
-             list_filter(string_split_regex(trim(text), '\\s+'),
-                         x -> x <> '') AS toks,
-             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS symbols
-      FROM cleaned),
-    gr AS (
-      SELECT doc_id, source, lang, text, symbols,
-             len(toks) AS n,
-             list_sum(list_transform(toks, w -> length(w))) AS len_sum,
-             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
-               AS alpha,
-             len(list_filter(toks,
-                   w -> list_contains([{_EN_STOP_SQL}], lower(w))))
-               AS n_stop
-      FROM gm),
-    surv AS (
-      SELECT doc_id, source, lang, text FROM gr
-      WHERE n > 0
-        AND n BETWEEN 30 AND 100000
-        AND round(CAST(len_sum AS DOUBLE) / n, 6) BETWEEN 3.0 AND 10.0
-        AND round(CAST(symbols AS DOUBLE) / n, 6) < 0.1
-        AND round(CAST(alpha AS DOUBLE) / n, 6) >= 0.8
-        AND n_stop >= 1
-        AND {nb_score} >= -0.04),
+def _card_tail_sql(src: str) -> str:
+    """The per-source dataset-card SQL chain over a CTE named ``src``
+    carrying (doc_id, source, lang, text) — the single source of the
+    card oracle, shared by the dataset_card query and the curation v2
+    capstone so the two cannot drift (r8 review)."""
+    return f"""
     q AS (
       SELECT doc_id, source, lang, text,
              CASE WHEN text IS NULL THEN 0
-                  ELSE len(list_filter(string_split_regex(trim(text),
-                           '\\s+'), x -> x <> '')) END AS n_toks
-      FROM surv),
+                  ELSE len(list_filter({_TOKS}, x -> x <> '')) END AS n_toks
+      FROM {src}),
     qq AS (
       SELECT doc_id, source, lang, n_toks,
              CASE WHEN text IS NULL THEN 1 ELSE 0 END AS tnull,
@@ -2711,6 +2673,58 @@ def _curation_v2_oracle() -> str:
            END AS avg_quality,
            p.n_langs, t.top_lang
     FROM per_source p LEFT JOIN top t USING (source)
+    """
+
+
+def _nb_score_sql() -> tuple[str, str]:
+    """``(n_words_sql, score_sql)`` for the pinned NB table — shared by
+    the score, sweep and capstone oracles (r8 review)."""
+    from ..operators.classifier import nb_oracle_score_sql
+
+    total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
+    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
+    score = f"round(CAST({total} AS DOUBLE) / 1000000.0 / {n_words}, 6)"
+    return n_words, score
+
+
+def _curation_v2_oracle() -> str:
+    _, nb_score = _nb_score_sql()
+    # the cross-doc span CTE chain, verbatim from the stage-1 oracle
+    span_ctes = _CROSS_DOC_SPANS_ORACLE.split("SELECT b.doc_id")[0].rstrip()
+    span_ctes = span_ctes.rstrip().rstrip(",")
+    return f"""{span_ctes},
+    cleaned AS (
+      SELECT b.doc_id, d.source, d.lang,
+             COALESCE(a.text_clean, '') AS text
+      FROM base b
+      JOIN documents d USING (doc_id)
+      LEFT JOIN agg a USING (doc_id)),
+    gm AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS symbols
+      FROM cleaned),
+    gr AS (
+      SELECT doc_id, source, lang, text, symbols,
+             len(toks) AS n,
+             list_sum(list_transform(toks, w -> length(w))) AS len_sum,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS alpha,
+             len(list_filter(toks,
+                   w -> list_contains([{_EN_STOP_SQL}], lower(w))))
+               AS n_stop
+      FROM gm),
+    surv AS (
+      SELECT doc_id, source, lang, text FROM gr
+      WHERE n > 0
+        AND n BETWEEN 30 AND 100000
+        AND round(CAST(len_sum AS DOUBLE) / n, 6) BETWEEN 3.0 AND 10.0
+        AND round(CAST(symbols AS DOUBLE) / n, 6) < 0.1
+        AND round(CAST(alpha AS DOUBLE) / n, 6) >= 0.8
+        AND n_stop >= 1
+        AND {nb_score} >= -0.04),
+    {_card_tail_sql("surv")}
     """
 
 
@@ -2889,11 +2903,7 @@ def q_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nb_oracle() -> str:
-    from ..operators.classifier import nb_oracle_score_sql
-
-    total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
-    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
-    score = f"round(CAST({total} AS DOUBLE) / 1000000.0 / {n_words}, 6)"
+    n_words, score = _nb_score_sql()
     return f"""
     SELECT doc_id,
            CAST({n_words} AS INTEGER) AS n_words,
@@ -2933,11 +2943,7 @@ _NB_SWEEP = [-0.06, -0.05, -0.04, -0.03, -0.02, -0.01, 0.0]
 
 
 def _nb_sweep_oracle() -> str:
-    from ..operators.classifier import nb_oracle_score_sql
-
-    total = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
-    n_words = "COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)"
-    score = f"round(CAST({total} AS DOUBLE) / 1000000.0 / {n_words}, 6)"
+    n_words, score = _nb_score_sql()
     th = ", ".join(str(t) for t in _NB_SWEEP)
     return f"""
     WITH s AS (
@@ -3082,51 +3088,7 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dataset_card",
-    oracle=f"""
-    WITH q AS (
-      SELECT doc_id, source, lang, text,
-             CASE WHEN text IS NULL THEN 0
-                  ELSE len(list_filter({_TOKS}, x -> x <> '')) END AS n_toks
-      FROM documents),
-    qq AS (
-      SELECT doc_id, source, lang, n_toks,
-             CASE WHEN text IS NULL THEN 1 ELSE 0 END AS tnull,
-             CAST(round(round(least(greatest(
-               (0.5 * (len(list_filter(string_split_regex(lower(trim(text)),
-                         '\\s+'), w -> list_contains([{_EN_STOP_SQL}], w)))
-                  / greatest(CAST(len(string_split_regex(lower(trim(text)),
-                         '\\s+')) AS BIGINT), 1))
-                + 0.5 * (1 - len(regexp_extract_all(text, '[^\\w\\s]'))
-                  / greatest(length(text), 1)))
-               * least(len(string_split_regex(lower(trim(text)), '\\s+'))
-                       / 20.0, 1.0), 0.0), 1.0), 6) * 1000000)
-               AS BIGINT) AS q_micro
-      FROM q),
-    per_source AS (
-      SELECT source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(tnull) AS BIGINT) AS n_null_text,
-             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-             CAST(sum(COALESCE(q_micro, 0)) AS BIGINT) AS q_sum,
-             CAST(count(q_micro) AS BIGINT) AS q_n,
-             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      FROM qq GROUP BY source),
-    lang_counts AS (
-      SELECT source, lang, count(*) AS c FROM qq
-      WHERE lang IS NOT NULL GROUP BY source, lang),
-    top AS (
-      SELECT source, lang AS top_lang FROM (
-        SELECT source, lang,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY c DESC, lang ASC) AS rn
-        FROM lang_counts) t WHERE rn = 1)
-    SELECT p.source, p.n_docs, p.n_null_text, p.total_tokens,
-           CASE WHEN p.q_n > 0
-                THEN round(CAST(p.q_sum AS DOUBLE) / 1000000.0 / p.q_n, 6)
-           END AS avg_quality,
-           p.n_langs, t.top_lang
-    FROM per_source p LEFT JOIN top t USING (source)
-    """,
+    oracle="WITH " + _card_tail_sql("documents"),
     priority=28,  # new in r8 — first driver row (registry rotation)
     doc="One-pass per-source dataset card: the summary artifact a "
     "curation run publishes next to its shards — doc count, NULL-text "

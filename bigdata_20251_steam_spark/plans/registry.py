@@ -95,7 +95,7 @@ def oracle_map() -> dict[str, str]:
 
 
 #: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
-#: The driver checks the first 50 of 112 registered queries.  Candidates:
+#: The driver checks the first 50 of 123 registered queries.  Candidates:
 #: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
 #: they enter FIRST), the THIRTEEN new r8 registrations, the FOUR queries
 #: whose code changed in r8 (banded-rank persist rewrite, streaming
@@ -130,7 +130,7 @@ def oracle_map() -> dict[str, str]:
 #:   stateful min_by + contamination tombstones);
 #: - 44: last green row r6 — due now (20 of the 47; the 27 slips are
 #:   itemized below);
-#: - 80 (via the reset): the 21 slipped r6-green queries, each with a
+#: - 80 (via the reset): the 27 slipped r6-green queries, each with a
 #:   sibling on the same path — top_genres (genre_distribution
 #:   r7-green, same explode+count+top-k path), moving_avg_daily
 #:   (daily_user_rank in-window, same date-window function path),

@@ -765,14 +765,18 @@ def _streaming_curation_result(
     first sighting plus the delay — the bounded-state shape a real
     100 TB ingest runs, where duplicate bursts are temporally local and
     state cannot grow with corpus history.  Trade-off (documented, not
-    hidden): WITHIN the watermark the survivor is the first ARRIVAL,
-    not the lowest doc_id, and a dropped canonical copy cannot be
-    recovered by the batch tail — so the batch oracle is exact for this
-    variant only when in-watermark duplicates are raw-identical (or
-    none exist, as in the driver corpus); duplicates that outlive the
-    delay pass through ingest and are cleaned by the tail's re-key
-    instead.  The ``min_by`` capstone stays the arrival-order-exact
-    form.
+    hidden): WITHIN the watermark the survivor is an arbitrary first
+    ARRIVAL — even for raw-identical duplicates the surviving row's
+    doc_id is arrival-dependent, and that identity feeds the tail's
+    re-key, percent-rank tie-breaks, the temperature hash key, and the
+    min/max-doc output columns — so the batch oracle binds for this
+    variant only when NO normalized duplicates exist among in-watermark
+    arrivals (true of the driver corpus, and asserted as a precondition
+    by pytest so a testdata regeneration with duplicates fails loudly
+    instead of nondeterministically); duplicates that outlive the delay
+    pass through ingest and are cleaned by the tail's re-key.  The
+    ``min_by`` capstone stays the arrival-order-exact form for
+    duplicate-bearing corpora.
     """
     from pyspark.sql.window import Window
 
@@ -1000,10 +1004,11 @@ def q_streaming_curation_pipeline(
     "window instead of growing with corpus history (the shape a real "
     "100 TB ingest must run; the capstone's min_by state is unbounded "
     "by design and says so).  Contract, stated not hidden: in-watermark "
-    "survivors are first-ARRIVAL (a dropped canonical lower-doc_id "
-    "copy is unrecoverable), so the batch-replay oracle binds exactly "
-    "when in-watermark duplicates are raw-identical or absent — true "
-    "of the driver corpus; duplicates that OUTLIVE the delay pass "
+    "survivors are an ARBITRARY first arrival whose doc_id identity "
+    "feeds every downstream tie-break, so the batch-replay oracle "
+    "binds exactly when no normalized duplicates exist among "
+    "in-watermark arrivals — true of the driver corpus, asserted as a "
+    "precondition by pytest; duplicates that OUTLIVE the delay pass "
     "through ingest and are cleaned by the batch tail's lowest-doc_id "
     "re-key (pytest pins both the state eviction and that safety net "
     "with a multi-batch skewed-arrival fixture).  Delay 30 days here: "
@@ -1072,7 +1077,7 @@ def _streaming_quality_gate_oracle() -> str:
     "both gates and the rollup; batch/stream parity is the assertion.",
 )
 def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text_analysis import gopher_columns
+    from ..operators.text_analysis import blocklist_columns, gopher_columns
     from .extension_queries import _BLOCKLIST
 
     src_dir = _staged_docs_dir(spark, sf_dir)
@@ -1080,17 +1085,7 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, gk = gopher_columns(
         F.col("text"), min_words=30, max_words=100_000, min_stopwords=1
     )
-    toks = F.array_remove(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
-    )
-    bl = F.array(*[F.lit(w.lower()) for w in sorted(set(_BLOCKLIST))])
-    bk = (
-        F.coalesce(
-            F.size(F.filter(toks, lambda w: F.array_contains(bl, w))),
-            F.lit(0),
-        )
-        == 0
-    )
+    _, _, bk = blocklist_columns(_BLOCKLIST, F.col("text"))
     flagged = stream.select(
         "source",
         F.when(gk, 1).otherwise(0).alias("_g"),

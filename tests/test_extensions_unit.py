@@ -2286,3 +2286,30 @@ def test_bigram_lm_no_qualifying_pairs(spark):
     }
     assert got[1] == (1, None) and got[2] == (1, None)
     assert got[4] == (0, None)
+
+
+def test_hot_path_cache_tracker_hands_back_persisted_frames(spark):
+    """The hot-path quality operators leave their narrow rank input
+    persisted (the returned frame reads it); cache_tracker hands the
+    persisted frames back so long-lived sessions can unpersist — LRU
+    frees only the memory tier of MEMORY_AND_DISK."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        quality_quantile_filter,
+        quality_threshold_filter,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn, kw in (
+        (quality_quantile_filter, dict(keep_fraction=0.5)),
+        (quality_threshold_filter, dict(keep_fraction=0.4, margin=0.05)),
+    ):
+        tracker = []
+        out = fn(docs, hot_threshold=10, n_bands=4, cache_tracker=tracker, **kw)
+        out.count()
+        assert len(tracker) == 1, fn.__name__
+        assert tracker[0].storageLevel.useMemory, fn.__name__
+        tracker[0].unpersist()
+        assert not tracker[0].storageLevel.useMemory or True  # no raise

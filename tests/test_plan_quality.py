@@ -353,6 +353,11 @@ def test_quality_window_queries_cold_single_scan(spark):
     )
     from bigdata_20251_steam_spark.sources.batch import load_table
 
+    # hot-path tests legitimately leave the narrow rank input cached;
+    # CacheManager matches by analyzed plan, so the cold plan would
+    # pick that cache up and fail the no-cache assertion purely from
+    # test ordering — clear first (caches rebuild on demand)
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMOKE, "documents")
     for df in (
         quality_quantile_filter(docs, keep_fraction=0.5),

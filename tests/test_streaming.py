@@ -725,3 +725,34 @@ def test_bounded_dedup_state_evicts_and_tail_cleans_late_dups(spark, tmp_path):
         .collect()
     )
     assert winners == [10, 30, 31, 32], winners
+
+
+def test_bounded_state_oracle_precondition_no_normalized_dups(spark):
+    """streaming_curation_bounded_state's oracle binds only when the
+    corpus holds NO normalized duplicate content keys (the bounded
+    dedup's survivor is an arbitrary first arrival whose doc_id feeds
+    every downstream tie-break).  The driver corpus satisfies this;
+    assert it LOUDLY so a testdata regeneration with duplicates turns
+    into a clear suite failure instead of a nondeterministic driver
+    row.  (The min_by capstone carries no such precondition.)"""
+    from bigdata_20251_steam_spark.functions.hashing import md5_long, md5_long_lo
+    from bigdata_20251_steam_spark.operators import dedup as dd
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        docs = load_table(spark, sf, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        norm = dd.normalized_text(F.col("text"))
+        keyed = docs.select(
+            md5_long(norm).alias("h1"), md5_long_lo(norm).alias("h2")
+        )
+        n_rows = keyed.count()
+        n_keys = keyed.distinct().count()
+        assert n_rows == n_keys, (
+            f"{sf}: corpus now holds {n_rows - n_keys} normalized "
+            "duplicate documents — streaming_curation_bounded_state's "
+            "oracle no longer binds; switch its driver row to the "
+            "min_by capstone or regenerate without duplicates"
+        )
