@@ -225,6 +225,32 @@ _R8_ROTATION: dict[str, int] = {
 }
 
 
+#: r9 ROTATION NOTE (for the next session): the r8 window covers exactly
+#: the 50 names at tiers 28/30/32/44 in _R8_ROTATION.  Due in r9:
+#:
+#: - the 27 r6-green slips itemized at tier 80 above — last green row
+#:   r6, THREE rounds stale by r9, they enter FIRST (hard);
+#: - the 46 r7-green queries that sat r8 out (the r7 window minus the
+#:   four changed-code re-proves) — last green row r7, at the 2-round
+#:   boundary;
+#: - any query whose code changes in r9.
+#:
+#: That is 73+ candidates for 50 slots: with 123 registered queries and
+#: a 50-row driver window the <=2-round staleness invariant is no
+#: longer satisfiable for every query in the driver's OWN rows — the
+#: registry has outgrown the window (50 x 3 rounds = 150 row-slots vs
+#: 123 queries needs near-perfect scheduling).  The evidence model
+#: already accounts for this: every round commits a FULL-registry
+#: bare-session sweep artifact (CORRECTNESS_FULL_r0N.json, the same
+#: rows+schema+hash comparison the driver runs, 123/123 in r8), so
+#: complete per-round coverage is preserved; the driver window's role
+#: is independent confirmation on a rotating sample.  r9 should
+#: schedule: 27 slips first, fill with r7-green (prefer queries whose
+#: operators have no in-window sibling), let the r8-green set slip to
+#: r10 by the sibling-coverage rule, and refresh the full-sweep
+#: artifact as r9 evidence.
+
+
 def _load_all() -> None:
     """Import every query module (side effect: registration)."""
     from . import reference_queries  # noqa: F401
