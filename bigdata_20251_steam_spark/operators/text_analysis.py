@@ -1113,15 +1113,41 @@ def strip_cross_doc_spans(
     Output: ``(doc_id, n_tokens, n_dropped, text_clean)``; NULL/empty
     text yields ``(0, 0, '')``.
 
-    Scale shape — two bounded exchanges, zero Python:
+    Scale shape — hot-gram-proof exchanges, zero Python (r9 guard):
 
-    1. gram occurrences shuffle ONCE keyed by the 120-bit md5 pair of
-       the gram text (16-byte keys + two longs — the dedup-module
-       posture: gram text itself never shuffles); a row_number window
-       over ``(doc_id, pos)`` inside each gram key flags every
-       non-first occurrence.  ~n_tokens rows of ~32 bytes — the same
-       order as the CMS/winnowing token exchanges.
-    2. ONLY the repeat rows (empty on a boilerplate-free corpus) are
+    1. per-gram FIRST occurrence is a ``min(struct(doc_id, p))``
+       aggregate keyed by a 128-bit xxhash64 pair of the token slice
+       (16-byte keys — the dedup-module posture: gram text itself
+       never shuffles).  xxhash64 over the array hashes tokens
+       in-place — no ``array_join`` string build, no md5 — which
+       matters here because the occurrence pass is computed TWICE (see
+       step 2) and gram hashing dominates its cost; the oracle replays
+       by gram TEXT, so the hash never needs a DuckDB twin (unlike the
+       md5-keyed dedup family).  The second hash seeds the literal
+       BEFORE the gram (``xxhash64(lit(1), g)``): Spark chains column
+       hashes left-to-right, so a trailing literal would inherit any
+       h1 collision verbatim, while a leading one changes the initial
+       state and makes the pair effectively independent (collision
+       ~2^-128, vs birthday at ~2^32 grams for a single 64-bit key).
+       An aggregate, NOT a window: map-side partial
+       collapse bounds the exchange at distinct-grams-per-map-task, so
+       a boilerplate gram occurring 10^8-10^9 times contributes ONE
+       partial row per map task instead of landing every occurrence in
+       a single window-sort task (the r8 hazard the round-8 verdict
+       flagged; window functions get no AQE skew mitigation).  Grams
+       with ``count == 1`` are dropped before the join — a
+       boilerplate-free corpus joins against an empty side.
+    2. occurrences join back to the (cnt>1)-filtered firsts on the
+       gram key to flag echoes.  Both join shuffles are Catalyst
+       ENSURE_REQUIREMENTS exchanges, so ``OptimizeSkewedJoin`` can
+       split a hot gram's probe partition at runtime (the reason this
+       does NOT pre-repartition occurrences for exchange reuse: a
+       REPARTITION-origin shuffle is excluded from AQE skew
+       mitigation).  The price is one extra corpus scan (the
+       occurrence pass feeds the aggregate and the probe side as
+       separate subtrees) — linear, and cheap next to an unsplittable
+       10^9-row single-task sort.
+    3. ONLY the repeat rows (empty on a boilerplate-free corpus) are
        regrouped per document into a sorted repeat-start array and
        joined back to the corpus on ``doc_id``.
 
@@ -1136,9 +1162,6 @@ def strip_cross_doc_spans(
     column — higher-order functions re-evaluate captured subexpressions
     PER ELEMENT (the documented O(k n^3 log n) inlining trap).
     """
-    from pyspark.sql.window import Window
-
-    from ..functions.hashing import md5_long, md5_long_lo
     from .dedup import spread_partitions
 
     if k < 1:
@@ -1152,7 +1175,10 @@ def strip_cross_doc_spans(
     n = F.size(tk)
 
     # pass 1 (distributed): every gram occurrence, keyed by gram hash.
-    # ' ' join is unambiguous: whitespace-split tokens contain no spaces.
+    # xxhash64 hashes the token slice in place (array hashing is
+    # order- and boundary-exact — no join-separator ambiguity); the
+    # second hash leads with a literal so the pair is independently
+    # seeded (see docstring).
     occ = (
         base.filter(n >= k)
         .select(
@@ -1162,7 +1188,7 @@ def strip_cross_doc_spans(
                     F.sequence(F.lit(0), n - k),
                     lambda i: F.struct(
                         i.alias("p"),
-                        F.array_join(F.slice(tk, i + 1, k), " ").alias("g"),
+                        F.slice(tk, i + 1, k).alias("g"),
                     ),
                 )
             ).alias("_o"),
@@ -1170,14 +1196,31 @@ def strip_cross_doc_spans(
         .select(
             "doc_id",
             F.col("_o.p").alias("p"),
-            md5_long(F.col("_o.g")).alias("_h1"),
-            md5_long_lo(F.col("_o.g")).alias("_h2"),
+            F.xxhash64(F.col("_o.g")).alias("_h1"),
+            F.xxhash64(F.lit(1), F.col("_o.g")).alias("_h2"),
         )
     )
-    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "p")
+    # hot-gram guard (r9): per-gram first occurrence via an aggregate —
+    # min over a struct orders lexicographically by (doc_id, p), the
+    # same canonical order as the r8 row_number window, but map-side
+    # partials collapse a hot gram to one row per map task before the
+    # exchange.  cnt>1 prunes unique grams so the join side only
+    # carries actual boilerplate.
+    firsts = (
+        occ.groupBy("_h1", "_h2")
+        .agg(
+            F.min(F.struct(F.col("doc_id"), F.col("p"))).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("_h1", "_h2", "_first")
+    )
     repeats = (
-        occ.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        occ.join(firsts, ["_h1", "_h2"])
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("p") != F.col("_first.p"))
+        )
         .select("doc_id", "p")
     )
     starts = repeats.groupBy("doc_id").agg(

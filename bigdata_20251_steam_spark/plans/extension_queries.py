@@ -2590,9 +2590,12 @@ _CROSS_DOC_SPANS_ORACLE = f"""
     "survives, every cross-document echo's covered positions are "
     "dropped, text_clean rebuilds the survivors.  Completes the dedup "
     "ladder: whole-doc (dedup_exact) -> segment (segment_dedup) -> "
-    "within-doc span (intra_doc_dedup) -> cross-doc span (this).  One "
-    "gram-hash-keyed token exchange (16-byte md5 pair, gram text never "
-    "shuffles) + a repeats-only doc regroup; rebuild is zero-shuffle "
+    "within-doc span (intra_doc_dedup) -> cross-doc span (this).  "
+    "First-occurrence flagging is a min(struct) aggregate keyed by an "
+    "independently-seeded 128-bit xxhash64 pair of the token slice "
+    "(r9 hot-gram guard: map-side partials collapse a boilerplate "
+    "gram before the exchange; gram text never shuffles) + a "
+    "repeats-only doc regroup; rebuild is zero-shuffle "
     "array lambdas with the sparse-to-dense sort-merge alignment (no "
     "per-position membership scan).  The oracle replays it relationally "
     "— global row_number over gram text, range-unnest coverage, ordered "

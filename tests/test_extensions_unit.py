@@ -1920,6 +1920,52 @@ def test_strip_cross_doc_spans_randomized(spark):
             assert got[doc_id] == ref[doc_id], (k, doc_id)
 
 
+def test_strip_cross_doc_spans_hot_gram_skew_fixture(spark):
+    """Deliberately hot gram (r9 guard, round-8 verdict #1): one
+    boilerplate 3-gram appears in 90% of docs — the exact skew profile
+    the r8 row_number-window shape would funnel into a single window
+    task.  The min_by-aggregate shape must (a) stay correct against the
+    brute-force reference, and (b) plan the first-occurrence flagging
+    as an aggregate with a map-side partial, never a window over the
+    gram hash."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        strip_cross_doc_spans,
+    )
+
+    boiler = "terms of service"
+    cases = [
+        (
+            i,
+            f"{boiler} doc{i} unique{i} tail{i}"
+            if i % 10 != 0
+            else f"doc{i} unique{i} tail{i} distinct{i}",
+        )
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    out = strip_cross_doc_spans(docs, k=3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in out.collect()
+    }
+    ref = _cross_doc_ref(cases, 3)
+    for doc_id, _ in cases:
+        assert got[doc_id] == ref[doc_id], (doc_id, got[doc_id], ref[doc_id])
+    # doc 1 holds the canonical copy; every later echo dropped its
+    # boilerplate tokens but kept its unique frame
+    assert got[1][2].startswith(boiler)
+    assert got[11] == (6, 3, "doc11 unique11 tail11")
+    # plan shape: aggregate with MAP-SIDE partial collapse (min(struct)
+    # plans as SortAggregate — struct is not a mutable hash-agg buffer
+    # type — and the partial_min is the guard: a hot gram collapses to
+    # one row per map task BEFORE the exchange), no per-gram window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Window \[[^\n]*_h1", plan), plan
+    assert re.search(r"(Sort|Hash)Aggregate[^\n]*partial_min", plan), plan
+
+
 def test_nb_weights_provenance(spark):
     """The pinned _NB_WEIGHTS artifact re-derives bit-for-bit from its
     documented provenance (sf0.001 documents, positive = doc_id%7==3,

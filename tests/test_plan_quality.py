@@ -495,11 +495,17 @@ def test_normalize_text_narrow_map(spark):
 
 
 def test_cross_doc_span_dedup_shuffles_hashes_not_gram_text(spark):
-    """cross_doc_span_dedup (r8): the global gram comparison must travel
-    as the 120-bit md5 pair — every hash exchange in the plan is keyed
-    by (_h1, _h2) or doc_id, never by the gram string; and the corpus
-    is scanned at most twice (occurrence pass + rebuild join), with no
-    lineage re-expansion beyond that."""
+    """cross_doc_span_dedup (r9 hot-gram-guarded shape): the global gram
+    comparison must travel as the 128-bit xxhash64 pair — every hash
+    exchange in the plan is keyed by (_h1, _h2) or doc_id, never by the
+    gram text.  The corpus is scanned at most three times: the occurrence
+    pass feeds BOTH the per-gram min_by aggregate and the join probe as
+    separate subtrees — deliberate, because the natural
+    ENSURE_REQUIREMENTS shuffles keep the join eligible for AQE's
+    OptimizeSkewedJoin (a pre-repartition-for-exchange-reuse shape would
+    pin REPARTITION origin and forfeit skew splitting) — plus the
+    rebuild join scan.  No lineage re-expansion beyond that, and no
+    window over the gram key (the r8 single-task hot-gram sort)."""
     import re
 
     df = QUERIES["cross_doc_span_dedup"].fn(spark, SF_SMOKE)
@@ -513,7 +519,13 @@ def test_cross_doc_span_dedup_shuffles_hashes_not_gram_text(spark):
         assert "_h1" in e or "doc_id" in e, (
             f"unexpected exchange key (gram text?):\n{e}"
         )
-    assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= 3, plan
+    # the hot-gram guard: first-occurrence flagging must be an
+    # aggregate (map-side partial collapse), never a window sort over
+    # the gram hash key
+    assert not re.search(r"Window \[[^\n]*_h1", plan), (
+        f"per-gram window reintroduced (hot-gram skew hazard):\n{plan}"
+    )
 
 
 def test_nb_classifier_scoring_shuffle_free(spark):
@@ -529,16 +541,20 @@ def test_nb_classifier_scoring_shuffle_free(spark):
 
 
 def test_curation_v2_single_lineage_expansion(spark):
-    """curation_v2_end_to_end (r8): the dataset-card tail must be ONE
-    aggregation chain over the survivor subtree — the two-branch
-    card formulation re-expanded the whole span-dedup pipeline per
-    branch (6 scans); this pins the single-expansion shape (<= 3 scans:
-    the span pass, the rebuild join, the source/lang join) and the
-    card's zero-join tail."""
+    """curation_v2_end_to_end (r8; bound updated for the r9 hot-gram
+    guard): the dataset-card tail must be ONE aggregation chain over
+    the survivor subtree — the two-branch card formulation re-expanded
+    the whole span-dedup pipeline per branch (6 scans); this pins the
+    single-expansion shape (<= 4 scans: the span occurrence pass feeds
+    the per-gram min_by aggregate AND the join probe as separate
+    subtrees — the deliberate price of keeping both shuffles
+    ENSURE_REQUIREMENTS-origin so AQE can skew-split a hot gram — plus
+    the rebuild join and the source/lang join) and the card's
+    zero-join tail."""
     import re
 
     df = QUERIES["curation_v2_end_to_end"].fn(spark, SF_SMOKE)
     plan = _final_plan(df)
-    assert len(re.findall(r"FileScan parquet", plan)) <= 3, plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= 4, plan
     # exactly one (source, lang) pre-aggregate exchange feeds the card
     assert len(re.findall(r"Exchange hashpartitioning\(source#\d+, lang#", plan)) == 1, plan
