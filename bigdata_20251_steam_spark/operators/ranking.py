@@ -56,8 +56,10 @@ def banded_percent_rank(
     id_col: str,
     n_bands: int = 64,
     accuracy: int = 10_000,
-    persist_input: bool = True,
-    broadcast_edges: bool = True,
+    persist_input: bool = False,
+    broadcast_edges: bool | None = None,
+    n_groups: int | None = None,
+    broadcast_cell_limit: int = 2_000_000,
     cache_tracker: list | None = None,
 ) -> DataFrame:
     """Exact rank under ``(value DESC, id ASC)`` within each group.
@@ -75,30 +77,41 @@ def banded_percent_rank(
     NULL values sort last (one extra band past the edges), matching the
     ``DESC`` default NULLS LAST ordering of the single-window form.
 
-    ``persist_input`` (default True): the decomposition scans ``base``
-    three times (edges aggregate, band counts, ranking pass).  Spark
-    does not share subtrees across those scans — without a persist the
-    whole ``base`` lineage (at worst a corpus read plus the quality
-    projection) re-executes per scan, and a lineage containing its own
-    joins multiplies (the r7 two-phase filter compiled to a 40-scan
-    plan this way).  Persisting the narrow rank input
-    (``MEMORY_AND_DISK``, ~tens of bytes/row: ids + group + order
-    value, never document text) makes the source lineage run once.
-    LIFECYCLE: the returned frame is backed by that cache and there is
-    no safe point inside this function to release it — Spark's LRU
-    evicts only the MEMORY tier of ``MEMORY_AND_DISK``; disk blocks are
-    freed solely by ``unpersist``.  A registered-query/driver session
-    (bounded, exits) can ignore this; a long-lived caller must either
-    pass ``cache_tracker`` (a list the persisted frame is appended to —
-    unpersist after consuming the result) or manage persistence itself
-    via ``persist_input=False``.
+    ``persist_input`` (default False — r8 advice: persist-by-default
+    silently leaked disk-tier cache for any long-lived caller using
+    the default): the decomposition scans ``base`` three times (edges
+    aggregate, band counts, ranking pass).  Spark does not share
+    subtrees across those scans — without a persist the whole ``base``
+    lineage (at worst a corpus read plus the quality projection)
+    re-executes per scan, and a lineage containing its own joins
+    multiplies (the r7 two-phase filter compiled to a 40-scan plan
+    this way).  Callers whose ``base`` carries a nontrivial lineage
+    should either persist it themselves around this call (the pattern
+    every in-repo hot path uses: persist the narrow score frame, let
+    the eager hot-detection count double as cache population,
+    unpersist after consuming) or opt in with ``persist_input=True``
+    AND pass ``cache_tracker``.  When this function persists, the
+    returned frame is backed by that cache and there is no safe point
+    inside this function to release it — Spark's LRU evicts only the
+    MEMORY tier of ``MEMORY_AND_DISK``; disk blocks are freed solely
+    by ``unpersist`` (consume the result, then unpersist the tracked
+    frame).
 
-    ``broadcast_edges`` (default True): the per-group edges and offsets
-    frames are ``groups × n_bands`` doubles — broadcast-safe up to
-    ~1e6 distinct groups at the default 64 bands (~512 MB driver-side
-    ceiling; Spark's own broadcast limit raises first).  A
-    higher-cardinality group column must pass ``False`` to route both
-    joins through a hash shuffle instead of the driver.
+    ``broadcast_edges`` (default None = self-sizing, r8 verdict #4):
+    the per-group edges and offsets frames are ``groups × n_bands``
+    doubles.  ``None`` broadcasts them only while ``n_groups *
+    n_bands <= broadcast_cell_limit`` (default 2M cells ≈ 16 MB of
+    edge doubles — comfortably under Spark's 8 GB broadcast hard cap
+    and a sane driver/executor memory bite at any cluster size) and
+    otherwise routes both joins through a hash shuffle.  ``n_groups``
+    feeds that decision: every in-repo hot path already counts groups
+    in its eager hot-detection job and passes it for free; when auto
+    mode must decide WITHOUT a caller-supplied count, it runs ONE
+    eager ``edges.count()`` job at construction time (documented
+    eager-job contract — the same class as the callers' hot-detection
+    counts; pass ``n_groups`` or an explicit ``broadcast_edges`` to
+    keep construction fully lazy).  Explicit True/False still forces
+    the route either way.
     """
     if n_bands < 2:
         raise ValueError("banded_percent_rank: n_bands must be >= 2")
@@ -111,9 +124,6 @@ def banded_percent_rank(
         if cache_tracker is not None:
             cache_tracker.append(base)
 
-    def _small(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if broadcast_edges else df
-
     probs = F.array(
         *[F.lit(i / n_bands) for i in range(1, n_bands)]
     )
@@ -121,6 +131,15 @@ def banded_percent_rank(
         F.percentile_approx(value_col, probs, F.lit(accuracy)).alias("_edges"),
         F.count(F.lit(1)).alias("_n"),
     )
+    if broadcast_edges is None:
+        if n_groups is None:
+            # documented eager-job contract (see docstring): one
+            # count over the edges aggregate decides the route
+            n_groups = edges.count()
+        broadcast_edges = n_groups * n_bands <= broadcast_cell_limit
+
+    def _small(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_edges else df
     v = F.col(value_col)
     # band index = number of ascending edges STRICTLY above the value:
     # the max values get band 0, ties share a band, and band is monotone

@@ -521,13 +521,20 @@ def curriculum_order(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        any_hot = (
+        # one eager job: hot presence + group cardinality (feeds the
+        # ranker's self-sizing edge broadcast — r8 verdict #4)
+        hot_stats = (
             base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
-            .filter(F.col("_cnt") > hot_threshold)
-            .limit(1)
-            .count()
+            .agg(
+                F.sum(
+                    (F.col("_cnt") > hot_threshold).cast("int")
+                ).alias("_nhot"),
+                F.count(F.lit(1)).alias("_ngroups"),
+            )
+            .collect()[0]
         )
+        any_hot = hot_stats["_nhot"] or 0
         if not any_hot:
             base.unpersist()
         if any_hot:
@@ -537,6 +544,7 @@ def curriculum_order(
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
                 n_bands=n_bands, accuracy=accuracy, persist_input=False,
+                n_groups=hot_stats["_ngroups"],
             )
             return ranked.select(
                 "doc_id",

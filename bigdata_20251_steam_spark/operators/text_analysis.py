@@ -724,13 +724,21 @@ def quality_quantile_filter(
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        any_hot = (
+        # one eager job returns hot presence AND group cardinality —
+        # the latter feeds the ranker's self-sizing edge-broadcast
+        # decision for free (r8 verdict #4)
+        hot_stats = (
             base.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
-            .filter(F.col("_cnt") > hot_threshold)
-            .limit(1)
-            .count()
+            .agg(
+                F.sum(
+                    (F.col("_cnt") > hot_threshold).cast("int")
+                ).alias("_nhot"),
+                F.count(F.lit(1)).alias("_ngroups"),
+            )
+            .collect()[0]
         )
+        any_hot = hot_stats["_nhot"] or 0
         if any_hot:
             # the returned frame reads this cache; long-lived callers
             # pass cache_tracker and unpersist after consuming (LRU
@@ -740,6 +748,7 @@ def quality_quantile_filter(
             ranked = banded_percent_rank(
                 base, group_col, "quality", "doc_id",
                 n_bands=n_bands, accuracy=accuracy, persist_input=False,
+                n_groups=hot_stats["_ngroups"],
             )
             return ranked.select(
                 "doc_id",
@@ -811,6 +820,19 @@ def quality_threshold_filter(
     ``percent_rank``'s double arithmetic bit-for-bit
     (:func:`~.ranking.percent_rank_expr`), so both variants and the SQL
     oracle agree on every boundary row.
+
+    **Eager-job contract** (r8 advice — this is part of the public
+    API, not an implementation detail): with ``hot_threshold`` set,
+    CALLING this function runs Spark jobs before it returns — the
+    hot-detection pre-aggregate always, and on the hot branch the full
+    candidate-pool materialization (``pool.count()``, corpus-scale) —
+    because the two-phase plan's shape depends on their results and
+    the pool cache must be pinned before ``base`` is released.  Build
+    the plan only when you intend to execute it; the returned frame
+    additionally holds a pinned ``MEMORY_AND_DISK`` cache on the hot
+    branch (pass ``cache_tracker`` and unpersist after consuming —
+    LRU frees only the memory tier).  ``hot_threshold=None`` (the
+    default) is fully lazy.
     """
     from pyspark.sql.window import Window
 
@@ -856,8 +878,13 @@ def quality_threshold_filter(
             "_cut"
         ),
     )
-    any_hot = stats.filter(F.col("_cnt") > hot_threshold).limit(1).count()
-    if any_hot == 0:
+    # one eager job: hot presence + group cardinality (the latter feeds
+    # the ranker's self-sizing edge broadcast — r8 verdict #4)
+    hot_stats = stats.agg(
+        F.sum((F.col("_cnt") > hot_threshold).cast("int")).alias("_nhot"),
+        F.count(F.lit(1)).alias("_ngroups"),
+    ).collect()[0]
+    if not (hot_stats["_nhot"] or 0):
         base.unpersist()
         return single_phase
     # candidate pool: hot groups prefiltered at the cutoff (>= keeps all
@@ -924,6 +951,7 @@ def quality_threshold_filter(
         n_bands=n_bands,
         accuracy=accuracy,
         persist_input=False,
+        n_groups=hot_stats["_ngroups"],
     )
     return (
         ranked.withColumn(

@@ -2139,6 +2139,54 @@ def test_banded_rank_shuffle_join_path_parity(spark):
         assert got == expect, f"broadcast_edges={bcast}"
 
 
+def test_banded_rank_auto_broadcast_threshold(spark):
+    """broadcast_edges=None (r9, r8 verdict #4) self-sizes: a
+    high-cardinality group fixture above the cell limit must take the
+    shuffle-join route (no broadcast hint), a low-cardinality one the
+    broadcast route, and BOTH must reproduce the plain window rank.
+    Covers all three n_groups sources: caller-supplied, and the
+    documented eager edges.count() fallback."""
+    from pyspark.sql.window import Window
+
+    from bigdata_20251_steam_spark.operators.ranking import (
+        banded_percent_rank,
+    )
+
+    rows = [
+        (i, f"g{i % 50}", float((i * 37) % 11))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("doc_id").asc())
+    expect = {
+        (r["doc_id"]): (r["rk"], r["n"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    cases = [
+        # (n_groups passed, cell limit, expect broadcast?)
+        (50, 2_000_000, True),    # 50*4 cells, way under -> broadcast
+        (50, 100, False),         # 200 cells > 100 -> shuffle route
+        (None, 100, False),       # eager count fallback, over limit
+        (None, 2_000_000, True),  # eager count fallback, under limit
+    ]
+    for n_groups, limit, want_bcast in cases:
+        ranked = banded_percent_rank(
+            df, "g", "v", "doc_id", n_bands=4,
+            n_groups=n_groups, broadcast_cell_limit=limit,
+        )
+        has_hint = (
+            "ResolvedHint"
+            in ranked._jdf.queryExecution().analyzed().toString()
+        )
+        assert has_hint == want_bcast, (n_groups, limit)
+        got = {
+            r["doc_id"]: (r["_rank"], r["_n"]) for r in ranked.collect()
+        }
+        assert got == expect, (n_groups, limit)
+
+
 def test_bigram_lm_hand_fixture(spark):
     """Bigram LM (stupid backoff) against an independent pure-Python
     reference on a corpus tiny enough to enumerate: exercises the
