@@ -1453,6 +1453,97 @@ def gopher_columns(
     return metrics, F.coalesce(keep, F.lit(False))
 
 
+def train_bigram_lm(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    bigram_size: int = 24,
+    text_col: str = "text",
+    oov_alpha: float = 0.5,
+    backoff: float = 0.4,
+) -> dict:
+    """Train the Stupid-Backoff bigram tables; return them as plain data.
+
+    The training half of :func:`bigram_lm_scores`, split out (r9, r8
+    advice) so a trained model can be PINNED as a literal artifact —
+    the NB-weights/BPE-merges posture: language models are artifacts,
+    trained once, shipped, outliving their training corpus.  Pinning
+    also removes the only cross-engine fragility the scorer had: a
+    replayed training pass depends on both engines' libm ``log10``
+    agreeing to the last ulp inside ``floor(log10(x) * 1e9)``, whereas
+    a pinned integer table is bit-exact by construction.
+
+    Returns ``{"uni_lp", "back_lp", "pair_lp", "oov_first",
+    "oov_back"}``: integer nano-log10 tables (``pair_lp`` keys are
+    ``"ctx cur"`` — unambiguous, whitespace-split tokens contain no
+    spaces).  Two bounded aggregates (vocabulary-sized and
+    bigram-table-sized collects with loud caps); the kilobyte result
+    is driver-side plain data, JSON-serializable.
+    """
+    import math
+
+    if vocab_size < 1 or bigram_size < 1:
+        raise ValueError("train_bigram_lm: table sizes must be >= 1")
+    if vocab_size > 10_000 or bigram_size > 10_000:
+        raise ValueError(
+            "train_bigram_lm inlines both tables as map literals; "
+            "sizes above 10k need the explode -> broadcast-join -> "
+            "re-aggregate form (see unigram_lm_scores)"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = counts.agg(F.sum("c")).collect()[0][0]
+    if not n_total:
+        raise ValueError("train_bigram_lm: corpus has no tokens")
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        vocab_size
+    ).collect()
+    uni_c = {r["w"]: int(r["c"]) for r in top}
+
+    def q(x: float) -> int:
+        return int(math.floor(math.log10(x) * 1e9))
+
+    vocab_lit = F.array(*[F.lit(w) for w in uni_c])
+    pair_src = docs.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    tk0 = F.col("_t")
+    pair_rows = (
+        pair_src.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk0) - 1),
+                    lambda i: F.struct(
+                        F.get(tk0, i - 1).alias("ctx"),
+                        F.get(tk0, i).alias("cur"),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select("_p.ctx", "_p.cur")
+        .filter(F.array_contains(vocab_lit, F.col("ctx")))
+        .groupBy("ctx", "cur")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .orderBy(F.col("cp").desc(), F.col("ctx").asc(), F.col("cur").asc())
+        .limit(bigram_size)
+        .collect()
+    )
+    return {
+        "uni_lp": {w: q(c / n_total) for w, c in uni_c.items()},
+        "back_lp": {w: q(backoff * c / n_total) for w, c in uni_c.items()},
+        "pair_lp": {
+            f"{r['ctx']} {r['cur']}": q(int(r["cp"]) / uni_c[r["ctx"]])
+            for r in pair_rows
+        },
+        "oov_first": q(oov_alpha / n_total),
+        "oov_back": q(backoff * oov_alpha / n_total),
+    }
+
+
 def bigram_lm_scores(
     docs: DataFrame,
     vocab_size: int = 16,
@@ -1460,6 +1551,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     oov_alpha: float = 0.5,
     backoff: float = 0.4,
+    model: dict | None = None,
 ) -> DataFrame:
     """Bigram LM scoring with Stupid Backoff (Brants et al. 2007).
 
@@ -1495,69 +1587,33 @@ def bigram_lm_scores(
     tables ride as map literals (kilobytes), pair keys are
     ``ctx || ' ' || cur`` (unambiguous — whitespace-split tokens
     contain no spaces).
-    """
-    import math
 
-    if vocab_size < 1 or bigram_size < 1:
-        raise ValueError("bigram_lm_scores: table sizes must be >= 1")
-    if vocab_size > 10_000 or bigram_size > 10_000:
-        raise ValueError(
-            "bigram_lm_scores inlines both tables as map literals; "
-            "sizes above 10k need the explode -> broadcast-join -> "
-            "re-aggregate form (see unigram_lm_scores)"
+    ``model``: a pinned artifact from :func:`train_bigram_lm` (r9, r8
+    advice).  When given, no training runs — the call is fully lazy
+    and the integer tables are bit-exact on any engine; when ``None``,
+    the model is trained on ``docs`` at call time (two eager bounded
+    aggregates).  Registered queries pin the model so the oracle
+    scores with the identical literals instead of retraining through
+    DuckDB's libm.
+    """
+    if model is None:
+        model = train_bigram_lm(
+            docs,
+            vocab_size=vocab_size,
+            bigram_size=bigram_size,
+            text_col=text_col,
+            oov_alpha=oov_alpha,
+            backoff=backoff,
         )
+    uni_lp = model["uni_lp"]
+    back_lp = model["back_lp"]
+    pair_lp = model["pair_lp"]
+    oov_first = model["oov_first"]
+    oov_back = model["oov_back"]
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda w: w != F.lit(""),
     )
-    counts = (
-        docs.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n_total = counts.agg(F.sum("c")).collect()[0][0]
-    if not n_total:
-        raise ValueError("bigram_lm_scores: corpus has no tokens")
-    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
-        vocab_size
-    ).collect()
-    uni_c = {r["w"]: int(r["c"]) for r in top}
-
-    def q(x: float) -> int:
-        return int(math.floor(math.log10(x) * 1e9))
-
-    uni_lp = {w: q(c / n_total) for w, c in uni_c.items()}
-    back_lp = {w: q(backoff * c / n_total) for w, c in uni_c.items()}
-    oov_first = q(oov_alpha / n_total)
-    oov_back = q(backoff * oov_alpha / n_total)
-
-    vocab_lit = F.array(*[F.lit(w) for w in uni_c])
-    pair_src = docs.select(toks.alias("_t")).filter(F.size("_t") >= 2)
-    tk0 = F.col("_t")
-    pair_rows = (
-        pair_src.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk0) - 1),
-                    lambda i: F.struct(
-                        F.get(tk0, i - 1).alias("ctx"),
-                        F.get(tk0, i).alias("cur"),
-                    ),
-                )
-            ).alias("_p")
-        )
-        .select("_p.ctx", "_p.cur")
-        .filter(F.array_contains(vocab_lit, F.col("ctx")))
-        .groupBy("ctx", "cur")
-        .agg(F.count(F.lit(1)).alias("cp"))
-        .orderBy(F.col("cp").desc(), F.col("ctx").asc(), F.col("cur").asc())
-        .limit(bigram_size)
-        .collect()
-    )
-    pair_lp = {
-        f"{r['ctx']} {r['cur']}": q(int(r["cp"]) / uni_c[r["ctx"]])
-        for r in pair_rows
-    }
 
     def _lit_map(d: dict, keys):
         return F.map_from_arrays(
@@ -1565,8 +1621,8 @@ def bigram_lm_scores(
             F.array(*[F.lit(d[k]).cast("long") for k in keys]),
         )
 
-    uni_map = _lit_map(uni_lp, list(uni_c))
-    back_map = _lit_map(back_lp, list(uni_c))
+    uni_map = _lit_map(uni_lp, list(uni_lp))
+    back_map = _lit_map(back_lp, list(back_lp))
     pair_map = (
         _lit_map(pair_lp, list(pair_lp))
         if pair_lp

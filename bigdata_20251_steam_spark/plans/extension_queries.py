@@ -3163,39 +3163,87 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_scores",
-    oracle="""
-    WITH toks AS (
+#: Pinned Stupid-Backoff bigram LM (r9, r8 advice) — integer nano-log10
+#: tables.  LMs are ARTIFACTS (the NB-weights/BPE-merges posture):
+#: trained once, shipped, outliving their training corpus — and pinning
+#: removes the one cross-engine fragility the r8 oracle had, which
+#: RETRAINED the model through DuckDB's libm log10 (a last-ulp
+#: difference inside floor(log10(x)*1e9) could flip a table entry by
+#: one nano-log10 unit).  Provenance:
+#: operators.text_analysis.train_bigram_lm(documents@sf0.001,
+#: vocab_size=16, bigram_size=24, oov_alpha=0.5, backoff=0.4) —
+#: deterministic (exact integer counts, one math.log10 pass);
+#: re-derivation pinned by tests (test_bigram_lm_provenance).
+_BIGRAM_LM: dict = {
+    "uni_lp": {
+        "scan": -1453215760, "column": -1455872003, "window": -1456761041,
+        "order": -1457206242, "sort": -1457651901, "part": -1462584571,
+        "agg": -1467117958, "value": -1468487253, "line": -1470319722,
+        "key": -1470779050, "join": -1474935009, "merge": -1475399247,
+        "group": -1475863982, "query": -1475863982, "a": -1477261177,
+        "vector": -1477261177,
+    },
+    "back_lp": {
+        "scan": -1851155768, "column": -1853812012, "window": -1854701049,
+        "order": -1855146251, "sort": -1855591910, "part": -1860524580,
+        "agg": -1865057966, "value": -1866427262, "line": -1868259730,
+        "key": -1868719058, "join": -1872875018, "merge": -1873339256,
+        "group": -1873803991, "query": -1873803991, "a": -1875201186,
+        "vector": -1875201186,
+    },
+    "pair_lp": {
+        "order fast": -1281434440, "order order": -1316906758,
+        "agg part": -1316335069, "part filter": -1320868456,
+        "scan a": -1330237267, "window join": -1326691986,
+        "join column": -1318063335, "line agg": -1322678623,
+        "line group": -1322678623, "order scan": -1335792102,
+        "group merge": -1326894200, "order sort": -1345551940,
+        "agg hash": -1345624446, "agg table": -1345624446,
+        "column line": -1356870400, "key order": -1341963353,
+        "query filter": -1336878421, "join merge": -1348026559,
+        "key data": -1352182519, "order the": -1365755326,
+        "part the": -1360376997, "scan merge": -1369745809,
+        "vector part": -1345700391, "window slow": -1366200528,
+    },
+    "oov_first": -4747240854,
+    "oov_back": -5145180863,
+}
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote a string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bigram_lm_oracle() -> str:
+    """Oracle scoring the documents with the PINNED tables — pure
+    integer lookups + exact long arithmetic, no retraining, no libm."""
+    uni_rows = ",\n             ".join(
+        f"({_sq(w)}, {_BIGRAM_LM['uni_lp'][w]}, {_BIGRAM_LM['back_lp'][w]})"
+        for w in _BIGRAM_LM["uni_lp"]
+    )
+    bg_rows = ",\n           ".join(
+        f"({_sq(k.split(' ')[0])}, {_sq(k.split(' ')[1])}, {lp})"
+        for k, lp in _BIGRAM_LM["pair_lp"].items()
+    )
+    return f"""
+    WITH uni(w, lp_uni, lp_back) AS (
+      VALUES {uni_rows}),
+    bg(ctx, cur, lp) AS (
+      VALUES {bg_rows}),
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          w -> w <> '') AS ws
       FROM documents),
     dw AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
            FROM toks),
-    counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY w),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
-    vocab AS (SELECT w, c,
-                     CAST(floor(log10(c / n) * 1e9) AS BIGINT) AS lp_uni,
-                     CAST(floor(log10(0.4 * c / n) * 1e9) AS BIGINT) AS lp_back
-              FROM counts, tot ORDER BY c DESC, w LIMIT 16),
-    prs AS (SELECT a.doc_id, b.pos, a.w AS ctx, b.w AS cur
-            FROM dw a JOIN dw b
-              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-    pc AS (SELECT ctx, cur, CAST(count(*) AS BIGINT) AS cp
-           FROM prs JOIN vocab v ON prs.ctx = v.w GROUP BY ctx, cur),
-    bg AS (SELECT pc.ctx, pc.cur,
-                  CAST(floor(log10(CAST(cp AS DOUBLE) / v.c) * 1e9)
-                       AS BIGINT) AS lp
-           FROM pc JOIN vocab v ON pc.ctx = v.w
-           ORDER BY cp DESC, pc.ctx, pc.cur LIMIT 24),
-    oov AS (SELECT CAST(floor(log10(0.5 / n) * 1e9) AS BIGINT) AS first_lp,
-                   CAST(floor(log10(0.4 * 0.5 / n) * 1e9) AS BIGINT) AS back_lp
-            FROM tot),
     pos_lp AS (
       SELECT dw.doc_id, dw.pos,
-             CASE WHEN dw.pos = 1 THEN coalesce(v.lp_uni, o.first_lp)
-                  ELSE coalesce(b.lp, v.lp_back, o.back_lp) END AS lp,
+             CASE WHEN dw.pos = 1
+                  THEN coalesce(u.lp_uni, {_BIGRAM_LM["oov_first"]})
+                  ELSE coalesce(b.lp, u.lp_back, {_BIGRAM_LM["oov_back"]})
+             END AS lp,
              CASE WHEN dw.pos > 1 AND b.lp IS NOT NULL
                   THEN 1 ELSE 0 END AS hit
       FROM dw
@@ -3203,8 +3251,7 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON prev.doc_id = dw.doc_id AND prev.pos = dw.pos - 1
       LEFT JOIN bg b
         ON dw.pos > 1 AND b.ctx = prev.w AND b.cur = dw.w
-      LEFT JOIN vocab v ON v.w = dw.w
-      CROSS JOIN oov o),
+      LEFT JOIN uni u ON u.w = dw.w),
     sc AS (SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s,
                   CAST(count(*) AS BIGINT) AS nt,
                   CAST(sum(hit) AS BIGINT) AS hits
@@ -3216,25 +3263,32 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN round(CAST(sc.hits AS DOUBLE) / (sc.nt - 1), 6)
            END AS bigram_hit_ratio
     FROM documents d LEFT JOIN sc USING (doc_id)
-    """,
-    priority=28,  # new in r8 — first driver row (registry rotation)
+    """
+
+
+@register(
+    "bigram_lm_scores",
+    oracle=_bigram_lm_oracle(),
+    priority=28,  # r8 registration; r9: code changed (pinned model)
     doc="Bigram LM scoring with Stupid Backoff "
     "(operators.text_analysis.bigram_lm_scores, Brants et al. 2007): "
     "one modeling step from the unigram scorer toward CCNet's KenLM — "
     "P(cur|ctx) from a top-24 bigram table (contexts restricted to the "
     "top-16 vocabulary so the conditional's denominator is available "
     "and the table bounded), backoff 0.4x unigram, OOV floor; emits "
-    "the bigram hit ratio as a fluency signal.  Training is two "
-    "bounded aggregates; scoring is a zero-shuffle projection with "
-    "both tables as map literals; integer nano-log10 quantization "
-    "makes per-doc sums exact long arithmetic (order-free), the "
-    "unigram convention.  The oracle retrains AND rescores the whole "
-    "model relationally.",
+    "the bigram hit ratio as a fluency signal.  The model is a PINNED "
+    "integer nano-log10 artifact (_BIGRAM_LM, provenance-tested like "
+    "the NB weights), so scoring is a fully lazy zero-shuffle "
+    "projection with both tables as map literals, per-doc sums exact "
+    "long arithmetic (order-free), and the oracle scores with the "
+    "IDENTICAL literals — no cross-engine libm dependence (r8 "
+    "advice).",
 )
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_lm_scores(
-        load_table(spark, sf_dir, "documents"), vocab_size=16, bigram_size=24
+        load_table(spark, sf_dir, "documents"), model=_BIGRAM_LM
     )
+
 
 
 @register(

@@ -1986,6 +1986,25 @@ def test_nb_weights_provenance(spark):
     assert got == _NB_WEIGHTS
 
 
+def test_bigram_lm_provenance(spark):
+    """The pinned _BIGRAM_LM artifact re-derives bit-for-bit from its
+    documented provenance (sf0.001 documents, vocab 16, bigrams 24,
+    oov_alpha 0.5, backoff 0.4) — the NB-weights artifact discipline
+    (r9, r8 advice: the oracle now scores with these pinned literals
+    instead of retraining through DuckDB's libm log10)."""
+    from bigdata_20251_steam_spark.operators.text_analysis import (
+        train_bigram_lm,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import _BIGRAM_LM
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = train_bigram_lm(docs, vocab_size=16, bigram_size=24)
+    assert got == _BIGRAM_LM
+
+
 def test_nb_classifier_hand_fixture(spark):
     """Training and scoring against an independent pure-Python
     reference on a tiny labeled corpus, including bucket collisions
