@@ -102,24 +102,310 @@ def _make_pixel_decoder():
     uncompressed) — no codec library involved.
     """
 
+    def _decode_jpeg(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+        """Baseline-sequential JFIF decoder, pure stdlib (r9, r8 verdict
+        #5 — the dominant real-world image format made first-class).
+
+        Implements ITU-T T.81 baseline: DQT/DHT/SOF0(+SOF1)/DRI/SOS
+        parsing, byte-stuffed entropy stream with RSTn handling,
+        Huffman DC/AC block decode with run-length + EOB, dequantize,
+        float separable 8x8 IDCT, nearest-neighbour chroma upsampling
+        for any (h,v) sampling (4:4:4/4:2:2/4:2:0), and JFIF
+        YCbCr->RGB (or grayscale) with clamping.  Progressive (SOF2),
+        arithmetic coding, and 12-bit precision raise ValueError —
+        the router falls back to the fake decoder.  Float IDCT means
+        pixels can differ from libjpeg's fixed-point path by ~1 code
+        value; tests therefore assert against the SAME image's
+        lossless twin within a quantization tolerance, not
+        bit-exactness.
+        """
+        import math
+        import struct
+
+        # zigzag index -> natural (row-major) index
+        ZZ = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        qt: dict[int, list[int]] = {}
+        huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None
+        restart = 0
+        scan = None
+        i = 2
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1  # fill bytes
+            m = b[i + 1]
+            if m == 0xD9:  # EOI before SOS
+                break
+            ln = struct.unpack_from(">H", b, i + 2)[0]
+            seg = b[i + 4 : i + 2 + ln]
+            if m == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        vals = list(seg[p : p + 64])
+                        p += 64
+                    else:
+                        vals = list(struct.unpack_from(">64H", seg, p))
+                        p += 128
+                    tbl = [0] * 64
+                    for z, nat in enumerate(ZZ):
+                        tbl[nat] = vals[z]
+                    qt[tq] = tbl
+            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+                if seg[0] != 8:
+                    raise ValueError("only 8-bit JPEG precision supported")
+                h, w = struct.unpack_from(">HH", seg, 1)
+                nc = seg[5]
+                comps = []
+                for k in range(nc):
+                    hv = seg[7 + 3 * k]
+                    comps.append(
+                        {
+                            "id": seg[6 + 3 * k],
+                            "hs": hv >> 4,
+                            "vs": hv & 15,
+                            "tq": seg[8 + 3 * k],
+                        }
+                    )
+                frame = (h, w, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                raise ValueError("non-baseline JPEG (progressive/etc)")
+            elif m == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    counts = seg[p : p + 16]
+                    p += 16
+                    lut: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for ln_ in range(1, 17):
+                        for _ in range(counts[ln_ - 1]):
+                            lut[(ln_, code)] = seg[p]
+                            p += 1
+                            code += 1
+                        code <<= 1
+                    huffs[(tc, th)] = lut
+            elif m == 0xDD:  # DRI
+                restart = struct.unpack_from(">H", seg, 0)[0]
+            elif m == 0xDA:  # SOS
+                ns = seg[0]
+                smap = []
+                for k in range(ns):
+                    t = seg[2 + 2 * k]
+                    smap.append((seg[1 + 2 * k], t >> 4, t & 15))
+                scan = (smap, i + 2 + ln)
+                break
+            i += 2 + ln
+        if frame is None or scan is None:
+            raise ValueError("truncated JPEG (no SOF/SOS)")
+        h, w, comps = frame
+        if w <= 0 or h <= 0:
+            raise ValueError("bad JPEG dimensions")
+        smap, pos0 = scan
+        tsel = {cs: (td, ta) for cs, td, ta in smap}
+
+        # entropy-coded bit reader: 0xFF00 unstuffs to 0xFF; a real
+        # marker mid-stream ends the data (RSTn handled at MCU bounds)
+        pos = pos0
+        bitbuf = 0
+        bitcnt = 0
+
+        def read_bit() -> int:
+            nonlocal pos, bitbuf, bitcnt
+            if bitcnt == 0:
+                if pos >= len(b):
+                    raise ValueError("truncated JPEG entropy data")
+                byte = b[pos]
+                pos += 1
+                if byte == 0xFF:
+                    if pos < len(b) and b[pos] == 0x00:
+                        pos += 1
+                    else:
+                        raise ValueError("marker inside entropy data")
+                bitbuf = byte
+                bitcnt = 8
+            bitcnt -= 1
+            return (bitbuf >> bitcnt) & 1
+
+        def decode_huff(lut: dict[tuple[int, int], int]) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = lut.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad JPEG huffman code")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | read_bit()
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        # separable float IDCT, precomputed basis
+        C = [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+
+        def idct8x8(coef: list[float]) -> list[int]:
+            tmp = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        s += C[u][x] * coef[y * 8 + u]
+                    tmp[y * 8 + x] = s * 0.5
+            out = [0] * 64
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for v in range(8):
+                        s += C[v][y] * tmp[v * 8 + x]
+                    val = int(round(s * 0.5)) + 128
+                    out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+            return out
+
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        planes: dict[int, list[bytearray]] = {}
+        for c in comps:
+            pw, ph = mcux * c["hs"] * 8, mcuy * c["vs"] * 8
+            planes[c["id"]] = [bytearray(pw) for _ in range(ph)]
+        pred = {c["id"]: 0 for c in comps}
+        # scan-order components (smap order), with their frame geometry
+        scomps = []
+        for cs, _td, _ta in smap:
+            (c,) = [c for c in comps if c["id"] == cs]
+            scomps.append(c)
+
+        def decode_block(c: dict) -> list[int]:
+            td, ta = tsel[c["id"]]
+            q = qt[c["tq"]]
+            t = decode_huff(huffs[(0, td)])
+            pred[c["id"]] += receive_extend(t)
+            coef = [0] * 64
+            coef[0] = pred[c["id"]] * q[0]
+            k = 1
+            while k < 64:
+                rs = decode_huff(huffs[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                coef[ZZ[k]] = receive_extend(s) * q[ZZ[k]]
+                k += 1
+            return coef
+
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    # byte-align, consume RSTn, reset DC predictors
+                    bitcnt = 0
+                    while pos + 1 < len(b) and b[pos] == 0xFF and b[pos + 1] == 0xFF:
+                        pos += 1
+                    if (
+                        pos + 1 < len(b)
+                        and b[pos] == 0xFF
+                        and 0xD0 <= b[pos + 1] <= 0xD7
+                    ):
+                        pos += 2
+                    for c in comps:
+                        pred[c["id"]] = 0
+                for c in scomps:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            blk = idct8x8([float(v) for v in decode_block(c)])
+                            plane = planes[c["id"]]
+                            y0 = (my * c["vs"] + by) * 8
+                            x0 = (mx * c["hs"] + bx) * 8
+                            for yy in range(8):
+                                row = plane[y0 + yy]
+                                for xx in range(8):
+                                    row[x0 + xx] = blk[yy * 8 + xx]
+                mcu_count += 1
+
+        px: list[tuple[int, int, int]] = []
+        if len(comps) == 1:
+            plane = planes[comps[0]["id"]]
+            for y in range(h):
+                row = plane[y]
+                for x in range(w):
+                    g = row[x]
+                    px.append((g, g, g))
+            return w, h, px
+        if len(comps) != 3:
+            raise ValueError("JPEG component count unsupported")
+        cy, cb, cr = (planes[c["id"]] for c in comps)
+        sy_, sb, sr = comps
+        for y in range(h):
+            for x in range(w):
+                Y = cy[y * sy_["vs"] // vmax][x * sy_["hs"] // hmax]
+                Cb = cb[y * sb["vs"] // vmax][x * sb["hs"] // hmax] - 128
+                Cr = cr[y * sr["vs"] // vmax][x * sr["hs"] // hmax] - 128
+                r = int(round(Y + 1.402 * Cr))
+                g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+                bl = int(round(Y + 1.772 * Cb))
+                px.append(
+                    (
+                        0 if r < 0 else (255 if r > 255 else r),
+                        0 if g < 0 else (255 if g > 255 else g),
+                        0 if bl < 0 else (255 if bl > 255 else bl),
+                    )
+                )
+        return w, h, px
+
     def decode_image(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         """bytes -> (width, height, row-major top-down [(r,g,b), ...]).
 
         Supports PPM P6 (binary) / P3 (ascii), maxval <= 255, with
         ``#`` comments; BMP with the 40-byte BITMAPINFOHEADER, 24 bpp,
         uncompressed (BI_RGB), bottom-up or top-down rows, 4-byte row
-        padding, BGR byte order; and PNG (8-bit RGB / RGBA color types
+        padding, BGR byte order; PNG (8-bit RGB / RGBA color types
         2 and 6, non-interlaced — the overwhelmingly common encoder
         output) via stdlib ``zlib`` inflate + the five scanline filters
-        (None/Sub/Up/Average/Paeth) per the PNG spec; RGBA alpha is
-        dropped (straight RGB channels).  Chunk CRCs are not verified —
-        this is a decoder, not an integrity checker.  Raises ValueError
-        on anything else — the router falls back to the fake decoder.
+        (None/Sub/Up/Average/Paeth) per the PNG spec (RGBA alpha is
+        dropped — straight RGB channels); and baseline-sequential JFIF
+        JPEG (``_decode_jpeg`` — Huffman + IDCT from the T.81 spec,
+        any chroma sampling, grayscale or YCbCr; progressive raises).
+        Chunk CRCs are not verified — this is a decoder, not an
+        integrity checker.  Raises ValueError on anything else — the
+        router falls back to the fake decoder.
         """
         import struct
         import zlib
 
         b = bytes(payload)
+        if b[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(b)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             pos = 8
             w = h = color_type = None
@@ -275,17 +561,21 @@ decode_image = _make_pixel_decoder()
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Real decode: bytes -> FEATURE_DIM pixel-statistics feature vector.
 
-    Executable for PPM (P3/P6), 24-bit BMP and 8-bit RGB/RGBA PNG via
-    the pure-Python ``decode_image``; other media types are the
-    integration point for heavyweight codecs (PIL for other image/*,
-    ffmpeg/torchaudio for audio|video/*) which are not in this
-    container.
+    Executable for PPM (P3/P6), 24-bit BMP, 8-bit RGB/RGBA PNG and
+    baseline-sequential JPEG via the pure-Python ``decode_image``;
+    other media types are the integration point for heavyweight codecs
+    (PIL for other image/*, ffmpeg/torchaudio for audio|video/*) which
+    are not in this container.
 
     Feature layout: [width, height, n_pixels, mean_r, mean_g, mean_b,
     min_luma, max_luma] (luma = Rec.601 integer weights).
     """
     raw8 = bytes(payload)[:8]
-    if raw8[:2] in (b"P6", b"P3", b"BM") or raw8 == b"\x89PNG\r\n\x1a\n":
+    if (
+        raw8[:2] in (b"P6", b"P3", b"BM")
+        or raw8 == b"\x89PNG\r\n\x1a\n"
+        or raw8[:3] == b"\xff\xd8\xff"
+    ):
         w, h, px = decode_image(payload)
         n = len(px)
         lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px]
@@ -300,8 +590,9 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
             float(max(lumas)),
         ]
     raise NotImplementedError(
-        f"no codec for {media_type!r} in this environment; PPM/BMP/PNG "
-        "decode natively, other formats need PIL/ffmpeg wired here"
+        f"no codec for {media_type!r} in this environment; PPM/BMP/PNG/"
+        "baseline-JPEG decode natively, other formats need PIL/ffmpeg "
+        "wired here"
     )
 
 
@@ -399,7 +690,11 @@ def decode_features(
     Routing: payloads carrying a PPM/BMP magic are decoded FOR REAL
     (pure-Python ``decode_image`` → pixel-statistics features, decoder
     column ``"ppm-bmp-pixel"``), PNG payloads likewise through the
-    stdlib-zlib PNG branch (decoder ``"png-pixel"``); everything else
+    stdlib-zlib PNG branch (decoder ``"png-pixel"``), and baseline
+    JPEG through the stdlib Huffman+IDCT branch (decoder
+    ``"jpeg-pixel"``; a progressive/arithmetic JPEG falls through to
+    the fake — decode raises ValueError and the router treats it like
+    any other undecodable payload); everything else
     uses the deterministic fake (``fake=True``, decoder
     ``"fake-moments"``) or raises (``fake=False``) at the
     heavyweight-codec integration point.
@@ -462,6 +757,21 @@ def decode_features(
                 if route_magic and raw[:8] == b"\x89PNG\r\n\x1a\n":
                     feats.append(pixel_features(raw))
                     names.append("png-pixel")
+                elif route_magic and raw[:3] == b"\xff\xd8\xff":
+                    try:
+                        feats.append(pixel_features(raw))
+                        names.append("jpeg-pixel")
+                    except ValueError:
+                        # progressive/arithmetic/12-bit: treat like any
+                        # other undecodable payload
+                        if not fake:
+                            raise NotImplementedError(
+                                "non-baseline JPEG needs a heavyweight "
+                                "codec wired at the decode_real "
+                                "integration point"
+                            ) from None
+                        feats.append(fake_decode(raw))
+                        names.append("fake-moments")
                 elif route_magic and raw[:2] in (b"P6", b"P3", b"BM"):
                     feats.append(pixel_features(raw))
                     names.append("ppm-bmp-pixel")

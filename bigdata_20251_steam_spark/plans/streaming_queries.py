@@ -748,6 +748,8 @@ def _streaming_curation_result(
     sf_dir: str,
     replay_epoch: int | None = None,
     bounded_delay: str | None = None,
+    arrival_src: tuple[str, int] | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Shared body of the streaming curation pipelines.
 
@@ -777,6 +779,19 @@ def _streaming_curation_result(
     pass through ingest and are cleaned by the tail's re-key.  The
     ``min_by`` capstone stays the arrival-order-exact form for
     duplicate-bearing corpora.
+
+    ``arrival_src`` (test seam — r8 verdict #7, the real-event-time
+    replay): ``(dir, max_files_per_trigger)`` pointing at staged
+    parquet files that carry their OWN ``arrival_ts`` column (the
+    stream schema plus a timestamp).  The pipeline then consumes that
+    source for BOTH the stream and the batch-side views (raw counts,
+    benchmark build), one file per micro-batch, and watermarks on the
+    file's real event time instead of synthesizing one from doc_id —
+    so a test can march the watermark across epochs and observe state
+    eviction on the actual registered pipeline, not a re-assembled
+    copy of its stages.  Requires ``bounded_delay``.  ``progress_sink``
+    (list) receives the completed query's progress dicts so callers
+    can assert on state-operator metrics (numRowsRemoved).
     """
     from pyspark.sql.window import Window
 
@@ -788,9 +803,20 @@ def _streaming_curation_result(
     from ..streaming.engine import idempotent_epoch_append
     from .extension_queries import _BLOOM_K, _BLOOM_M
 
-    docs_batch = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
+    if arrival_src is not None and bounded_delay is None:
+        raise ValueError(
+            "_streaming_curation_result: arrival_src requires "
+            "bounded_delay (the real-event-time seam exists to drive "
+            "watermark eviction)"
+        )
+    if arrival_src is not None:
+        docs_batch = spark.read.parquet(arrival_src[0]).select(
+            "doc_id", "source", "text"
+        )
+    else:
+        docs_batch = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
     # the static decontamination filter is built batch-side BEFORE the
     # stream starts (benchmark sets are artifacts, like tokenizers)
     bench = (
@@ -802,10 +828,22 @@ def _streaming_curation_result(
     )
     filt = bloom_build(bench, "text", m_bits=_BLOOM_M, k=_BLOOM_K)
 
-    src_dir = _staged_docs_dir(spark, sf_dir)
-    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA).select(
-        "doc_id", "source", "text"
-    )
+    if arrival_src is not None:
+        arr_schema = StructType(
+            list(DOCS_STREAM_SCHEMA.fields)
+            + [StructField("arrival_ts", TimestampType(), True)]
+        )
+        stream = file_stream(
+            spark,
+            arrival_src[0],
+            arr_schema,
+            max_files_per_trigger=arrival_src[1],
+        ).select("doc_id", "source", "text", "arrival_ts")
+    else:
+        src_dir = _staged_docs_dir(spark, sf_dir)
+        stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA).select(
+            "doc_id", "source", "text"
+        )
     # ingest stage A: exact dedup on the 120-bit normalized content key —
     # a stateful min_by(doc_id) aggregation (update mode), NOT
     # dropDuplicates: dropDuplicates keeps an arbitrary FIRST ARRIVAL,
@@ -821,17 +859,21 @@ def _streaming_curation_result(
         "_h2", md5_long_lo(norm)
     )
     if bounded_delay is not None:
-        # bounded-state variant: synthetic deterministic ingest time
-        # (doc_id seconds past a fixed epoch — a real source carries its
-        # own ingest timestamp), watermarked dedup whose state evicts
-        # after ``bounded_delay``; append semantics (each key emits its
-        # first in-watermark arrival exactly once)
-        keyed = keyed.withColumn(
-            "arrival_ts",
-            F.timestamp_seconds(
-                F.lit(1_700_000_000) + F.coalesce(F.col("doc_id"), F.lit(0))
-            ),
-        )
+        # bounded-state variant: ingest time is the source's own
+        # arrival_ts when injected (the real-event-time seam), else a
+        # synthetic deterministic one (doc_id seconds past a fixed
+        # epoch — a real source carries its own ingest timestamp);
+        # watermarked dedup whose state evicts after ``bounded_delay``;
+        # append semantics (each key emits its first in-watermark
+        # arrival exactly once)
+        if "arrival_ts" not in keyed.columns:
+            keyed = keyed.withColumn(
+                "arrival_ts",
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000)
+                    + F.coalesce(F.col("doc_id"), F.lit(0))
+                ),
+            )
         s1 = (
             keyed.withWatermark("arrival_ts", bounded_delay)
             .dropDuplicatesWithinWatermark(["_h1", "_h2"])
@@ -890,6 +932,8 @@ def _streaming_curation_result(
         .start()
     )
     q.awaitTermination()
+    if progress_sink is not None:
+        progress_sink.extend(p for p in q.recentProgress if p)
     if replay_epoch is not None:
         # crash simulation: re-append one epoch's own rows under the same
         # epoch id — at-least-once delivery replaying a committed batch.

@@ -144,12 +144,204 @@ def _png(w, h, px, color_type=2, filters=None):
     )
 
 
+def _jpeg_baseline(blocks, w, h, n_comp=1):
+    """Minimal spec-conformant baseline JFIF encoder for block-constant
+    images: ``blocks`` maps component -> list of per-8x8-block DC pixel
+    values (natural block order, one list entry per MCU-block), every AC
+    coefficient zero.  Flat quantization table (all 16s), minimal
+    custom-but-valid Huffman tables (12 four-bit DC category codes; a
+    single one-bit AC code for EOB).  Exercises the decoder's marker
+    parse, canonical Huffman build, DC differential prediction,
+    dequantize, IDCT and (for 3 components) 4:4:4 color conversion
+    against arithmetic computable by hand."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for c in range(n_comp):
+        out += bytes([c + 1, 0x11, 0])
+    # DC table: 12 codes of length 4, symbols = categories 0..11
+    counts_dc = [0, 0, 0, 12] + [0] * 12
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 12)
+        + b"\x00"
+        + bytes(counts_dc)
+        + bytes(range(12))
+    )
+    # AC table: one 1-bit code for EOB (symbol 0x00)
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10"
+        + bytes([1] + [0] * 15)
+        + bytes([0])
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for c in range(n_comp):
+        out += bytes([c + 1, 0x00])
+    out += bytes([0, 63, 0])
+
+    bits: list[int] = []
+
+    def emit(val, ln):
+        for k in range(ln - 1, -1, -1):
+            bits.append((val >> k) & 1)
+
+    pred = [0] * n_comp
+    n_blocks = len(blocks[0])
+    for bi in range(n_blocks):
+        for c in range(n_comp):
+            qdc = round(8 * (blocks[c][bi] - 128) / 16)
+            diff = qdc - pred[c]
+            pred[c] = qdc
+            s = abs(diff).bit_length()
+            emit(s, 4)  # DC category, our 4-bit canonical code == symbol
+            if s:
+                emit(diff if diff > 0 else diff + (1 << s) - 1, s)
+            emit(0, 1)  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)  # stuffing
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_gray_dc_prediction():
+    """Two-block grayscale baseline JPEG: per-block solid values ride
+    the DC differential chain; expected pixels follow from quantizer
+    arithmetic alone (flat q=16 -> recon = 2*round(8*(v-128)/16)+128)."""
+    vals = [40, 200]
+    expect = [2 * round(8 * (v - 128) / 16) + 128 for v in vals]
+    w, h, px = mm.decode_image(_jpeg_baseline([vals], 16, 8))
+    assert (w, h) == (16, 8)
+    for y in range(8):
+        for x in range(16):
+            e = expect[x // 8]
+            assert px[y * 16 + x] == (e, e, e), (x, y, px[y * 16 + x])
+
+
+def test_decode_jpeg_color_444_roundtrip():
+    """Solid-colour 4:4:4 baseline JPEG: encode YCbCr DC blocks, decode,
+    assert the colour survives both quantization roundtrips within the
+    flat-16 quantizer's arithmetic bound (+-3 per channel)."""
+    for rgb in [(255, 0, 0), (0, 255, 0), (10, 20, 30), (200, 180, 90)]:
+        r, g, b = rgb
+        y = round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        cr = round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+        payload = _jpeg_baseline([[y], [cb], [cr]], 8, 8, n_comp=3)
+        w, h, px = mm.decode_image(payload)
+        assert (w, h) == (8, 8)
+        got = px[0]
+        assert px == [got] * 64
+        for a, e in zip(got, rgb):
+            assert abs(a - e) <= 3, (rgb, got)
+
+
+#: CPython test-suite image pair (Lib/test/imghdrdata/python.{jpg,ppm},
+#: PSF-licensed): the SAME 16x16 image as a real-encoder baseline
+#: 4:2:0 JPEG and as its lossless PPM twin — the cross-format golden
+#: fixture for the stdlib JPEG decoder.
+import base64 as _b64
+
+_PY_JPG = _b64.b64decode(
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+_PY_PPM = _b64.b64decode(
+    "UDYKMTYgMTYKMjU1CgAAAAAAAAAAAAAAAE6NwEqGukiDtER+rUB4pzxxnjdolgAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAEyKvP///0V/r0F5qD50ojpvmzZplAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAEmFt0aAsUJ7qj51oztwnTdqljZplAAAAAAAAAAAAAAAAAAAAAAAAE6P"
+    "xEyKv0iFtkN9rT10oTlsljZmkDhslzZplDZplAAAAAAAAAAAAAAAAAAAAFKRxk+NwUuIu0iD"
+    "tER9rUB4pj1zoDltmTZplDZplDZplAAAAP/iVf3dSvnVPgAAAFCPw0yJvEiEtUV/r0F5qD10"
+    "oTpvmzZplDZplDZplDJghwAAAP/eS//aQf3VNgAAAE2LvkmFt0aAsEJ7qj51oztwnDdqljZp"
+    "lDVokjJghwAAAOzORf/aQv/WN//TLQAAAEqHuUeBskN8qz92pTZpkxsxRQAAAAAAAAAAAAAA"
+    "AOLDRf3ZQf/XOP/TLf/PIwAAAEaBskR9rUB4pjZnkQAAAPLhbv3pav/mYf/jV//fTf/bQv/X"
+    "OP/TLv/PJP3LGwAAAEN9rkF5qD10oRwyS/Xjb//rbP/nYf/jV//fTf/bQ//XOf/TLv/PJP/M"
+    "HPPBGgAAAEB1oz1zojpwnAAAAP/rbP/nYv/jWP/fTv/bQ//XOf/TL//PJP/MHP/MHMKaEgAA"
+    "AAAAAAAAAAAAAAAAAP/nYv/jWP/fTujHPevFNOvCKuu+Ieu7GOu7GMabEgAAAAAAAAAAAAAA"
+    "AAAAAAAAAP/jWP/fTv/bRP/XOv/TMP/QJf/MHAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AP3eTv/bRP/YOv/UMP/QJv////3LGwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAPHQP/rT"
+    "Of3SL//QJv/MHPrHGcCXEgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=="
+)
+
+
+def test_decode_jpeg_fixture_vs_lossless_twin():
+    """Real-encoder golden test: CPython's 16x16 python.jpg (baseline,
+    4:2:0 chroma) decoded by the stdlib decoder must agree with its
+    lossless PPM twin within JPEG's own quantization loss — exact
+    dimensions, small mean absolute pixel error (edges + chroma
+    subsampling produce local outliers; the MEAN is the stable
+    property of a correct decode, a broken IDCT/Huffman path lands
+    orders of magnitude off)."""
+    w, h, jpx = mm.decode_image(_PY_JPG)
+    w2, h2, ppx = mm.decode_image(_PY_PPM)
+    assert (w, h) == (w2, h2) == (16, 16)
+    diffs = [abs(a - b) for p, q in zip(jpx, ppx) for a, b in zip(p, q)]
+    mean = sum(diffs) / len(diffs)
+    assert mean < 12.0, mean
+
+
+def test_decode_real_jpeg_feature_parity_with_ppm():
+    """decode_real on the JPEG fixture vs its lossless twin: dims and
+    pixel count exact; mean channels within the lossy tolerance."""
+    fj = mm.decode_real(_PY_JPG, "image/jpeg")
+    fp = mm.decode_real(_PY_PPM, "image/x-portable-pixmap")
+    assert fj[:3] == fp[:3] == [16.0, 16.0, 256.0]
+    for a, b in zip(fj[3:6], fp[3:6]):
+        assert abs(a - b) <= 12.0, (fj, fp)
+
+
+def test_decode_features_routes_jpeg(spark):
+    """The mapInPandas router: baseline JPEG -> 'jpeg-pixel' real
+    decode; a non-baseline (progressive SOF2) payload falls through to
+    the fake decoder instead of failing the batch."""
+    import struct
+
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(_PY_JPG), "image/jpeg"),
+         (2, bytearray(progressive), "image/jpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in mm.decode_features(media, fake=True).collect()
+    }
+    assert rows[1]["decoder"] == "jpeg-pixel"
+    assert rows[1]["feature"][0] == 16.0 and rows[1]["feature"][1] == 16.0
+    assert rows[2]["decoder"] == "fake-moments"
+
+
 @pytest.mark.parametrize(
     "enc",
     [
         _ppm_p6,
         _ppm_p3,
         _bmp24,
+
         lambda w, h, px: _bmp24(w, h, px, top_down=True),
         lambda w, h, px: _png(w, h, px),
         lambda w, h, px: _png(w, h, px, color_type=6),
