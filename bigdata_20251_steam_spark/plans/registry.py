@@ -94,161 +94,160 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
-#: Round-8 window rotation (r7 verdict #3, the registry's own r8 note).
-#: The driver checks the first 50 of 123 registered queries.  Candidates:
-#: the THIRTEEN r5-green queries that slipped r6 AND r7 (3 rounds stale —
-#: they enter FIRST), the THIRTEEN new r8 registrations, the FOUR queries
-#: whose code changed in r8 (banded-rank persist rewrite, streaming
-#: capstone min_by rewrite), and the 47 r6-green queries due under the
-#: <=2-round staleness invariant.  13 + 13 + 4 + 47 = 77 names for 50
-#: slots, so 27 r6-green queries slip to r9 — each chosen because an
-#: in-window or r7-green sibling exercises the same operator path
-#: (itemized at tier 80 below), and every one stays covered by the
-#: local sf0.001 oracle suite in CI plus the r8 bare-session full-
-#: registry sweep:
+#: Round-9 window rotation (r8 verdict #2, the registry's own r9 note).
+#: The driver checks the first 50 of 123 registered queries.
 #:
-#: - 28: NEW in r8, first rows + new code — bpe_packed_sequences
-#:   (BPE-denominated packing), streaming_curation_bounded_state
-#:   (watermarked-state ingest dedup), cross_doc_span_dedup
-#:   (corpus-wide repeated-span removal), nb_classifier_scores
-#:   (hashed-NB model-based quality tier), semantic_dedup_resolve
-#:   (SemDeDup embedding-cluster keepers), gopher_quality_filter
-#:   (the published Gopher rule set), dataset_card (per-source summary
-#:   artifact), bigram_lm_scores (stupid-backoff bigram LM),
-#:   curation_v2_end_to_end (the r8 capstone composing span dedup ->
-#:   Gopher gate -> NB gate -> dataset card), blocklist_filter (the
-#:   bad-terms gate), streaming_quality_gate (both gates in-stream),
-#:   nb_threshold_sweep (keep-rate curve for policy tuning),
-#:   temperature_mix_report (achieved-vs-target mix audit);
-#: - 30: last green row r5 — three rounds stale, the r7 slips, due
-#:   before everything else;
-#: - 32: green r7 but code CHANGED in r8 and must re-prove —
-#:   quality_quantile_filter / curriculum_order /
-#:   quality_threshold_filter (persisted banded-rank input, shortfall
-#:   bound resized to the 6dp-rounded keep test) and
-#:   streaming_curation_pipeline (first-arrival dropDuplicates ->
-#:   stateful min_by + contamination tombstones);
-#: - 44: last green row r6 — due now (20 of the 47; the 27 slips are
-#:   itemized below);
-#: - 80 (via the reset): the 27 slipped r6-green queries, each with a
-#:   sibling on the same path — top_genres (genre_distribution
-#:   r7-green, same explode+count+top-k path), moving_avg_daily
-#:   (daily_user_rank in-window, same date-window function path),
-#:   cube_orders + pivot_event_matrix (rollup_orders in-window, the
-#:   grouping-variants family), user_value_quartiles
-#:   (value_percentiles in-window, same percentile/ntile family),
-#:   set_ops_users (semi_join_orders in-window, the set-membership
-#:   join family), props_json (api_source_reviews in-window + 
-#:   streaming_api_source in-window, the JSON parse/flatten path),
-#:   stratified_sample_counts (hash_split_assignments
-#:   in-window, the same salted-hash-bucket machinery), approx_stats
-#:   (value_percentiles + histogram_event_values in-window, the same
-#:   sketch-invariant audit family), embed_quantize
-#:   (embed_topk_lsh in-window, the embedding array-lambda family),
-#:   streaming_running_totals (review_bomb in-window —
-#:   the same unbounded per-key agg re-expression — and
-#:   streaming_genre_counts r7-green on the stateful streaming path), q3_top_revenue / q14_promo_share /
-#:   q6_revenue_delta / supplier_nation_stats / top_spenders (q1 + q5
-#:   in-window cover scan-agg and the multi-join path),
-#:   anti_join_customers (semi_join_orders in-window, same
-#:   broadcast-semi machinery), lsh_recall_vs_exact /
-#:   ivf_recall_vs_exact / ivf_sampled_recall (embed_topk_lsh
-#:   in-window; bruteforce + ivf r7-green, same recall-gate math),
-#:   multimodal_features (multimodal_meta r7-green + multimodal_frames
-#:   in-window), global_stats (sentiment_summary in-window, same
-#:   scalar-agg path), latest_event (recent_windows in-window, same
-#:   latest-row path), streaming_doc_chunks (batch twin doc_chunks
-#:   in-window), streaming_token_budget (streaming curation pipelines
-#:   in-window exercise the budget path), packing_assignments /
-#:   packed_sequences (bpe_packed_sequences in-window runs
-#:   pack_documents AND materialize_packs end-to-end) — plus every
-#:   r7-green query with unchanged code, returning in r9.
+#: STALENESS-INVARIANT AMENDMENT (r8 verdict #2 / ADVICE): with 123
+#: registered queries and a 50-row driver window, the original
+#: "every query driver-confirmed within <=2 rounds" is arithmetically
+#: unsatisfiable (50 x 2 = 100 row-slots < 123 queries, before even
+#: counting new/changed-code re-proves).  The evidence model is now,
+#: formally:
 #:
-#: 13 + 13 + 4 + 20 = 50 — the window is exact, no filler.  The overlay
-#: RESETS every unnamed query to the 80 pool first, so declared module
-#: tiers can't accidentally displace a scheduled row.
-_R8_ROTATION: dict[str, int] = {
-    # new in r8 — first rows, new code
-    "bpe_packed_sequences": 28,
-    "streaming_curation_bounded_state": 28,
-    "cross_doc_span_dedup": 28,
-    "nb_classifier_scores": 28,
-    "semantic_dedup_resolve": 28,
-    "bigram_lm_scores": 28,
-    "curation_v2_end_to_end": 28,
-    "blocklist_filter": 28,
-    "streaming_quality_gate": 28,
-    "nb_threshold_sweep": 28,
-    "temperature_mix_report": 28,
-    "gopher_quality_filter": 28,
-    "dataset_card": 28,
-    # last green row r5 — three rounds stale, enter first (r7 verdict #3)
-    "streaming_sentiment_hourly": 30,
-    "streaming_session_windows": 30,
-    "streaming_asof_enrich": 30,
-    "streaming_api_source": 30,
-    "streaming_dim_enrich": 30,
-    "multimodal_frames": 30,
-    "asof_join_nearest": 30,
-    "hll_user_rollup": 30,
-    "doc_chunks": 30,
-    "value_percentiles": 30,
-    "rollup_orders": 30,
-    "daily_user_rank": 30,
-    "minhash_dedup_resolve": 30,
-    # green r7, code changed in r8 — re-prove immediately
-    "quality_quantile_filter": 32,
-    "curriculum_order": 32,
-    "quality_threshold_filter": 32,
-    "streaming_curation_pipeline": 32,
-    # last green row r6 — due now (staleness invariant)
-    "review_bomb": 44,
-    "player_windows": 44,
-    "sentiment_summary": 44,
-    "event_share": 44,
-    "recent_windows": 44,
-    "q1_pricing_summary": 44,
-    "q5_region_revenue": 44,
-    "semi_join_orders": 44,
-    "embed_topk_lsh": 44,
-    "hash_split_assignments": 44,
-    "repetition_metrics": 44,
-    "dedup_components": 44,
-    "tfidf_top_terms": 44,
-    "incremental_dedup_status": 44,
-    "udtf_sentences": 44,
-    "pii_redaction": 44,
-    "cross_split_contamination": 44,
-    "source_capped_sample": 44,
-    "segment_dedup": 44,
-    "streaming_stream_join": 44,
+#:   1. COVERAGE OF RECORD: every round commits a FULL-registry
+#:      bare-session sweep artifact (CORRECTNESS_FULL_r0N.json, built
+#:      by full_registry_sweep.py — the same rows+schema+value
+#:      comparison the driver runs, over ALL queries).  Every query is
+#:      therefore three-way-checked EVERY round.
+#:   2. INDEPENDENT CONFIRMATION: the 50-row driver window rotates so
+#:      every query gets a driver-run row at most three rounds apart,
+#:      scheduled as: queries whose code changed this round first,
+#:      then the oldest-driver-green cohort, then fills preferring
+#:      operators with no in-window sibling.
+#:
+#: r9 window (tiers below; 27 + 8 + 15 = 50, multimodal_features
+#: counted once — it is BOTH a three-round-stale slip and r9
+#: changed-code via the decode_features JPEG routing):
+#:
+#: - 26: code CHANGED in r9, re-prove first — cross_doc_span_dedup +
+#:   curation_v2_end_to_end (hot-gram guard: min_by aggregate +
+#:   xxhash64-pair gram keys), bigram_lm_scores (pinned _BIGRAM_LM
+#:   artifact, oracle rewritten to score with the same literals),
+#:   quality_quantile_filter / quality_threshold_filter /
+#:   curriculum_order (banded-rank auto-broadcast + one-job
+#:   hot-detection returning group cardinality),
+#:   streaming_curation_pipeline / streaming_curation_bounded_state
+#:   (shared body grew the arrival_src real-event-time seam),
+#:   multimodal_features (JPEG routing in decode_features);
+#: - 28: the 27 r6-green slips from the r8 note — THREE rounds stale,
+#:   they enter before everything except the changed-code re-proves;
+#: - 30: 15 r7-green fills that sat out r8, preferring operators with
+#:   no sibling in this window — sentiment_hourly (C1 canary),
+#:   peak_activity (C7 re-agg), epoch_casts (B canary), dim_join (D
+#:   broadcast canary), dedup_exact + dedup_pipeline_end_to_end (the
+#:   dedup ladder has no other r9 row), embed_near_dup_pairs
+#:   (embedding near-dup, distinct from the recall gates),
+#:   language_id, normalize_text (Arrow UDF tier), winnow_fingerprints
+#:   (fingerprint family), bloom_decontaminate (sketch family),
+#:   sql_interface (SQL surface), asof_join_last_good (as-of family),
+#:   streaming_genre_counts (G5 stateful canary), profile_documents
+#:   (profiling family).
+#:
+#: Slipping to r10 (each with coverage): the r8-green set (last driver
+#: row r8 — one round stale, within the amended bound) and the
+#: remaining r7-greens whose operator families have r9 rows
+#: (genre_distribution/top_genres explode family via top_genres@28;
+#: unigram_lm_scores via bigram_lm_scores@26; token_counts /
+#: quality_scores via the quality tier@26; cms_word_frequencies via
+#: bloom_decontaminate@30; curation_pipeline_end_to_end via
+#: curation_v2@26 + streaming_curation_pipeline@26; key_skew_orders —
+#: r8-full-green, the skew-join machinery also exercised by
+#: q5_region_revenue@r8 — due r10 FIRST with the rest of the
+#: r7-green remainder).
+_R9_ROTATION: dict[str, int] = {
+    # r9 changed-code re-proves
+    "cross_doc_span_dedup": 26,
+    "curation_v2_end_to_end": 26,
+    "bigram_lm_scores": 26,
+    "quality_quantile_filter": 26,
+    "quality_threshold_filter": 26,
+    "curriculum_order": 26,
+    "streaming_curation_pipeline": 26,
+    "streaming_curation_bounded_state": 26,
+    "multimodal_features": 26,
+    # r6-green slips (three rounds stale)
+    "top_genres": 28,
+    "moving_avg_daily": 28,
+    "cube_orders": 28,
+    "pivot_event_matrix": 28,
+    "user_value_quartiles": 28,
+    "set_ops_users": 28,
+    "props_json": 28,
+    "stratified_sample_counts": 28,
+    "approx_stats": 28,
+    "embed_quantize": 28,
+    "streaming_running_totals": 28,
+    "q3_top_revenue": 28,
+    "q14_promo_share": 28,
+    "q6_revenue_delta": 28,
+    "supplier_nation_stats": 28,
+    "top_spenders": 28,
+    "anti_join_customers": 28,
+    "lsh_recall_vs_exact": 28,
+    "ivf_recall_vs_exact": 28,
+    "ivf_sampled_recall": 28,
+    "global_stats": 28,
+    "latest_event": 28,
+    "streaming_doc_chunks": 28,
+    "streaming_token_budget": 28,
+    "packing_assignments": 28,
+    "packed_sequences": 28,
+    # r7-green fills (no in-window sibling)
+    "sentiment_hourly": 30,
+    "peak_activity": 30,
+    "epoch_casts": 30,
+    "dim_join": 30,
+    "dedup_exact": 30,
+    "dedup_pipeline_end_to_end": 30,
+    "embed_near_dup_pairs": 30,
+    "language_id": 30,
+    "normalize_text": 30,
+    "winnow_fingerprints": 30,
+    "bloom_decontaminate": 30,
+    "sql_interface": 30,
+    "asof_join_last_good": 30,
+    "streaming_genre_counts": 30,
+    "profile_documents": 30,
 }
 
 
-#: r9 ROTATION NOTE (for the next session): the r8 window covers exactly
-#: the 50 names at tiers 28/30/32/44 in _R8_ROTATION.  Due in r9:
+#: r10 ROTATION NOTE (for the next session): the r9 window is the 50
+#: names in _R9_ROTATION (26/28/30).  Due in r10, under the amended
+#: invariant (driver row at most three rounds apart + full sweep every
+#: round):
 #:
-#: - the 27 r6-green slips itemized at tier 80 above — last green row
-#:   r6, THREE rounds stale by r9, they enter FIRST (hard);
-#: - the 46 r7-green queries that sat r8 out (the r7 window minus the
-#:   four changed-code re-proves) — last green row r7, at the 2-round
-#:   boundary;
-#: - any query whose code changes in r9.
+#: - the r8-green cohort that sat r9 out (last driver row r8: the
+#:   13 r8 registrations minus any whose code changes in r10, plus
+#:   review_bomb/player_windows/sentiment_summary/event_share/
+#:   recent_windows/q1_pricing_summary/q5_region_revenue/
+#:   semi_join_orders/embed_topk_lsh/hash_split_assignments/
+#:   repetition_metrics/dedup_components/tfidf_top_terms/
+#:   incremental_dedup_status/udtf_sentences/pii_redaction/
+#:   cross_split_contamination/source_capped_sample/segment_dedup/
+#:   streaming_stream_join and the five r5-tier streaming rows +
+#:   multimodal_frames/asof_join_nearest/hll_user_rollup/doc_chunks/
+#:   value_percentiles/rollup_orders/daily_user_rank/
+#:   minhash_dedup_resolve) — two rounds stale by r10;
+#: - the r7-green remainder that also sat r9 out (genre_distribution,
+#:   key_skew_orders, token_counts, quality_scores, doc_fingerprints,
+#:   unigram_lm_scores, temperature_mix_sample, cms_word_frequencies,
+#:   epoch_shuffle_order, token_budget_sample, intra_doc_dedup,
+#:   bpe_token_counts, sliding_windows, session_windows,
+#:   interval_event_counts, clean_html_roundtrip, multimodal_meta,
+#:   api_source_reviews, fuzzy_part_names, embed_topk_bruteforce,
+#:   embed_topk_ivf, curation_pipeline_end_to_end,
+#:   histogram_event_values, minhash_signatures, minhash_dedup_pairs,
+#:   simhash_signatures, ngram_jaccard_pairs, streaming_player_windows,
+#:   streaming_segment_dedup, streaming_bloom_decontaminate,
+#:   streaming_hll_windows) — THREE rounds stale by r10, they enter
+#:   FIRST (hard), before the r8-green cohort;
+#: - any query whose code changes in r10.
 #:
-#: That is 73+ candidates for 50 slots: with 123 registered queries and
-#: a 50-row driver window the <=2-round staleness invariant is no
-#: longer satisfiable for every query in the driver's OWN rows — the
-#: registry has outgrown the window (50 x 3 rounds = 150 row-slots vs
-#: 123 queries needs near-perfect scheduling).  The evidence model
-#: already accounts for this: every round commits a FULL-registry
-#: bare-session sweep artifact (CORRECTNESS_FULL_r0N.json, the same
-#: rows+schema+hash comparison the driver runs, 123/123 in r8), so
-#: complete per-round coverage is preserved; the driver window's role
-#: is independent confirmation on a rotating sample.  r9 should
-#: schedule: 27 slips first, fill with r7-green (prefer queries whose
-#: operators have no in-window sibling), let the r8-green set slip to
-#: r10 by the sibling-coverage rule, and refresh the full-sweep
-#: artifact as r9 evidence.
+#: That is again more candidates than slots; schedule the three-round
+#: cohort first, changed-code re-proves before everything, fill with
+#: the two-round cohort by the no-in-window-sibling rule, and refresh
+#: CORRECTNESS_FULL_r10.json (full_registry_sweep.py 10) as the
+#: coverage of record.
 
 
 def _load_all() -> None:
@@ -266,7 +265,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R8_ROTATION.get(name, 80)
+        prio = _R9_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 
