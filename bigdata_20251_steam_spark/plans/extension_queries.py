@@ -3919,3 +3919,156 @@ def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "bucket", F.round("bucket_lo", 6).alias("bucket_lo"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: lexical retrieval (BM25) and the leakage-safe split
+# ---------------------------------------------------------------------------
+
+#: Pinned BM25 corpus statistics (r9) — integer micro-nat idf per query
+#: term + micro avgdl.  Retrieval models are ARTIFACTS (the
+#: NB-weights/bigram-LM posture): trained once, shipped; pinning keeps
+#: every logarithm out of both engines at query time.  Provenance:
+#: operators.retrieval.train_bm25_stats(documents@sf0.001,
+#: terms=["scan","vector","customer","quantum"]) — deterministic (exact
+#: integer df counts, one math.log pass, 1e-6 quantization);
+#: re-derivation pinned by tests (test_bm25_provenance).  "quantum" has
+#: zero document frequency by construction — the idf floor edge.
+_BM25_MODEL: dict = {
+    "n_docs": 500,
+    "avgdl_micro": 55878000,
+    "idf_micro": {
+        "scan": 211485,
+        "vector": 262065,
+        "customer": 233930,
+        "quantum": 6909753,
+    },
+}
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    """Replays BM25 scoring with the PINNED statistics: identical float
+    literals, identical association order — no log on either engine."""
+    avgdl = _BM25_MODEL["avgdl_micro"]
+    parts = []
+    for t, u in _BM25_MODEL["idf_micro"].items():
+        tf = (
+            f"CAST(len(list_filter(ws, w -> w = '{t}')) AS DOUBLE)"
+        )
+        parts.append(
+            f"(({u} / 1000000.0) * ({tf} * {_BM25_K1 + 1.0!r})"
+            f" / ({tf} + norm))"
+        )
+    score = "\n               + ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    scored AS (
+      SELECT doc_id, ws, len(ws) AS dl,
+             {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+               + {_BM25_B!r} * CAST(len(ws) AS DOUBLE)
+                 / ({avgdl} / 1000000.0)) AS norm
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN ws IS NULL THEN 0 ELSE dl END AS n_tokens,
+           CASE WHEN ws IS NULL OR dl = 0 THEN 0.0
+                ELSE round({score}, 6) END AS bm25
+    FROM scored
+    """
+
+
+@register(
+    "bm25_scores",
+    oracle=_bm25_oracle(),
+    priority=31,  # new in r9 — first driver row (registry rotation)
+    doc="Okapi BM25 lexical retrieval scoring "
+    "(operators.retrieval.bm25_scores, Robertson & Zaragoza 2009): the "
+    "lexical complement to the embedding ANN tier — every document "
+    "scored against a fixed query-term bag for corpus slicing / weak "
+    "supervision / RAG dataset construction.  The corpus-dependent "
+    "half (per-term idf, avgdl) is a PINNED integer micro-nat artifact "
+    "(_BM25_MODEL, provenance-tested like the NB weights; includes a "
+    "zero-df term for the idf-floor edge), so scoring is a fully lazy "
+    "single-scan zero-shuffle projection of array-lambda term "
+    "frequencies against literal statistics, and the oracle replays "
+    "the identical float expression — no logarithm evaluated on "
+    "either engine at query time.",
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_MODEL, k1=_BM25_K1, b=_BM25_B)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    bk AS (
+      SELECT doc_id, rep_id,
+             CAST(('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 100 AS bucket
+      FROM assigned)
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bk
+    """,
+    priority=31,  # new in r9 — first driver row (registry rotation)
+    doc="Leakage-safe train/val/test split (r9): hash_split assigns by "
+    "the NEAR-DUP CLUSTER REPRESENTATIVE, not the document id — near "
+    "duplicates (minhash-LSH candidate pairs, transitively closed via "
+    "connected_components) inherit one split, so a test document's "
+    "paraphrase can never sit in train (the contamination channel a "
+    "per-doc hash split leaves open; Lee et al. 2022 measure the "
+    "resulting eval inflation).  Composes the existing machinery: LSH "
+    "banded pairs -> pointer-jumped closure -> representative = "
+    "component min (coalesce to own id for singletons) -> the standard "
+    "salted 80/10/10 hash split on the representative.  Stability "
+    "bonus: adding a near-dup of an existing doc lands it in the "
+    "existing doc's split.  Oracle = recursive-CTE closure + the same "
+    "md5 bucket arithmetic.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    comp = dd.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "rep_id", F.coalesce(F.col("component_id"), F.col("doc_id"))
+        )
+        .select("doc_id", "rep_id")
+    )
+    return hash_split(assigned, "rep_id").select("doc_id", "rep_id", "split")

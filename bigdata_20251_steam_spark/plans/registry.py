@@ -115,7 +115,7 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: r9 window (tiers below; 27 + 8 + 15 = 50, multimodal_features
+#: r9 window (tiers below; 27 + 8 + 13 + 2 = 50, multimodal_features
 #: counted once — it is BOTH a three-round-stale slip and r9
 #: changed-code via the decode_features JPEG routing):
 #:
@@ -131,17 +131,22 @@ def oracle_map() -> dict[str, str]:
 #:   multimodal_features (JPEG routing in decode_features);
 #: - 28: the 27 r6-green slips from the r8 note — THREE rounds stale,
 #:   they enter before everything except the changed-code re-proves;
-#: - 30: 15 r7-green fills that sat out r8, preferring operators with
+#: - 30: 13 r7-green fills that sat out r8, preferring operators with
 #:   no sibling in this window — sentiment_hourly (C1 canary),
 #:   peak_activity (C7 re-agg), epoch_casts (B canary), dim_join (D
-#:   broadcast canary), dedup_exact + dedup_pipeline_end_to_end (the
-#:   dedup ladder has no other r9 row), embed_near_dup_pairs
-#:   (embedding near-dup, distinct from the recall gates),
-#:   language_id, normalize_text (Arrow UDF tier), winnow_fingerprints
+#:   broadcast canary), dedup_exact (whole-doc dedup), language_id,
+#:   normalize_text (Arrow UDF tier), winnow_fingerprints
 #:   (fingerprint family), bloom_decontaminate (sketch family),
 #:   sql_interface (SQL surface), asof_join_last_good (as-of family),
 #:   streaming_genre_counts (G5 stateful canary), profile_documents
-#:   (profiling family).
+#:   (profiling family);
+#: - 31: the TWO r9 registrations, first driver rows — bm25_scores
+#:   (pinned-idf lexical retrieval) and leakage_safe_split
+#:   (cluster-representative hash split; its plan runs minhash
+#:   signatures + LSH pairs + connected_components end-to-end, which
+#:   is why dedup_pipeline_end_to_end and embed_near_dup_pairs could
+#:   yield their fill slots and slip to r10 with that sibling
+#:   coverage).
 #:
 #: Slipping to r10 (each with coverage): the r8-green set (last driver
 #: row r8 — one round stale, within the amended bound) and the
@@ -198,8 +203,6 @@ _R9_ROTATION: dict[str, int] = {
     "epoch_casts": 30,
     "dim_join": 30,
     "dedup_exact": 30,
-    "dedup_pipeline_end_to_end": 30,
-    "embed_near_dup_pairs": 30,
     "language_id": 30,
     "normalize_text": 30,
     "winnow_fingerprints": 30,
@@ -208,6 +211,9 @@ _R9_ROTATION: dict[str, int] = {
     "asof_join_last_good": 30,
     "streaming_genre_counts": 30,
     "profile_documents": 30,
+    # NEW in r9 — first driver rows (new registrations enter first)
+    "bm25_scores": 31,
+    "leakage_safe_split": 31,
 }
 
 

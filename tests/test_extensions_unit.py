@@ -1986,6 +1986,131 @@ def test_nb_weights_provenance(spark):
     assert got == _NB_WEIGHTS
 
 
+def test_bm25_provenance(spark):
+    """The pinned _BM25_MODEL artifact re-derives bit-for-bit from its
+    documented provenance (sf0.001 documents, the four query terms —
+    including the deliberately zero-df 'quantum') — the NB-weights
+    artifact discipline."""
+    from bigdata_20251_steam_spark.operators.retrieval import train_bm25_stats
+    from bigdata_20251_steam_spark.plans.extension_queries import _BM25_MODEL
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = train_bm25_stats(docs, list(_BM25_MODEL["idf_micro"]))
+    assert got == _BM25_MODEL
+
+
+def test_bm25_hand_fixture(spark):
+    """BM25 scoring against an independent pure-Python reference on an
+    enumerable corpus: term frequency saturation (k1), length
+    normalization (b), zero-df terms contributing zero, repeated terms,
+    NULL/empty text."""
+    import math
+
+    from bigdata_20251_steam_spark.operators.retrieval import (
+        bm25_scores,
+        train_bm25_stats,
+    )
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple"),
+        (3, "banana banana banana banana banana banana"),
+        (4, "durian elderberry fig"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["apple", "banana", "missing"]
+    model = train_bm25_stats(docs, terms)
+    k1, b = 1.2, 0.75
+
+    # independent reference
+    texts = {i: (t or "").lower().split() for i, t in rows}
+    nonnull = [t for _, t in rows if t is not None]
+    n = len(nonnull)
+    avgdl = model["avgdl_micro"] / 1e6
+    assert avgdl == sum(len(t.split()) for t in nonnull) / n
+    dfs = {t: sum(1 for ws in (x.split() for x in nonnull) if t in ws)
+           for t in terms}
+    for t in terms:
+        assert model["idf_micro"][t] == round(
+            math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1) * 1e6
+        )
+    assert dfs["missing"] == 0  # zero-df edge present
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bm25"])
+        for r in bm25_scores(docs, model, k1=k1, b=b).collect()
+    }
+    for i, ws in texts.items():
+        if rows[i - 1][1] is None or not ws:
+            assert got[i] == (0, 0.0), (i, got[i])
+            continue
+        dl = len(ws)
+        norm = k1 * (1 - b + b * dl / avgdl)
+        exp = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            exp += (model["idf_micro"][t] / 1e6) * (tf * (k1 + 1)) / (tf + norm)
+        assert got[i][0] == dl
+        assert abs(got[i][1] - round(exp, 6)) <= 1e-9, (i, got[i], exp)
+    # saturation sanity: six bananas score less than 6x one banana's tf
+    assert got[3][1] < 6 * got[1][1]
+
+
+def test_leakage_safe_split_property(spark):
+    """The defining property on a duplicate-bearing fixture: every
+    near-dup cluster lands in EXACTLY one split, members inherit the
+    representative's assignment, and singletons match the plain
+    per-doc hash split (so the operator is a strict refinement, not a
+    different split)."""
+    from bigdata_20251_steam_spark.operators import dedup as dd
+    from bigdata_20251_steam_spark.operators.sampling import hash_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0 and i > 0:
+            # near-dup of doc i-1 (one token changed out of ten)
+            prev = rows[-1][1]
+            rows.append((100 + i, prev.replace("kappa", f"k{i}")))
+        rows.append((i, f"{base} doc{i} marker{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    comp = dd.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "rep_id", F.coalesce(F.col("component_id"), F.col("doc_id"))
+        )
+    )
+    out = hash_split(assigned, "rep_id").select("doc_id", "rep_id", "split")
+    rows_out = out.collect()
+    # (a) clusters are split-pure
+    by_rep: dict = {}
+    for r in rows_out:
+        by_rep.setdefault(r["rep_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_rep.values()), by_rep
+    # (b) at least one real multi-member cluster exists in the fixture
+    sizes = {}
+    for r in rows_out:
+        sizes[r["rep_id"]] = sizes.get(r["rep_id"], 0) + 1
+    assert max(sizes.values()) >= 2, sizes
+    # (c) singletons agree with the plain per-doc split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    for r in rows_out:
+        if sizes[r["rep_id"]] == 1:
+            assert r["split"] == plain[r["doc_id"]], r
+
+
 def test_bigram_lm_provenance(spark):
     """The pinned _BIGRAM_LM artifact re-derives bit-for-bit from its
     documented provenance (sf0.001 documents, vocab 16, bigrams 24,

@@ -540,6 +540,30 @@ def test_nb_classifier_scoring_shuffle_free(spark):
     assert "Exchange" not in plan, f"NB scoring pass shuffles:\n{plan}"
 
 
+def test_bm25_scoring_shuffle_free(spark):
+    """bm25_scores (r9): the pinned statistics ride as literals, so the
+    scoring pass must be a single-scan, zero-exchange narrow projection
+    — the NB-scoring / unigram-LM pass-2 contract."""
+    import re
+
+    df = QUERIES["bm25_scores"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"BM25 scoring pass shuffles:\n{plan}"
+
+
+def test_leakage_safe_split_no_nested_loop(spark):
+    """leakage_safe_split (r9) composes minhash -> LSH pairs -> closure
+    -> rep hash split; the composition must not introduce a cartesian
+    or nested-loop join (the all-pairs shape the banded machinery
+    exists to avoid), and the split projection itself adds no new
+    corpus scan beyond the audited dedup subtrees."""
+    df = QUERIES["leakage_safe_split"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_curation_v2_single_lineage_expansion(spark):
     """curation_v2_end_to_end (r8; bound updated for the r9 hot-gram
     guard): the dataset-card tail must be ONE aggregation chain over
