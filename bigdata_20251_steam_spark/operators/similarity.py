@@ -24,6 +24,8 @@ lambda wins (no serialization).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -453,3 +455,103 @@ def quantize_embeddings(
             "v", lambda x: F.round(x * F.col("scale")).cast("int")
         ).alias("q"),
     )
+
+
+def kmeans_exact(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact Lloyd's k-means — bit-identical on any engine (r9).
+
+    :func:`ivf_index` is the production coarse quantizer: float means,
+    recall-gated, the right tool for ANN routing.  What it cannot give
+    is exact cross-engine ITERATIVE parity — float centroid means are
+    accumulation-order dependent, so only its downstream recall is
+    checkable.  This operator closes that gap by running Lloyd's
+    entirely in integers, making every intermediate — assignments,
+    centroids, distances — a deterministic value an oracle can replay
+    relationally (the connected-components recursive-CTE posture,
+    extended to a fixed-iteration numeric algorithm):
+
+    - vectors quantize once to a COMMON grid ``round(x * scale)``
+      (cross-vector comparability — unlike the per-vector scale of
+      :func:`quantize_embeddings`, whose purpose is storage);
+    - init = the ``k`` lowest-id vectors (deterministic, id-density
+      independent);
+    - assignment = integer squared L2 argmin, ties to the lowest
+      cluster index (``array_min`` over (dist, idx) structs — struct
+      comparison orders lexicographically);
+    - update = element-wise ``floor(sum / count)`` — integer sums are
+      exact and order-free, the single floored division is exact IEEE
+      on both engines (sums stay far inside 2^53); an emptied cluster
+      keeps its previous centroid.
+
+    Scale shape: per-iteration work is one narrow zero-shuffle
+    assignment pass + one ``(k x dim)``-bounded posexplode aggregate
+    (map-side partials; the exchange carries k*dim rows); only the
+    k x dim integer centroid matrix reaches the driver per iteration
+    (loud cap below).  Output ``(vec_id, cluster, sqdist)`` from the
+    final assignment — all integers.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("kmeans_exact: k >= 1 and iters >= 0 required")
+    if k * 64 > 65_536 and k > 1024:
+        raise ValueError(
+            "kmeans_exact collects k x dim centroid ints per iteration; "
+            "k this large needs a sampled/partitioned trainer"
+        )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+        ).alias("q"),
+    )
+    cents = [
+        [int(v) for v in r["q"]]
+        for r in base.orderBy("vec_id").limit(k).collect()
+    ]
+    if not cents:
+        raise ValueError("kmeans_exact: empty corpus")
+
+    def _isqdist(c: list[int]) -> Column:
+        arr = F.array(*[F.lit(v).cast("long") for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("q"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _assign(df: DataFrame) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    _isqdist(c).alias("d"), F.lit(i).alias("c")
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(pairs)
+        return df.withColumn("cluster", best["c"]).withColumn(
+            "sqdist", best["d"]
+        )
+
+    for _ in range(iters):
+        sums = (
+            _assign(base)
+            .select("cluster", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {i: list(c) for i, c in enumerate(cents)}  # empty keeps old
+        for r in sums:
+            new[r["cluster"]][r["pos"]] = int(
+                math.floor(r["s"] / r["n"])
+            )
+        cents = [new[i] for i in range(len(cents))]
+    return _assign(base).select("vec_id", "cluster", "sqdist")

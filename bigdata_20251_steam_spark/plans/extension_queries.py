@@ -4072,3 +4072,94 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rep_id")
     )
     return hash_split(assigned, "rep_id").select("doc_id", "rep_id", "split")
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled-CTE replay of integer-exact Lloyd's: one
+    (distances -> argmin -> floored-mean -> coalesce) block per
+    iteration, then the final assignment.  Every intermediate is
+    integer (or one exact floored IEEE division), so the replay is
+    bit-identical — the recursive-CTE closure posture extended to a
+    fixed-iteration numeric algorithm."""
+    head = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q
+      FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {k}))"""
+    parts = [head]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    d{t} AS (
+      SELECT v.vec_id, v.q, c.c,
+             list_sum(list_transform(range(1, 65),
+               i -> (v.q[i]-c.q[i])*(v.q[i]-c.q[i]))) AS d
+      FROM qv v CROSS JOIN {prev} c),
+    a{t} AS (
+      SELECT vec_id, q, c, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM d{t}),
+    m{t} AS (
+      SELECT c, generate_subscripts(q, 1) AS pos, unnest(q) AS x
+      FROM a{t} WHERE rn = 1),
+    s{t} AS (
+      SELECT c, pos,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      FROM m{t} GROUP BY c, pos),
+    n{t} AS (SELECT c, list(v ORDER BY pos) AS q FROM s{t} GROUP BY c),
+    c{t} AS (
+      SELECT p.c, COALESCE(n.q, p.q) AS q
+      FROM {prev} p LEFT JOIN n{t} n USING (c))""")
+        prev = f"c{t}"
+    parts.append(f""",
+    df AS (
+      SELECT v.vec_id, c.c,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (v.q[i]-c.q[i])*(v.q[i]-c.q[i]))) AS BIGINT) AS d
+      FROM qv v CROSS JOIN {prev} c),
+    af AS (
+      SELECT vec_id, c, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      FROM df)
+    SELECT vec_id, CAST(c AS INTEGER) AS cluster, d AS sqdist
+    FROM af WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS),
+    # registered after the r9 window froze at 50 — enters the r10
+    # driver window first per the new-registration rule (see the r10
+    # rotation note in plans/registry.py); r9 coverage = the committed
+    # full sweep + pytest.
+    priority=80,
+    doc="Integer-exact Lloyd's k-means over quantized embeddings "
+    "(operators.similarity.kmeans_exact, r9): ivf_index is the "
+    "production float coarse quantizer (recall-gated — float means "
+    "are accumulation-order dependent), but exact cross-engine "
+    "ITERATIVE parity was only held by connected_components; this "
+    "extends it to a fixed-iteration numeric algorithm.  Common-grid "
+    "quantization round(x*1000), k-lowest-id init, integer squared-L2 "
+    "argmin with ties to the lowest cluster, floor(sum/count) "
+    "centroid updates (order-free integer sums; the one division is "
+    "exact IEEE), emptied clusters keep their centroid.  Per "
+    "iteration: a zero-shuffle assignment pass + a (k x dim)-bounded "
+    "posexplode aggregate; only the k x dim integer centroid matrix "
+    "reaches the driver (loud cap).  The oracle unrolls every "
+    "iteration as CTE blocks and pins assignments, centroids and "
+    "distances bit-for-bit.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_exact(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)

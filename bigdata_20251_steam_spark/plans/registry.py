@@ -247,7 +247,10 @@ _R9_ROTATION: dict[str, int] = {
 #:   streaming_segment_dedup, streaming_bloom_decontaminate,
 #:   streaming_hll_windows) — THREE rounds stale by r10, they enter
 #:   FIRST (hard), before the r8-green cohort;
-#: - any query whose code changes in r10.
+#: - any query whose code changes in r10;
+#: - kmeans_clusters (registered r9 AFTER the window froze at 50 —
+#:   never driver-checked; as a new registration it enters the r10
+#:   window FIRST, with the three-round r7-green cohort).
 #:
 #: That is again more candidates than slots; schedule the three-round
 #: cohort first, changed-code re-proves before everything, fill with

@@ -85,6 +85,12 @@ PROBES = [
     # round-8 continuation: bounded-table bigram LM and the v2 capstone
     "bigram_lm_scores",
     "curation_v2_end_to_end",
+    # round-9 additions: pinned-idf lexical scoring (zero-shuffle scan)
+    # and the cluster-representative split (minhash+closure composite)
+    "bm25_scores",
+    "leakage_safe_split",
+    # round-9: integer-exact Lloyd's (per-iteration bounded aggregate)
+    "kmeans_clusters",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -139,6 +145,9 @@ PROBE_TABLES = {
     "nb_classifier_scores": {"documents"},
     "bigram_lm_scores": {"documents"},
     "curation_v2_end_to_end": {"documents"},
+    "bm25_scores": {"documents"},
+    "leakage_safe_split": {"documents"},
+    "kmeans_clusters": {"embeddings"},
 }
 
 

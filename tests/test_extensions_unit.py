@@ -1986,6 +1986,49 @@ def test_nb_weights_provenance(spark):
     assert got == _NB_WEIGHTS
 
 
+def test_kmeans_exact_hand_fixture(spark):
+    """Integer-exact Lloyd's on an enumerable 2-d fixture: quantized
+    assignment, floored-mean centroid updates, deterministic tie-break
+    to the lowest cluster, and empty-cluster centroid retention — all
+    checked against hand arithmetic."""
+    from bigdata_20251_steam_spark.operators.similarity import kmeans_exact
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.001, 0.001]),
+        (10, [0.01, 0.01]),
+        (11, [0.011, 0.011]),
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["sqdist"])
+        for r in kmeans_exact(docs, k=2, iters=2).collect()
+    }
+    # q = value*1000: 0, 1, 10, 11.  init c0=(0,0), c1=(1,1).
+    # iter1: 0->c0; 1->c1; 10,11 -> c1.  means: c0=(0,0),
+    # c1=floor((1+10+11)/3)=(7,7).
+    # iter2: 1 -> c0 (dist 2 vs 2*36); 10,11 -> c1.  means: c0=floor(
+    # (0+1)/2)=(0,0); c1=floor((10+11)/2)=(10,10).
+    # final: 0->(c0, 0), 1->(c0, 2), 10->(c1, 0), 11->(c1, 2).
+    assert got == {0: (0, 0), 1: (0, 2), 10: (1, 0), 11: (1, 2)}, got
+
+    # tie-break + empty-cluster retention: two identical seeds ->
+    # every point ties in iter1 -> lowest cluster (c0) takes all, c1
+    # keeps its seed centroid (0,0).  Updated c0 = floor((0+0+5)/3)
+    # = (1,0).  The FINAL assignment then runs against the updated
+    # centroids: v0/v1 (q=(0,0)) sit exactly on the retained c1 ->
+    # cluster 1, dist 0; v2 (q=(5,0)) -> c0 at dist 16 (vs 25 to c1).
+    rows2 = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.005, 0.0])]
+    docs2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>"
+    )
+    got2 = {
+        r["vec_id"]: (r["cluster"], r["sqdist"])
+        for r in kmeans_exact(docs2, k=2, iters=1).collect()
+    }
+    assert got2 == {0: (1, 0), 1: (1, 0), 2: (0, 16)}, got2
+
+
 def test_bm25_provenance(spark):
     """The pinned _BM25_MODEL artifact re-derives bit-for-bit from its
     documented provenance (sf0.001 documents, the four query terms —
