@@ -499,11 +499,6 @@ def kmeans_exact(
     """
     if k < 1 or iters < 0:
         raise ValueError("kmeans_exact: k >= 1 and iters >= 0 required")
-    if k * 64 > 65_536 and k > 1024:
-        raise ValueError(
-            "kmeans_exact collects k x dim centroid ints per iteration; "
-            "k this large needs a sampled/partitioned trainer"
-        )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -517,6 +512,13 @@ def kmeans_exact(
     ]
     if not cents:
         raise ValueError("kmeans_exact: empty corpus")
+    if k * len(cents[0]) > 1_048_576:
+        raise ValueError(
+            "kmeans_exact collects a k x dim integer centroid matrix "
+            f"per iteration ({k} x {len(cents[0])} > 1M cells); this "
+            "scale needs a sampled/partitioned trainer (see ivf_index's "
+            "train_fraction)"
+        )
 
     def _isqdist(c: list[int]) -> Column:
         arr = F.array(*[F.lit(v).cast("long") for v in c])

@@ -1758,20 +1758,45 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=45,
     doc="ntile(4) quartile assignment over per-user totals — completes "
     "the ranking-function family (row_number/rank in daily_user_rank, "
-    "lag in moving_avg_daily).  Deterministic ordering via the user_id "
-    "tie-break; one shuffle to a single ordered partition (at 100 TB "
-    "you'd ntile within hash ranges or use approx percentile cuts).",
+    "lag in moving_avg_daily).  r9 de-hazarding: this was the repo's "
+    "last UNBOUNDED partition-less window (ntile over one task holding "
+    "every user); the ntile is now re-derived arithmetically from "
+    "ranking.banded_percent_rank's exact global rank (constant group, "
+    "per-task rows bounded at ~n/64) via the exact ntile bucket-size "
+    "rule — first (n mod k) buckets take ceil(n/k) rows — so the "
+    "output is bit-identical to the window function (the unchanged "
+    "oracle IS ntile) with no single-task term.",
 )
 def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.ranking import banded_percent_rank
 
     events = load_table(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(
         F.round(F.sum("value"), 6).alias("total_value")
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return u.select(
-        "user_id", "total_value", F.ntile(4).over(w).alias("quartile")
+    ranked = banded_percent_rank(
+        u.withColumn("_g", F.lit(1)),
+        "_g",
+        "total_value",
+        "user_id",
+        n_bands=64,
+        n_groups=1,
+    )
+    # exact ntile(k): base = n // k rows per bucket, the first n % k
+    # buckets take one extra; _rank is 1-based under the same
+    # (total_value DESC, user_id ASC) order as the window form
+    k = 4
+    r, n = F.col("_rank"), F.col("_n")
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    head = rem * (base + 1)
+    quartile = (
+        F.when(r <= head, F.ceil(r / (base + 1)))
+        .otherwise(rem + F.ceil((r - head) / base))
+        .cast("int")
+    )
+    return ranked.select(
+        "user_id", "total_value", quartile.alias("quartile")
     )
 
 

@@ -115,9 +115,9 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: r9 window (tiers below; 27 + 8 + 13 + 2 = 50, multimodal_features
-#: counted once — it is BOTH a three-round-stale slip and r9
-#: changed-code via the decode_features JPEG routing):
+#: r9 window (tiers below; 26 + 9 + 13 + 2 = 50 — multimodal_features
+#: and user_value_quartiles each counted once at tier 26: both are
+#: three-round-stale slips AND r9 changed-code):
 #:
 #: - 26: code CHANGED in r9, re-prove first — cross_doc_span_dedup +
 #:   curation_v2_end_to_end (hot-gram guard: min_by aggregate +
@@ -128,7 +128,10 @@ def oracle_map() -> dict[str, str]:
 #:   hot-detection returning group cardinality),
 #:   streaming_curation_pipeline / streaming_curation_bounded_state
 #:   (shared body grew the arrival_src real-event-time seam),
-#:   multimodal_features (JPEG routing in decode_features);
+#:   multimodal_features (JPEG routing in decode_features),
+#:   user_value_quartiles (the repo's last unbounded partition-less
+#:   window re-expressed through the banded global rank — also a
+#:   three-round-stale slip, so it re-proves at this tier);
 #: - 28: the 27 r6-green slips from the r8 note — THREE rounds stale,
 #:   they enter before everything except the changed-code re-proves;
 #: - 30: 13 r7-green fills that sat out r8, preferring operators with
@@ -170,12 +173,12 @@ _R9_ROTATION: dict[str, int] = {
     "streaming_curation_pipeline": 26,
     "streaming_curation_bounded_state": 26,
     "multimodal_features": 26,
+    "user_value_quartiles": 26,  # r9 banded-ntile re-expression (was a 28 slip)
     # r6-green slips (three rounds stale)
     "top_genres": 28,
     "moving_avg_daily": 28,
     "cube_orders": 28,
     "pivot_event_matrix": 28,
-    "user_value_quartiles": 28,
     "set_ops_users": 28,
     "props_json": 28,
     "stratified_sample_counts": 28,

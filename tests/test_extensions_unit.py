@@ -1986,6 +1986,50 @@ def test_nb_weights_provenance(spark):
     assert got == _NB_WEIGHTS
 
 
+def test_banded_ntile_parity(spark):
+    """user_value_quartiles' r9 banded re-expression: the arithmetic
+    ntile derived from the exact global rank must equal the window
+    function's ntile(4) for every n mod 4 residue (uneven bucket
+    sizes are the edge: the first n%4 buckets take one extra row)."""
+    from pyspark.sql.window import Window
+
+    from bigdata_20251_steam_spark.operators.ranking import (
+        banded_percent_rank,
+    )
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 10, 13):
+        rows = [(i, float((i * 37) % 11)) for i in range(n)]
+        df = spark.createDataFrame(rows, "user_id long, total_value double")
+        w = Window.orderBy(
+            F.col("total_value").desc(), F.col("user_id").asc()
+        )
+        expect = {
+            r["user_id"]: r["q"]
+            for r in df.select(
+                "user_id", F.ntile(4).over(w).alias("q")
+            ).collect()
+        }
+        ranked = banded_percent_rank(
+            df.withColumn("_g", F.lit(1)), "_g", "total_value", "user_id",
+            n_bands=4, n_groups=1,
+        )
+        k = 4
+        r, nn = F.col("_rank"), F.col("_n")
+        base = F.floor(nn / k).cast("long")
+        rem = (nn % k).cast("long")
+        head = rem * (base + 1)
+        q = (
+            F.when(r <= head, F.ceil(r / (base + 1)))
+            .otherwise(rem + F.ceil((r - head) / base))
+            .cast("int")
+        )
+        got = {
+            x["user_id"]: x["q"]
+            for x in ranked.select("user_id", q.alias("q")).collect()
+        }
+        assert got == expect, (n, got, expect)
+
+
 def test_kmeans_exact_hand_fixture(spark):
     """Integer-exact Lloyd's on an enumerable 2-d fixture: quantized
     assignment, floored-mean centroid updates, deterministic tie-break
