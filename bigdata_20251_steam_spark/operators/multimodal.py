@@ -117,8 +117,22 @@ def _make_pixel_decoder():
         pixels can differ from libjpeg's fixed-point path by ~1 code
         value; tests therefore assert against the SAME image's
         lossless twin within a quantization tolerance, not
-        bit-exactness.
+        bit-exactness.  Truncated or corrupt streams are normalized to
+        ValueError here regardless of which internal error the parser
+        hits (struct.error / IndexError / KeyError), so the routing
+        contract holds for malformed payloads too.
         """
+        import struct as _struct
+
+        try:
+            return _decode_jpeg_inner(b)
+        except (_struct.error, IndexError, KeyError) as e:
+            # truncated/corrupt streams surface as struct/index/key
+            # errors from the parser internals; normalize to the
+            # ValueError contract so the router's fallback fires
+            raise ValueError(f"corrupt JPEG: {type(e).__name__}") from e
+
+    def _decode_jpeg_inner(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         import math
         import struct
 
@@ -364,8 +378,14 @@ def _make_pixel_decoder():
             return w, h, px
         if len(comps) != 3:
             raise ValueError("JPEG component count unsupported")
-        cy, cb, cr = (planes[c["id"]] for c in comps)
-        sy_, sb, sr = comps
+        # channels are keyed by COMPONENT ID, not SOF position: JFIF
+        # assigns 1=Y, 2=Cb, 3=Cr, and T.81 permits any listing order.
+        # Non-JFIF id schemes (e.g. Adobe 'R','G','B') fall back.
+        by_id = {c["id"]: c for c in comps}
+        if sorted(by_id) != [1, 2, 3]:
+            raise ValueError("non-JFIF JPEG component ids")
+        sy_, sb, sr = by_id[1], by_id[2], by_id[3]
+        cy, cb, cr = planes[1], planes[2], planes[3]
         for y in range(h):
             for x in range(w):
                 Y = cy[y * sy_["vs"] // vmax][x * sy_["hs"] // hmax]

@@ -3980,7 +3980,7 @@ def _bm25_oracle() -> str:
     parts = []
     for t, u in _BM25_MODEL["idf_micro"].items():
         tf = (
-            f"CAST(len(list_filter(ws, w -> w = '{t}')) AS DOUBLE)"
+            f"CAST(len(list_filter(ws, w -> w = {_sq(t)})) AS DOUBLE)"
         )
         parts.append(
             f"(({u} / 1000000.0) * ({tf} * {_BM25_K1 + 1.0!r})"

@@ -95,7 +95,8 @@ def oracle_map() -> dict[str, str]:
 
 
 #: Round-9 window rotation (r8 verdict #2, the registry's own r9 note).
-#: The driver checks the first 50 of 123 registered queries.
+#: The driver checks the first 50 of 126 registered queries
+#: (125 at window-freeze time; kmeans_clusters registered after).
 #:
 #: STALENESS-INVARIANT AMENDMENT (r8 verdict #2 / ADVICE): with 123
 #: registered queries and a 50-row driver window, the original
@@ -115,7 +116,7 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: r9 window (tiers below; 26 + 9 + 13 + 2 = 50 — multimodal_features
+#: r9 window (tiers below; 10 + 25 + 13 + 2 = 50 — multimodal_features
 #: and user_value_quartiles each counted once at tier 26: both are
 #: three-round-stale slips AND r9 changed-code):
 #:

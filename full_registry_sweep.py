@@ -34,6 +34,13 @@ def main() -> None:
         raise SystemExit("usage: python full_registry_sweep.py <round-number>")
     rnd = int(sys.argv[1])
     sf = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+    # resolve the artifact's sf figure BEFORE the (minutes-long) sweep:
+    # a path without an 'sf<number>' suffix must not discard the run at
+    # write time — record the raw path instead
+    try:
+        sf_figure: float | str = float(sf.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_figure = sf
 
     from pyspark.sql import SparkSession
 
@@ -79,7 +86,7 @@ def main() -> None:
     n_match = sum(1 for v in out.values() if v["status"] == "match")
     artifact = {
         "round": rnd,
-        "sf": float(sf.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": sf_figure,
         "session": "bare (master=local[16], UTC timezone only)",
         "total": len(out),
         "match": n_match,

@@ -335,6 +335,36 @@ def test_decode_features_routes_jpeg(spark):
     assert rows[2]["decoder"] == "fake-moments"
 
 
+def test_decode_jpeg_corrupt_payloads_fall_back(spark):
+    """Malformed JPEG-magic payloads (truncated after SOI, truncated
+    DQT, missing Huffman tables) must normalize to ValueError inside
+    the decoder — review finding: the parser's raw struct.error /
+    IndexError / KeyError would otherwise escape the router's
+    `except ValueError` and crash the whole mapInPandas job on one
+    corrupt byte string."""
+    import struct
+
+    corrupt = [
+        b"\xff\xd8\xff\xe0",                      # truncated after APP0 marker
+        b"\xff\xd8\xff\xdb\x00\x43\x00" + b"\x01" * 10,  # truncated DQT
+        # SOF+SOS but no DHT/DQT -> table lookups would KeyError
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0, 0, 63, 0])
+        + b"\x00\x00",
+    ]
+    for payload in corrupt:
+        with pytest.raises(ValueError):
+            mm.decode_image(payload)
+    media = spark.createDataFrame(
+        [(i, bytearray(p), "image/jpeg") for i, p in enumerate(corrupt)],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = mm.decode_features(media, fake=True).collect()
+    assert all(r["decoder"] == "fake-moments" for r in rows), rows
+
+
 @pytest.mark.parametrize(
     "enc",
     [
