@@ -1,0 +1,169 @@
+"""Plan audit: grep every registered query's physical plan for
+anti-patterns (r9).
+
+The plan-quality pytest suite pins the SHAPE of selected queries
+(scan counts, exchange keys, no per-gram windows, ...); this audit is
+the breadth complement — every registered query's physical plan is
+checked for the patterns that are never acceptable unless explicitly
+declared:
+
+- ``CartesianProduct`` — an unconditional all-pairs join;
+- ``BroadcastNestedLoopJoin`` — the shape a non-equi join degrades to
+  when its bucketing/banding guard is lost (a plan-level regression
+  canary for the range/as-of/LSH machinery).
+
+Queries that DOCUMENT a bounded nested-loop (a broadcast side proven
+tiny by construction) are whitelisted here with the reason inline, so
+a new unexplained occurrence fails loudly instead of hiding among
+known ones.  Streaming-wrapped queries execute their availableNow run
+as a side effect of building the frame — the audit therefore doubles
+as a bare-session build check for every registered callable.
+
+Usage:  python plan_audit.py <round>   → PLAN_AUDIT_r{N}.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: (query, pattern) pairs that are DECLARED acceptable, with reasons.
+#: Every entry is the bounded-broadcast-side class: Catalyst plans a
+#: crossJoin(broadcast(tiny)) — or a constant-key equi join whose
+#: condition folds away — as BroadcastNestedLoopJoin, which is exactly
+#: right when the build side is provably O(1)/O(k) rows.  The audit's
+#: job is to make any NEW nested loop explain itself here.
+_ONE_ROW = "crossJoin against a broadcast single-row global aggregate"
+WHITELIST: dict[tuple[str, str], str] = {
+    ("embed_topk_bruteforce", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("embed_topk_ivf", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("embed_topk_lsh", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("ivf_recall_vs_exact", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("ivf_sampled_recall", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("lsh_recall_vs_exact", "BroadcastNestedLoopJoin"): (
+        "broadcast of the k-row literal query-vector frame"
+    ),
+    ("histogram_event_values", "BroadcastNestedLoopJoin"): (
+        "global min/max aggregate broadcast as ONE row onto the "
+        "bucketing pass (documented in the query doc)"
+    ),
+    ("hll_user_rollup", "BroadcastNestedLoopJoin"): _ONE_ROW,
+    ("tfidf_top_terms", "BroadcastNestedLoopJoin"): (
+        "broadcast corpus doc-count row (idf denominator)"
+    ),
+    ("key_skew_orders", "BroadcastNestedLoopJoin"): (
+        "key_skew_stats crossJoins the broadcast 1-row totals frame "
+        "onto the top-k keys (both sides bounded)"
+    ),
+    ("user_value_quartiles", "BroadcastNestedLoopJoin"): (
+        "banded_percent_rank with a CONSTANT group: the literal-key "
+        "equi joins against the 1-row edges / bands-bounded offsets "
+        "frames fold their condition and degrade to nested loops over "
+        "broadcast sides of <= n_bands+1 rows"
+    ),
+}
+
+PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def main() -> None:
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        raise SystemExit("usage: python plan_audit.py <round-number>")
+    rnd = int(sys.argv[1])
+    sf = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+
+    from pyspark.sql import SparkSession
+
+    from bigdata_20251_steam_spark.plans.registry import ordered_queries
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    results: dict[str, dict] = {}
+    violations = 0
+    for q in ordered_queries():
+        try:
+            plan = (
+                q.fn(spark, sf)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001 — audit must finish
+            results[q.name] = {
+                "status": "BUILD_ERROR",
+                "detail": f"{type(e).__name__}: {e}"[:200],
+            }
+            violations += 1
+            continue
+        hits = {}
+        for pat in PATTERNS:
+            if pat in plan:
+                reason = WHITELIST.get((q.name, pat))
+                hits[pat] = reason or "UNEXPLAINED"
+                if reason is None:
+                    violations += 1
+        results[q.name] = (
+            {"status": "hits", "patterns": hits} if hits else {"status": "clean"}
+        )
+        print(q.name, results[q.name]["status"], flush=True)
+
+    artifact = {
+        "round": rnd,
+        "sf": sf,
+        "total": len(results),
+        "clean": sum(1 for v in results.values() if v["status"] == "clean"),
+        "whitelisted": sum(
+            1
+            for v in results.values()
+            if v["status"] == "hits"
+            and all(r != "UNEXPLAINED" for r in v["patterns"].values())
+        ),
+        "violations": violations,
+        "wall_sec": round(time.time() - t0, 1),
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"PLAN_AUDIT_r{rnd:02d}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "total": artifact["total"],
+                "clean": artifact["clean"],
+                "whitelisted": artifact["whitelisted"],
+                "violations": violations,
+            }
+        )
+    )
+    spark.stop()
+    if violations:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
