@@ -1986,6 +1986,54 @@ def test_nb_weights_provenance(spark):
     assert got == _NB_WEIGHTS
 
 
+def test_leakage_safe_split_growth_stability(spark):
+    """The incremental-growth property the split docstring claims:
+    appending new docs with MONOTONICALLY HIGHER ids (the normal
+    ingest order) never moves an existing document's split — existing
+    cluster representatives are minima, so a higher-id near-dup joins
+    its cluster and inherits the existing split, and untouched
+    components keep their representative.  (A lower-id late arrival
+    CAN re-root a cluster — that caveat is exactly why the property is
+    stated for monotone growth.)"""
+    from bigdata_20251_steam_spark.operators import dedup as dd
+    from bigdata_20251_steam_spark.operators.sampling import hash_split
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} doc{i} marker{i}") for i in range(20)]
+
+    def split_of(rows_):
+        docs = spark.createDataFrame(rows_, "doc_id long, text string")
+        pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+        comp = dd.connected_components(pairs)
+        assigned = (
+            docs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn(
+                "rep_id",
+                F.coalesce(F.col("component_id"), F.col("doc_id")),
+            )
+        )
+        return {
+            r["doc_id"]: r["split"]
+            for r in hash_split(assigned, "rep_id")
+            .select("doc_id", "split")
+            .collect()
+        }
+
+    before = split_of(rows)
+    # append: a fresh unique doc AND a near-dup of doc 3 (one token
+    # changed), both with higher ids
+    grown = rows + [
+        (100, f"{base} doc100 marker100"),
+        (101, rows[3][1].replace("kappa", "kX")),
+    ]
+    after = split_of(grown)
+    for i, _ in rows:
+        assert after[i] == before[i], (i, before[i], after[i])
+    # the near-dup inherited its canonical doc's split
+    assert after[101] == before[3], (after[101], before[3])
+
+
 def test_banded_ntile_parity(spark):
     """user_value_quartiles' r9 banded re-expression: the arithmetic
     ntile derived from the exact global rank must equal the window
