@@ -91,6 +91,8 @@ PROBES = [
     "leakage_safe_split",
     # round-9: integer-exact Lloyd's (per-iteration bounded aggregate)
     "kmeans_clusters",
+    # round-9 de-hazarding: ntile re-derived through the banded rank
+    "user_value_quartiles",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -148,6 +150,7 @@ PROBE_TABLES = {
     "bm25_scores": {"documents"},
     "leakage_safe_split": {"documents"},
     "kmeans_clusters": {"embeddings"},
+    "user_value_quartiles": {"events"},
 }
 
 
