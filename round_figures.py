@@ -84,6 +84,32 @@ def main() -> None:
         if bad:
             lines.append(f"  NON-MATCHING: {bad}")
 
+    p = os.path.join(HERE, f"DETERMINISM_r{rnd:02d}.json")
+    if os.path.exists(p):
+        found = True
+        d = json.load(open(p))
+        issues = d.get("issues", [])
+        lines.append(
+            f"determinism (DETERMINISM_r{rnd:02d}.json): "
+            f"{d.get('audited')} queries audited under shuffle layouts "
+            f"{d.get('shuffle_partition_settings')}, "
+            f"{len(issues)} issues, {d.get('wall_sec')} s wall"
+        )
+        if issues:
+            lines.append(f"  NONDETERMINISTIC: {issues}")
+
+    p = os.path.join(HERE, f"PLAN_AUDIT_r{rnd:02d}.json")
+    if os.path.exists(p):
+        found = True
+        a = json.load(open(p))
+        lines.append(
+            f"plan audit (PLAN_AUDIT_r{rnd:02d}.json): "
+            f"{a.get('total')} plans, "
+            f"{a.get('violations')} unexplained anti-patterns, "
+            f"{a.get('whitelisted')} whitelisted, "
+            f"{a.get('wall_sec')} s wall"
+        )
+
     if not found:
         raise SystemExit(f"no r{rnd:02d} artifacts found in {HERE}")
     print("\n".join(lines))
