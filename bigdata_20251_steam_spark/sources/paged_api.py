@@ -20,9 +20,14 @@ Transport is pluggable per option:
   ``{fixture_dir}/{app_id}_page{N}.json`` shaped exactly like the API
   response (``{"reviews": [...], "cursor": "<next>"}``).  This is the
   executable path in this container (no network) and in tests.
-- ``base_url``: the real HTTP path — the marked integration point wires
-  ``requests`` with the reference's exact parameter surface.  Left
-  unexecuted here by necessity (no network), same contract.
+- ``base_url``: the real HTTP path — stdlib ``urllib`` GETs
+  ``{base_url}/{app_id}?json=1&filter=recent&num_per_page=N&cursor=...``
+  (the reference's exact parameter surface,
+  ``producers/steam_utils.py:137-146``) and threads the response's
+  opaque cursor into the next request.  Executed in tests against a
+  loopback ``http.server`` (``tests/test_sources.py``) — no external
+  network needed; pointing ``base_url`` at the live API is the same
+  code path.
 
 The DataSource class is built by a factory so cloudpickle serializes it
 BY VALUE into the Python workers (module-level classes pickle by
@@ -59,15 +64,39 @@ def _make_paged_api_source():
     schema_ddl = REVIEW_SCHEMA_DDL
     fields = _FIELDS
 
-    def _parse_page(path, app_id):
-        """One fixture page -> list of flattened review tuples."""
-        import html as _html
+    def _http_fetch(base_url, app_id, cursor, per_page=100, timeout=30):
+        """One HTTP page fetch: the reference's exact parameter surface
+        (json=1, filter=recent, num_per_page, cursor — steam_utils.py:
+        137-146), cursor treated as an OPAQUE token.  404 -> None (end
+        of chain); other HTTP errors raise (executor task retry)."""
         import json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        qs = urllib.parse.urlencode(
+            {
+                "json": 1,
+                "filter": "recent",
+                "num_per_page": per_page,
+                "cursor": cursor,
+            }
+        )
+        url = f"{base_url.rstrip('/')}/{app_id}?{qs}"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as ex:
+            if ex.code == 404:
+                return None
+            raise
+
+    def _parse_data(data, app_id):
+        """One parsed page dict -> list of flattened review tuples."""
+        import html as _html
         import re
 
         tag_re = re.compile("<.*?>")
-        with open(path) as f:
-            data = json.load(f)
         out = []
         for r in data.get("reviews", []):
             author = r.get("author", {}) or {}
@@ -90,6 +119,13 @@ def _make_paged_api_source():
             out.append(tuple(rec[f] for f in fields))
         return out
 
+    def _parse_page(path, app_id):
+        """One fixture page file -> list of flattened review tuples."""
+        import json
+
+        with open(path) as f:
+            return _parse_data(json.load(f), app_id)
+
     class _Reader(DataSourceReader):
         def __init__(self, options):
             self.options = options
@@ -106,21 +142,13 @@ def _make_paged_api_source():
         def read(self, partition):
             # Runs in an executor Python worker: the whole cursor chain
             # for ONE app.  Self-contained imports only.
-            import html as _html
             import json
             import os
-            import re
 
             app_id = partition.value
             max_pages = int(self.options.get("max_pages", 3))
             fixture_dir = self.options.get("fixture_dir")
             base_url = self.options.get("base_url")
-            tag_re = re.compile("<.*?>")
-
-            def clean(raw):
-                if not raw:
-                    return ""
-                return _html.unescape(tag_re.sub("", raw)).strip()
 
             def fetch(cursor):
                 """cursor -> parsed page dict or None (end of chain)."""
@@ -134,14 +162,15 @@ def _make_paged_api_source():
                     with open(path) as f:
                         return json.load(f)
                 if base_url is not None:
-                    # Integration point for the live API (reference
-                    # parameter surface, steam_utils.py:137-146).  Needs
-                    # network + requests; not executable in this container.
-                    raise NotImplementedError(
-                        "HTTP transport requires network access; wire "
-                        "requests.get(f'{base_url}/{app_id}', params={...}) "
-                        "here with json=1, filter=recent, num_per_page, "
-                        "cursor."
+                    # Real HTTP path (reference parameter surface,
+                    # steam_utils.py:137-146).  Loopback-tested in this
+                    # container; the live API is the same code.
+                    return _http_fetch(
+                        base_url,
+                        app_id,
+                        cursor,
+                        per_page=int(self.options.get("num_per_page", 100)),
+                        timeout=float(self.options.get("http_timeout", 30)),
                     )
                 raise ValueError(
                     "paged_api source needs 'fixture_dir' or 'base_url'"
@@ -152,25 +181,9 @@ def _make_paged_api_source():
                 data = fetch(cursor)
                 if data is None:
                     break
-                reviews = data.get("reviews", [])
-                if not reviews:
+                if not data.get("reviews"):
                     break
-                for r in reviews:
-                    author = r.get("author", {}) or {}
-                    rec = {
-                        "app_id": app_id,
-                        "review_id": r.get("recommendationid"),
-                        "author_steamid": author.get("steamid"),
-                        "playtime_at_review": author.get("playtime_at_review"),
-                        "playtime_forever": author.get("playtime_forever"),
-                        "language": r.get("language"),
-                        "voted_up": r.get("voted_up"),
-                        "votes_up": r.get("votes_up"),
-                        "weighted_vote_score": r.get("weighted_vote_score"),
-                        "timestamp_created": r.get("timestamp_created"),
-                        "review_text": clean(r.get("review")),
-                    }
-                    yield tuple(rec[f] for f in fields)
+                yield from _parse_data(data, app_id)
                 cursor = data.get("cursor", "")
                 if not cursor:
                     break
@@ -178,13 +191,27 @@ def _make_paged_api_source():
     class _StreamReader(DataSourceStreamReader):
         """Incremental page consumption: the continuous-crawl form.
 
-        An offset is ``{app_id: next_unread_page}``; each micro-batch
-        covers the pages that appeared since the last committed offset,
-        one InputPartition per (app, page-range) so new pages of
-        different apps parse in parallel.  Exactly-once comes from the
-        engine checkpointing these offsets — re-running after a crash
-        re-reads only uncommitted ranges (same contract as the Kafka
-        source's partition offsets, A10).
+        Fixture transport: an offset is ``{app_id: next_unread_page}``;
+        each micro-batch covers the pages that appeared since the last
+        committed offset, one InputPartition per (app, page-range) so new
+        pages of different apps parse in parallel.  Exactly-once comes
+        from the engine checkpointing these offsets — re-running after a
+        crash re-reads only uncommitted ranges (same contract as the
+        Kafka source's partition offsets, A10).
+
+        HTTP transport (``base_url``): cursors are opaque, so the offset
+        must CARRY them — ``{app_id: {"n": pages_read, "cursor":
+        next_token_or_""}}``.  ``latestOffset`` probes the chain forward
+        on the driver (discarding review payloads — one extra GET per
+        page, the price of an opaque-cursor API with no length
+        endpoint); executors then re-fetch their page range starting
+        from the cursor token stored in the checkpointed start offset,
+        so a crash/restart replans from durable state.  An app whose
+        chain returned an empty cursor is exhausted and never probed
+        again; an app whose NEXT page isn't there yet keeps its token
+        and is re-probed each trigger.  After a restart the driver-side
+        probe re-walks the chain from ``*`` once to rediscover the tip
+        (offsets in the checkpoint stay authoritative for what is READ).
         """
 
         def __init__(self, options):
@@ -194,44 +221,93 @@ def _make_paged_api_source():
                 raise ValueError("paged_api stream requires 'appids'")
             self.appids = [int(a) for a in appids.split(",") if a]
             self.fixture_dir = options.get("fixture_dir")
-            if self.fixture_dir is None:
+            self.base_url = options.get("base_url")
+            if self.fixture_dir is None and self.base_url is None:
                 raise ValueError(
-                    "paged_api stream supports the fixture transport only "
-                    "in this container ('fixture_dir' option)"
+                    "paged_api stream needs 'fixture_dir' or 'base_url'"
                 )
+            self.per_page = int(options.get("num_per_page", 100))
+            self.timeout = float(options.get("http_timeout", 30))
+            # HTTP driver-side probe state: last known chain position
+            self._probe = {
+                str(a): {"n": 0, "cursor": "*"} for a in self.appids
+            }
 
         def initialOffset(self):
-            return {str(a): 0 for a in self.appids}
+            if self.fixture_dir is not None:
+                return {str(a): 0 for a in self.appids}
+            return {str(a): {"n": 0, "cursor": "*"} for a in self.appids}
 
         def latestOffset(self):
             import os
 
+            if self.fixture_dir is not None:
+                out = {}
+                for a in self.appids:
+                    n = 0
+                    while os.path.exists(
+                        os.path.join(self.fixture_dir, f"{a}_page{n}.json")
+                    ):
+                        n += 1
+                    out[str(a)] = n
+                return out
             out = {}
             for a in self.appids:
-                n = 0
-                while os.path.exists(
-                    os.path.join(self.fixture_dir, f"{a}_page{n}.json")
-                ):
-                    n += 1
-                out[str(a)] = n
+                st = dict(self._probe[str(a)])
+                while st["cursor"]:
+                    data = _http_fetch(
+                        self.base_url, a, st["cursor"],
+                        per_page=self.per_page, timeout=self.timeout,
+                    )
+                    if not data or not data.get("reviews"):
+                        break  # next page not there yet; re-probe later
+                    st = {"n": st["n"] + 1, "cursor": data.get("cursor", "")}
+                self._probe[str(a)] = st
+                out[str(a)] = st
             return out
 
         def partitions(self, start, end):
             parts = []
             for a in self.appids:
-                s, e = int(start.get(str(a), 0)), int(end.get(str(a), 0))
-                if e > s:
-                    parts.append(InputPartition((a, s, e)))
+                s = start.get(str(a), 0)
+                e = end.get(str(a), 0)
+                if isinstance(s, dict) or isinstance(e, dict):
+                    sn = int(s["n"]) if isinstance(s, dict) else 0
+                    scur = s["cursor"] if isinstance(s, dict) else "*"
+                    en = int(e["n"]) if isinstance(e, dict) else 0
+                    if en > sn and scur:
+                        parts.append(
+                            InputPartition(("http", a, scur, en - sn))
+                        )
+                else:
+                    if int(e) > int(s):
+                        parts.append(
+                            InputPartition(("fixture", a, int(s), int(e)))
+                        )
             # an empty batch still needs at least the shape Spark expects
-            return parts or [InputPartition((None, 0, 0))]
+            return parts or [InputPartition(("fixture", None, 0, 0))]
 
         def read(self, partition):
             import os
 
-            app_id, s, e = partition.value
+            kind, app_id, x, y = partition.value
             if app_id is None:
                 return
-            for p in range(s, e):
+            if kind == "http":
+                cursor, n_pages = x, y
+                for _ in range(n_pages):
+                    data = _http_fetch(
+                        self.base_url, app_id, cursor,
+                        per_page=self.per_page, timeout=self.timeout,
+                    )
+                    if not data or not data.get("reviews"):
+                        break
+                    yield from _parse_data(data, app_id)
+                    cursor = data.get("cursor", "")
+                    if not cursor:
+                        break
+                return
+            for p in range(x, y):
                 path = os.path.join(
                     self.fixture_dir, f"{app_id}_page{p}.json"
                 )

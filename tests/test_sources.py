@@ -296,3 +296,155 @@ def test_paged_api_stream_incremental_exactly_once(spark, tmp_path):
         r["review_id"] for r in spark.read.parquet(sink).collect()
     )
     assert got2 == [10, 11, 12, 20, 21]  # no re-reads, no gaps
+
+
+# ---------------------------------------------------------------------------
+# paged_api over REAL HTTP — loopback http.server (r9 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _start_loopback_api(pages_dir, request_log):
+    """Serve the page fixtures over HTTP with OPAQUE cursor tokens.
+
+    Speaks the reference's parameter surface (json=1, filter=recent,
+    num_per_page, cursor — producers/steam_utils.py:137-146) and 400s
+    any request missing it, so a passing test proves the client sent
+    every parameter.  Cursors are re-minted as ``opq-<n>`` tokens the
+    client cannot compute, proving the cursor is threaded opaquely from
+    each response into the next request rather than synthesized.
+    """
+    import http.server
+    import json
+    import os
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # silence per-request stderr
+            pass
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(parsed.query)
+            request_log.append(self.path)
+            ok_params = (
+                qs.get("json") == ["1"]
+                and qs.get("filter") == ["recent"]
+                and "num_per_page" in qs
+                and "cursor" in qs
+            )
+            cur = qs.get("cursor", [""])[0]
+            if cur == "*":
+                page = 0
+            elif cur.startswith("opq-"):
+                page = int(cur[4:])
+            else:
+                page = None
+            if not ok_params or page is None:
+                self.send_response(400)
+                self.end_headers()
+                return
+            app_id = parsed.path.rstrip("/").split("/")[-1]
+            path = os.path.join(pages_dir, f"{app_id}_page{page}.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    body = json.load(f)
+                if body.get("cursor"):
+                    body["cursor"] = f"opq-{page + 1}"
+            else:
+                body = {"reviews": [], "cursor": ""}
+            data = json.dumps(body).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_paged_api_http_batch_loopback(spark, tmp_path):
+    """The REAL HTTP transport (urllib in executor workers) against a
+    loopback server: cursor chain, param surface, termination."""
+    import urllib.parse
+
+    from bigdata_20251_steam_spark.sources.paged_api import register_paged_api
+
+    d = str(tmp_path)
+    _write_page(d, 1, 0, [_rev(10), _rev(11)], next_cursor="x")
+    _write_page(d, 1, 1, [_rev(12)], next_cursor="")
+    _write_page(d, 2, 0, [_rev(20)], next_cursor="")
+    log = []
+    srv = _start_loopback_api(d, log)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/appreviews"
+        register_paged_api(spark)
+        df = (
+            spark.read.format("paged_api")
+            .option("appids", "1,2,3")
+            .option("base_url", base)
+            .option("max_pages", 5)
+            .load()
+        )
+        ids = sorted(r["review_id"] for r in df.collect())
+        assert ids == [10, 11, 12, 20]  # app 3: empty response, 0 rows
+        cursors = [
+            urllib.parse.parse_qs(urllib.parse.urlparse(p).query)["cursor"][0]
+            for p in log
+        ]
+        # every request carried either the start sentinel or a token the
+        # server minted — the client threads cursors opaquely
+        assert set(cursors) <= {"*", "opq-1", "opq-2"}
+        assert "opq-1" in cursors  # page 1 of app 1 reached via the token
+    finally:
+        srv.shutdown()
+
+
+def test_paged_api_http_stream_loopback(spark, tmp_path):
+    """readStream over the HTTP transport: cursor-bearing offsets give
+    exactly-once across restarts; new pages behind a live cursor are
+    picked up, exhausted chains are not re-read."""
+    import os
+
+    from bigdata_20251_steam_spark.sources.paged_api import register_paged_api
+
+    register_paged_api(spark)
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # app 1: page 0 with a live cursor (page 1 not there yet)
+    _write_page(d, 1, 0, [_rev(10), _rev(11)], next_cursor="x")
+    # app 2: single exhausted page
+    _write_page(d, 2, 0, [_rev(20)], next_cursor="")
+    log = []
+    srv = _start_loopback_api(d, log)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/appreviews"
+
+        def run_once():
+            q = (
+                spark.readStream.format("paged_api")
+                .option("appids", "1,2")
+                .option("base_url", base)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        got1 = sorted(r["review_id"] for r in spark.read.parquet(sink).collect())
+        assert got1 == [10, 11, 20]
+        # page 1 appears behind app 1's still-live cursor
+        _write_page(d, 1, 1, [_rev(12)], next_cursor="")
+        run_once()
+        got2 = sorted(r["review_id"] for r in spark.read.parquet(sink).collect())
+        assert got2 == [10, 11, 12, 20]  # exactly once: no re-reads, no gaps
+    finally:
+        srv.shutdown()
