@@ -578,19 +578,118 @@ def _make_pixel_decoder():
 decode_image = _make_pixel_decoder()
 
 
+def _make_wav_decoder():
+    """Factory for the pure-stdlib WAV/PCM audio decoder (REAL audio
+    evidence, same tier as the PPM/BMP/PNG/JPEG pixel decoders).
+
+    Parses the RIFF container and PCM frames directly (``struct``
+    only — no codec library): chunk walk to ``fmt `` + ``data``,
+    sample extraction for integer PCM 8/16/24/32-bit (format code 1)
+    and IEEE float32/64 (format code 3), any channel count.  8-bit PCM
+    is unsigned per the WAV spec and is centered (-128) before
+    statistics.  Compressed formats (MP3-in-RIFF, ADPCM, extensible
+    with non-PCM subformat, ...) raise ``ValueError`` so the feature
+    router falls back to the deterministic fake — the same contract as
+    a progressive JPEG.
+
+    Feature layout (FEATURE_DIM=8):
+    [n_frames, n_channels, sample_rate, duration_sec,
+     mean_sample, rms_sample, min_sample, max_sample]
+    with sample statistics over ALL channels interleaved, in raw
+    (centered) sample units.
+    """
+
+    def decode_wav(payload: bytes) -> list[float]:
+        import math
+        import struct
+
+        b = bytes(payload)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            raise ValueError("missing fmt/data chunk")
+        code, n_ch, rate, _brate, _balign, bits = struct.unpack_from(
+            "<HHIIHH", fmt, 0
+        )
+        if n_ch < 1 or rate < 1:
+            raise ValueError("degenerate WAV header")
+        if code == 1 and bits in (8, 16, 24, 32):
+            width = bits // 8
+            n = len(data) // width
+            if bits == 8:
+                samples = [v - 128 for v in data[:n]]
+            elif bits == 24:
+                samples = [
+                    int.from_bytes(
+                        data[i * 3 : i * 3 + 3], "little", signed=True
+                    )
+                    for i in range(n)
+                ]
+            else:
+                fmt_ch = "<%d%s" % (n, "h" if bits == 16 else "i")
+                samples = list(struct.unpack(fmt_ch, data[: n * width]))
+        elif code == 3 and bits in (32, 64):
+            width = bits // 8
+            n = len(data) // width
+            fmt_ch = "<%d%s" % (n, "f" if bits == 32 else "d")
+            samples = list(struct.unpack(fmt_ch, data[: n * width]))
+        else:
+            raise ValueError(
+                f"non-PCM WAV (format code {code}, {bits}-bit) needs a "
+                "heavyweight codec"
+            )
+        if not samples:
+            raise ValueError("empty data chunk")
+        n_frames = len(samples) // n_ch
+        mean = sum(samples) / len(samples)
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+        return [
+            float(n_frames),
+            float(n_ch),
+            float(rate),
+            float(n_frames) / float(rate),
+            float(mean),
+            float(rms),
+            float(min(samples)),
+            float(max(samples)),
+        ]
+
+    return decode_wav
+
+
+#: Pure-stdlib WAV/PCM audio decoder — REAL decode evidence for audio.
+decode_wav = _make_wav_decoder()
+
+
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Real decode: bytes -> FEATURE_DIM pixel-statistics feature vector.
 
     Executable for PPM (P3/P6), 24-bit BMP, 8-bit RGB/RGBA PNG and
-    baseline-sequential JPEG via the pure-Python ``decode_image``;
-    other media types are the integration point for heavyweight codecs
-    (PIL for other image/*, ffmpeg/torchaudio for audio|video/*) which
-    are not in this container.
+    baseline-sequential JPEG via the pure-Python ``decode_image``, and
+    for WAV/PCM audio via the pure-stdlib ``decode_wav``; other media
+    types are the integration point for heavyweight codecs (PIL for
+    other image/*, ffmpeg/torchaudio for compressed audio|video/*)
+    which are not in this container.
 
-    Feature layout: [width, height, n_pixels, mean_r, mean_g, mean_b,
-    min_luma, max_luma] (luma = Rec.601 integer weights).
+    Image feature layout: [width, height, n_pixels, mean_r, mean_g,
+    mean_b, min_luma, max_luma] (luma = Rec.601 integer weights).
+    Audio feature layout: [n_frames, n_channels, sample_rate,
+    duration_sec, mean_sample, rms_sample, min_sample, max_sample].
     """
-    raw8 = bytes(payload)[:8]
+    raw = bytes(payload)
+    raw8 = raw[:8]
     if (
         raw8[:2] in (b"P6", b"P3", b"BM")
         or raw8 == b"\x89PNG\r\n\x1a\n"
@@ -609,10 +708,20 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
             float(min(lumas)),
             float(max(lumas)),
         ]
+    if raw8[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        try:
+            return decode_wav(payload)
+        except ValueError as ex:
+            # compressed / malformed WAV: this IS the heavyweight-codec
+            # integration point, so surface it as such
+            raise NotImplementedError(
+                f"WAV payload not natively decodable ({ex}); wire "
+                "ffmpeg/torchaudio here for compressed audio"
+            ) from ex
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; PPM/BMP/PNG/"
-        "baseline-JPEG decode natively, other formats need PIL/ffmpeg "
-        "wired here"
+        "baseline-JPEG and WAV/PCM decode natively, other formats need "
+        "PIL/ffmpeg wired here"
     )
 
 
@@ -714,10 +823,25 @@ def decode_features(
     JPEG through the stdlib Huffman+IDCT branch (decoder
     ``"jpeg-pixel"``; a progressive/arithmetic JPEG falls through to
     the fake — decode raises ValueError and the router treats it like
-    any other undecodable payload); everything else
+    any other undecodable payload), and RIFF/WAVE payloads through the
+    stdlib PCM parser (decoder ``"wav-pcm"``, audio features
+    [n_frames, n_channels, sample_rate, duration_sec, mean, rms, min,
+    max]; compressed WAV falls through to the fake); everything else
     uses the deterministic fake (``fake=True``, decoder
     ``"fake-moments"``) or raises (``fake=False``) at the
     heavyweight-codec integration point.
+
+    **Consumer contract — the ``decoder`` column IS the provenance
+    signal.**  Rows whose features came from a real codec carry a
+    ``*-pixel`` / ``wav-pcm`` decoder name; rows that fell back carry
+    ``"fake-moments"``, INCLUDING payloads that LOOK like a supported
+    format but aren't decodable here (progressive/arithmetic JPEG,
+    ADPCM/MP3-in-RIFF WAV).  A training pipeline selecting on real
+    features must filter ``decoder != 'fake-moments'`` — filtering on
+    the magic bytes or media_type instead would silently admit
+    fake-featured rows (feature poisoning).  Pinned by
+    ``tests/test_multimodal.py`` (a progressive-marker JPEG and a
+    non-PCM WAV both route to ``"fake-moments"``).
 
     ``route_magic=False`` disables magic-byte dispatch entirely and runs
     the fake byte-statistics decoder on every payload.  Use it when the
@@ -730,6 +854,7 @@ def decode_features(
 
     dim = FEATURE_DIM
     pixel_decode = decode_image  # factory-made => cloudpickled by VALUE
+    wav_decode = decode_wav  # likewise by value
 
     # The closure must be SELF-CONTAINED: cloudpickle serializes nested
     # functions by value but module-level functions by *reference*, so a
@@ -795,6 +920,25 @@ def decode_features(
                 elif route_magic and raw[:2] in (b"P6", b"P3", b"BM"):
                     feats.append(pixel_features(raw))
                     names.append("ppm-bmp-pixel")
+                elif (
+                    route_magic
+                    and raw[:4] == b"RIFF"
+                    and raw[8:12] == b"WAVE"
+                ):
+                    try:
+                        feats.append(wav_decode(raw))
+                        names.append("wav-pcm")
+                    except ValueError:
+                        # compressed/exotic WAV: same contract as a
+                        # progressive JPEG — fall to the fake
+                        if not fake:
+                            raise NotImplementedError(
+                                "non-PCM WAV needs a heavyweight codec "
+                                "wired at the decode_real integration "
+                                "point"
+                            ) from None
+                        feats.append(fake_decode(raw))
+                        names.append("fake-moments")
                 elif fake or not route_magic:
                     feats.append(fake_decode(raw))
                     names.append("fake-moments")

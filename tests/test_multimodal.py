@@ -466,3 +466,124 @@ def test_multimodal_features_oracle_adversarial_payloads(spark, tmp_path):
     )
     exp = con.execute(q.oracle).fetchdf()
     compare(got, exp, "multimodal_features/adversarial")
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM audio decode (r9 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _wav_pcm(samples, n_ch=1, rate=8000, bits=16, fmt_code=1):
+    """Hand-rolled RIFF/WAVE encoder (independent of the decoder)."""
+    import struct
+
+    width = bits // 8
+    if fmt_code == 3:
+        data = struct.pack("<%d%s" % (len(samples), "f" if bits == 32 else "d"), *samples)
+    elif bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 24:
+        data = b"".join(int(s).to_bytes(3, "little", signed=True) for s in samples)
+    else:
+        data = struct.pack("<%d%s" % (len(samples), "h" if bits == 16 else "i"), *samples)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * width, n_ch * width, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\0" if len(data) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_golden_hand_computed():
+    """Exact features for explicitly chosen 16-bit samples."""
+    import math
+
+    samples = [0, 1000, -1000, 32767, -32768, 500]
+    feats = mm.decode_wav(_wav_pcm(samples, n_ch=2, rate=44100))
+    n = len(samples)
+    assert feats == [
+        3.0,  # n_frames = 6 samples / 2 channels
+        2.0,
+        44100.0,
+        3.0 / 44100.0,
+        sum(samples) / n,
+        math.sqrt(sum(s * s for s in samples) / n),
+        -32768.0,
+        32767.0,
+    ]
+
+
+@pytest.mark.parametrize("bits,fmt_code", [(8, 1), (24, 1), (32, 1), (32, 3)])
+def test_decode_wav_sample_widths(bits, fmt_code):
+    """Every supported width decodes the same logical signal."""
+    vals = [0, 100, -100, 127, -128]
+    raw = [float(v) for v in vals] if fmt_code == 3 else vals
+    feats = mm.decode_wav(_wav_pcm(raw, n_ch=1, rate=16000, bits=bits, fmt_code=fmt_code))
+    assert feats[0] == 5.0 and feats[1] == 1.0 and feats[2] == 16000.0
+    assert feats[6] == -128.0 and feats[7] == 127.0
+
+
+def test_decode_wav_sine_rms():
+    """stdlib `wave`-written sine fixture: RMS ~ A/sqrt(2), duration exact.
+
+    The encoder here is Python's own wave module — a fully independent
+    writer — so this is a real-encoder round-trip like the JPEG 4:2:0
+    fixture test."""
+    import io
+    import math
+    import struct
+    import wave
+
+    rate, n, amp = 8000, 8000, 10000  # 1.0 s, 1 kHz sine
+    pcm = [int(round(amp * math.sin(2 * math.pi * 1000 * i / rate))) for i in range(n)]
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(struct.pack("<%dh" % n, *pcm))
+    w.close()
+    feats = mm.decode_wav(buf.getvalue())
+    assert feats[:4] == [float(n), 1.0, float(rate), 1.0]
+    expect_rms = math.sqrt(sum(s * s for s in pcm) / n)
+    assert feats[5] == expect_rms  # decoder recomputes the exact same sum
+    assert abs(feats[5] - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.01
+
+
+def test_decode_wav_rejects_non_pcm():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format code 85"):
+        mm.decode_wav(_wav_pcm([0, 1, 2], fmt_code=85))  # MP3-in-RIFF
+    # decode_real surfaces the same payload as the codec integration point
+    with _pytest.raises(NotImplementedError, match="WAV payload"):
+        mm.decode_real(_wav_pcm([0, 1, 2], fmt_code=85), "audio/wav")
+
+
+def test_decode_features_routes_wav_and_contract(spark):
+    """Router provenance contract: real WAV -> 'wav-pcm'; payloads that
+    LOOK like a supported format but aren't decodable (non-PCM WAV,
+    progressive-marker JPEG) -> 'fake-moments' — the documented
+    feature-poisoning guard (filter decoder != 'fake-moments')."""
+    wav = _wav_pcm([0, 1000, -1000, 32767, -32768, 500], n_ch=2, rate=44100)
+    bad_wav = _wav_pcm([0, 1, 2], fmt_code=2)  # ADPCM-coded
+    # SOI + SOF2 (progressive) marker; pixel decoder must raise ValueError
+    prog_jpeg = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00" + b"\xff\xd9"
+    rows = [
+        (1, wav, "audio/wav"),
+        (2, bad_wav, "audio/wav"),
+        (3, prog_jpeg, "image/jpeg"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+    got = {r["doc_id"]: r for r in mm.decode_features(media).collect()}
+    assert got[1]["decoder"] == "wav-pcm"
+    assert got[1]["feature"][:3] == [3.0, 2.0, 44100.0]
+    assert got[2]["decoder"] == "fake-moments"
+    assert got[3]["decoder"] == "fake-moments"
+    # fake=False: the undecodable-but-recognized payloads must raise,
+    # never silently emit fake features
+    with pytest.raises(Exception, match="NotImplementedError|heavyweight"):
+        mm.decode_features(
+            spark.createDataFrame(rows[1:2], "doc_id long, payload binary, media_type string"),
+            fake=False,
+        ).collect()
