@@ -2944,6 +2944,7 @@ def _nb_oracle() -> str:
 @register(
     "nb_classifier_scores",
     oracle=_nb_oracle(),
+    headline=True,  # promoted r10 (r9 verdict #6)
     priority=28,  # new in r8 — first driver row (registry rotation)
     doc="Model-based quality classification "
     "(operators/classifier.py, new r8): hashed Naive-Bayes log-odds "
@@ -4010,6 +4011,7 @@ def _bm25_oracle() -> str:
 @register(
     "bm25_scores",
     oracle=_bm25_oracle(),
+    headline=True,  # promoted r10 (r9 verdict #6)
     priority=31,  # new in r9 — first driver row (registry rotation)
     doc="Okapi BM25 lexical retrieval scoring "
     "(operators.retrieval.bm25_scores, Robertson & Zaragoza 2009): the "
@@ -4067,6 +4069,7 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM bk
     """,
+    headline=True,  # promoted r10 (r9 verdict #6)
     priority=31,  # new in r9 — first driver row (registry rotation)
     doc="Leakage-safe train/val/test split (r9): hash_split assigns by "
     "the NEAR-DUP CLUSTER REPRESENTATIVE, not the document id — near "
@@ -4166,6 +4169,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     # driver window first per the new-registration rule (see the r10
     # rotation note in plans/registry.py); r9 coverage = the committed
     # full sweep + pytest.
+    headline=True,  # promoted r10 (r9 verdict #6)
     priority=80,
     doc="Integer-exact Lloyd's k-means over quantized embeddings "
     "(operators.similarity.kmeans_exact, r9): ivf_index is the "

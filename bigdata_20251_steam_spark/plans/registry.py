@@ -94,15 +94,11 @@ def oracle_map() -> dict[str, str]:
     return {q.name: q.oracle for q in ordered_queries() if q.oracle is not None}
 
 
-#: Round-9 window rotation (r8 verdict #2, the registry's own r9 note).
-#: The driver checks the first 50 of 126 registered queries
-#: (125 at window-freeze time; kmeans_clusters registered after).
-#:
-#: STALENESS-INVARIANT AMENDMENT (r8 verdict #2 / ADVICE): with 123
+#: STALENESS-INVARIANT AMENDMENT (r8 verdict #2 / ADVICE): with 126
 #: registered queries and a 50-row driver window, the original
 #: "every query driver-confirmed within <=2 rounds" is arithmetically
-#: unsatisfiable (50 x 2 = 100 row-slots < 123 queries, before even
-#: counting new/changed-code re-proves).  The evidence model is now,
+#: unsatisfiable (50 x 2 = 100 row-slots < 126 queries, before even
+#: counting new/changed-code re-proves).  The evidence model is,
 #: formally:
 #:
 #:   1. COVERAGE OF RECORD: every round commits a FULL-registry
@@ -116,151 +112,122 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: r9 window (tiers below; 10 + 25 + 13 + 2 = 50 — multimodal_features
-#: and user_value_quartiles each counted once at tier 26: both are
-#: three-round-stale slips AND r9 changed-code):
+#: Round-10 window rotation (r9 verdict #2, the registry's own r10 note).
+#: The driver checks the first 50 of the registered queries.  Cohorts
+#: computed from the committed CORRECTNESS_r0{7,8,9}.json artifacts
+#: (last driver row per query), per the amended staleness invariant
+#: (full sweep every round = coverage of record; driver row at most
+#: three rounds apart).
 #:
-#: - 26: code CHANGED in r9, re-prove first — cross_doc_span_dedup +
-#:   curation_v2_end_to_end (hot-gram guard: min_by aggregate +
-#:   xxhash64-pair gram keys), bigram_lm_scores (pinned _BIGRAM_LM
-#:   artifact, oracle rewritten to score with the same literals),
-#:   quality_quantile_filter / quality_threshold_filter /
-#:   curriculum_order (banded-rank auto-broadcast + one-job
-#:   hot-detection returning group cardinality),
-#:   streaming_curation_pipeline / streaming_curation_bounded_state
-#:   (shared body grew the arrival_src real-event-time seam),
-#:   multimodal_features (JPEG routing in decode_features),
-#:   user_value_quartiles (the repo's last unbounded partition-less
-#:   window re-expressed through the banded global rank — also a
-#:   three-round-stale slip, so it re-proves at this tier);
-#: - 28: the 27 r6-green slips from the r8 note — THREE rounds stale,
-#:   they enter before everything except the changed-code re-proves;
-#: - 30: 13 r7-green fills that sat out r8, preferring operators with
-#:   no sibling in this window — sentiment_hourly (C1 canary),
-#:   peak_activity (C7 re-agg), epoch_casts (B canary), dim_join (D
-#:   broadcast canary), dedup_exact (whole-doc dedup), language_id,
-#:   normalize_text (Arrow UDF tier), winnow_fingerprints
-#:   (fingerprint family), bloom_decontaminate (sketch family),
-#:   sql_interface (SQL surface), asof_join_last_good (as-of family),
-#:   streaming_genre_counts (G5 stateful canary), profile_documents
-#:   (profiling family);
-#: - 31: the TWO r9 registrations, first driver rows — bm25_scores
-#:   (pinned-idf lexical retrieval) and leakage_safe_split
-#:   (cluster-representative hash split; its plan runs minhash
-#:   signatures + LSH pairs + connected_components end-to-end, which
-#:   is why dedup_pipeline_end_to_end and embed_near_dup_pairs could
-#:   yield their fill slots and slip to r10 with that sibling
-#:   coverage).
+#: - 24: code CHANGED in r10, re-prove first — multimodal_features
+#:   (decode_features router grew the wav-pcm branch),
+#:   streaming_api_source + api_source_reviews (sources/paged_api.py
+#:   grew the real HTTP transport; the fixture path these queries use
+#:   was refactored onto the shared _parse_data helper);
+#: - 25: kmeans_clusters (registered r9 after the window froze —
+#:   never driver-checked, new registrations enter first) plus the
+#:   ENTIRE three-round-stale cohort (last driver row r7): 33 names,
+#:   all forced in per the invariant;
+#: - 27: 13 fills from the two-round-stale r8-green cohort, preferring
+#:   operators with no in-window sibling — asof_join_nearest (as-of
+#:   family), event_share (C11 pct-of-total), hash_split_assignments
+#:   (hash split), nb_classifier_scores (classifier tier, newly
+#:   headline), pii_redaction (regex scan), player_windows (C1/C2
+#:   windowed agg), q1_pricing_summary (scan-agg), q5_region_revenue
+#:   (multi-join), review_bomb (C3-C5 unbounded per-key agg),
+#:   rollup_orders (ROLLUP), streaming_stream_join (stream-stream
+#:   join, the only one of its shape), tfidf_top_terms (TF-IDF),
+#:   udtf_sentences (UDTF tier).
 #:
-#: Slipping to r10 (each with coverage): the r8-green set (last driver
-#: row r8 — one round stale, within the amended bound) and the
-#: remaining r7-greens whose operator families have r9 rows
-#: (genre_distribution/top_genres explode family via top_genres@28;
-#: unigram_lm_scores via bigram_lm_scores@26; token_counts /
-#: quality_scores via the quality tier@26; cms_word_frequencies via
-#: bloom_decontaminate@30; curation_pipeline_end_to_end via
-#: curation_v2@26 + streaming_curation_pipeline@26; key_skew_orders —
-#: r8-full-green, the skew-join machinery also exercised by
-#: q5_region_revenue@r8 — due r10 FIRST with the rest of the
-#: r7-green remainder).
-_R9_ROTATION: dict[str, int] = {
-    # r9 changed-code re-proves
-    "cross_doc_span_dedup": 26,
-    "curation_v2_end_to_end": 26,
-    "bigram_lm_scores": 26,
-    "quality_quantile_filter": 26,
-    "quality_threshold_filter": 26,
-    "curriculum_order": 26,
-    "streaming_curation_pipeline": 26,
-    "streaming_curation_bounded_state": 26,
-    "multimodal_features": 26,
-    "user_value_quartiles": 26,  # r9 banded-ntile re-expression (was a 28 slip)
-    # r6-green slips (three rounds stale)
-    "top_genres": 28,
-    "moving_avg_daily": 28,
-    "cube_orders": 28,
-    "pivot_event_matrix": 28,
-    "set_ops_users": 28,
-    "props_json": 28,
-    "stratified_sample_counts": 28,
-    "approx_stats": 28,
-    "embed_quantize": 28,
-    "streaming_running_totals": 28,
-    "q3_top_revenue": 28,
-    "q14_promo_share": 28,
-    "q6_revenue_delta": 28,
-    "supplier_nation_stats": 28,
-    "top_spenders": 28,
-    "anti_join_customers": 28,
-    "lsh_recall_vs_exact": 28,
-    "ivf_recall_vs_exact": 28,
-    "ivf_sampled_recall": 28,
-    "global_stats": 28,
-    "latest_event": 28,
-    "streaming_doc_chunks": 28,
-    "streaming_token_budget": 28,
-    "packing_assignments": 28,
-    "packed_sequences": 28,
-    # r7-green fills (no in-window sibling)
-    "sentiment_hourly": 30,
-    "peak_activity": 30,
-    "epoch_casts": 30,
-    "dim_join": 30,
-    "dedup_exact": 30,
-    "language_id": 30,
-    "normalize_text": 30,
-    "winnow_fingerprints": 30,
-    "bloom_decontaminate": 30,
-    "sql_interface": 30,
-    "asof_join_last_good": 30,
-    "streaming_genre_counts": 30,
-    "profile_documents": 30,
-    # NEW in r9 — first driver rows (new registrations enter first)
-    "bm25_scores": 31,
-    "leakage_safe_split": 31,
+#: 3 + 34 + 13 = 50.  Slipping to r11 at two-to-three rounds stale
+#: (MUST enter r11): the rest of the r8-green cohort —
+#: blocklist_filter, bpe_packed_sequences, cross_split_contamination,
+#: daily_user_rank, dataset_card, dedup_components, doc_chunks,
+#: embed_topk_lsh, gopher_quality_filter, hll_user_rollup,
+#: incremental_dedup_status, minhash_dedup_resolve, multimodal_frames,
+#: nb_threshold_sweep, recent_windows, repetition_metrics,
+#: segment_dedup, semantic_dedup_resolve, semi_join_orders,
+#: sentiment_summary, source_capped_sample, streaming_asof_enrich,
+#: streaming_dim_enrich, streaming_quality_gate,
+#: streaming_sentiment_hourly, streaming_session_windows,
+#: temperature_mix_report, value_percentiles — 28 names + any r10
+#: changed-code re-proves + new r10 registrations; that is under 50,
+#: so r11 fills the remainder with the then-two-round-stale r9-green
+#: cohort by the no-in-window-sibling rule.
+_R10_ROTATION: dict[str, int] = {
+    # r10 changed-code re-proves
+    "multimodal_features": 24,
+    "streaming_api_source": 24,
+    "api_source_reviews": 24,
+    # never driver-checked (registered after the r9 freeze)
+    "kmeans_clusters": 25,
+    # three-round-stale cohort (last driver row r7) — ALL forced in
+    "bpe_token_counts": 25,
+    "clean_html_roundtrip": 25,
+    "cms_word_frequencies": 25,
+    "curation_pipeline_end_to_end": 25,
+    "dedup_pipeline_end_to_end": 25,
+    "doc_fingerprints": 25,
+    "embed_near_dup_pairs": 25,
+    "embed_topk_bruteforce": 25,
+    "embed_topk_ivf": 25,
+    "epoch_shuffle_order": 25,
+    "fuzzy_part_names": 25,
+    "genre_distribution": 25,
+    "histogram_event_values": 25,
+    "interval_event_counts": 25,
+    "intra_doc_dedup": 25,
+    "key_skew_orders": 25,
+    "minhash_dedup_pairs": 25,
+    "minhash_signatures": 25,
+    "multimodal_meta": 25,
+    "ngram_jaccard_pairs": 25,
+    "quality_scores": 25,
+    "session_windows": 25,
+    "simhash_signatures": 25,
+    "sliding_windows": 25,
+    "streaming_bloom_decontaminate": 25,
+    "streaming_hll_windows": 25,
+    "streaming_player_windows": 25,
+    "streaming_segment_dedup": 25,
+    "temperature_mix_sample": 25,
+    "token_budget_sample": 25,
+    "token_counts": 25,
+    "unigram_lm_scores": 25,
+    # two-round-stale fills (no in-window sibling)
+    "asof_join_nearest": 27,
+    "event_share": 27,
+    "hash_split_assignments": 27,
+    "nb_classifier_scores": 27,
+    "pii_redaction": 27,
+    "player_windows": 27,
+    "q1_pricing_summary": 27,
+    "q5_region_revenue": 27,
+    "review_bomb": 27,
+    "rollup_orders": 27,
+    "streaming_stream_join": 27,
+    "tfidf_top_terms": 27,
+    "udtf_sentences": 27,
 }
 
 
-#: r10 ROTATION NOTE (for the next session): the r9 window is the 50
-#: names in _R9_ROTATION (26/28/30).  Due in r10, under the amended
-#: invariant (driver row at most three rounds apart + full sweep every
-#: round):
+#: r11 ROTATION NOTE (for the next session): the r10 window is the 50
+#: names in _R10_ROTATION (24/25/27).  Due in r11, under the amended
+#: invariant above:
 #:
-#: - the r8-green cohort that sat r9 out (last driver row r8: the
-#:   13 r8 registrations minus any whose code changes in r10, plus
-#:   review_bomb/player_windows/sentiment_summary/event_share/
-#:   recent_windows/q1_pricing_summary/q5_region_revenue/
-#:   semi_join_orders/embed_topk_lsh/hash_split_assignments/
-#:   repetition_metrics/dedup_components/tfidf_top_terms/
-#:   incremental_dedup_status/udtf_sentences/pii_redaction/
-#:   cross_split_contamination/source_capped_sample/segment_dedup/
-#:   streaming_stream_join and the five r5-tier streaming rows +
-#:   multimodal_frames/asof_join_nearest/hll_user_rollup/doc_chunks/
-#:   value_percentiles/rollup_orders/daily_user_rank/
-#:   minhash_dedup_resolve) — two rounds stale by r10;
-#: - the r7-green remainder that also sat r9 out (genre_distribution,
-#:   key_skew_orders, token_counts, quality_scores, doc_fingerprints,
-#:   unigram_lm_scores, temperature_mix_sample, cms_word_frequencies,
-#:   epoch_shuffle_order, token_budget_sample, intra_doc_dedup,
-#:   bpe_token_counts, sliding_windows, session_windows,
-#:   interval_event_counts, clean_html_roundtrip, multimodal_meta,
-#:   api_source_reviews, fuzzy_part_names, embed_topk_bruteforce,
-#:   embed_topk_ivf, curation_pipeline_end_to_end,
-#:   histogram_event_values, minhash_signatures, minhash_dedup_pairs,
-#:   simhash_signatures, ngram_jaccard_pairs, streaming_player_windows,
-#:   streaming_segment_dedup, streaming_bloom_decontaminate,
-#:   streaming_hll_windows) — THREE rounds stale by r10, they enter
-#:   FIRST (hard), before the r8-green cohort;
-#: - any query whose code changes in r10;
-#: - kmeans_clusters (registered r9 AFTER the window froze at 50 —
-#:   never driver-checked; as a new registration it enters the r10
-#:   window FIRST, with the three-round r7-green cohort).
+#: - the rest of the r8-green cohort (last driver row r8, listed in
+#:   the _R10_ROTATION comment as "slipping to r11") — THREE rounds
+#:   stale by r11, ALL forced in (28 names);
+#: - any query whose code changes in r11, first;
+#: - any new r11 registrations, first;
+#: - fills from the then-two-round-stale r9-green cohort by the
+#:   no-in-window-sibling rule.
 #:
-#: That is again more candidates than slots; schedule the three-round
-#: cohort first, changed-code re-proves before everything, fill with
-#: the two-round cohort by the no-in-window-sibling rule, and refresh
-#: CORRECTNESS_FULL_r10.json (full_registry_sweep.py 10) as the
-#: coverage of record.
+#: Recompute cohorts from CORRECTNESS_r0{8,9,10}.json (the script in
+#: the r10 session: last driver row per query over the three committed
+#: driver artifacts), and refresh CORRECTNESS_FULL_r11.json
+#: (full_registry_sweep.py 11 — or round_close.py 11 for the whole
+#: evidence set) as the coverage of record.
 
 
 def _load_all() -> None:
@@ -278,7 +245,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R9_ROTATION.get(name, 80)
+        prio = _R10_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 
