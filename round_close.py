@@ -56,6 +56,7 @@ def main() -> None:
     run("full sweep", [py, "full_registry_sweep.py", rnd])
     run("determinism audit", [py, "determinism_audit.py", rnd])
     run("plan audit", [py, "plan_audit.py", rnd])
+    run("shuffle audit", [py, "shuffle_audit.py", rnd])
     if os.environ.get("ROUND_CLOSE_SKIP_PYTEST") != "1":
         run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     else:

@@ -110,6 +110,20 @@ def main() -> None:
             f"{a.get('wall_sec')} s wall"
         )
 
+    p = os.path.join(HERE, f"SHUFFLE_r{rnd:02d}.json")
+    if os.path.exists(p):
+        found = True
+        sh = json.load(open(p))
+        lines.append(
+            f"shuffle audit (SHUFFLE_r{rnd:02d}.json): "
+            f"{len(sh.get('queries', {}))} headliners, "
+            f"{sh.get('total_shuffle_write_bytes'):,} shuffle bytes "
+            f"written, {sh.get('total_spill_bytes'):,} spill bytes, "
+            f"sf={sh.get('sf')}"
+        )
+        if sh.get("missing"):
+            lines.append(f"  UNATTRIBUTED: {sh['missing']}")
+
     if not found:
         raise SystemExit(f"no r{rnd:02d} artifacts found in {HERE}")
     print("\n".join(lines))
