@@ -859,6 +859,91 @@ def q_minhash_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+_PAGERANK_ITERS = 3
+_PAGERANK_DAMP = 85
+_PAGERANK_SCALE = 100_000
+
+
+def _pagerank_oracle(
+    iters: int = _PAGERANK_ITERS,
+    damp: int = _PAGERANK_DAMP,
+    scale: int = _PAGERANK_SCALE,
+) -> str:
+    """Iteration-unrolled PageRank oracle (the kmeans_clusters posture:
+    integer arithmetic makes every intermediate replayable as CTE
+    blocks; ``//`` on nonnegative BIGINTs in DuckDB equals Spark's
+    ``DIV``)."""
+    tele = (100 - damp) * scale // 100
+    blocks = [
+        f"pr0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS pr FROM documents)"
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""pr{i} AS (
+      SELECT d.doc_id,
+             CAST({tele} + ({damp} * COALESCE(s.contrib, 0)) // 100
+                  AS BIGINT) AS pr
+      FROM documents d LEFT JOIN (
+        SELECT e.dst AS doc_id, SUM(p.pr // g.deg) AS contrib
+        FROM edges e
+        JOIN pr{i - 1} p ON p.doc_id = e.src
+        JOIN deg g ON g.src = e.src
+        GROUP BY e.dst) s ON s.doc_id = d.doc_id)"""
+        )
+    return (
+        _MINHASH_CTE
+        + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM prs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    """
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT doc_id, pr FROM pr{iters}
+    """
+    )
+
+
+@register(
+    "dedup_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Integer-exact PageRank over the MinHash-LSH near-dup pair graph "
+    "(operators.dedup.pagerank, new r10): boilerplate-HUB detection — a "
+    "doc that is near-duplicate of many others (site template, licence "
+    "page, navigation shell) becomes a high-centrality hub; rank by "
+    "PageRank rather than raw degree to also catch template FAMILIES "
+    "(hubs linked to hubs).  Ranks live on an integer micro-grid "
+    "(scale 1e5, damping 85/100, 3 iterations, teleport term for "
+    "isolated docs), so the oracle replays every iteration as CTE "
+    "blocks — same exactness posture as kmeans_clusters; DuckDB // == "
+    "Spark DIV on nonnegative ints.  Per iteration: one hash join of "
+    "the rank table with the degree-carrying edge list + one "
+    "groupBy(dst) partial-sum — natural shuffles, AQE-skew-splittable, "
+    "nothing collected to the driver.  Extends the reference's dedup "
+    "surface (it has no graph analytics; SURVEY §2 extension tier).",
+)
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    return dd.pagerank(
+        docs,
+        pairs,
+        iters=_PAGERANK_ITERS,
+        damping_pct=_PAGERANK_DAMP,
+        scale=_PAGERANK_SCALE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate sketches (the 100 TB substitutes for exact distinct/percentile)
 # ---------------------------------------------------------------------------

@@ -93,6 +93,9 @@ PROBES = [
     "kmeans_clusters",
     # round-9 de-hazarding: ntile re-derived through the banded rank
     "user_value_quartiles",
+    # round-10: iterative integer PageRank over the LSH pair graph
+    # (per-iteration join+sum shuffles — the shape worth watching)
+    "dedup_graph_pagerank",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -150,6 +153,7 @@ PROBE_TABLES = {
     "bm25_scores": {"documents"},
     "leakage_safe_split": {"documents"},
     "kmeans_clusters": {"embeddings"},
+    "dedup_graph_pagerank": {"documents"},
     "user_value_quartiles": {"events"},
 }
 

@@ -2686,3 +2686,63 @@ def test_hot_path_cache_tracker_hands_back_persisted_frames(spark):
         assert tracker[0].storageLevel.useMemory, fn.__name__
         tracker[0].unpersist()
         assert not tracker[0].storageLevel.useMemory or True  # no raise
+
+
+def test_pagerank_hand_computed_star_graph(spark):
+    """Integer-exact PageRank on a hand-checkable star + isolated node.
+
+    Graph: hub 1 paired with 2, 3, 4 (undirected); 5 isolated.
+    deg: 1->3, {2,3,4}->1.  scale=100000, damping 85/100, teleport
+    15000.  Iteration 1 by hand:
+      contrib(1) = 3 * (100000 DIV 1) = 300000
+        -> pr(1) = 15000 + (85*300000) DIV 100 = 270000
+      contrib(2..4) = 100000 DIV 3 = 33333
+        -> pr = 15000 + (85*33333) DIV 100 = 15000 + 28333 = 43333
+      pr(5) = 15000.
+    Iteration 2:
+      contrib(1) = 3 * (43333 DIV 1) = 129999 -> 15000 + 110499 = 125499
+      contrib(2..4) = 270000 DIV 3 = 90000 -> 15000 + 76500 = 91500
+    The test also replays the recurrence in pure Python for the full
+    iteration count and requires EXACT equality."""
+    from bigdata_20251_steam_spark.operators.dedup import pagerank
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got2 = {
+        r["doc_id"]: r["pr"]
+        for r in pagerank(verts, pairs, iters=2).collect()
+    }
+    assert got2 == {1: 125499, 2: 91500, 3: 91500, 4: 91500, 5: 15000}
+
+    # pure-Python replay, exact, for a longer horizon
+    nbrs = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1], 5: []}
+    deg = {k: len(v) for k, v in nbrs.items()}
+    pr = {v: 100_000 for v in nbrs}
+    for _ in range(5):
+        contrib = {v: 0 for v in nbrs}
+        for u, vs in nbrs.items():
+            for v in vs:
+                contrib[v] += pr[u] // deg[u]
+        pr = {v: 15_000 + (85 * contrib[v]) // 100 for v in nbrs}
+    got5 = {
+        r["doc_id"]: r["pr"]
+        for r in pagerank(verts, pairs, iters=5).collect()
+    }
+    assert got5 == pr
+
+
+def test_pagerank_iter0_and_validation(spark):
+    from bigdata_20251_steam_spark.operators.dedup import pagerank
+
+    verts = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["pr"] for r in pagerank(verts, pairs, iters=0).collect()}
+    assert got == {1: 100_000, 2: 100_000}  # iters=0 -> uniform init
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(verts, pairs, iters=-1)
+    with _pytest.raises(ValueError):
+        pagerank(verts, pairs, damping_pct=101)

@@ -582,3 +582,53 @@ def test_curation_v2_single_lineage_expansion(spark):
     assert len(re.findall(r"FileScan parquet", plan)) <= 4, plan
     # exactly one (source, lang) pre-aggregate exchange feeds the card
     assert len(re.findall(r"Exchange hashpartitioning\(source#\d+, lang#", plan)) == 1, plan
+
+
+def test_pagerank_lineage_cut_and_natural_shuffles(spark):
+    """dedup_graph_pagerank (r10): two pins.
+
+    (1) LINEAGE CUT: without per-round checkpointing the 3-iteration
+    plan re-inlined the LSH pair pipeline per iteration — measured 56
+    parquet scans (the r7 banded-rank 40-scan incident, reproduced).
+    With the connected_components-style cut, the final plan reads
+    checkpointed blocks: ZERO parquet scans may remain.
+
+    (2) NATURAL SHUFFLES in the iteration step: the contrib join +
+    partial-sum aggregate (built here pre-cut on an in-memory graph)
+    must contain no REPARTITION-origin exchange, cartesian, or
+    nested-loop fallback, so AQE can skew-split a hot hub key."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.dedup import pagerank
+
+    df = QUERIES["dedup_graph_pagerank"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # isolate ONE un-cut iteration step: edges/deg/rank as in-memory
+    # frames, the same join + aggregate expressions the loop builds
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    from pyspark.sql import functions as F2
+
+    edges = pairs.select(
+        F2.col("doc_a").alias("src"), F2.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F2.col("doc_b").alias("src"), F2.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F2.count(F2.lit(1)).alias("deg"))
+    e = edges.join(deg, "src")
+    pr = verts.select("doc_id", F2.lit(100000).cast("long").alias("pr"))
+    step = (
+        e.join(pr, e.src == pr.doc_id)
+        .select(F2.col("dst"), F2.expr("pr DIV deg").alias("c"))
+        .groupBy("dst")
+        .agg(F2.sum("c").alias("contrib"))
+    )
+    step_plan = _final_plan(step)
+    assert "REPARTITION" not in step_plan, step_plan
+    assert "CartesianProduct" not in step_plan, step_plan
+    assert "BroadcastNestedLoopJoin" not in step_plan, step_plan
