@@ -820,6 +820,112 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 30000 + 30000) % 30000)
+               - 15000 AS smp,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+    t AS (SELECT user_id, smp FROM s WHERE rn <= 64),
+    agg AS (
+      SELECT user_id, count(*) AS n, sum(smp) AS sm,
+             sum(smp * smp) AS s2, min(smp) AS mn, max(smp) AS mx
+      FROM t GROUP BY user_id)
+    SELECT user_id AS doc_id,
+           'wav-pcm' AS decoder,
+           -- the engine surfaces features through a FLOAT32 Arrow array
+           -- (FEATURE_SCHEMA); replay the double->float32 rounding so
+           -- the match stays BIT-exact, not tolerance-based
+           CAST(CAST(n AS REAL) AS DOUBLE)  AS f0,
+           CAST(CAST(1 AS REAL) AS DOUBLE)  AS f1,
+           CAST(CAST(8000 AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(CAST(n AS DOUBLE) / CAST(8000 AS DOUBLE) AS REAL)
+                AS DOUBLE)                  AS f3,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+                AS DOUBLE)                  AS f4,
+           CAST(CAST(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS REAL)
+                AS DOUBLE)                  AS f5,
+           CAST(CAST(mn AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(mx AS REAL) AS DOUBLE) AS f7
+    FROM agg
+    """,
+    doc="Driver-tier roundtrip proof for the stdlib WAV/PCM decoder "
+    "(r10, closing the loop on the r9-verdict audio ask): per user, "
+    "derive a deterministic int16 sample train from the events table "
+    "(pmod-quantized values, first 64 by event_id), ENCODE it as a "
+    "RIFF/WAVE payload in an executor (Arrow-batched mapInPandas), "
+    "route it through decode_features' magic-byte dispatch, and emit "
+    "the wav-pcm audio features.  The oracle recomputes every feature "
+    "DIRECTLY from the same sample derivation — never parsing WAV — so "
+    "a hash match proves the encoder+decoder pair preserves the "
+    "samples bit-for-bit and the feature math (integer sums, exact "
+    "IEEE division, correctly-rounded sqrt) is engine-independent.  "
+    "Scale shape: one bounded per-user aggregate (<= 64-element "
+    "arrays), then two narrow Arrow passes; no collect, no extra "
+    "exchange beyond the per-user groupBy.",
+)
+def q_multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            F.pmod(F.floor(F.col("value") * 1000).cast("long"), F.lit(30000))
+            - 15000
+        ).alias("smp"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("event_id", "smp"))),
+                1,
+                64,
+            ),
+            lambda x: x["smp"],
+        ).alias("samples")
+    )
+
+    def encode(batches):
+        # self-contained (cloudpickle by value): RIFF/WAVE PCM16 mono
+        import struct as _struct
+
+        def wav(samples):
+            data = _struct.pack("<%dh" % len(samples), *samples)
+            fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b"")
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["user_id"],
+                    "payload": [wav([int(v) for v in s]) for s in pdf["samples"]],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    media = per_user.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+    feats = mm.decode_features(media, fake=False, route_magic=True)
+    return feats.select(
+        "doc_id",
+        "decoder",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup resolution: pairs -> surviving documents
 # ---------------------------------------------------------------------------

@@ -136,12 +136,14 @@ def oracle_map() -> dict[str, str]:
 #:   windowed agg), q1_pricing_summary (scan-agg), q5_region_revenue
 #:   (multi-join), review_bomb (C3-C5 unbounded per-key agg),
 #:   streaming_stream_join (stream-stream join, the only one of its
-#:   shape), tfidf_top_terms (TF-IDF), udtf_sentences (UDTF tier).
-#:   rollup_orders yielded its fill slot to the r10 registration
-#:   dedup_graph_pagerank (new registrations enter first) and slips
-#:   to r11 with its CUBE/ROLLUP sibling coverage (cube_orders r9).
+#:   shape), udtf_sentences (UDTF tier).  rollup_orders and
+#:   tfidf_top_terms yielded their fill slots to the r10 registrations
+#:   dedup_graph_pagerank and multimodal_audio_roundtrip (new
+#:   registrations enter first) and slip to r11 (rollup with its
+#:   CUBE sibling coverage, cube_orders r9; tfidf with the lexical
+#:   tier coverage, bm25_scores r9+bench).
 #:
-#: 4 + 34 + 12 = 50.  Slipping to r11 at two-to-three rounds stale
+#: 5 + 34 + 11 = 50.  Slipping to r11 at two-to-three rounds stale
 #: (MUST enter r11): the rest of the r8-green cohort —
 #: blocklist_filter, bpe_packed_sequences, cross_split_contamination,
 #: daily_user_rank, dataset_card, dedup_components, doc_chunks,
@@ -161,8 +163,9 @@ _R10_ROTATION: dict[str, int] = {
     "multimodal_features": 24,
     "streaming_api_source": 24,
     "api_source_reviews": 24,
-    # new r10 registration — enters the window first
+    # new r10 registrations — enter the window first
     "dedup_graph_pagerank": 24,
+    "multimodal_audio_roundtrip": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -209,7 +212,6 @@ _R10_ROTATION: dict[str, int] = {
     "q5_region_revenue": 27,
     "review_bomb": 27,
     "streaming_stream_join": 27,
-    "tfidf_top_terms": 27,
     "udtf_sentences": 27,
 }
 
@@ -221,7 +223,8 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS
 #:   rollup_orders which yielded its r10 fill slot) — THREE rounds
-#:   stale by r11, ALL forced in (29 names);
+#:   stale by r11, ALL forced in (30 names, incl. the two yielded
+#:   fills rollup_orders and tfidf_top_terms);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the
