@@ -970,15 +970,33 @@ _PAGERANK_DAMP = 85
 _PAGERANK_SCALE = 100_000
 
 
-def _pagerank_oracle(
+#: LSH pair graph as (src, dst) edges + degree — shared CTE suffix for
+#: every pair-graph oracle (PageRank, canonical representative).
+_PAIR_GRAPH_CTE = """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM prs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)"""
+
+
+def _pagerank_blocks(
     iters: int = _PAGERANK_ITERS,
     damp: int = _PAGERANK_DAMP,
     scale: int = _PAGERANK_SCALE,
 ) -> str:
-    """Iteration-unrolled PageRank oracle (the kmeans_clusters posture:
-    integer arithmetic makes every intermediate replayable as CTE
-    blocks; ``//`` on nonnegative BIGINTs in DuckDB equals Spark's
-    ``DIV``)."""
+    """Iteration-unrolled PageRank CTE blocks over ``edges``/``deg``
+    (the kmeans_clusters posture: integer arithmetic makes every
+    intermediate replayable; ``//`` on nonnegative BIGINTs in DuckDB
+    equals Spark's ``DIV``).  The final block is ``pr{iters}``."""
     tele = (100 - damp) * scale // 100
     blocks = [
         f"pr0 AS (SELECT doc_id, CAST({scale} AS BIGINT) AS pr FROM documents)"
@@ -996,24 +1014,19 @@ def _pagerank_oracle(
         JOIN deg g ON g.src = e.src
         GROUP BY e.dst) s ON s.doc_id = d.doc_id)"""
         )
+    return ",\n    ".join(blocks)
+
+
+def _pagerank_oracle(
+    iters: int = _PAGERANK_ITERS,
+    damp: int = _PAGERANK_DAMP,
+    scale: int = _PAGERANK_SCALE,
+) -> str:
     return (
         _MINHASH_CTE
-        + """,
-    banded AS (
-      SELECT doc_id, h_idx // 4 AS band_id,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
-      FROM mh GROUP BY 1, 2),
-    prs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a
-      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                   AND a.doc_id < b.doc_id),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
-              UNION ALL
-              SELECT doc_b AS src, doc_a AS dst FROM prs),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    """
-        + ",\n    ".join(blocks)
+        + _PAIR_GRAPH_CTE
+        + ",\n    "
+        + _pagerank_blocks(iters, damp, scale)
         + f"""
     SELECT doc_id, pr FROM pr{iters}
     """
@@ -1047,6 +1060,78 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PAGERANK_ITERS,
         damping_pct=_PAGERANK_DAMP,
         scale=_PAGERANK_SCALE,
+    )
+
+
+@register(
+    "dedup_canonical_by_pagerank",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + _PAIR_GRAPH_CTE
+    + ",\n    "
+    + _pagerank_blocks()
+    + f""",
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION SELECT src, dst FROM edges
+      UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+    j AS (
+      SELECT c.doc_id, c.component_id, p.pr
+      FROM comp c JOIN pr{_PAGERANK_ITERS} p USING (doc_id)),
+    sized AS (
+      SELECT component_id, count(*) AS cluster_size FROM j GROUP BY 1),
+    ranked AS (
+      SELECT j.*, row_number() OVER (
+        PARTITION BY component_id ORDER BY pr DESC, doc_id ASC) AS rn
+      FROM j)
+    SELECT r.component_id AS component,
+           r.doc_id AS rep_doc_id,
+           r.pr AS rep_pr,
+           s.cluster_size
+    FROM ranked r JOIN sized s USING (component_id)
+    WHERE r.rn = 1
+    """,
+    doc="The dedup POLICY the PageRank tier exists for (r10): per "
+    "near-dup cluster (LSH pairs -> transitive closure), keep the "
+    "highest-centrality member as the canonical representative "
+    "(lowest doc_id breaks ties) instead of the blind min(doc_id) "
+    "keeper — inside a template family the hub is the most complete "
+    "copy, while min-id picks whichever variant crawled first.  "
+    "Composes three r-tier operators in one plan: "
+    "minhash_candidate_pairs (localCheckpoint'd once, shared by both "
+    "consumers), connected_components, pagerank.  Spark argmax = "
+    "max(struct(pr, -doc_id)) — identical ordering to the oracle's "
+    "row_number window.  Oracle = recursive-CTE closure + unrolled "
+    "integer PR blocks over the shared pair-graph CTE.",
+)
+def q_dedup_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(
+        dd.minhash_signatures(docs)
+    ).localCheckpoint()
+    comp = dd.connected_components(pairs)
+    pr = dd.pagerank(
+        docs,
+        pairs,
+        iters=_PAGERANK_ITERS,
+        damping_pct=_PAGERANK_DAMP,
+        scale=_PAGERANK_SCALE,
+    )
+    j = comp.join(pr, "doc_id")
+    return (
+        j.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("pr"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            F.col("component_id").alias("component"),
+            (-F.col("m.nid")).alias("rep_doc_id"),
+            F.col("m.pr").alias("rep_pr"),
+            F.col("cluster_size"),
+        )
     )
 
 

@@ -136,14 +136,16 @@ def oracle_map() -> dict[str, str]:
 #:   windowed agg), q1_pricing_summary (scan-agg), q5_region_revenue
 #:   (multi-join), review_bomb (C3-C5 unbounded per-key agg),
 #:   streaming_stream_join (stream-stream join, the only one of its
-#:   shape), udtf_sentences (UDTF tier).  rollup_orders and
-#:   tfidf_top_terms yielded their fill slots to the r10 registrations
-#:   dedup_graph_pagerank and multimodal_audio_roundtrip (new
-#:   registrations enter first) and slip to r11 (rollup with its
-#:   CUBE sibling coverage, cube_orders r9; tfidf with the lexical
-#:   tier coverage, bm25_scores r9+bench).
+#:   shape), udtf_sentences (UDTF tier).  rollup_orders,
+#:   tfidf_top_terms and hash_split_assignments yielded their fill
+#:   slots to the r10 registrations dedup_graph_pagerank,
+#:   multimodal_audio_roundtrip and dedup_canonical_by_pagerank (new
+#:   registrations enter first) and slip to r11 (rollup with its CUBE
+#:   sibling coverage, cube_orders r9; tfidf with the lexical tier
+#:   coverage, bm25_scores r9+bench; hash_split with the split-family
+#:   coverage, leakage_safe_split r9+bench).
 #:
-#: 5 + 34 + 11 = 50.  Slipping to r11 at two-to-three rounds stale
+#: 6 + 34 + 10 = 50.  Slipping to r11 at two-to-three rounds stale
 #: (MUST enter r11): the rest of the r8-green cohort —
 #: blocklist_filter, bpe_packed_sequences, cross_split_contamination,
 #: daily_user_rank, dataset_card, dedup_components, doc_chunks,
@@ -166,6 +168,7 @@ _R10_ROTATION: dict[str, int] = {
     # new r10 registrations — enter the window first
     "dedup_graph_pagerank": 24,
     "multimodal_audio_roundtrip": 24,
+    "dedup_canonical_by_pagerank": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -204,7 +207,6 @@ _R10_ROTATION: dict[str, int] = {
     # two-round-stale fills (no in-window sibling)
     "asof_join_nearest": 27,
     "event_share": 27,
-    "hash_split_assignments": 27,
     "nb_classifier_scores": 27,
     "pii_redaction": 27,
     "player_windows": 27,
@@ -223,8 +225,8 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS
 #:   rollup_orders which yielded its r10 fill slot) — THREE rounds
-#:   stale by r11, ALL forced in (30 names, incl. the two yielded
-#:   fills rollup_orders and tfidf_top_terms);
+#:   stale by r11, ALL forced in (31 names, incl. the yielded fills
+#:   rollup_orders, tfidf_top_terms, hash_split_assignments);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

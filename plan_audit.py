@@ -10,7 +10,22 @@ declared:
 - ``CartesianProduct`` — an unconditional all-pairs join;
 - ``BroadcastNestedLoopJoin`` — the shape a non-equi join degrades to
   when its bucketing/banding guard is lost (a plan-level regression
-  canary for the range/as-of/LSH machinery).
+  canary for the range/as-of/LSH machinery);
+- (r10) LINEAGE RE-EXPANSION: more than ``SCAN_BOUND`` REAL parquet
+  scan nodes in one plan.  The failure mode that produced the r7
+  banded-rank 40-scan plan and the r10 uncut-PageRank 56-scan plan —
+  a multiply-referenced expensive subtree re-inlined per reference —
+  is invisible to wall-clock checks at small SF but multiplies scan
+  cost at 100 TB.  Scans are counted by WALKING the physical tree,
+  not by grepping its string: an ``InMemoryTableScan`` prints its
+  cached child plan (FileScans included) at every reference, so the
+  text count reports phantom scans for correctly-cached plans (the
+  pinned quality/curriculum hot path "measured" 48 that way while
+  executing zero); the walker counts ``FileSourceScanExec`` nodes,
+  descends into AQE/stage wrappers, and stops at cache and
+  reused-exchange boundaries.  Queries with a DOCUMENTED
+  high-but-bounded scan count whitelist themselves with the reason
+  inline.
 
 Queries that DOCUMENT a bounded nested-loop (a broadcast side proven
 tiny by construction) are whitelisted here with the reason inline, so
@@ -79,6 +94,32 @@ WHITELIST: dict[tuple[str, str], str] = {
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+#: Max FileScan parquet nodes per plan before the lineage-re-expansion
+#: flag fires.  The deepest pinned capstone (curation_v2) holds <= 4;
+#: multi-table TPC-H joins sit at <= 6; 8 leaves headroom without
+#: hiding a per-iteration re-inline (which lands at 10+ immediately).
+SCAN_BOUND = 8
+
+#: query -> reason for a documented scan count above SCAN_BOUND.
+SCAN_WHITELIST: dict[str, str] = {}
+
+
+def count_real_scans(jnode) -> int:
+    """FileSourceScanExec nodes reachable at execution time: descend
+    through AQE/query-stage wrappers, stop at InMemoryTableScan (reads
+    cache, its printed child is the cache-miss recompute path) and
+    ReusedExchange (references an already-counted subtree)."""
+    name = jnode.getClass().getSimpleName()
+    if name in ("InMemoryTableScanExec", "ReusedExchangeExec"):
+        return 0
+    if name == "AdaptiveSparkPlanExec":
+        return count_real_scans(jnode.executedPlan())
+    n = 1 if name in ("FileSourceScanExec", "BatchScanExec") else 0
+    ch = jnode.children()
+    for i in range(ch.size()):
+        n += count_real_scans(ch.apply(i))
+    return n
+
 
 def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
@@ -104,12 +145,9 @@ def main() -> None:
     violations = 0
     for q in ordered_queries():
         try:
-            plan = (
-                q.fn(spark, sf)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            jplan = q.fn(spark, sf)._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
+            n_scans = count_real_scans(jplan)
         except Exception as e:  # noqa: BLE001 — audit must finish
             results[q.name] = {
                 "status": "BUILD_ERROR",
@@ -124,8 +162,17 @@ def main() -> None:
                 hits[pat] = reason or "UNEXPLAINED"
                 if reason is None:
                     violations += 1
+        if n_scans > SCAN_BOUND:
+            reason = SCAN_WHITELIST.get(q.name)
+            hits[f"FileScan x{n_scans} > {SCAN_BOUND}"] = (
+                reason or "UNEXPLAINED"
+            )
+            if reason is None:
+                violations += 1
         results[q.name] = (
-            {"status": "hits", "patterns": hits} if hits else {"status": "clean"}
+            {"status": "hits", "patterns": hits, "n_scans": n_scans}
+            if hits
+            else {"status": "clean", "n_scans": n_scans}
         )
         print(q.name, results[q.name]["status"], flush=True)
 
