@@ -96,6 +96,8 @@ PROBES = [
     # round-10: iterative integer PageRank over the LSH pair graph
     # (per-iteration join+sum shuffles — the shape worth watching)
     "dedup_graph_pagerank",
+    # round-10: pairs -> closure + PR -> per-cluster argmax composite
+    "dedup_canonical_by_pagerank",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -154,6 +156,7 @@ PROBE_TABLES = {
     "leakage_safe_split": {"documents"},
     "kmeans_clusters": {"embeddings"},
     "dedup_graph_pagerank": {"documents"},
+    "dedup_canonical_by_pagerank": {"documents"},
     "user_value_quartiles": {"events"},
 }
 
