@@ -4468,3 +4468,344 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_exact(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+#: Pinned DSIR artifacts (r10) — per-bucket importance log-ratios in
+#: integer micro-nats over md5-hashed unigram+bigram features, plus the
+#: stratified-Gumbel quantile table for the top-k resample.  Provenance:
+#: operators.selection.train_dsir_model(documents@sf0.001,
+#: target = lang == 'en', n_buckets=512, alpha=0.5) and
+#: operators.selection.gumbel_micro_table(1024) — deterministic (exact
+#: integer counts, one math.log pass, 1e-6 quantization); re-derivation
+#: is pinned by tests (test_dsir_model_provenance).
+_DSIR_BUCKETS = 512
+_DSIR_STRATA = 1024
+_DSIR_BUDGET = 150
+_DSIR_MODEL: list[tuple[int, int]] = [
+    (0, 186177), (1, 986296), (2, -112316), (3, 6706), (4, -1090), (5,
+    986296), (6, -112316), (7, 165316), (8, 170810), (9, 23067), (10,
+    -17329), (11, 40153), (12, -370497), (13, 62038), (14, 93946), (15,
+    -27158), (16, -21344), (17, -13824), (18, 89135), (19, -30638), (20,
+    -66853), (21, 986296), (22, 145096), (23, -48802), (24, -59672),
+    (25, -350071), (26, 248698), (27, -407545), (28, 120130), (29,
+    -28055), (30, 986296), (31, 66503), (32, 215591), (33, -231099),
+    (34, 986296), (35, -389948), (36, 40249), (37, -231099), (38,
+    -354877), (39, -248117), (40, 142716), (41, 188637), (42, 986296),
+    (43, -145932), (44, 43035), (45, -61672), (46, 274800), (47, 87441),
+    (48, -122520), (49, 23486), (50, -8326), (51, 205551), (52, -40162),
+    (53, 371930), (54, 56400), (55, 20109), (56, 986296), (57, 986296),
+    (58, 986296), (59, 986296), (60, 10917), (61, -80055), (62, 986296),
+    (63, 124073), (64, 75526), (65, 74668), (66, 986296), (67, 278111),
+    (68, -191008), (69, 13835), (70, -323625), (71, 154150), (72,
+    42925), (73, 986296), (74, 65571), (75, 197839), (76, 54738), (77,
+    -172484), (78, 12568), (79, 10917), (80, 986296), (81, -12232), (82,
+    -50758), (83, 192345), (84, -259641), (85, 3756), (86, -95074), (87,
+    -31870), (88, 986296), (89, 138999), (90, 57321), (91, 81391), (92,
+    986296), (93, -33561), (94, -52597), (95, -653447), (96, -39556),
+    (97, -30638), (98, 986296), (99, -391340), (100, 986296), (101,
+    986296), (102, 58310), (103, 229970), (104, -27158), (105, 277149),
+    (106, -174836), (107, -255417), (108, 986296), (109, -64075), (110,
+    95573), (111, 142214), (112, -112316), (113, 277483), (114,
+    -112316), (115, -209166), (116, 35681), (117, 15766), (118, 986296),
+    (119, 62038), (120, 98993), (121, -30638), (122, 115943), (123,
+    -112316), (124, -112316), (125, -147718), (126, 242718), (127,
+    -237479), (128, 986296), (129, 986296), (130, -180138), (131,
+    -171156), (132, -237479), (133, -195697), (134, 23486), (135,
+    -21344), (136, 58310), (137, 44253), (138, -19225), (139, 986296),
+    (140, 986296), (141, 213952), (142, 8521), (143, 986296), (144,
+    986296), (145, 986296), (146, 60527), (147, 986296), (148, 986296),
+    (149, 266242), (150, 986296), (151, 30404), (152, -104963), (153,
+    197839), (154, 12068), (155, 986296), (156, -35355), (157, 224156),
+    (158, 13835), (159, 201034), (160, 986296), (161, 24127), (162,
+    -20093), (163, 986296), (164, 986296), (165, 76478), (166, 107746),
+    (167, -795611), (168, 986296), (169, -28055), (170, -959614), (171,
+    -155333), (172, 273347), (173, 986296), (174, -44493), (175,
+    -66853), (176, -237479), (177, 102409), (178, -71326), (179, 19453),
+    (180, 45476), (181, 10917), (182, 986296), (183, -37515), (184,
+    106920), (185, 43337), (186, 43443), (187, -31627), (188, 986296),
+    (189, -85287), (190, 475471), (191, -234605), (192, 30785), (193,
+    105938), (194, -187823), (195, -112316), (196, 986296), (197,
+    986296), (198, -12232), (199, -57955), (200, 986296), (201,
+    -237479), (202, -12232), (203, 101611), (204, -35355), (205,
+    -54160), (206, 986296), (207, 274800), (208, 189514), (209, 112401),
+    (210, 248698), (211, 3603), (212, 98993), (213, -1090), (214,
+    986296), (215, -130173), (216, 310541), (217, 31343), (218,
+    -190481), (219, 229201), (220, -61672), (221, 96776), (222, 10538),
+    (223, -155801), (224, 98993), (225, -185075), (226, 986296), (227,
+    986296), (228, 186177), (229, 268857), (230, 986296), (231, -66853),
+    (232, 103281), (233, -31627), (234, -57630), (235, -530051), (236,
+    -443170), (237, 986296), (238, 90912), (239, 61090), (240, 62038),
+    (241, -64230), (242, 986296), (243, -105122), (244, 986296), (245,
+    986296), (246, 62038), (247, 62038), (248, 986296), (249, -198576),
+    (250, 78739), (251, 15766), (252, 986296), (253, -258028), (254,
+    24260), (255, -189277), (256, -130173), (257, 488458), (258,
+    226210), (259, -350942), (260, -37715), (261, 138999), (262,
+    986296), (263, 42945), (264, 81391), (265, -281137), (266, -171156),
+    (267, 986296), (268, 171259), (269, -289247), (270, 986296), (271,
+    315128), (272, 253409), (273, 234880), (274, -155801), (275,
+    -22368), (276, -152094), (277, 986296), (278, 114458), (279,
+    182249), (280, -80055), (281, 37697), (282, -128445), (283,
+    -147718), (284, 310541), (285, -298033), (286, -180138), (287,
+    46898), (288, -133938), (289, 1443), (290, -17879), (291, -138633),
+    (292, 986296), (293, -112316), (294, 90912), (295, 986296), (296,
+    367257), (297, -112316), (298, -94133), (299, 138999), (300,
+    -380580), (301, -206503), (302, -10518), (303, -149703), (304,
+    986296), (305, 7229), (306, -112316), (307, -94133), (308, -180138),
+    (309, 986296), (310, 239082), (311, 986296), (312, 177838), (313,
+    986296), (314, -92215), (315, 348499), (316, 14066), (317, 986296),
+    (318, -363630), (319, 986296), (320, -13714), (321, 986296), (322,
+    -45064), (323, 2919), (324, 10917), (325, 302628), (326, -270540),
+    (327, 96776), (328, 986296), (329, -31627), (330, -34795), (331,
+    124073), (332, 986296), (333, 10917), (334, -123552), (335, 80588),
+    (336, 84280), (337, -28523), (338, 57408), (339, -164960), (340,
+    197839), (341, -223541), (342, 986296), (343, -339089), (344,
+    221324), (345, 127635), (346, 190734), (347, -15354), (348, 986296),
+    (349, 145992), (350, -35355), (351, 76478), (352, -214970), (353,
+    177838), (354, 360591), (355, 986296), (356, 986296), (357, 377232),
+    (358, 167269), (359, 24118), (360, 278965), (361, 1893), (362,
+    -34549), (363, 89808), (364, -286669), (365, 85044), (366, 405267),
+    (367, -150782), (368, 35108), (369, -104797), (370, 986296), (371,
+    -25182), (372, -470065), (373, 36104), (374, -21344), (375, 383300),
+    (376, -22601), (377, -48802), (378, 986296), (379, 152864), (380,
+    -307104), (381, 78739), (382, -149357), (383, -76598), (384,
+    986296), (385, -26426), (386, 13835), (387, 986296), (388, 151102),
+    (389, 9974), (390, 986296), (391, 986296), (392, -255417), (393,
+    -80055), (394, -112316), (395, 141831), (396, 10917), (397, -76598),
+    (398, 151102), (399, -160518), (400, -102316), (401, -223541), (402,
+    -181909), (403, -95366), (404, -214445), (405, 126914), (406,
+    -33844), (407, 986296), (408, -57817), (409, 80588), (410, 256206),
+    (411, 44253), (412, 158230), (413, -212903), (414, -139436), (415,
+    986296), (416, -198576), (417, 217163), (418, -26549), (419,
+    190734), (420, -95922), (421, 48027), (422, -86673), (423, 131306),
+    (424, -666627), (425, -82010), (426, -286669), (427, -45064), (428,
+    -140889), (429, 89135), (430, -63010), (431, 27040), (432, 97239),
+    (433, -136269), (434, 986296), (435, 986296), (436, -187823), (437,
+    558852), (438, 321859), (439, -121931), (440, -167886), (441,
+    241128), (442, 77441), (443, 986296), (444, 66503), (445, 22720),
+    (446, 96619), (447, 677), (448, 257217), (449, -75275), (450,
+    -18129), (451, 252694), (452, 986296), (453, 11554), (454, 986296),
+    (455, 73935), (456, -159662), (457, 108578), (458, 83429), (459,
+    194838), (460, -155801), (461, 986296), (462, -187823), (463,
+    38915), (464, -39556), (465, 77441), (466, 311841), (467, 119078),
+    (468, -180138), (469, 986296), (470, -259641), (471, -414597), (472,
+    403691), (473, -146802), (474, -14894), (475, -159494), (476,
+    -13714), (477, -77530), (478, -173874), (479, -243652), (480,
+    234880), (481, 212108), (482, -12232), (483, -56357), (484,
+    -173874), (485, -70293), (486, -12232), (487, -112316), (488,
+    -354877), (489, -52507), (490, -203288), (491, 191896), (492,
+    11189), (493, -146802), (494, 188438), (495, 121831), (496, 204022),
+    (497, -56357), (498, 180671), (499, 107746), (500, -194329), (501,
+    480), (502, 19453), (503, 52831), (504, 197839), (505, 986296),
+    (506, 201715), (507, 986296), (508, -79255), (509, 150729), (510,
+    -32728), (511, -77530),
+]
+
+_DSIR_GUMBEL: list[int] = [
+    -2031382, -1875795, -1794286, -1736724, -1691459, -1653785,
+    -1621301, -1592611, -1566824, -1543337, -1521720, -1501658,
+    -1482909, -1465286, -1448641, -1432852, -1417820, -1403464,
+    -1389714, -1376511, -1363805, -1351553, -1339715, -1328260,
+    -1317158, -1306383, -1295912, -1285724, -1275801, -1266125,
+    -1256682, -1247459, -1238441, -1229619, -1220981, -1212518,
+    -1204221, -1196081, -1188091, -1180245, -1172535, -1164955,
+    -1157500, -1150164, -1142943, -1135831, -1128824, -1121919,
+    -1115111, -1108397, -1101773, -1095237, -1088784, -1082412,
+    -1076118, -1069900, -1063756, -1057682, -1051676, -1045737,
+    -1039863, -1034051, -1028299, -1022606, -1016971, -1011391,
+    -1005864, -1000391, -994968, -989595, -984270, -978993, -973761,
+    -968574, -963431, -958330, -953271, -948252, -943273, -938332,
+    -933429, -928563, -923732, -918937, -914177, -909450, -904755,
+    -900093, -895463, -890863, -886294, -881754, -877243, -872761,
+    -868306, -863879, -859479, -855104, -850756, -846432, -842133,
+    -837859, -833608, -829381, -825177, -820995, -816836, -812698,
+    -808582, -804486, -800411, -796357, -792322, -788307, -784311,
+    -780334, -776376, -772436, -768514, -764610, -760723, -756853,
+    -753000, -749164, -745344, -741540, -737752, -733980, -730223,
+    -726481, -722754, -719041, -715344, -711660, -707990, -704334,
+    -700692, -697063, -693448, -689845, -686256, -682679, -679114,
+    -675562, -672022, -668494, -664977, -661473, -657979, -654498,
+    -651027, -647567, -644118, -640680, -637253, -633836, -630429,
+    -627032, -623646, -620269, -616902, -613545, -610197, -606859,
+    -603529, -600210, -596899, -593597, -590304, -587019, -583743,
+    -580476, -577217, -573966, -570724, -567489, -564263, -561044,
+    -557833, -554630, -551434, -548246, -545066, -541892, -538726,
+    -535567, -532415, -529270, -526132, -523001, -519876, -516758,
+    -513647, -510542, -507444, -504352, -501266, -498186, -495112,
+    -492045, -488983, -485928, -482878, -479834, -476795, -473763,
+    -470735, -467714, -464698, -461687, -458681, -455681, -452686,
+    -449696, -446711, -443731, -440756, -437786, -434821, -431860,
+    -428904, -425953, -423007, -420065, -417128, -414195, -411266,
+    -408342, -405422, -402507, -399595, -396688, -393785, -390886,
+    -387991, -385100, -382213, -379329, -376450, -373574, -370702,
+    -367834, -364970, -362109, -359251, -356397, -353547, -350700,
+    -347856, -345016, -342179, -339346, -336515, -333688, -330864,
+    -328044, -325226, -322411, -319599, -316791, -313985, -311182,
+    -308382, -305585, -302790, -299999, -297210, -294423, -291640,
+    -288859, -286081, -283305, -280531, -277761, -274992, -272226,
+    -269463, -266702, -263943, -261186, -258432, -255680, -252930,
+    -250182, -247437, -244693, -241952, -239213, -236476, -233740,
+    -231007, -228276, -225546, -222819, -220093, -217369, -214647,
+    -211927, -209208, -206492, -203776, -201063, -198351, -195641,
+    -192932, -190225, -187520, -184816, -182113, -179412, -176712,
+    -174014, -171317, -168622, -165928, -163235, -160543, -157853,
+    -155164, -152476, -149789, -147104, -144419, -141736, -139054,
+    -136373, -133693, -131014, -128336, -125659, -122983, -120308,
+    -117634, -114960, -112288, -109616, -106946, -104276, -101606,
+    -98938, -96270, -93603, -90937, -88272, -85607, -82942, -80279,
+    -77616, -74953, -72291, -69630, -66969, -64308, -61648, -58989,
+    -56330, -53671, -51013, -48355, -45697, -43040, -40383, -37727,
+    -35070, -32414, -29758, -27103, -24447, -21792, -19137, -16482,
+    -13827, -11172, -8517, -5863, -3208, -554, 2101, 4756, 7410, 10065,
+    12720, 15374, 18029, 20684, 23340, 25995, 28651, 31306, 33962,
+    36619, 39275, 41932, 44589, 47246, 49904, 52562, 55220, 57879,
+    60538, 63198, 65858, 68518, 71179, 73840, 76502, 79165, 81828,
+    84491, 87155, 89820, 92485, 95151, 97818, 100485, 103153, 105821,
+    108491, 111161, 113832, 116503, 119175, 121849, 124523, 127197,
+    129873, 132550, 135227, 137905, 140585, 143265, 145946, 148628,
+    151311, 153996, 156681, 159367, 162054, 164743, 167432, 170123,
+    172814, 175507, 178201, 180896, 183593, 186291, 188989, 191690,
+    194391, 197094, 199798, 202503, 205210, 207918, 210627, 213338,
+    216050, 218764, 221479, 224195, 226913, 229633, 232354, 235077,
+    237801, 240527, 243254, 245983, 248713, 251445, 254179, 256915,
+    259652, 262391, 265132, 267874, 270618, 273364, 276112, 278862,
+    281613, 284366, 287122, 289879, 292638, 295399, 298161, 300926,
+    303693, 306462, 309233, 312006, 314781, 317558, 320337, 323118,
+    325902, 328687, 331475, 334265, 337057, 339851, 342648, 345447,
+    348248, 351052, 353857, 356666, 359476, 362289, 365104, 367922,
+    370742, 373565, 376390, 379218, 382048, 384881, 387716, 390554,
+    393394, 396238, 399083, 401932, 404783, 407637, 410493, 413353,
+    416215, 419080, 421947, 424818, 427691, 430567, 433447, 436329,
+    439214, 442102, 444993, 447887, 450784, 453684, 456587, 459493,
+    462402, 465315, 468230, 471149, 474071, 476996, 479925, 482856,
+    485792, 488730, 491672, 494617, 497565, 500517, 503472, 506431,
+    509393, 512359, 515328, 518301, 521278, 524258, 527241, 530228,
+    533219, 536214, 539213, 542215, 545221, 548230, 551244, 554261,
+    557283, 560308, 563337, 566370, 569407, 572448, 575493, 578542,
+    581596, 584653, 587715, 590780, 593850, 596924, 600003, 603085,
+    606172, 609264, 612359, 615459, 618564, 621673, 624786, 627904,
+    631027, 634154, 637285, 640422, 643563, 646708, 649859, 653014,
+    656173, 659338, 662508, 665682, 668861, 672046, 675235, 678429,
+    681628, 684833, 688042, 691257, 694476, 697701, 700931, 704167,
+    707407, 710653, 713905, 717162, 720424, 723692, 726965, 730244,
+    733528, 736818, 740114, 743415, 746722, 750035, 753353, 756678,
+    760008, 763344, 766687, 770035, 773389, 776749, 780116, 783488,
+    786867, 790252, 793643, 797041, 800445, 803855, 807272, 810695,
+    814124, 817561, 821004, 824453, 827909, 831372, 834842, 838319,
+    841802, 845293, 848790, 852294, 855806, 859324, 862850, 866383,
+    869923, 873470, 877025, 880587, 884157, 887734, 891319, 894911,
+    898511, 902118, 905734, 909357, 912988, 916627, 920274, 923929,
+    927592, 931263, 934942, 938629, 942325, 946029, 949742, 953463,
+    957193, 960931, 964678, 968433, 972198, 975971, 979753, 983544,
+    987344, 991153, 994971, 998798, 1002635, 1006481, 1010337, 1014202,
+    1018076, 1021960, 1025854, 1029757, 1033671, 1037594, 1041527,
+    1045470, 1049424, 1053387, 1057361, 1061345, 1065340, 1069345,
+    1073360, 1077387, 1081424, 1085471, 1089530, 1093599, 1097680,
+    1101772, 1105875, 1109989, 1114115, 1118252, 1122400, 1126561,
+    1130733, 1134917, 1139112, 1143320, 1147540, 1151772, 1156016,
+    1160273, 1164542, 1168824, 1173118, 1177426, 1181746, 1186079,
+    1190425, 1194784, 1199157, 1203543, 1207942, 1212356, 1216782,
+    1221223, 1225678, 1230146, 1234629, 1239126, 1243638, 1248164,
+    1252705, 1257261, 1261831, 1266416, 1271017, 1275633, 1280264,
+    1284911, 1289574, 1294252, 1298946, 1303657, 1308383, 1313126,
+    1317886, 1322662, 1327454, 1332264, 1337091, 1341935, 1346797,
+    1351676, 1356573, 1361487, 1366420, 1371371, 1376340, 1381328,
+    1386334, 1391360, 1396404, 1401468, 1406551, 1411653, 1416776,
+    1421918, 1427081, 1432263, 1437467, 1442691, 1447936, 1453202,
+    1458489, 1463798, 1469129, 1474482, 1479856, 1485254, 1490674,
+    1496116, 1501582, 1507071, 1512584, 1518121, 1523681, 1529266,
+    1534875, 1540510, 1546169, 1551853, 1557563, 1563299, 1569062,
+    1574850, 1580665, 1586508, 1592377, 1598274, 1604199, 1610152,
+    1616134, 1622144, 1628184, 1634253, 1640351, 1646480, 1652640,
+    1658830, 1665051, 1671304, 1677589, 1683906, 1690256, 1696639,
+    1703055, 1709505, 1715990, 1722509, 1729063, 1735653, 1742278,
+    1748940, 1755639, 1762375, 1769150, 1775962, 1782813, 1789703,
+    1796634, 1803604, 1810615, 1817668, 1824762, 1831899, 1839080,
+    1846303, 1853571, 1860884, 1868242, 1875646, 1883097, 1890595,
+    1898142, 1905737, 1913381, 1921076, 1928822, 1936619, 1944468,
+    1952371, 1960327, 1968339, 1976406, 1984529, 1992710, 2000949,
+    2009247, 2017605, 2026024, 2034506, 2043050, 2051658, 2060331,
+    2069071, 2077877, 2086752, 2095697, 2104712, 2113799, 2122960,
+    2132194, 2141505, 2150893, 2160359, 2169905, 2179533, 2189244,
+    2199039, 2208920, 2218888, 2228947, 2239096, 2249338, 2259675,
+    2270108, 2280640, 2291273, 2302008, 2312847, 2323794, 2334850,
+    2346017, 2357299, 2368697, 2380213, 2391852, 2403614, 2415504,
+    2427524, 2439678, 2451967, 2464397, 2476969, 2489687, 2502556,
+    2515579, 2528759, 2542102, 2555610, 2569289, 2583142, 2597176,
+    2611394, 2625802, 2640405, 2655209, 2670219, 2685442, 2700885,
+    2716553, 2732453, 2748594, 2764982, 2781626, 2798533, 2815714,
+    2833176, 2850931, 2868987, 2887356, 2906050, 2925080, 2944459,
+    2964200, 2984318, 3004828, 3025745, 3047088, 3068873, 3091120,
+    3113850, 3137085, 3160848, 3185164, 3210061, 3235567, 3261713,
+    3288535, 3316067, 3344349, 3373425, 3403341, 3434149, 3465903,
+    3498664, 3532501, 3567488, 3603705, 3641246, 3680211, 3720715,
+    3762886, 3806868, 3852828, 3900953, 3951459, 4004599, 4060665,
+    4120000, 4183015, 4250201, 4322154, 4399608, 4483483, 4574948,
+    4675523, 4787241, 4912895, 5056487, 5224032, 5425193, 5676997,
+    6013959, 6525274, 7624375,
+]
+
+
+def _dsir_oracle() -> str:
+    from ..operators.selection import dsir_oracle_weight_sql, feature_sql
+
+    w = dsir_oracle_weight_sql(_DSIR_MODEL, _DSIR_BUCKETS)
+    glst = "[" + ", ".join(str(v) for v in _DSIR_GUMBEL) + "]"
+    stratum = (
+        "CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), "
+        f"1, 15)) AS BIGINT) % {_DSIR_STRATA}"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({feature_sql('text')}) AS INT) AS n_feats,
+             {w} AS w_micro
+      FROM documents WHERE text IS NOT NULL),
+    k AS (
+      SELECT doc_id, n_feats, w_micro,
+             w_micro + ({glst})[{stratum} + 1] AS key_micro
+      FROM s),
+    r AS (
+      SELECT doc_id, n_feats,
+             round(CAST(w_micro AS DOUBLE) / 1000000.0, 6) AS logw,
+             CAST(key_micro AS BIGINT) AS key_micro,
+             CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC)
+                  AS BIGINT) AS sel_rank
+      FROM k)
+    SELECT doc_id, n_feats, logw, key_micro, sel_rank
+    FROM r WHERE sel_rank <= {_DSIR_BUDGET}
+    """
+
+
+@register(
+    "dsir_selection",
+    oracle=_dsir_oracle(),
+    # new r10 registration — enters the r10 driver window first (see
+    # the rotation note in plans/registry.py; it displaces the
+    # nb_classifier_scores fill, its hashed-scoring sibling).
+    priority=80,
+    doc="DSIR importance resampling (operators/selection.py, r10; Xie "
+    "et al., NeurIPS 2023): the generative data-selection tier next "
+    "to the discriminative NB gate — hashed unigram+bigram models of "
+    "the TARGET distribution (pinned provenance: lang='en' @ sf0.001) "
+    "vs the RAW corpus, per-document log importance ratio as an "
+    "order-free integer micro-nat sum under the pinned dense "
+    "lambda-table literal, then a WITHOUT-replacement weighted sample "
+    "of a fixed budget via Gumbel-top-k — noise from a pinned "
+    "1024-stratum Gumbel quantile table indexed by md5(doc_id), so "
+    "both engines replay the sample bit-for-bit with zero runtime "
+    "libm/randomness.  Scoring is a zero-shuffle scan-fused "
+    "projection; the budget cut is the exact banded global rank "
+    "(constant group, per-task rows ~n/64) — no driver-side top-k, "
+    "no partition-less window, so the selection survives a "
+    "billion-row budget.",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_select
+
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"),
+        _DSIR_MODEL,
+        budget=_DSIR_BUDGET,
+        n_buckets=_DSIR_BUCKETS,
+        gumbel=_DSIR_GUMBEL,
+    )

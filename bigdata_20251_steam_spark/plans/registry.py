@@ -137,29 +137,38 @@ def oracle_map() -> dict[str, str]:
 #:   (multi-join), review_bomb (C3-C5 unbounded per-key agg),
 #:   streaming_stream_join (stream-stream join, the only one of its
 #:   shape), udtf_sentences (UDTF tier).  rollup_orders,
-#:   tfidf_top_terms and hash_split_assignments yielded their fill
-#:   slots to the r10 registrations dedup_graph_pagerank,
-#:   multimodal_audio_roundtrip and dedup_canonical_by_pagerank (new
-#:   registrations enter first) and slip to r11 (rollup with its CUBE
-#:   sibling coverage, cube_orders r9; tfidf with the lexical tier
-#:   coverage, bm25_scores r9+bench; hash_split with the split-family
-#:   coverage, leakage_safe_split r9+bench).
+#:   tfidf_top_terms, hash_split_assignments and nb_classifier_scores
+#:   yielded their fill slots to the r10 registrations
+#:   dedup_graph_pagerank, multimodal_audio_roundtrip,
+#:   dedup_canonical_by_pagerank and dsir_selection (new registrations
+#:   enter first) and slip to r11 (rollup with its CUBE sibling
+#:   coverage, cube_orders r9; tfidf with the lexical tier coverage,
+#:   bm25_scores r9+bench; hash_split with the split-family coverage,
+#:   leakage_safe_split r9+bench; nb_classifier with the
+#:   hashed-scoring sibling dsir_selection in-window r10 + its own
+#:   bench headliner row).
 #:
-#: 6 + 34 + 10 = 50.  Slipping to r11 at two-to-three rounds stale
+#: 7 + 33 + 10 = 50 (multimodal_features is both r7-stale and a
+#: changed-code re-prove — ONE slot at 24, which the earlier
+#: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
+#: promoted as the 50th fill, see the dict note).  Slipping to r11 at
+#: two-to-three rounds stale
 #: (MUST enter r11): the rest of the r8-green cohort —
 #: blocklist_filter, bpe_packed_sequences, cross_split_contamination,
 #: daily_user_rank, dataset_card, dedup_components, doc_chunks,
 #: embed_topk_lsh, gopher_quality_filter, hll_user_rollup,
 #: incremental_dedup_status, minhash_dedup_resolve, multimodal_frames,
-#: nb_threshold_sweep, recent_windows, repetition_metrics,
+#: recent_windows, repetition_metrics,
 #: segment_dedup, semantic_dedup_resolve, semi_join_orders,
 #: sentiment_summary, source_capped_sample, streaming_asof_enrich,
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
-#: temperature_mix_report, value_percentiles — 28 names + any r10
-#: changed-code re-proves + new r10 registrations; that is under 50,
-#: so r11 fills the remainder with the then-two-round-stale r9-green
-#: cohort by the no-in-window-sibling rule.
+#: temperature_mix_report, value_percentiles — 27 names (plus the
+#: four yielded fills below; nb_threshold_sweep left this list for
+#: the promoted 50th fill slot) + any r10 changed-code re-proves +
+#: new r10 registrations; that is under 50, so r11 fills the
+#: remainder with the then-two-round-stale r9-green cohort by the
+#: no-in-window-sibling rule.
 _R10_ROTATION: dict[str, int] = {
     # r10 changed-code re-proves
     "multimodal_features": 24,
@@ -169,6 +178,7 @@ _R10_ROTATION: dict[str, int] = {
     "dedup_graph_pagerank": 24,
     "multimodal_audio_roundtrip": 24,
     "dedup_canonical_by_pagerank": 24,
+    "dsir_selection": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -207,7 +217,6 @@ _R10_ROTATION: dict[str, int] = {
     # two-round-stale fills (no in-window sibling)
     "asof_join_nearest": 27,
     "event_share": 27,
-    "nb_classifier_scores": 27,
     "pii_redaction": 27,
     "player_windows": 27,
     "q1_pricing_summary": 27,
@@ -215,6 +224,14 @@ _R10_ROTATION: dict[str, int] = {
     "review_bomb": 27,
     "streaming_stream_join": 27,
     "udtf_sentences": 27,
+    # 50th fill (r10 session audit): the itemized window held 49 —
+    # multimodal_features is BOTH r7-stale and a changed-code re-prove
+    # (one slot at 24, not two), which the original 6+34+10 arithmetic
+    # double-counted, leaving slot 50 to whatever priority-80 query
+    # registered first.  Promote nb_threshold_sweep (r8-green, on the
+    # slipping list) by the no-in-window-sibling rule: its classifier-
+    # family sibling nb_classifier_scores yielded its slot this round.
+    "nb_threshold_sweep": 27,
 }
 
 
@@ -223,10 +240,10 @@ _R10_ROTATION: dict[str, int] = {
 #: invariant above:
 #:
 #: - the rest of the r8-green cohort (last driver row r8, listed in
-#:   the _R10_ROTATION comment as "slipping to r11", PLUS
-#:   rollup_orders which yielded its r10 fill slot) — THREE rounds
-#:   stale by r11, ALL forced in (31 names, incl. the yielded fills
-#:   rollup_orders, tfidf_top_terms, hash_split_assignments);
+#:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
+#:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
+#:   forced in (32 names, incl. the yielded fills rollup_orders,
+#:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

@@ -90,6 +90,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "frames fold their condition and degrade to nested loops over "
         "broadcast sides of <= n_bands+1 rows"
     ),
+    ("dsir_selection", "BroadcastNestedLoopJoin"): (
+        "banded_percent_rank with a CONSTANT group (the "
+        "user_value_quartiles shape): 1-row edges / bands-bounded "
+        "offsets broadcast frames, condition folded"
+    ),
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")

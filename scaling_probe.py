@@ -98,6 +98,9 @@ PROBES = [
     "dedup_graph_pagerank",
     # round-10: pairs -> closure + PR -> per-cluster argmax composite
     "dedup_canonical_by_pagerank",
+    # round-10: zero-shuffle hashed-feature weighting + banded-rank
+    # budget cut (the Gumbel-top-k resample)
+    "dsir_selection",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -157,6 +160,7 @@ PROBE_TABLES = {
     "kmeans_clusters": {"embeddings"},
     "dedup_graph_pagerank": {"documents"},
     "dedup_canonical_by_pagerank": {"documents"},
+    "dsir_selection": {"documents"},
     "user_value_quartiles": {"events"},
 }
 

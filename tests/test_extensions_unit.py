@@ -2746,3 +2746,138 @@ def test_pagerank_iter0_and_validation(spark):
         pagerank(verts, pairs, iters=-1)
     with _pytest.raises(ValueError):
         pagerank(verts, pairs, damping_pct=101)
+
+
+def test_dsir_model_provenance(spark):
+    """The pinned _DSIR_MODEL / _DSIR_GUMBEL artifacts re-derive
+    bit-for-bit from their documented provenance (sf0.001 documents,
+    target = lang == 'en', 512 buckets, alpha 0.5; 1024 Gumbel strata)
+    — the BPE-merges artifact discipline."""
+    from bigdata_20251_steam_spark.operators.selection import (
+        gumbel_micro_table,
+        train_dsir_model,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_GUMBEL,
+        _DSIR_MODEL,
+        _DSIR_STRATA,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = train_dsir_model(
+        docs, target=(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    assert got == _DSIR_MODEL
+    assert gumbel_micro_table(_DSIR_STRATA) == _DSIR_GUMBEL
+
+
+def test_dsir_hand_fixture(spark):
+    """Training, weighting and Gumbel-top-k selection against an
+    independent pure-Python reference on a tiny corpus, including
+    bucket collisions (n_buckets=8 forces them), the nested
+    target-within-raw count semantics, NULL text exclusion, and the
+    budget cut under (key DESC, doc_id ASC)."""
+    import hashlib
+    import math as _m
+    import re as _re
+
+    from bigdata_20251_steam_spark.operators.selection import (
+        dsir_importance_weights,
+        dsir_select,
+        gumbel_micro_table,
+        train_dsir_model,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the lazy dog sleeps here", "en"),
+        (3, "le renard brun rapide saute", "fr"),
+        (4, "el perro perezoso duerme", "es"),
+        (5, "the dog and the fox", "en"),
+        (6, None, "en"),
+        (7, "12345 !!!", "fr"),  # featureless after [a-z]+ extraction
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B, alpha, strata = 8, 0.5, 16
+
+    def feats(text):
+        ws = _re.findall(r"[a-z]+", text.lower())
+        return ws + [a + "_" + b for a, b in zip(ws, ws[1:])]
+
+    def bucket(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+    tc, rc = {}, {}
+    for _, text, lang in rows:
+        if text is None:
+            continue
+        for w in feats(text):
+            b = bucket(w, B)
+            rc[b] = rc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    tt, rt = sum(tc.values()), sum(rc.values())
+    exp_model = [
+        (
+            b,
+            round(
+                (
+                    _m.log((tc.get(b, 0) + alpha) / (tt + alpha * B))
+                    - _m.log((rc.get(b, 0) + alpha) / (rt + alpha * B))
+                )
+                * 1_000_000
+            ),
+        )
+        for b in range(B)
+    ]
+    model = train_dsir_model(docs, target=(F.col("lang") == "en"), n_buckets=B)
+    assert model == exp_model
+    # collisions actually exercised: more distinct features than buckets
+    assert sum(1 for _, v in rc.items()) <= B < sum(
+        len(set(feats(t))) for _, t, _ in rows if t
+    )
+
+    lam = dict(model)
+    exp_w = {
+        did: sum(lam[bucket(x, B)] for x in feats(text))
+        for did, text, _ in rows
+        if text is not None
+    }
+    got_w = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_importance_weights(docs, model, n_buckets=B).collect()
+    }
+    assert set(got_w) == set(exp_w)  # NULL text excluded, featureless kept
+    for did, text, _ in rows:
+        if text is None:
+            continue
+        assert got_w[did] == (
+            len(feats(text)),
+            round(exp_w[did] / 1_000_000, 6),
+        )
+    assert got_w[7] == (0, 0.0)
+
+    gum = gumbel_micro_table(strata)
+    assert gum == sorted(gum)  # inverse CDF is monotone
+    exp_key = {
+        did: exp_w[did] + gum[bucket(f"dsir:{did}", strata)]
+        for did in exp_w
+    }
+    order = sorted(exp_key, key=lambda d: (-exp_key[d], d))
+    sel = dsir_select(
+        docs, model, budget=3, n_buckets=B, gumbel=gum, n_bands=4
+    ).collect()
+    got_order = {r["sel_rank"]: (r["doc_id"], r["key_micro"]) for r in sel}
+    assert len(sel) == 3
+    assert got_order == {
+        i + 1: (d, exp_key[d]) for i, d in enumerate(order[:3])
+    }
+    # budget >= corpus returns every scored row, ranks still exact
+    all_sel = dsir_select(
+        docs, model, budget=100, n_buckets=B, gumbel=gum, n_bands=4
+    ).collect()
+    assert sorted(r["doc_id"] for r in all_sel) == sorted(exp_w)
+    assert {r["sel_rank"]: r["doc_id"] for r in all_sel} == {
+        i + 1: d for i, d in enumerate(order)
+    }

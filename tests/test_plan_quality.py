@@ -632,3 +632,56 @@ def test_pagerank_lineage_cut_and_natural_shuffles(spark):
     assert "REPARTITION" not in step_plan, step_plan
     assert "CartesianProduct" not in step_plan, step_plan
     assert "BroadcastNestedLoopJoin" not in step_plan, step_plan
+
+
+def test_dsir_weight_scoring_shuffle_free(spark):
+    """dsir importance weighting (r10): the pinned lambda table rides
+    as a map literal, so the weighting pass must be a single-scan,
+    zero-exchange narrow projection — the NB-scoring / BM25 contract."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _DSIR_BUCKETS,
+        _DSIR_MODEL,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    df = dsir_importance_weights(
+        load_table(spark, SF_SMOKE, "documents"), _DSIR_MODEL, _DSIR_BUCKETS
+    )
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"DSIR weighting pass shuffles:\n{plan}"
+
+
+def test_dsir_selection_banded_not_global(spark):
+    """dsir_selection (r10): the budget cut must go through the banded
+    global rank — every window partitioned by the band (no
+    partition-less corpus-wide sort task), no cartesian/nested-loop,
+    and the three-scan banded_percent_rank contract (edges / band
+    counts / rank) over the narrow score projection."""
+    import re
+
+    df = QUERIES["dsir_selection"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the constant-group banded rank folds its literal join keys, so
+    # the edges/offsets joins degrade to nested loops over broadcast
+    # sides of <= n_bands+1 rows (the user_value_quartiles shape,
+    # whitelisted with that reason in plan_audit.py) — bounded count,
+    # never against the corpus side
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
+    for line in plan.splitlines():
+        if re.search(r"\bWindow \[", line):
+            assert "_band" in line, (
+                f"partition-less window in the selection cut:\n{line}\n{plan}"
+            )
+    # edges aggregate + the banded frame re-inlined in the band-count
+    # and ranking passes = 4 scans of the narrow (doc_id, text)
+    # projection — the documented banded_percent_rank multi-scan
+    # contract over a persist-free bare-scan lineage (scan-bound; the
+    # audit's lineage-re-expansion bound is 8)
+    assert len(re.findall(r"FileScan parquet", plan)) <= 4, plan
