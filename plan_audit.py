@@ -90,6 +90,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "frames fold their condition and degrade to nested loops over "
         "broadcast sides of <= n_bands+1 rows"
     ),
+    ("pq_search_rerank", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 10-row quantized query frame onto the ADC "
+        "scan (vec_id <> query_id non-equi — the embed_topk shape); "
+        "the re-rank joins are equi and broadcast-bounded"
+    ),
     ("dsir_selection", "BroadcastNestedLoopJoin"): (
         "banded_percent_rank with a CONSTANT group (the "
         "user_value_quartiles shape): 1-row edges / bands-bounded "

@@ -101,6 +101,8 @@ PROBES = [
     # round-10: zero-shuffle hashed-feature weighting + banded-rank
     # budget cut (the Gumbel-top-k resample)
     "dsir_selection",
+    # round-10: code-scan ADC + broadcast-bounded exact re-rank
+    "pq_search_rerank",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -161,6 +163,7 @@ PROBE_TABLES = {
     "dedup_graph_pagerank": {"documents"},
     "dedup_canonical_by_pagerank": {"documents"},
     "dsir_selection": {"documents"},
+    "pq_search_rerank": {"embeddings"},
     "user_value_quartiles": {"events"},
 }
 

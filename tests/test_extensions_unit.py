@@ -2881,3 +2881,157 @@ def test_dsir_hand_fixture(spark):
     assert {r["sel_rank"]: r["doc_id"] for r in all_sel} == {
         i + 1: d for i, d in enumerate(order)
     }
+
+
+def test_pq_codebooks_provenance(spark):
+    """The pinned _PQ_CODEBOOKS artifact re-derives bit-for-bit from
+    its documented provenance (sf0.001 embeddings, m=8, k_sub=16,
+    iters=2, scale=1000) — the BPE-merges artifact discipline."""
+    from bigdata_20251_steam_spark.operators.similarity import pq_train
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _PQ_CODEBOOKS,
+        _PQ_KSUB,
+        _PQ_M,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = pq_train(emb, m=_PQ_M, k_sub=_PQ_KSUB, iters=2, scale=1000)
+    assert got == _PQ_CODEBOOKS
+
+
+def test_pq_hand_fixture(spark):
+    """Train, encode and ADC against an independent pure-Python Lloyd
+    on a tiny 4-dim corpus (m=2, k_sub=2): seeding, integer argmin
+    with ties to the lowest code, floor(sum/count) updates, the
+    emptied-code keep rule, and decode-distance."""
+    import math as _m
+
+    from bigdata_20251_steam_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.001, 0.001, 10.0, 10.0]),
+        (2, [5.0, 5.0, -10.0, -10.0]),
+        (3, [5.002, 5.0, -10.0, -10.0]),
+        (4, [0.0, 0.001, 10.001, 10.0]),
+    ]
+    docs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    M, K, IT, SC = 2, 2, 2, 1000
+    grid = {i: [round(x * SC) for x in v] for i, v in vecs}
+    sub = 2
+    books = [[grid[i][s * sub:(s + 1) * sub] for i in (0, 1)] for s in range(M)]
+    for _ in range(IT):
+        sums = [[[0] * sub for _ in range(K)] for _ in range(M)]
+        cnts = [[0] * K for _ in range(M)]
+        for i in grid:
+            for s in range(M):
+                v = grid[i][s * sub:(s + 1) * sub]
+                best = min(
+                    range(K),
+                    key=lambda c: (
+                        sum((a - b) ** 2 for a, b in zip(v, books[s][c])), c
+                    ),
+                )
+                cnts[s][best] += 1
+                for j in range(sub):
+                    sums[s][best][j] += v[j]
+        nb = [[list(c) for c in bk] for bk in books]
+        for s in range(M):
+            for c in range(K):
+                if cnts[s][c]:
+                    for j in range(sub):
+                        nb[s][c][j] = _m.floor(sums[s][c][j] / cnts[s][c])
+        books = nb
+    got_books = pq_train(docs, m=M, k_sub=K, iters=IT, scale=SC)
+    assert got_books == books
+
+    exp_codes = {
+        i: [
+            min(
+                range(K),
+                key=lambda c: (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(
+                            grid[i][s * sub:(s + 1) * sub], books[s][c]
+                        )
+                    ),
+                    c,
+                ),
+            )
+            for s in range(M)
+        ]
+        for i in grid
+    }
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(docs, books, scale=SC).collect()
+    }
+    assert got_codes == exp_codes
+
+    dec = {
+        i: [x for s in range(M) for x in books[s][exp_codes[i][s]]]
+        for i in grid
+    }
+    exp = {}
+    for qid in (0, 2):
+        scored = sorted(
+            (sum((a - b) ** 2 for a, b in zip(grid[qid], dec[i])), i)
+            for i in grid
+            if i != qid
+        )
+        exp[qid] = [(i, d) for d, i in scored[:3]]
+    got = pq_topk(docs, books, query_ids=[0, 2], k=3, scale=SC).collect()
+    for qid in (0, 2):
+        rows = sorted(
+            ((r["rank"], r["vec_id"], r["adc_sqdist"]) for r in got
+             if r["query_id"] == qid)
+        )
+        assert [(v, d) for _, v, d in rows] == exp[qid]
+
+
+def test_pq_rerank_recall_floor(spark):
+    """The registered search shape's quality claim: shortlist-50 exact
+    re-rank recovers >= 0.8 of the exact integer-grid top-5 overall
+    (>= 3/5 per query) at sf0.001 under the pinned codebooks — pure
+    ADC plateaus ~0.35 on these unclusterable embeddings, which is
+    exactly why the re-rank stage exists."""
+    from bigdata_20251_steam_spark.operators.similarity import (
+        _pq_quantized,
+        pq_search,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _PQ_CODEBOOKS,
+        _PQ_SHORTLIST,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    grid = {
+        r["vec_id"]: list(r["q"])
+        for r in _pq_quantized(emb, 1000, "vec_id", "embedding").collect()
+    }
+    got = pq_search(
+        emb, _PQ_CODEBOOKS, query_ids=list(range(10)), k=5,
+        shortlist=_PQ_SHORTLIST,
+    ).collect()
+    hits, worst = 0, 5
+    for qid in range(10):
+        exact = {
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(grid[qid], grid[i])), i)
+                for i in grid
+                if i != qid
+            )[:5]
+        }
+        sel = {r["vec_id"] for r in got if r["query_id"] == qid}
+        assert len(sel) == 5
+        h = len(sel & exact)
+        hits += h
+        worst = min(worst, h)
+    assert hits / 50 >= 0.8, hits
+    assert worst >= 3, worst

@@ -685,3 +685,50 @@ def test_dsir_selection_banded_not_global(spark):
     # contract over a persist-free bare-scan lineage (scan-bound; the
     # audit's lineage-re-expansion bound is 8)
     assert len(re.findall(r"FileScan parquet", plan)) <= 4, plan
+
+
+def test_pq_encode_shuffle_free(spark):
+    """pq_encode (r10): the codebooks ride as literals, so encoding is
+    a single-scan, zero-exchange narrow projection — the NB/BM25/DSIR
+    scoring contract (this is the pass that runs over the whole 100 TB
+    corpus at write time)."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.similarity import pq_encode
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _PQ_CODEBOOKS,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    df = pq_encode(load_table(spark, SF_SMOKE, "embeddings"), _PQ_CODEBOOKS)
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"PQ encode shuffles:\n{plan}"
+
+
+def test_pq_search_corpus_never_shuffles(spark):
+    """pq_search_rerank (r10): in both stages the corpus side must
+    stay broadcast-joined (queries onto the ADC scan; shortlist +
+    queries onto the re-rank scan) — every Exchange in the plan is a
+    window/rank exchange over already-pruned rows, never a
+    hashpartitioning of the corpus relation itself, and all joins
+    build on the broadcast (bounded) side."""
+    import re
+
+    df = QUERIES["pq_search_rerank"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the non-equi query broadcast (vec_id <> query_id) is the
+    # embed_topk BNLJ shape, whitelisted in plan_audit.py
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(
+                f"corpus-side shuffle join in PQ search:\n{line}\n{plan}"
+            )
+    # every hash exchange must be a rank-stage exchange (query_id /
+    # salt keys), never the corpus relation's own columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "query_id" in line, (
+                f"non-rank corpus exchange in PQ search:\n{line}\n{plan}"
+            )
