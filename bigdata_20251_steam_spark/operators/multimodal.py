@@ -673,6 +673,119 @@ def _make_wav_decoder():
 decode_wav = _make_wav_decoder()
 
 
+def _make_mp4_parser():
+    """Factory for the pure-stdlib ISO BMFF (MP4/MOV) container parser
+    (REAL video-tier evidence, the same narrowing move as the WAV
+    decoder: video goes from fully-faked to container-metadata-real,
+    with only FRAME decode left env-gated behind heavyweight codecs).
+
+    Walks the box tree directly (``struct`` only): top-level to
+    ``moov``; ``mvhd`` (version 0/1) for timescale + duration; each
+    ``trak``'s ``tkhd`` (version 0/1, 16.16 fixed-point dimensions)
+    and ``mdia``/``hdlr`` handler type for the video/audio track
+    split.  64-bit ``largesize`` and size-0 (to-EOF) boxes are
+    handled; malformed sizes, a missing ``moov``/``mvhd`` or a zero
+    timescale raise ``ValueError`` so the feature router falls back to
+    the deterministic fake — the progressive-JPEG / non-PCM-WAV
+    contract.  This is exactly the metadata a training pipeline
+    filters on BEFORE paying for a codec (duration, track mix,
+    resolution); fourcc-level codec identification and frame decode
+    stay at the heavyweight integration point.
+
+    Feature layout (FEATURE_DIM=8):
+    [duration_sec, timescale, duration_units, n_tracks,
+     n_video_tracks, n_audio_tracks, max_video_width, max_video_height]
+    """
+
+    def parse_mp4(payload: bytes) -> list[float]:
+        import struct
+
+        b = bytes(payload)
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            raise ValueError("not an ISO BMFF (ftyp-first) payload")
+
+        def boxes(pos: int, end: int):
+            while pos + 8 <= end:
+                (size,) = struct.unpack_from(">I", b, pos)
+                hdr = 8
+                if size == 1:
+                    if pos + 16 > end:
+                        raise ValueError("truncated largesize box")
+                    (size,) = struct.unpack_from(">Q", b, pos + 8)
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr or pos + size > end:
+                    raise ValueError("malformed box size")
+                yield b[pos + 4 : pos + 8], pos + hdr, pos + size
+                pos += size
+
+        moov = None
+        for typ, s, e in boxes(0, len(b)):
+            if typ == b"moov":
+                moov = (s, e)
+                break
+        if moov is None:
+            raise ValueError("no moov box")
+        timescale = duration = None
+        n_tracks = n_video = n_audio = 0
+        max_w = max_h = 0
+        for typ, s, e in boxes(*moov):
+            if typ == b"mvhd":
+                if s + 4 > e:
+                    raise ValueError("truncated mvhd")
+                if b[s] == 1:  # version 1: 64-bit times
+                    if s + 32 > e:
+                        raise ValueError("truncated mvhd v1")
+                    (timescale,) = struct.unpack_from(">I", b, s + 20)
+                    (duration,) = struct.unpack_from(">Q", b, s + 24)
+                else:
+                    if s + 20 > e:
+                        raise ValueError("truncated mvhd v0")
+                    timescale, duration = struct.unpack_from(
+                        ">II", b, s + 12
+                    )
+            elif typ == b"trak":
+                n_tracks += 1
+                handler = None
+                w = h = 0
+                for t2, s2, e2 in boxes(s, e):
+                    if t2 == b"tkhd" and s2 < e2:
+                        off = s2 + (88 if b[s2] == 1 else 76)
+                        if off + 8 <= e2:
+                            wf, hf = struct.unpack_from(">II", b, off)
+                            w, h = wf >> 16, hf >> 16
+                    elif t2 == b"mdia":
+                        for t3, s3, e3 in boxes(s2, e2):
+                            if t3 == b"hdlr" and s3 + 12 <= e3:
+                                handler = b[s3 + 8 : s3 + 12]
+                if handler == b"vide":
+                    n_video += 1
+                    max_w = max(max_w, w)
+                    max_h = max(max_h, h)
+                elif handler == b"soun":
+                    n_audio += 1
+        if not timescale:
+            raise ValueError("missing mvhd / zero timescale")
+        return [
+            float(duration) / float(timescale),
+            float(timescale),
+            float(duration),
+            float(n_tracks),
+            float(n_video),
+            float(n_audio),
+            float(max_w),
+            float(max_h),
+        ]
+
+    return parse_mp4
+
+
+#: Pure-stdlib MP4/MOV container-metadata parser — REAL video-tier
+#: evidence (frame decode stays env-gated).
+parse_mp4 = _make_mp4_parser()
+
+
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Real decode: bytes -> FEATURE_DIM pixel-statistics feature vector.
 
@@ -718,10 +831,18 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
                 f"WAV payload not natively decodable ({ex}); wire "
                 "ffmpeg/torchaudio here for compressed audio"
             ) from ex
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        try:
+            return parse_mp4(payload)
+        except ValueError as ex:
+            raise NotImplementedError(
+                f"ISO BMFF payload not natively parsable ({ex}); frame "
+                "decode additionally needs ffmpeg wired here"
+            ) from ex
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; PPM/BMP/PNG/"
-        "baseline-JPEG and WAV/PCM decode natively, other formats need "
-        "PIL/ffmpeg wired here"
+        "baseline-JPEG, WAV/PCM and MP4 container metadata decode "
+        "natively, other formats need PIL/ffmpeg wired here"
     )
 
 
@@ -855,6 +976,7 @@ def decode_features(
     dim = FEATURE_DIM
     pixel_decode = decode_image  # factory-made => cloudpickled by VALUE
     wav_decode = decode_wav  # likewise by value
+    mp4_parse = parse_mp4  # likewise by value
 
     # The closure must be SELF-CONTAINED: cloudpickle serializes nested
     # functions by value but module-level functions by *reference*, so a
@@ -936,6 +1058,26 @@ def decode_features(
                                 "non-PCM WAV needs a heavyweight codec "
                                 "wired at the decode_real integration "
                                 "point"
+                            ) from None
+                        feats.append(fake_decode(raw))
+                        names.append("fake-moments")
+                elif (
+                    route_magic
+                    and len(raw) >= 12
+                    and raw[4:8] == b"ftyp"
+                ):
+                    try:
+                        feats.append(mp4_parse(raw))
+                        names.append("mp4-meta")
+                    except ValueError:
+                        # malformed/truncated container: same contract
+                        # as a progressive JPEG — fall to the fake
+                        if not fake:
+                            raise NotImplementedError(
+                                "undecodable ISO BMFF container; frame "
+                                "decode additionally needs a heavyweight "
+                                "codec wired at the decode_real "
+                                "integration point"
                             ) from None
                         feats.append(fake_decode(raw))
                         names.append("fake-moments")

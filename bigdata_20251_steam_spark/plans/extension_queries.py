@@ -4991,3 +4991,135 @@ def q_pq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=_PQ_SHORTLIST,
     )
+
+
+@register(
+    "multimodal_video_meta_roundtrip",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(((CAST(FLOOR(value * 1000) AS BIGINT) % 600 + 600)
+                       % 600)) AS BIGINT) AS ssum
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT user_id, n, ssum,
+             600 * n + ssum                        AS dur,
+             16 * (1 + (n % 64))                   AS w,
+             16 * (1 + (ssum % 48))                AS h,
+             ((user_id % 2) + 2) % 2               AS has_audio
+      FROM a)
+    SELECT user_id AS doc_id,
+           'mp4-meta' AS decoder,
+           -- features surface through a FLOAT32 Arrow array; replay the
+           -- double->float32 rounding so the match stays BIT-exact
+           CAST(CAST(CAST(dur AS DOUBLE) / CAST(600 AS DOUBLE) AS REAL)
+                AS DOUBLE)                         AS f0,
+           CAST(CAST(600 AS REAL) AS DOUBLE)       AS f1,
+           CAST(CAST(dur AS REAL) AS DOUBLE)       AS f2,
+           CAST(CAST(1 + has_audio AS REAL) AS DOUBLE) AS f3,
+           CAST(CAST(1 AS REAL) AS DOUBLE)         AS f4,
+           CAST(CAST(has_audio AS REAL) AS DOUBLE) AS f5,
+           CAST(CAST(w AS REAL) AS DOUBLE)         AS f6,
+           CAST(CAST(h AS REAL) AS DOUBLE)         AS f7
+    FROM p
+    """,
+    doc="Driver-tier roundtrip proof for the stdlib ISO BMFF (MP4) "
+    "container parser (r10, the video sibling of "
+    "multimodal_audio_roundtrip): per user, derive deterministic "
+    "container parameters from the events table (duration units, "
+    "16.16 track dimensions, a parity-keyed audio track), ENCODE a "
+    "minimal ftyp+moov box tree in an executor (Arrow-batched "
+    "mapInPandas), route it through decode_features' magic-byte "
+    "dispatch, and emit the mp4-meta features.  The oracle recomputes "
+    "every feature DIRECTLY from the parameter derivation — never "
+    "touching a box — so a hash match proves the encoder+parser pair "
+    "is field-exact (timescale, 64-bit-safe duration, fixed-point "
+    "dimensions, handler-type track split) and fake=False pins the "
+    "routing.  Scale shape: one bounded per-user aggregate, then two "
+    "narrow Arrow passes; no collect.",
+)
+def q_multimodal_video_meta_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod(F.floor(F.col("value") * 1000).cast("long"), F.lit(600)).alias(
+            "m"
+        ),
+    )
+    params = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("ssum")
+    ).select(
+        "user_id",
+        (F.lit(600) * F.col("n") + F.col("ssum")).alias("dur"),
+        (F.lit(16) * (F.lit(1) + F.pmod(F.col("n"), F.lit(64)))).alias("w"),
+        (F.lit(16) * (F.lit(1) + F.pmod(F.col("ssum"), F.lit(48)))).alias(
+            "h"
+        ),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("has_audio"),
+    )
+
+    def encode(batches):
+        # self-contained (cloudpickle by value): minimal ftyp+moov tree
+        import struct as _s
+
+        def _box(t, body):
+            return _s.pack(">I", 8 + len(body)) + t + body
+
+        def _full(t, body):
+            return _box(t, b"\0\0\0\0" + body)
+
+        def _trak(handler, w, h):
+            tkhd = _full(
+                b"tkhd",
+                _s.pack(">IIIII", 0, 0, 1, 0, 0)
+                + b"\0" * 16
+                + b"\0" * 36
+                + _s.pack(">II", w << 16, h << 16),
+            )
+            hdlr = _full(
+                b"hdlr", _s.pack(">I", 0) + handler + b"\0" * 12 + b"\0"
+            )
+            return _box(b"trak", tkhd + _box(b"mdia", hdlr))
+
+        def mp4(dur, w, h, has_audio):
+            ftyp = _box(
+                b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomiso2mp41"
+            )
+            mvhd = _full(
+                b"mvhd", _s.pack(">IIII", 0, 0, 600, dur) + b"\0" * 80
+            )
+            tracks = _trak(b"vide", w, h)
+            if has_audio:
+                tracks += _trak(b"soun", 0, 0)
+            return ftyp + _box(b"moov", mvhd + tracks)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["user_id"],
+                    "payload": [
+                        mp4(int(d), int(w), int(h), int(a))
+                        for d, w, h, a in zip(
+                            pdf["dur"], pdf["w"], pdf["h"], pdf["has_audio"]
+                        )
+                    ],
+                    "media_type": "video/mp4",
+                }
+            )
+
+    media = params.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+    feats = mm.decode_features(media, fake=False, route_magic=True)
+    return feats.select(
+        "doc_id",
+        "decoder",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )

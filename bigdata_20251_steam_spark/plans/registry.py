@@ -150,9 +150,12 @@ def oracle_map() -> dict[str, str]:
 #:   to the fifth r10 registration pq_search_rerank (scan-agg family
 #:   keeps in-window siblings genre_distribution /
 #:   histogram_event_values / cms_word_frequencies at 25, plus its
-#:   own bench-headliner row) and slips to r11.
+#:   own bench-headliner row) and slips to r11; player_windows yielded
+#:   to the sixth, multimodal_video_meta_roundtrip (windowed-agg
+#:   family keeps session_windows / sliding_windows at 25) and slips
+#:   to r11.
 #:
-#: 8 + 33 + 9 = 50 (multimodal_features is both r7-stale and a
+#: 9 + 33 + 8 = 50 (multimodal_features is both r7-stale and a
 #: changed-code re-prove — ONE slot at 24, which the earlier
 #: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
 #: promoted as the 50th fill, see the dict note).  Slipping to r11 at
@@ -168,7 +171,7 @@ def oracle_map() -> dict[str, str]:
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
 #: temperature_mix_report, value_percentiles — 27 names (plus the
-#: five yielded fills below; nb_threshold_sweep left this list for
+#: six yielded fills below; nb_threshold_sweep left this list for
 #: the promoted 50th fill slot) + any r10 changed-code re-proves +
 #: new r10 registrations; that is under 50, so r11 fills the
 #: remainder with the then-two-round-stale r9-green cohort by the
@@ -184,6 +187,7 @@ _R10_ROTATION: dict[str, int] = {
     "dedup_canonical_by_pagerank": 24,
     "dsir_selection": 24,
     "pq_search_rerank": 24,
+    "multimodal_video_meta_roundtrip": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -223,7 +227,6 @@ _R10_ROTATION: dict[str, int] = {
     "asof_join_nearest": 27,
     "event_share": 27,
     "pii_redaction": 27,
-    "player_windows": 27,
     "q5_region_revenue": 27,
     "review_bomb": 27,
     "streaming_stream_join": 27,
@@ -246,9 +249,9 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
 #:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (33 names, incl. the yielded fills rollup_orders,
+#:   forced in (34 names, incl. the yielded fills rollup_orders,
 #:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
-#:   q1_pricing_summary);
+#:   q1_pricing_summary, player_windows);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

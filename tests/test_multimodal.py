@@ -587,3 +587,89 @@ def test_decode_features_routes_wav_and_contract(spark):
             spark.createDataFrame(rows[1:2], "doc_id long, payload binary, media_type string"),
             fake=False,
         ).collect()
+
+
+def _mp4_fixture(ts=600, dur=3000, mvhd_ver=0, tkhd_ver=0, tracks=(("vide", 640, 360), ("soun", 0, 0)), large_moov=False, size0_moov=False):
+    import struct as _s
+
+    def box(t, body):
+        return _s.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, ver, body):
+        return box(t, bytes([ver, 0, 0, 0]) + body)
+
+    if mvhd_ver == 1:
+        mvhd = full(b"mvhd", 1, _s.pack(">QQIQ", 0, 0, ts, dur) + b"\0" * 80)
+    else:
+        mvhd = full(b"mvhd", 0, _s.pack(">IIII", 0, 0, ts, dur) + b"\0" * 80)
+    body = mvhd
+    for handler, w, h in tracks:
+        if tkhd_ver == 1:
+            pre = _s.pack(">QQII", 0, 0, 1, 0) + _s.pack(">Q", 0)
+        else:
+            pre = _s.pack(">IIIII", 0, 0, 1, 0, 0)
+        tkhd = full(
+            b"tkhd", tkhd_ver,
+            pre + b"\0" * 16 + b"\0" * 36 + _s.pack(">II", w << 16, h << 16),
+        )
+        hdlr = full(b"hdlr", 0, _s.pack(">I", 0) + handler.encode() + b"\0" * 13)
+        body += box(b"trak", tkhd + box(b"mdia", hdlr))
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomiso2mp41")
+    if large_moov:
+        moov = _s.pack(">I", 1) + b"moov" + _s.pack(">Q", 16 + len(body)) + body
+    elif size0_moov:
+        moov = _s.pack(">I", 0) + b"moov" + body
+    else:
+        moov = box(b"moov", body)
+    return ftyp + moov
+
+
+def test_mp4_parser_golden():
+    """Hand-built ISO BMFF trees parse to hand-computed features:
+    version-0 and version-1 mvhd/tkhd (32- vs 64-bit times), 16.16
+    fixed-point dimensions, handler-type track split, 64-bit
+    largesize and size-0 (to-EOF) moov boxes."""
+    assert mm.parse_mp4(_mp4_fixture()) == [
+        5.0, 600.0, 3000.0, 2.0, 1.0, 1.0, 640.0, 360.0,
+    ]
+    assert mm.parse_mp4(
+        _mp4_fixture(ts=1000, dur=123456, mvhd_ver=1, tkhd_ver=1,
+                     tracks=(("vide", 1920, 1080),))
+    ) == [123.456, 1000.0, 123456.0, 1.0, 1.0, 0.0, 1920.0, 1080.0]
+    assert mm.parse_mp4(_mp4_fixture(dur=300, large_moov=True))[0] == 0.5
+    assert mm.parse_mp4(
+        _mp4_fixture(dur=1200, tracks=(("soun", 0, 0),), size0_moov=True)
+    ) == [2.0, 600.0, 1200.0, 1.0, 0.0, 1.0, 0.0, 0.0]
+    # malformed trees raise (the fake-fallback contract)
+    for bad in (b"", b"x" * 16, _mp4_fixture()[:40]):
+        with pytest.raises(ValueError):
+            mm.parse_mp4(bad)
+
+
+def test_mp4_routing_contract(spark):
+    """decode_features routes ftyp payloads to 'mp4-meta'; truncated
+    containers fall to the fake visibly; fake=False raises instead of
+    silently faking — the decoder-provenance consumer contract."""
+    good = _mp4_fixture()
+    truncated = good[: len(good) - 30]
+    rows = [(1, good, "video/mp4"), (2, truncated, "video/mp4")]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: r for r in mm.decode_features(media).collect()}
+    assert got[1]["decoder"] == "mp4-meta"
+    assert got[1]["feature"] == [
+        5.0, 600.0, 3000.0, 2.0, 1.0, 1.0, 640.0, 360.0,
+    ]
+    assert got[2]["decoder"] == "fake-moments"
+    with pytest.raises(Exception, match="NotImplementedError|heavyweight|BMFF"):
+        mm.decode_features(
+            spark.createDataFrame(
+                rows[1:2], "doc_id long, payload binary, media_type string"
+            ),
+            fake=False,
+        ).collect()
+    # decode_real surfaces the same integration-point contract
+    assert mm.decode_real(good, "video/mp4")[2] == 3000.0
+    with pytest.raises(NotImplementedError):
+        mm.decode_real(truncated, "video/mp4")
