@@ -856,3 +856,65 @@ def pq_search(
     )
     out = _topk_per_query(scored, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "sqdist", "rank")
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    reps: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training pairs.
+
+    The standard recipe for training retrieval/embedding models (DPR,
+    Karpukhin et al. 2020; SimCSE, Gao et al. 2021): for each query
+    document take its nearest NON-POSITIVE neighbors — high-similarity
+    candidates make the hardest negatives, but a near-duplicate of the
+    query is a FALSE negative (it is semantically the positive), so
+    candidates sharing the query's near-dup cluster are excluded
+    before ranking.  ``reps`` carries that policy: ``(doc_id, rep)``
+    with ``rep`` the near-dup cluster representative (the
+    leakage_safe_split frame — LSH pairs → closure → component min,
+    coalesced to the own id for singletons).
+
+    Output ``(query_id, vec_id, cos_sim, rank)`` — the top ``k``
+    cosine candidates per query AFTER the cluster exclusion, 6dp, ties
+    to the lower vec_id.
+
+    Scale shape: ONE corpus-sized equi join attaches the rep column to
+    the embeddings (natural shuffle, AQE-splittable; co-bucketed
+    storage makes it exchange-free); queries + their reps broadcast,
+    so the corpus never shuffles for the scoring pass; the final cut
+    is the salted two-stage per-query top-k.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+    tagged = base.join(
+        reps.select(
+            F.col("doc_id").alias("vec_id"), F.col("rep").alias("_rep")
+        ),
+        "vec_id",
+        "left",
+    ).withColumn("_rep", F.coalesce(F.col("_rep"), F.col("vec_id")))
+    q = tagged.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        F.col("_rep").alias("_qrep"),
+    )
+    pairs = tagged.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("_rep") != F.col("_qrep")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cos_sim"),
+    )
+    return _topk_per_query(scored, k)

@@ -5123,3 +5123,80 @@ def q_multimodal_video_meta_roundtrip(
             for i in range(8)
         ],
     )
+
+
+@register(
+    "hard_negative_pairs",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+    rp AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             COALESCE(c.component_id, e.vec_id) AS rep
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id),
+    qs AS (SELECT vec_id AS query_id, v AS qv, rep AS qrep
+           FROM rp WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM rp b CROSS JOIN qs q
+      WHERE b.vec_id <> q.query_id AND b.rep <> q.qrep),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER)
+        AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    # new r10 registration — enters the r10 driver window first (see
+    # the rotation note in plans/registry.py; it displaces the
+    # q5_region_revenue fill, whose join family keeps key_skew_orders
+    # in-window at 25 plus q5's own bench-headliner row).
+    priority=80,
+    doc="Hard-negative mining for contrastive training pairs "
+    "(operators/similarity.py:hard_negative_topk, r10; the DPR / "
+    "SimCSE recipe): per query document, the top-5 highest-cosine "
+    "candidates AFTER excluding the query's own near-dup cluster — "
+    "high-similarity candidates make the hardest negatives, but a "
+    "near-duplicate of the query is a FALSE negative (semantically "
+    "the positive), which untreated poisons the contrastive loss.  "
+    "Composes the engine's tiers across both modalities: documents "
+    "-> minhash LSH pairs -> pointer-jumped closure -> cluster "
+    "representative joins the EMBEDDINGS side (one corpus equi join, "
+    "AQE-splittable), queries + reps broadcast, salted two-stage "
+    "top-k cut.  Oracle = the recursive-CTE closure + "
+    "list_cosine_similarity rank replay.",
+)
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    comp = dd.connected_components(pairs)
+    reps = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    return hard_negative_topk(
+        load_table(spark, sf_dir, "embeddings"), reps, query_ids=_QUERY_IDS
+    )

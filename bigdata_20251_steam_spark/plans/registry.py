@@ -153,9 +153,11 @@ def oracle_map() -> dict[str, str]:
 #:   own bench-headliner row) and slips to r11; player_windows yielded
 #:   to the sixth, multimodal_video_meta_roundtrip (windowed-agg
 #:   family keeps session_windows / sliding_windows at 25) and slips
-#:   to r11.
+#:   to r11; q5_region_revenue yielded to the seventh,
+#:   hard_negative_pairs (join family keeps key_skew_orders at 25
+#:   plus q5's own bench-headliner row) and slips to r11.
 #:
-#: 9 + 33 + 8 = 50 (multimodal_features is both r7-stale and a
+#: 10 + 33 + 7 = 50 (multimodal_features is both r7-stale and a
 #: changed-code re-prove — ONE slot at 24, which the earlier
 #: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
 #: promoted as the 50th fill, see the dict note).  Slipping to r11 at
@@ -171,7 +173,7 @@ def oracle_map() -> dict[str, str]:
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
 #: temperature_mix_report, value_percentiles — 27 names (plus the
-#: six yielded fills below; nb_threshold_sweep left this list for
+#: seven yielded fills below; nb_threshold_sweep left this list for
 #: the promoted 50th fill slot) + any r10 changed-code re-proves +
 #: new r10 registrations; that is under 50, so r11 fills the
 #: remainder with the then-two-round-stale r9-green cohort by the
@@ -188,6 +190,7 @@ _R10_ROTATION: dict[str, int] = {
     "dsir_selection": 24,
     "pq_search_rerank": 24,
     "multimodal_video_meta_roundtrip": 24,
+    "hard_negative_pairs": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -227,7 +230,6 @@ _R10_ROTATION: dict[str, int] = {
     "asof_join_nearest": 27,
     "event_share": 27,
     "pii_redaction": 27,
-    "q5_region_revenue": 27,
     "review_bomb": 27,
     "streaming_stream_join": 27,
     "udtf_sentences": 27,
@@ -249,9 +251,9 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
 #:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (34 names, incl. the yielded fills rollup_orders,
+#:   forced in (35 names, incl. the yielded fills rollup_orders,
 #:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
-#:   q1_pricing_summary, player_windows);
+#:   q1_pricing_summary, player_windows, q5_region_revenue);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

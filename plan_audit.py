@@ -90,6 +90,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "frames fold their condition and degrade to nested loops over "
         "broadcast sides of <= n_bands+1 rows"
     ),
+    ("hard_negative_pairs", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 10-row query frame onto the scoring scan "
+        "(vec_id <> query_id AND rep <> qrep non-equi — the embed_topk "
+        "shape with the cluster-exclusion predicate)"
+    ),
     ("pq_search_rerank", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row quantized query frame onto the ADC "
         "scan (vec_id <> query_id non-equi — the embed_topk shape); "

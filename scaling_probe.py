@@ -103,6 +103,8 @@ PROBES = [
     "dsir_selection",
     # round-10: code-scan ADC + broadcast-bounded exact re-rank
     "pq_search_rerank",
+    # round-10: dedup-closure rep join + broadcast cosine scoring
+    "hard_negative_pairs",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -164,6 +166,7 @@ PROBE_TABLES = {
     "dedup_canonical_by_pagerank": {"documents"},
     "dsir_selection": {"documents"},
     "pq_search_rerank": {"embeddings"},
+    "hard_negative_pairs": {"documents", "embeddings"},
     "user_value_quartiles": {"events"},
 }
 

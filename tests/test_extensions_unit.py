@@ -3035,3 +3035,48 @@ def test_pq_rerank_recall_floor(spark):
         worst = min(worst, h)
     assert hits / 50 >= 0.8, hits
     assert worst >= 3, worst
+
+
+def test_hard_negative_excludes_cluster(spark):
+    """The false-negative filter, non-vacuously: the query's nearest
+    cosine neighbor is its near-dup cluster mate and MUST be excluded
+    (untreated it would poison the contrastive loss as a negative);
+    singletons and other-cluster members rank normally.  (On the
+    synthetic driver data embeddings are independent of text near-dups
+    so the exclusion rarely fires there — the registered query's
+    oracle replays it; THIS pins the semantics.)"""
+    from bigdata_20251_steam_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # near-identical to query 0
+            (2, [0.9, 0.2, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # docs 0 and 1 are near-dups (one cluster, rep 0); rest singletons
+    reps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3), (4, 4)], "doc_id long, rep long"
+    )
+    got = {
+        r["rank"]: r["vec_id"]
+        for r in hard_negative_topk(emb, reps, query_ids=[0], k=3).collect()
+    }
+    # vec 1 (cos ~1.0) is excluded; 2 > 3 > 4 by cosine
+    assert got == {1: 2, 2: 3, 3: 4}
+    # vec 1 as query likewise never sees vec 0
+    got1 = {
+        r["rank"]: r["vec_id"]
+        for r in hard_negative_topk(emb, reps, query_ids=[1], k=3).collect()
+    }
+    assert 0 not in got1.values() and got1[1] == 2
+    # a missing rep row coalesces to the own id (singleton semantics)
+    got2 = hard_negative_topk(
+        emb, reps.filter("doc_id <> 4"), query_ids=[4], k=4
+    ).collect()
+    assert len(got2) == 4  # excludes only itself

@@ -732,3 +732,17 @@ def test_pq_search_corpus_never_shuffles(spark):
             assert "query_id" in line, (
                 f"non-rank corpus exchange in PQ search:\n{line}\n{plan}"
             )
+
+
+def test_hard_negative_pairs_plan(spark):
+    """hard_negative_pairs (r10): the corpus scoring pass must join the
+    query frame by BROADCAST (the non-equi BNLJ is whitelisted in
+    plan_audit.py), never a cartesian; the closure subtrees are
+    lineage-cut (checkpointed), so the executed plan's real scan count
+    stays inside the audit bound."""
+    df = QUERIES["hard_negative_pairs"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan
