@@ -155,9 +155,12 @@ def oracle_map() -> dict[str, str]:
 #:   family keeps session_windows / sliding_windows at 25) and slips
 #:   to r11; q5_region_revenue yielded to the seventh,
 #:   hard_negative_pairs (join family keeps key_skew_orders at 25
-#:   plus q5's own bench-headliner row) and slips to r11.
+#:   plus q5's own bench-headliner row) and slips to r11;
+#:   pii_redaction yielded to the eighth, streaming_dsir_gate
+#:   (regex-scan family keeps clean_html_roundtrip at 25, and pii
+#:   stays a scaling-probe member) and slips to r11.
 #:
-#: 10 + 33 + 7 = 50 (multimodal_features is both r7-stale and a
+#: 11 + 33 + 6 = 50 (multimodal_features is both r7-stale and a
 #: changed-code re-prove — ONE slot at 24, which the earlier
 #: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
 #: promoted as the 50th fill, see the dict note).  Slipping to r11 at
@@ -173,7 +176,7 @@ def oracle_map() -> dict[str, str]:
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
 #: temperature_mix_report, value_percentiles — 27 names (plus the
-#: seven yielded fills below; nb_threshold_sweep left this list for
+#: eight yielded fills below; nb_threshold_sweep left this list for
 #: the promoted 50th fill slot) + any r10 changed-code re-proves +
 #: new r10 registrations; that is under 50, so r11 fills the
 #: remainder with the then-two-round-stale r9-green cohort by the
@@ -191,6 +194,7 @@ _R10_ROTATION: dict[str, int] = {
     "pq_search_rerank": 24,
     "multimodal_video_meta_roundtrip": 24,
     "hard_negative_pairs": 24,
+    "streaming_dsir_gate": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -229,7 +233,6 @@ _R10_ROTATION: dict[str, int] = {
     # two-round-stale fills (no in-window sibling)
     "asof_join_nearest": 27,
     "event_share": 27,
-    "pii_redaction": 27,
     "review_bomb": 27,
     "streaming_stream_join": 27,
     "udtf_sentences": 27,
@@ -251,9 +254,10 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
 #:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (35 names, incl. the yielded fills rollup_orders,
+#:   forced in (36 names, incl. the yielded fills rollup_orders,
 #:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
-#:   q1_pricing_summary, player_windows, q5_region_revenue);
+#:   q1_pricing_summary, player_windows, q5_region_revenue,
+#:   pii_redaction);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

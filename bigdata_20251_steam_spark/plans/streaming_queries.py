@@ -1142,3 +1142,69 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_g") * F.col("_b")).cast("long").alias("n_keep_both"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+def _streaming_dsir_gate_oracle() -> str:
+    from ..operators.selection import dsir_oracle_weight_sql
+    from .extension_queries import _DSIR_BUCKETS, _DSIR_MODEL
+
+    w = dsir_oracle_weight_sql(_DSIR_MODEL, _DSIR_BUCKETS)
+    return f"""
+    WITH s AS (
+      SELECT source, {w} AS w_micro
+      FROM documents WHERE text IS NOT NULL),
+    f AS (
+      SELECT source, w_micro,
+             CASE WHEN w_micro >= 0 THEN 1 ELSE 0 END AS sel
+      FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(sum(sel) AS BIGINT)                  AS n_selected,
+           CAST(sum(sel * w_micro) AS BIGINT)        AS selected_weight_micro
+    FROM f GROUP BY source
+    """
+
+
+@register(
+    "streaming_dsir_gate",
+    oracle=_streaming_dsir_gate_oracle(),
+    # new r10 registration — enters the r10 driver window first (see
+    # the rotation note in plans/registry.py; it displaces the
+    # pii_redaction fill, whose regex-scan family keeps
+    # clean_html_roundtrip in-window at 25).
+    priority=80,
+    doc="The DSIR selection tier running IN the stream (r10): documents "
+    "arrive as a file stream, each micro-batch scores the pinned "
+    "hashed-n-gram importance log-ratio as a stateless scan-fused "
+    "integer projection (the same zero-shuffle pass the batch "
+    "dsir_selection uses), and a threshold gate (lambda-sum >= 0 — "
+    "'more target-like than raw') feeds a complete-mode per-source "
+    "rollup of docs seen / selected / selected weight mass.  A global "
+    "budget top-k is NOT streaming-expressible without unbounded "
+    "state; the threshold form IS what a 100 TB live ingest runs, "
+    "with the cutoff calibrated offline from the batch run's weight "
+    "distribution (the nb_threshold_sweep protocol).  NULL-text rows "
+    "are dropped at ingest, matching the batch operator.  Oracle: "
+    "full batch replay of the weighting, gate and rollup — "
+    "batch/stream parity is the assertion.",
+)
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_weight_column
+    from .extension_queries import _DSIR_BUCKETS, _DSIR_MODEL
+
+    src_dir = _staged_docs_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, DOCS_STREAM_SCHEMA)
+    _, w_micro = dsir_weight_column(_DSIR_MODEL, _DSIR_BUCKETS, F.col("text"))
+    scored = stream.filter(F.col("text").isNotNull()).select(
+        "source",
+        w_micro.alias("_w"),
+        F.when(w_micro >= 0, 1).otherwise(0).alias("_sel"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_sel").cast("long").alias("n_selected"),
+        F.sum(F.col("_sel") * F.col("_w")).cast("long").alias(
+            "selected_weight_micro"
+        ),
+    )
+    return run_available_now(agg, output_mode="complete")
