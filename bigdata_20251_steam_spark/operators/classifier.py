@@ -191,3 +191,177 @@ def nb_oracle_score_sql(
         f"regexp_extract_all(lower({text_expr}), '[a-z]+'), "
         f"w -> ({lst})[{bucket} + 1])), 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact logistic regression (trained, iterative)
+# ---------------------------------------------------------------------------
+
+#: Sigmoid quantile-table domain: z clamped to ±8 nats (σ saturates to
+#: <3.4e-4 / >0.99966 outside), 1024 steps of 1/64 nat.
+SIGMOID_CLAMP_MICRO = 8_000_000
+SIGMOID_STEPS = 1024
+SIGMOID_STEP_MICRO = 2 * SIGMOID_CLAMP_MICRO // SIGMOID_STEPS  # 15625
+
+
+def sigmoid_micro_table() -> list[int]:
+    """Pinned sigmoid lookup: entry i = round(1e6 * σ(-8 + i/64)) for
+    i in 0..1024.  Driver-side libm once at plan build; both engines
+    consume only the integers (the Gumbel-table convention)."""
+    out = []
+    for i in range(SIGMOID_STEPS + 1):
+        z = -8.0 + 16.0 * i / SIGMOID_STEPS
+        out.append(round(1_000_000 / (1.0 + math.exp(-z))))
+    return out
+
+
+def _lr_z_column(
+    weights: dict[int, int], bias: int, n_buckets: int, text_col: Column
+) -> Column:
+    """z in micro-nats under a fixed weights table — the NB scoring
+    shape (map literal + integer array aggregate, zero-shuffle)."""
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(b) for b in range(n_buckets)]),
+        F.array(
+            *[F.lit(weights.get(b, 0)).cast("long") for b in range(n_buckets)]
+        ),
+    )
+    words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), F.lit(0))
+    return F.coalesce(
+        F.aggregate(
+            words,
+            F.lit(int(bias)).cast("long"),
+            lambda acc, w: acc
+            + F.element_at(wmap, F.pmod(md5_long(w), F.lit(n_buckets))),
+        ),
+        F.lit(int(bias)).cast("long"),
+    )
+
+
+def _sigmoid_lookup(z_micro: Column, table: list[int]) -> Column:
+    """σ̂(z) in micro units via the pinned table (clamp → index)."""
+    c = F.lit(SIGMOID_CLAMP_MICRO)
+    zc = F.greatest(-c, F.least(c, z_micro))
+    idx = F.floor((zc + c) / F.lit(SIGMOID_STEP_MICRO)).cast("int")
+    arr = F.array(*[F.lit(v).cast("long") for v in table])
+    return F.element_at(arr, idx + 1)
+
+
+def train_logreg(
+    docs: DataFrame,
+    positive: Column,
+    n_buckets: int = 64,
+    iters: int = 2,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    text_col: str = "text",
+) -> tuple[dict[int, int], int]:
+    """Integer-exact full-batch logistic regression — the TRAINED
+    iterative tier next to the closed-form NB weights, with the
+    kmeans_exact determinism contract so an oracle can replay every
+    iteration bit-for-bit.
+
+    Forward: ``z_d = bias + Σ_words w[bucket(word)]`` in micro-nats
+    (hashed bag-of-words counts — each occurrence adds its bucket
+    weight).  ``σ̂`` is the pinned 1025-entry quantile table
+    (:func:`sigmoid_micro_table`) — a documented quantization of the
+    logistic link, integer in both engines, no runtime libm.  The
+    per-document error ``err_d = σ̂(z_d) − y_d·1e6`` is an integer;
+    the gradient ``g_b = Σ_d err_d · x_db`` is an order-free integer
+    sum (ONE bucket-bounded aggregate per iteration — the exchange
+    carries ≤ n_buckets+1 rows, map-side partials collapse hot
+    buckets); the update ``w_b ← w_b − trunc(lr_num·g_b / (lr_den·n))``
+    uses TRUNCATING integer division — DuckDB's native ``//``
+    semantics, replicated exactly driver-side — so both engines agree
+    on every weight with no floating point anywhere in the update
+    path.
+
+    Init = all-zero weights/bias (z=0 → σ̂ exactly 0.5e6 — no
+    asymmetry to seed divergence).  Rows with NULL text or NULL label
+    are excluded.  Returns ``(weights, bias)``.  At 100 TB: train on
+    a deterministic hash sample (the ivf/pq posture) — per-iteration
+    cost is one corpus scan + the tiny aggregate, and classifier
+    quality needs thousands of docs per bucket, not the corpus.
+
+    Eager-job contract (documented like the kmeans seeds / hot-group
+    counts): this function runs ``2·iters`` Spark jobs at call time —
+    training IS execution.  The lazy path is :func:`logreg_scores`
+    under precomputed/pinned weights.
+    """
+    if not 1 <= n_buckets <= MAX_BUCKETS:
+        raise ValueError(
+            f"train_logreg: n_buckets must be in [1, {MAX_BUCKETS}]"
+        )
+    if iters < 0 or lr_num < 1 or lr_den < 1:
+        raise ValueError("train_logreg: iters >= 0, lr_num/lr_den >= 1")
+    table = sigmoid_micro_table()
+    base = docs.filter(
+        F.col(text_col).isNotNull() & positive.isNotNull()
+    ).select(
+        F.when(positive, 1).otherwise(0).cast("long").alias("_y"),
+        F.col(text_col).alias("_t"),
+    )
+    weights: dict[int, int] = {}
+    bias = 0
+    n = None
+    for _ in range(iters):
+        z = _lr_z_column(weights, bias, n_buckets, F.col("_t"))
+        err = (_sigmoid_lookup(z, table) - F.col("_y") * F.lit(1_000_000)).alias(
+            "_e"
+        )
+        scored = base.select("_y", "_t", err)
+        words = F.regexp_extract_all(
+            F.lower(F.col("_t")), F.lit("[a-z]+"), F.lit(0)
+        )
+        grad_rows = (
+            scored.select(F.col("_e"), F.explode(words).alias("_w"))
+            .select("_e", F.pmod(md5_long(F.col("_w")), F.lit(n_buckets)).alias("_b"))
+            .groupBy("_b")
+            .agg(F.sum("_e").alias("_g"))
+            .collect()
+        )
+        bias_n = scored.agg(
+            F.sum("_e").alias("_g0"), F.count(F.lit(1)).alias("_n")
+        ).collect()[0]
+        n = int(bias_n["_n"])
+        if n == 0:
+            raise ValueError("train_logreg: no labeled non-null docs")
+        den = lr_den * n
+
+        def _trunc_div(a: int, b: int) -> int:
+            # DuckDB's // truncates toward zero; Python's floors.
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        for r in grad_rows:
+            g = int(r["_g"])
+            b = int(r["_b"])
+            weights[b] = weights.get(b, 0) - _trunc_div(lr_num * g, den)
+        g0 = int(bias_n["_g0"])
+        bias = bias - _trunc_div(lr_num * g0, den)
+    return weights, bias
+
+
+def logreg_scores(
+    docs: DataFrame,
+    weights: dict[int, int],
+    bias: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score under fixed logreg weights: ``(doc_id, z_micro, p_micro,
+    pred)`` — z the integer micro-nat logit, p the pinned-table
+    sigmoid in micro units, pred = p > 0.5.  Zero-shuffle scan-fused
+    projection (the NB scoring contract); NULL text scores at the
+    bias alone.
+    """
+    table = sigmoid_micro_table()
+    z = _lr_z_column(weights, bias, n_buckets, F.col(text_col))
+    p = _sigmoid_lookup(z, table)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        z.alias("z_micro"),
+        p.alias("p_micro"),
+        (p > F.lit(500_000)).alias("pred"),
+    )

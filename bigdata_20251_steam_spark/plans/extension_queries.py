@@ -5200,3 +5200,128 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(
         load_table(spark, sf_dir, "embeddings"), reps, query_ids=_QUERY_IDS
     )
+
+
+_LOGREG_B = 64
+_LOGREG_ITERS = 2
+
+
+def _logreg_oracle() -> str:
+    """Unrolled-CTE replay of integer-exact logistic GD: one
+    (sigmoid-lookup -> error -> bucket gradient -> truncated-division
+    update) block per iteration from all-zero init, then the final
+    scoring pass over ALL documents.  Every intermediate is an integer
+    (DuckDB's truncating // replicated driver-side), so the replay is
+    bit-identical — the kmeans unrolled-iteration posture extended to
+    a gradient method."""
+    from ..operators.classifier import (
+        SIGMOID_CLAMP_MICRO,
+        SIGMOID_STEP_MICRO,
+        sigmoid_micro_table,
+    )
+
+    lst = "[" + ", ".join(str(v) for v in sigmoid_micro_table()) + "]"
+
+    def lookup(z: str) -> str:
+        zc = (
+            f"least(greatest({z}, -{SIGMOID_CLAMP_MICRO}), "
+            f"{SIGMOID_CLAMP_MICRO})"
+        )
+        return (
+            f"({lst})[CAST((({zc}) + {SIGMOID_CLAMP_MICRO}) "
+            f"// {SIGMOID_STEP_MICRO} AS INT) + 1]"
+        )
+
+    bucket = f"CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_LOGREG_B}"
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS y,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents WHERE text IS NOT NULL),
+    x AS (
+      SELECT doc_id, {bucket} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM tok, unnest(ws) AS u(w) GROUP BY 1, 2),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    z1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS z FROM tok)"""
+    ]
+    for t in range(1, _LOGREG_ITERS + 1):
+        prev_w = "0" if t == 1 else f"w{t-1}.w"
+        join_w = "" if t == 1 else f" JOIN w{t-1} USING (b)"
+        prev_b = "0" if t == 1 else f"(SELECT bias FROM b{t-1})"
+        parts.append(f""",
+    e{t} AS (SELECT doc_id, y,
+                    CAST({lookup('z')} - y * 1000000 AS BIGINT) AS e
+             FROM z{t}),
+    g{t} AS (SELECT x.b, CAST(sum(e{t}.e * x.c) AS BIGINT) AS g
+             FROM e{t} JOIN x USING (doc_id) GROUP BY x.b),
+    w{t} AS (SELECT b, CAST({prev_w} - ((1 * g) // (2 * nn.n)) AS BIGINT)
+                    AS w
+             FROM g{t}{join_w} CROSS JOIN nn),
+    b{t} AS (SELECT CAST({prev_b} - ((1 * (SELECT sum(e) FROM e{t}))
+                    // (2 * nn.n)) AS BIGINT) AS bias FROM nn)""")
+        if t < _LOGREG_ITERS:
+            parts.append(f""",
+    z{t + 1} AS (
+      SELECT t.doc_id, t.y,
+             CAST((SELECT bias FROM b{t})
+                  + COALESCE(sum(x.c * w{t}.w), 0) AS BIGINT) AS z
+      FROM tok t
+      LEFT JOIN x ON x.doc_id = t.doc_id
+      LEFT JOIN w{t} ON w{t}.b = x.b
+      GROUP BY t.doc_id, t.y)""")
+    T = _LOGREG_ITERS
+    parts.append(f""",
+    score AS (
+      SELECT d.doc_id,
+             CAST((SELECT bias FROM b{T})
+                  + COALESCE(sum(x.c * w{T}.w), 0) AS BIGINT) AS z_micro
+      FROM documents d
+      LEFT JOIN x ON x.doc_id = d.doc_id
+      LEFT JOIN w{T} ON w{T}.b = x.b
+      GROUP BY d.doc_id)
+    SELECT doc_id, z_micro,
+           CAST({lookup('z_micro')} AS BIGINT) AS p_micro,
+           {lookup('z_micro')} > 500000 AS pred
+    FROM score""")
+    return "".join(parts)
+
+
+@register(
+    "logreg_quality_scores",
+    oracle=_logreg_oracle(),
+    # new r10 registration — enters the r10 driver window first (see
+    # the rotation note in plans/registry.py; nb_threshold_sweep
+    # yields its promoted fill slot back — its classifier family now
+    # holds TWO in-window rows via this query and dsir_selection).
+    priority=80,
+    doc="Integer-exact logistic regression, trained in-query "
+    "(operators/classifier.py:train_logreg, r10): the TRAINED "
+    "iterative tier next to the closed-form NB log-odds — hashed "
+    "bag-of-words logit in integer micro-nats, the sigmoid as a "
+    "pinned 1025-entry quantile table (no runtime libm), full-batch "
+    "gradient descent from all-zero init with truncating-integer-"
+    "division updates (DuckDB's native // semantics replicated "
+    "driver-side), so every weight of every iteration is "
+    "bit-identical across engines.  Per iteration: one zero-shuffle "
+    "error scan + ONE bucket-bounded gradient aggregate (exchange "
+    "<= n_buckets+1 rows, map-side partials); only the <= n_buckets "
+    "gradient rows reach the driver.  Scoring is the NB zero-shuffle "
+    "scan-fused contract.  The oracle unrolls both iterations as CTE "
+    "blocks — the kmeans unrolled-iteration posture extended to a "
+    "gradient method.  At 100 TB: train on a deterministic hash "
+    "sample (the ivf/pq posture).",
+)
+def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_scores, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = train_logreg(
+        docs,
+        positive=(F.col("doc_id") % 7 == 3),
+        n_buckets=_LOGREG_B,
+        iters=_LOGREG_ITERS,
+        lr_num=1,
+        lr_den=2,
+    )
+    return logreg_scores(docs, w, b, n_buckets=_LOGREG_B)

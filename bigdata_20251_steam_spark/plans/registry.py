@@ -158,9 +158,12 @@ def oracle_map() -> dict[str, str]:
 #:   plus q5's own bench-headliner row) and slips to r11;
 #:   pii_redaction yielded to the eighth, streaming_dsir_gate
 #:   (regex-scan family keeps clean_html_roundtrip at 25, and pii
-#:   stays a scaling-probe member) and slips to r11.
+#:   stays a scaling-probe member) and slips to r11;
+#:   nb_threshold_sweep yielded its promoted 50th-fill slot to the
+#:   ninth, logreg_quality_scores (classifier family then holds two
+#:   in-window rows) and rejoins the r11 must-enter list.
 #:
-#: 11 + 33 + 6 = 50 (multimodal_features is both r7-stale and a
+#: 12 + 33 + 5 = 50 (multimodal_features is both r7-stale and a
 #: changed-code re-prove — ONE slot at 24, which the earlier
 #: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
 #: promoted as the 50th fill, see the dict note).  Slipping to r11 at
@@ -176,8 +179,8 @@ def oracle_map() -> dict[str, str]:
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
 #: temperature_mix_report, value_percentiles — 27 names (plus the
-#: eight yielded fills below; nb_threshold_sweep left this list for
-#: the promoted 50th fill slot) + any r10 changed-code re-proves +
+#: nine yielded fills below, nb_threshold_sweep among them after its
+#: brief 50th-fill promotion) + any r10 changed-code re-proves +
 #: new r10 registrations; that is under 50, so r11 fills the
 #: remainder with the then-two-round-stale r9-green cohort by the
 #: no-in-window-sibling rule.
@@ -195,6 +198,7 @@ _R10_ROTATION: dict[str, int] = {
     "multimodal_video_meta_roundtrip": 24,
     "hard_negative_pairs": 24,
     "streaming_dsir_gate": 24,
+    "logreg_quality_scores": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -236,14 +240,15 @@ _R10_ROTATION: dict[str, int] = {
     "review_bomb": 27,
     "streaming_stream_join": 27,
     "udtf_sentences": 27,
-    # 50th fill (r10 session audit): the itemized window held 49 —
+    # (r10 session audit: the itemized window originally held 49 —
     # multimodal_features is BOTH r7-stale and a changed-code re-prove
     # (one slot at 24, not two), which the original 6+34+10 arithmetic
     # double-counted, leaving slot 50 to whatever priority-80 query
-    # registered first.  Promote nb_threshold_sweep (r8-green, on the
-    # slipping list) by the no-in-window-sibling rule: its classifier-
-    # family sibling nb_classifier_scores yielded its slot this round.
-    "nb_threshold_sweep": 27,
+    # registered first.  nb_threshold_sweep was briefly promoted as
+    # the explicit 50th fill, then yielded that slot to the ninth r10
+    # registration logreg_quality_scores — its classifier family now
+    # holds TWO in-window rows (logreg + dsir_selection) — and joins
+    # the r11 must-enter list.)
 }
 
 
@@ -254,10 +259,10 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
 #:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (36 names, incl. the yielded fills rollup_orders,
+#:   forced in (37 names, incl. the yielded fills rollup_orders,
 #:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
 #:   q1_pricing_summary, player_windows, q5_region_revenue,
-#:   pii_redaction);
+#:   pii_redaction, nb_threshold_sweep);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

@@ -3080,3 +3080,90 @@ def test_hard_negative_excludes_cluster(spark):
         emb, reps.filter("doc_id <> 4"), query_ids=[4], k=4
     ).collect()
     assert len(got2) == 4  # excludes only itself
+
+
+def test_logreg_hand_fixture(spark):
+    """Training and scoring against an independent pure-Python replay
+    on a tiny separable corpus (n_buckets=8 forces collisions): the
+    pinned sigmoid table, integer error/gradient sums, truncating-
+    division updates, NULL text/label exclusion, and that two GD
+    steps actually separate the classes."""
+    import hashlib
+    import re as _re
+
+    from bigdata_20251_steam_spark.operators.classifier import (
+        SIGMOID_CLAMP_MICRO,
+        SIGMOID_STEP_MICRO,
+        logreg_scores,
+        sigmoid_micro_table,
+        train_logreg,
+    )
+
+    table = sigmoid_micro_table()
+    assert table == sorted(table)          # σ is monotone
+    assert table[len(table) // 2] == 500_000  # σ(0) exactly half
+    assert table[0] > 0 and table[-1] < 1_000_000
+
+    rows = [
+        (1, "good clean prose text here", True),
+        (2, "good text again clean words", True),
+        (3, "spam spam buy now spam", False),
+        (4, "buy spam now now now", False),
+        (5, "clean good words here text", True),
+        (6, None, True),
+        (7, "spam buy spam buy", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, pos boolean"
+    )
+    B, IT = 8, 2
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % B
+
+    def sig(z):
+        zc = max(-SIGMOID_CLAMP_MICRO, min(SIGMOID_CLAMP_MICRO, z))
+        return table[(zc + SIGMOID_CLAMP_MICRO) // SIGMOID_STEP_MICRO]
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    train = [
+        (did, _re.findall(r"[a-z]+", t.lower()), 1 if p else 0)
+        for did, t, p in rows
+        if t is not None and p is not None
+    ]
+    W, bias = {}, 0
+    for _ in range(IT):
+        grads, g0 = {}, 0
+        for _, ws, y in train:
+            z = bias + sum(W.get(bucket(w), 0) for w in ws)
+            e = sig(z) - y * 1_000_000
+            g0 += e
+            for w in ws:
+                grads[bucket(w)] = grads.get(bucket(w), 0) + e
+        den = 2 * len(train)
+        for b, g in grads.items():
+            W[b] = W.get(b, 0) - tdiv(g, den)
+        bias -= tdiv(g0, den)
+    got_w, got_b = train_logreg(
+        docs, positive=F.col("pos"), n_buckets=B, iters=IT
+    )
+    assert got_b == bias and {
+        b: w for b, w in got_w.items() if w
+    } == {b: w for b, w in W.items() if w}
+
+    scored = {
+        r["doc_id"]: r
+        for r in logreg_scores(docs, got_w, got_b, n_buckets=B).collect()
+    }
+    for did, t, _ in rows:
+        ws = _re.findall(r"[a-z]+", (t or "").lower())
+        z = bias + sum(W.get(bucket(w), 0) for w in ws)
+        assert scored[did]["z_micro"] == z
+        assert scored[did]["p_micro"] == sig(z)
+    # two steps separate the classes on this corpus
+    assert scored[1]["pred"] and scored[2]["pred"] and scored[5]["pred"]
+    assert not scored[3]["pred"] and not scored[4]["pred"]
+    assert not scored[7]["pred"]  # spam-only text scores spam-ward

@@ -746,3 +746,23 @@ def test_hard_negative_pairs_plan(spark):
     import re
 
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_logreg_scoring_shuffle_free(spark):
+    """logreg scoring (r10): fixed weights ride as a map literal +
+    sigmoid array literal, so the pass must be a single-scan,
+    zero-exchange narrow projection — the NB/BM25/DSIR contract."""
+    import re
+
+    from bigdata_20251_steam_spark.operators.classifier import logreg_scores
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    df = logreg_scores(
+        load_table(spark, SF_SMOKE, "documents"),
+        {3: 120000, 17: -90000},
+        -1500,
+        n_buckets=64,
+    )
+    plan = _final_plan(df)
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, f"logreg scoring pass shuffles:\n{plan}"
