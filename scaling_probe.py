@@ -105,6 +105,11 @@ PROBES = [
     "pq_search_rerank",
     # round-10: dedup-closure rep join + broadcast cosine scoring
     "hard_negative_pairs",
+    # round-10: in-query GD training (2 scans + bounded agg per
+    # iteration at plan-build) + zero-shuffle scoring
+    "logreg_quality_scores",
+    # round-10: bounded per-user agg + two Arrow mapInPandas passes
+    "multimodal_video_meta_roundtrip",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -167,6 +172,8 @@ PROBE_TABLES = {
     "dsir_selection": {"documents"},
     "pq_search_rerank": {"embeddings"},
     "hard_negative_pairs": {"documents", "embeddings"},
+    "logreg_quality_scores": {"documents"},
+    "multimodal_video_meta_roundtrip": {"events"},
     "user_value_quartiles": {"events"},
 }
 
