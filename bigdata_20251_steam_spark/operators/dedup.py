@@ -1012,3 +1012,87 @@ def pagerank(
             )
         )
     return pr
+
+
+def dedup_quality_report(
+    docs: DataFrame,
+    strong_jaccard: float = 0.5,
+    weak_jaccard: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate-quality evaluation of the LSH banding — the report a
+    pipeline consults before trusting (or re-tuning) its dedup policy.
+
+    Two sides of the S-curve, measured exactly:
+
+    - **Precision**: every LSH candidate pair is re-verified with the
+      exact shingle-set Jaccard (computed directly on the two hashed
+      shingle arrays — cross-language candidates included, unlike the
+      blocked truth side), bucketed at the ``weak`` (J ≥ 0.1 — "worth
+      verifying at all") and ``strong`` (J ≥ 0.5 — the banding's
+      design target) thresholds.
+    - **Recall**: the exact language-blocked strong-pair set
+      (:func:`ngram_jaccard_pairs` at ``strong_jaccard``) is the
+      truth; the report counts how many truth pairs the banding
+      surfaced.  (1/b)^(1/r) for 4x4 banding is ~0.707, so strong
+      pairs are near-certain candidates — a recall drop flags a
+      banding/tokenization regression, not sampling noise.
+
+    Output: ONE row — ``(n_candidates, n_weak, n_strong,
+    precision_weak, precision_strong, n_truth_strong, n_hit_strong,
+    recall_strong)``; ratios 6dp, NULL when the denominator is 0.
+
+    Scale shape: candidates are O(true dups) by the banding guards;
+    the verification joins ship the two shingle arrays once per
+    candidate (the ngram_jaccard_pairs re-verify posture); the truth
+    side is the inverted-index similarity join; the final aggregates
+    are single-row.  Nothing here is quadratic in the corpus.
+    """
+    from ..functions.hashing import md5_long
+
+    sigs = minhash_signatures(docs)
+    cand = minhash_candidate_pairs(sigs)
+    sh = spread_partitions(docs, "doc_id").select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col(text_col)), lambda s: md5_long(s)
+        ).alias("sh"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(0.0))
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(jac.alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("j") >= weak_jaccard).cast("long")).alias("n_weak"),
+            F.sum((F.col("j") >= strong_jaccard).cast("long")).alias(
+                "n_strong"
+            ),
+        )
+    )
+    truth = ngram_jaccard_pairs(docs, min_jaccard=strong_jaccard).select(
+        "doc_a", "doc_b"
+    )
+    t_agg = truth.agg(F.count(F.lit(1)).alias("n_truth_strong"))
+    h_agg = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit_strong")
+    )
+    out = ver.crossJoin(t_agg).crossJoin(h_agg)
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.round(F.col(num) / F.col(den), 6)
+    )
+    return out.select(
+        "n_candidates",
+        "n_weak",
+        "n_strong",
+        ratio("n_weak", "n_candidates").alias("precision_weak"),
+        ratio("n_strong", "n_candidates").alias("precision_strong"),
+        "n_truth_strong",
+        "n_hit_strong",
+        ratio("n_hit_strong", "n_truth_strong").alias("recall_strong"),
+    )

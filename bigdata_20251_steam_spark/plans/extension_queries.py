@@ -5325,3 +5325,89 @@ def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_den=2,
     )
     return logreg_scores(docs, w, b, n_buckets=_LOGREG_B)
+
+
+@register(
+    "dedup_quality_report",
+    oracle=_MINHASH_CTE
+    + f""",
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    sets AS (
+      SELECT doc_id,
+             list_transform(sh,
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      FROM grams),
+    ver AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(a.hs, b.hs)) AS inter,
+             len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS un
+      FROM prs p
+      JOIN sets a ON a.doc_id = p.doc_a
+      JOIN sets b ON b.doc_id = p.doc_b),
+    verj AS (
+      SELECT CASE WHEN un > 0
+                  THEN round(inter / CAST(un AS DOUBLE), 6)
+                  ELSE 0.0 END AS j
+      FROM ver),
+    vagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN j >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weak,
+             CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_strong
+      FROM verj),
+    tsets AS (SELECT doc_id, lang AS blk, list_sort(sh) AS sh
+              FROM grams WHERE len(sh) > 0),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tsets a JOIN tsets b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sh, b.sh)) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6)
+            >= 0.5),
+    tagg AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_strong FROM truth),
+    hagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit_strong
+      FROM truth t JOIN prs p
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+    SELECT n_candidates, n_weak, n_strong,
+           CASE WHEN n_candidates > 0
+                THEN round(n_weak / CAST(n_candidates AS DOUBLE), 6) END
+             AS precision_weak,
+           CASE WHEN n_candidates > 0
+                THEN round(n_strong / CAST(n_candidates AS DOUBLE), 6) END
+             AS precision_strong,
+           n_truth_strong, n_hit_strong,
+           CASE WHEN n_truth_strong > 0
+                THEN round(n_hit_strong / CAST(n_truth_strong AS DOUBLE), 6)
+             END AS recall_strong
+    FROM vagg CROSS JOIN tagg CROSS JOIN hagg
+    """,
+    # new r10 registration — enters the r10 driver window first (see
+    # the rotation note in plans/registry.py; it displaces the
+    # asof_join_nearest fill — the as-of family keeps its bench
+    # headliner + scaling-probe coverage via asof_join_last_good).
+    priority=80,
+    doc="Dedup-policy evaluation report "
+    "(operators/dedup.py:dedup_quality_report, r10): measures the LSH "
+    "banding against exact Jaccard on BOTH sides of the S-curve — "
+    "candidate precision (every LSH pair re-verified with the exact "
+    "shingle-set Jaccard, bucketed at J>=0.1 worth-verifying and "
+    "J>=0.5 design-target) and strong-pair recall (the exact blocked "
+    "J>=0.5 set as truth; (1/4)^(1/4)~0.707 banding makes strong "
+    "pairs near-certain candidates, so a recall drop flags a "
+    "banding/tokenization regression).  This is the report a pipeline "
+    "consults before trusting a dedup threshold, the operator-level "
+    "analogue of nb_threshold_sweep.  Candidates stay O(true dups); "
+    "verification ships shingle arrays once per candidate; aggregates "
+    "are single-row (the whitelisted 1-row crossJoin shape).",
+)
+def q_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_quality_report(load_table(spark, sf_dir, "documents"))

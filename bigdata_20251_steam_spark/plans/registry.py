@@ -161,9 +161,12 @@ def oracle_map() -> dict[str, str]:
 #:   stays a scaling-probe member) and slips to r11;
 #:   nb_threshold_sweep yielded its promoted 50th-fill slot to the
 #:   ninth, logreg_quality_scores (classifier family then holds two
-#:   in-window rows) and rejoins the r11 must-enter list.
+#:   in-window rows) and rejoins the r11 must-enter list;
+#:   asof_join_nearest yielded to the tenth, dedup_quality_report
+#:   (the as-of family keeps bench-headliner + scaling-probe
+#:   coverage via asof_join_last_good) and slips to r11.
 #:
-#: 12 + 33 + 5 = 50 (multimodal_features is both r7-stale and a
+#: 13 + 33 + 4 = 50 (multimodal_features is both r7-stale and a
 #: changed-code re-prove — ONE slot at 24, which the earlier
 #: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
 #: promoted as the 50th fill, see the dict note).  Slipping to r11 at
@@ -179,7 +182,7 @@ def oracle_map() -> dict[str, str]:
 #: streaming_dim_enrich, streaming_quality_gate,
 #: streaming_sentiment_hourly, streaming_session_windows,
 #: temperature_mix_report, value_percentiles — 27 names (plus the
-#: nine yielded fills below, nb_threshold_sweep among them after its
+#: ten yielded fills below, nb_threshold_sweep among them after its
 #: brief 50th-fill promotion) + any r10 changed-code re-proves +
 #: new r10 registrations; that is under 50, so r11 fills the
 #: remainder with the then-two-round-stale r9-green cohort by the
@@ -199,6 +202,7 @@ _R10_ROTATION: dict[str, int] = {
     "hard_negative_pairs": 24,
     "streaming_dsir_gate": 24,
     "logreg_quality_scores": 24,
+    "dedup_quality_report": 24,
     # never driver-checked (registered after the r9 freeze)
     "kmeans_clusters": 25,
     # three-round-stale cohort (last driver row r7) — ALL forced in
@@ -235,7 +239,6 @@ _R10_ROTATION: dict[str, int] = {
     "token_counts": 25,
     "unigram_lm_scores": 25,
     # two-round-stale fills (no in-window sibling)
-    "asof_join_nearest": 27,
     "event_share": 27,
     "review_bomb": 27,
     "streaming_stream_join": 27,
@@ -259,10 +262,10 @@ _R10_ROTATION: dict[str, int] = {
 #: - the rest of the r8-green cohort (last driver row r8, listed in
 #:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
 #:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (37 names, incl. the yielded fills rollup_orders,
+#:   forced in (38 names, incl. the yielded fills rollup_orders,
 #:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
 #:   q1_pricing_summary, player_windows, q5_region_revenue,
-#:   pii_redaction, nb_threshold_sweep);
+#:   pii_redaction, nb_threshold_sweep, asof_join_nearest);
 #: - any query whose code changes in r11, first;
 #: - any new r11 registrations, first;
 #: - fills from the then-two-round-stale r9-green cohort by the

@@ -90,6 +90,7 @@ WHITELIST: dict[tuple[str, str], str] = {
         "frames fold their condition and degrade to nested loops over "
         "broadcast sides of <= n_bands+1 rows"
     ),
+    ("dedup_quality_report", "BroadcastNestedLoopJoin"): _ONE_ROW,
     ("hard_negative_pairs", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row query frame onto the scoring scan "
         "(vec_id <> query_id AND rep <> qrep non-equi — the embed_topk "

@@ -110,6 +110,8 @@ PROBES = [
     "logreg_quality_scores",
     # round-10: bounded per-user agg + two Arrow mapInPandas passes
     "multimodal_video_meta_roundtrip",
+    # round-10: LSH candidates + exact-verify joins + blocked truth
+    "dedup_quality_report",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -174,6 +176,7 @@ PROBE_TABLES = {
     "hard_negative_pairs": {"documents", "embeddings"},
     "logreg_quality_scores": {"documents"},
     "multimodal_video_meta_roundtrip": {"events"},
+    "dedup_quality_report": {"documents"},
     "user_value_quartiles": {"events"},
 }
 
@@ -201,10 +204,32 @@ def materialize(spark, mult: int, out_dir: str, needed: set[str]) -> None:
             # replica docs must NOT be near-duplicates of each other:
             # identical text would grow LSH candidate pairs ~quadratically
             # in mult and the probe would measure workload explosion, not
-            # plan scaling (duplicate density stays constant per replica)
+            # plan scaling (duplicate density stays constant per replica).
+            # FIXTURE v2 (r10): the original transform appended ONE token
+            # (" r{i}"), which defeats exact dedup but leaves replicas
+            # sharing ~(N-2)/N of their 3-gram shingles — they stayed
+            # near-duplicates, and minhash candidate pairs measured
+            # x4.4 per doc-doubling (quadratic; caught when the
+            # dedup_quality_report anchor came back super-linear at
+            # slope 1.18).  v2 suffixes EVERY whitespace token with
+            # "r{i}", so replicas share no shingle and no hashed word
+            # feature: duplicate density per replica is now genuinely
+            # constant.  Anchors measured before r10's re-run used v1 —
+            # pair-graph numbers from those runs overstate workload
+            # growth (adjudicated in SCALING.md round-10).
             if t == "documents" and i > 0:
                 c = c.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                    "text",
+                    F.when(
+                        F.col("text").isNotNull(),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.split(F.col("text"), r"\s+"),
+                                lambda x: F.concat(x, F.lit(f"r{i}")),
+                            ),
+                        ),
+                    ),
                 )
             copies.append(c)
         out = copies[0]

@@ -3167,3 +3167,44 @@ def test_logreg_hand_fixture(spark):
     assert scored[1]["pred"] and scored[2]["pred"] and scored[5]["pred"]
     assert not scored[3]["pred"] and not scored[4]["pred"]
     assert not scored[7]["pred"]  # spam-only text scores spam-ward
+
+
+def test_dedup_quality_report_fixture(spark):
+    """The evaluation semantics on a constructed corpus: two exact
+    near-dup pairs (one same-lang, one CROSS-lang), one moderate pair
+    and unrelated documents — recall counts only the blocked truth,
+    precision re-verifies every candidate cross-lang, and the
+    unrelated docs surface in neither."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        dedup_quality_report,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, base + " one", "en"),
+        (1, base + " two", "en"),          # strong same-lang pair (0,1)
+        (2, base + " three", "fr"),        # strong CROSS-lang with 0/1
+        (3, "totally different words about other things entirely "
+            "nothing shared here at all with anyone else", "en"),
+        (4, "unique content again completely disjoint vocabulary "
+            "zebra yak wombat vole urchin tapir", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = dedup_quality_report(docs).collect()[0]
+    # (0,1), (0,2), (1,2) are near-identical -> all LSH candidates and
+    # all exact-strong; 3 and 4 pair with nobody
+    assert r["n_candidates"] == 3
+    assert r["n_strong"] == 3 and r["n_weak"] == 3
+    assert r["precision_strong"] == 1.0
+    # blocked truth sees only the same-lang pair (0,1)
+    assert r["n_truth_strong"] == 1 and r["n_hit_strong"] == 1
+    assert r["recall_strong"] == 1.0
+
+    # a corpus with no near-dups: zero candidates, NULL ratios
+    solo = spark.createDataFrame(rows[3:], "doc_id long, text string, lang string")
+    r0 = dedup_quality_report(solo).collect()[0]
+    assert r0["n_candidates"] == 0
+    assert r0["precision_weak"] is None and r0["recall_strong"] is None

@@ -766,3 +766,15 @@ def test_logreg_scoring_shuffle_free(spark):
     plan = _final_plan(df)
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     assert "Exchange" not in plan, f"logreg scoring pass shuffles:\n{plan}"
+
+
+def test_dedup_quality_report_plan(spark):
+    """dedup_quality_report (r10): the only nested loops are the
+    single-row aggregate crossJoins (whitelisted _ONE_ROW shape); no
+    cartesian over corpus-sized relations."""
+    import re
+
+    df = QUERIES["dedup_quality_report"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
