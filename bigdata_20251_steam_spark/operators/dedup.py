@@ -1047,11 +1047,22 @@ def dedup_quality_report(
     candidate (the ngram_jaccard_pairs re-verify posture); the truth
     side is the inverted-index similarity join; the final aggregates
     are single-row.  Nothing here is quadratic in the corpus.
+
+    Lineage contract (the connected_components/pagerank posture —
+    and the first catch of the r10 lineage-re-expansion audit, which
+    flagged this operator's initial form at 14 real scans): ``cand``
+    and ``truth`` are each consumed twice (verification + recall
+    join; truth count + hit count), and an uncut reuse re-inlines the
+    whole minhash / postings-join pipeline per consumer.  Both frames
+    are O(true dups), so they are ``localCheckpoint``-ed once —
+    an EAGER job each (documented eager-job contract) — and the final
+    plan reads the checkpointed blocks plus exactly two narrow
+    shingle-projection scans.
     """
     from ..functions.hashing import md5_long
 
     sigs = minhash_signatures(docs)
-    cand = minhash_candidate_pairs(sigs)
+    cand = minhash_candidate_pairs(sigs).localCheckpoint()
     sh = spread_partitions(docs, "doc_id").select(
         "doc_id",
         F.transform(
@@ -1075,8 +1086,10 @@ def dedup_quality_report(
             ),
         )
     )
-    truth = ngram_jaccard_pairs(docs, min_jaccard=strong_jaccard).select(
-        "doc_a", "doc_b"
+    truth = (
+        ngram_jaccard_pairs(docs, min_jaccard=strong_jaccard)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     t_agg = truth.agg(F.count(F.lit(1)).alias("n_truth_strong"))
     h_agg = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(

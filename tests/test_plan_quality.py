@@ -771,10 +771,15 @@ def test_logreg_scoring_shuffle_free(spark):
 def test_dedup_quality_report_plan(spark):
     """dedup_quality_report (r10): the only nested loops are the
     single-row aggregate crossJoins (whitelisted _ONE_ROW shape); no
-    cartesian over corpus-sized relations."""
+    cartesian over corpus-sized relations; and the cand/truth
+    localCheckpoint cuts hold — the audit's first live catch was this
+    operator's uncut form re-inlining the minhash/postings pipelines
+    to 14 real scans, so the final plan must read checkpointed blocks
+    plus exactly the two narrow shingle-projection scans."""
     import re
 
     df = QUERIES["dedup_quality_report"].fn(spark, SF_SMOKE)
     plan = _final_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
