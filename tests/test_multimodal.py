@@ -673,3 +673,80 @@ def test_mp4_routing_contract(spark):
     assert mm.decode_real(good, "video/mp4")[2] == 3000.0
     with pytest.raises(NotImplementedError):
         mm.decode_real(truncated, "video/mp4")
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-bytes fuzz: the r10 stdlib binary parsers must treat a
+# 100 TB corpus's payload column as UNTRUSTED — every malformed input
+# raises ValueError (routed to the fake tier), never struct.error /
+# IndexError / a hang.  (JPEG/PNG fuzz is the r11 follow-up; those
+# decoders predate this contract's test.)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover - hypothesis is baked into CI env
+    _HAVE_HYP = False
+
+
+def _check_parser_contract(fn, payload):
+    try:
+        out = fn(payload)
+    except ValueError:
+        return
+    assert isinstance(out, list) and len(out) == 8
+    assert all(isinstance(v, float) for v in out)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_mp4_parser_fuzz_arbitrary(data):
+        _check_parser_contract(mm.parse_mp4, data)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=60),
+    )
+    def test_mp4_parser_fuzz_mutated(pos, byte, cut):
+        """Byte flips and truncations of a VALID container — the
+        adversarial inputs that pass the magic check and exercise the
+        box walker's bounds guards."""
+        good = bytearray(_mp4_fixture())
+        pos %= len(good)
+        good[pos] = byte
+        payload = bytes(good)[: len(good) - cut]
+        _check_parser_contract(mm.parse_mp4, payload)
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_wav_decoder_fuzz_arbitrary(data):
+        _check_parser_contract(mm.decode_wav, data)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=40),
+    )
+    def test_wav_decoder_fuzz_mutated(pos, byte, cut):
+        import struct as _s
+
+        samples = [0, 1000, -1000, 32767, -32768, 7]
+        data = _s.pack("<6h", *samples)
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+        wav = bytearray(b"RIFF" + _s.pack("<I", len(body)) + body)
+        pos %= len(wav)
+        wav[pos] = byte
+        payload = bytes(wav)[: len(wav) - cut]
+        _check_parser_contract(mm.decode_wav, payload)
