@@ -913,6 +913,7 @@ def pagerank(
     scale: int = 100_000,
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    max_vertices: int = 10**12,
 ) -> DataFrame:
     """Integer-exact PageRank over an undirected pair graph (r10).
 
@@ -943,7 +944,12 @@ def pagerank(
 
     Overflow bound: ``damping_pct * contrib`` must stay inside int64;
     total rank mass is ``<= n_vertices * scale``, so the default scale
-    of 1e5 is safe to ~1e12 vertices (loudly asserted).
+    of 1e5 is safe to ~1e12 vertices.  Loudly asserted against the
+    ``max_vertices`` parameter (default 1e12): a scale/max_vertices
+    combination whose worst case ``damping_pct * max_vertices * scale``
+    leaves int64 raises at plan-build time instead of silently
+    wrapping; callers with bigger graphs pass their real bound and get
+    told the safe scale.
 
     Scale shape: ``deg`` is one count aggregate; each iteration is one
     hash join of the rank table with the (src, dst, deg) edge list on
@@ -970,6 +976,20 @@ def pagerank(
     """
     if iters < 0 or not (0 <= damping_pct <= 100):
         raise ValueError("pagerank: iters >= 0, 0 <= damping_pct <= 100")
+    if scale < 1 or max_vertices < 1:
+        raise ValueError("pagerank: scale >= 1 and max_vertices >= 1")
+    # Worst case inside the update expression: damping_pct * contrib,
+    # with contrib <= total rank mass <= max_vertices * scale (the
+    # docstring's bound).  Check it BEFORE building the plan.
+    if max(damping_pct, 1) * max_vertices * scale >= 2**63:
+        safe = (2**63 - 1) // (max(damping_pct, 1) * max_vertices)
+        raise ValueError(
+            f"pagerank: damping_pct*max_vertices*scale "
+            f"({damping_pct}*{max_vertices}*{scale}) leaves int64 — "
+            f"the per-vertex update would silently overflow; use "
+            f"scale <= {safe} for this graph bound, or lower "
+            "max_vertices to your real vertex count"
+        )
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 

@@ -64,11 +64,25 @@ def _make_paged_api_source():
     schema_ddl = REVIEW_SCHEMA_DDL
     fields = _FIELDS
 
-    def _http_fetch(base_url, app_id, cursor, per_page=100, timeout=30):
+    def _http_fetch(
+        base_url,
+        app_id,
+        cursor,
+        per_page=100,
+        timeout=30,
+        language="english",
+        review_type="all",
+        purchase_type="all",
+    ):
         """One HTTP page fetch: the reference's exact parameter surface
-        (json=1, filter=recent, num_per_page, cursor — steam_utils.py:
-        137-146), cursor treated as an OPAQUE token.  404 -> None (end
-        of chain); other HTTP errors raise (executor task retry)."""
+        (json=1, filter=recent, language=english, review_type=all,
+        purchase_type=all, num_per_page, cursor — steam_utils.py:
+        137-146), cursor treated as an OPAQUE token.  The three filter
+        params default to the reference's values and are
+        option-overridable — omitting them (the pre-r11 form) returned
+        ALL-language reviews from the live API and diverged from the
+        reference's output.  404 -> None (end of chain); other HTTP
+        errors raise (executor task retry)."""
         import json
         import urllib.error
         import urllib.parse
@@ -78,6 +92,9 @@ def _make_paged_api_source():
             {
                 "json": 1,
                 "filter": "recent",
+                "language": language,
+                "review_type": review_type,
+                "purchase_type": purchase_type,
                 "num_per_page": per_page,
                 "cursor": cursor,
             }
@@ -171,6 +188,11 @@ def _make_paged_api_source():
                         cursor,
                         per_page=int(self.options.get("num_per_page", 100)),
                         timeout=float(self.options.get("http_timeout", 30)),
+                        language=self.options.get("language", "english"),
+                        review_type=self.options.get("review_type", "all"),
+                        purchase_type=self.options.get(
+                            "purchase_type", "all"
+                        ),
                     )
                 raise ValueError(
                     "paged_api source needs 'fixture_dir' or 'base_url'"
@@ -228,6 +250,18 @@ def _make_paged_api_source():
                 )
             self.per_page = int(options.get("num_per_page", 100))
             self.timeout = float(options.get("http_timeout", 30))
+            self.language = options.get("language", "english")
+            self.review_type = options.get("review_type", "all")
+            self.purchase_type = options.get("purchase_type", "all")
+            #: Per-trigger cap on the driver-side probe walk (per app):
+            #: the FIRST trigger on an app with a long history would
+            #: otherwise fetch the entire chain serially on the driver
+            #: (and every page twice — probe + executor).  Capping also
+            #: bounds micro-batch size, the maxOffsetsPerTrigger
+            #: analogue; unread pages arrive over subsequent triggers.
+            self.max_pages_per_trigger = int(
+                options.get("max_pages_per_trigger", 100)
+            )
             # HTTP driver-side probe state: last known chain position
             self._probe = {
                 str(a): {"n": 0, "cursor": "*"} for a in self.appids
@@ -254,14 +288,19 @@ def _make_paged_api_source():
             out = {}
             for a in self.appids:
                 st = dict(self._probe[str(a)])
-                while st["cursor"]:
+                walked = 0
+                while st["cursor"] and walked < self.max_pages_per_trigger:
                     data = _http_fetch(
                         self.base_url, a, st["cursor"],
                         per_page=self.per_page, timeout=self.timeout,
+                        language=self.language,
+                        review_type=self.review_type,
+                        purchase_type=self.purchase_type,
                     )
                     if not data or not data.get("reviews"):
                         break  # next page not there yet; re-probe later
                     st = {"n": st["n"] + 1, "cursor": data.get("cursor", "")}
+                    walked += 1
                 self._probe[str(a)] = st
                 out[str(a)] = st
             return out
@@ -294,18 +333,39 @@ def _make_paged_api_source():
             if app_id is None:
                 return
             if kind == "http":
+                # latestOffset already PROVED these n_pages exist (the
+                # probe walked them with non-empty reviews), so a
+                # transient 404/empty page mid-range is a server hiccup
+                # — Steam's API intermittently returns empty review
+                # lists with HTTP 200.  Silently breaking would commit
+                # the checkpointed offset over pages never read (silent
+                # data loss under the exactly-once contract); raising
+                # makes Spark retry the task instead.
                 cursor, n_pages = x, y
-                for _ in range(n_pages):
+                for i in range(n_pages):
                     data = _http_fetch(
                         self.base_url, app_id, cursor,
                         per_page=self.per_page, timeout=self.timeout,
+                        language=self.language,
+                        review_type=self.review_type,
+                        purchase_type=self.purchase_type,
                     )
                     if not data or not data.get("reviews"):
-                        break
+                        raise IOError(
+                            f"paged_api: app {app_id} page {i + 1}/"
+                            f"{n_pages} of a committed range came back "
+                            "empty (transient API hiccup?) — raising so "
+                            "the task retries instead of committing a "
+                            "truncated batch"
+                        )
                     yield from _parse_data(data, app_id)
                     cursor = data.get("cursor", "")
-                    if not cursor:
-                        break
+                    if not cursor and i + 1 < n_pages:
+                        raise IOError(
+                            f"paged_api: app {app_id} cursor chain ended "
+                            f"at page {i + 1}/{n_pages} of a committed "
+                            "range — raising so the task retries"
+                        )
                 return
             for p in range(x, y):
                 path = os.path.join(

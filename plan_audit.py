@@ -120,20 +120,41 @@ SCAN_BOUND = 8
 SCAN_WHITELIST: dict[str, str] = {}
 
 
-def count_real_scans(jnode) -> int:
+def count_real_scans(jnode, _seen_subqueries=None) -> int:
     """FileSourceScanExec nodes reachable at execution time: descend
-    through AQE/query-stage wrappers, stop at InMemoryTableScan (reads
-    cache, its printed child is the cache-miss recompute path) and
-    ReusedExchange (references an already-counted subtree)."""
+    through AQE/query-stage wrappers AND subquery expressions (r11 —
+    a scalar subquery / DPP filter executes its own subtree, so a
+    re-inlined lineage hiding inside one counted zero before), stop at
+    InMemoryTableScan (reads cache, its printed child is the
+    cache-miss recompute path), ReusedExchange and ReusedSubquery
+    (references to already-counted subtrees).  A SubqueryExec executes
+    ONCE however many nodes reference it (Catalyst pushes the same
+    expression into the scan as a data filter, cloning the reference),
+    so subquery plans are deduplicated by semanticHash — the same
+    equivalence ReuseSubquery uses — before counting."""
+    if _seen_subqueries is None:
+        _seen_subqueries = set()
     name = jnode.getClass().getSimpleName()
-    if name in ("InMemoryTableScanExec", "ReusedExchangeExec"):
+    if name in (
+        "InMemoryTableScanExec",
+        "ReusedExchangeExec",
+        "ReusedSubqueryExec",
+    ):
         return 0
     if name == "AdaptiveSparkPlanExec":
-        return count_real_scans(jnode.executedPlan())
+        return count_real_scans(jnode.executedPlan(), _seen_subqueries)
     n = 1 if name in ("FileSourceScanExec", "BatchScanExec") else 0
+    subs = jnode.subqueries()
+    it = subs.iterator()
+    while it.hasNext():
+        sub = it.next()
+        sid = sub.canonicalized().semanticHash()
+        if sid not in _seen_subqueries:
+            _seen_subqueries.add(sid)
+            n += count_real_scans(sub, _seen_subqueries)
     ch = jnode.children()
     for i in range(ch.size()):
-        n += count_real_scans(ch.apply(i))
+        n += count_real_scans(ch.apply(i), _seen_subqueries)
     return n
 
 

@@ -2746,6 +2746,22 @@ def test_pagerank_iter0_and_validation(spark):
         pagerank(verts, pairs, iters=-1)
     with _pytest.raises(ValueError):
         pagerank(verts, pairs, damping_pct=101)
+    # r11 (ADVICE): the documented int64 overflow bound is now a real
+    # plan-build-time guard, not just prose — damping_pct *
+    # max_vertices * scale must fit int64, and the error names the
+    # safe scale for the given graph bound.
+    with _pytest.raises(ValueError, match="leaves int64"):
+        pagerank(verts, pairs, scale=10**6, max_vertices=10**12)
+    with _pytest.raises(ValueError):
+        pagerank(verts, pairs, scale=0)
+    # shrinking the declared graph bound restores the default scale
+    got2 = {
+        r["doc_id"]: r["pr"]
+        for r in pagerank(
+            verts, pairs, iters=0, scale=10**6, max_vertices=10**8
+        ).collect()
+    }
+    assert got2 == {1: 1_000_000, 2: 1_000_000}
 
 
 def test_dsir_model_provenance(spark):

@@ -783,3 +783,30 @@ def test_dedup_quality_report_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 2, plan
     assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
+
+
+def test_count_real_scans_sees_subquery_scans(spark, tmp_path):
+    """r11 (ADVICE): the lineage-re-expansion counter recurses into
+    subquery expressions — a scalar subquery executes its own subtree,
+    so a re-inlined lineage hiding inside one must count toward
+    SCAN_BOUND.  Clone references to the SAME subquery (Catalyst
+    pushes the filter copy into the scan) dedupe by semanticHash: the
+    subquery executes once, so it counts once."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from plan_audit import count_real_scans
+
+    p = str(tmp_path / "t")
+    spark.range(10).toDF("x").write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("_crs_probe")
+    q = spark.sql(
+        "select x from _crs_probe "
+        "where x > (select avg(x) from _crs_probe)"
+    )
+    jp = q._jdf.queryExecution().executedPlan()
+    # 1 main scan + the subquery's scan (counted ONCE though the
+    # expression is referenced at both the Filter and the pushed scan)
+    assert count_real_scans(jp) == 2
+    plain = spark.read.parquet(p)._jdf.queryExecution().executedPlan()
+    assert count_real_scans(plain) == 1

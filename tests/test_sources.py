@@ -307,9 +307,11 @@ def _start_loopback_api(pages_dir, request_log):
     """Serve the page fixtures over HTTP with OPAQUE cursor tokens.
 
     Speaks the reference's parameter surface (json=1, filter=recent,
-    num_per_page, cursor — producers/steam_utils.py:137-146) and 400s
-    any request missing it, so a passing test proves the client sent
-    every parameter.  Cursors are re-minted as ``opq-<n>`` tokens the
+    language=english, review_type=all, purchase_type=all, num_per_page,
+    cursor — producers/steam_utils.py:137-146) and 400s any request
+    missing it, so a passing test proves the client sent every
+    parameter (r11: the three filter params joined the contract — the
+    live API returns all-language reviews without them).  Cursors are re-minted as ``opq-<n>`` tokens the
     client cannot compute, proving the cursor is threaded opaquely from
     each response into the next request rather than synthesized.
     """
@@ -330,6 +332,9 @@ def _start_loopback_api(pages_dir, request_log):
             ok_params = (
                 qs.get("json") == ["1"]
                 and qs.get("filter") == ["recent"]
+                and qs.get("language") == ["english"]
+                and qs.get("review_type") == ["all"]
+                and qs.get("purchase_type") == ["all"]
                 and "num_per_page" in qs
                 and "cursor" in qs
             )
@@ -446,5 +451,72 @@ def test_paged_api_http_stream_loopback(spark, tmp_path):
         run_once()
         got2 = sorted(r["review_id"] for r in spark.read.parquet(sink).collect())
         assert got2 == [10, 11, 12, 20]  # exactly once: no re-reads, no gaps
+    finally:
+        srv.shutdown()
+
+
+def test_paged_api_http_stream_raises_on_truncated_range(tmp_path):
+    """r11 (ADVICE): latestOffset PROVED the committed range's pages
+    exist, so a transient empty page mid-range must RAISE (task retry)
+    instead of silently breaking — breaking would commit the
+    checkpointed offset over pages never read (silent data loss under
+    the exactly-once contract; Steam's API intermittently returns
+    empty review lists with HTTP 200)."""
+    import types
+
+    import pytest
+
+    from bigdata_20251_steam_spark.sources.paged_api import (
+        PagedApiDataSource,
+    )
+
+    d = str(tmp_path)
+    # the server has ONLY page 0; the committed range claims 2 pages
+    _write_page(d, 1, 0, [_rev(10)], next_cursor="x")
+    log = []
+    srv = _start_loopback_api(d, log)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/appreviews"
+        sr = PagedApiDataSource(
+            {"appids": "1", "base_url": base}
+        ).streamReader(None)
+        part = types.SimpleNamespace(value=("http", 1, "*", 2))
+        with pytest.raises(IOError, match="committed range"):
+            list(sr.read(part))
+        # a range the server CAN serve yields and terminates normally
+        ok = list(
+            sr.read(types.SimpleNamespace(value=("http", 1, "*", 1)))
+        )
+        assert [r[1] for r in ok] == [10]  # review_id field
+    finally:
+        srv.shutdown()
+
+
+def test_paged_api_http_probe_page_cap(tmp_path):
+    """r11 (ADVICE): the driver-side latestOffset probe advances at
+    most max_pages_per_trigger pages per app per trigger — the first
+    trigger on an app with a long history must not fetch the whole
+    chain serially on the driver; unread pages arrive over subsequent
+    triggers."""
+    from bigdata_20251_steam_spark.sources.paged_api import (
+        PagedApiDataSource,
+    )
+
+    d = str(tmp_path)
+    _write_page(d, 1, 0, [_rev(10)], next_cursor="x")
+    _write_page(d, 1, 1, [_rev(11)], next_cursor="x")
+    _write_page(d, 1, 2, [_rev(12)], next_cursor="")
+    log = []
+    srv = _start_loopback_api(d, log)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/appreviews"
+        sr = PagedApiDataSource(
+            {"appids": "1", "base_url": base, "max_pages_per_trigger": "1"}
+        ).streamReader(None)
+        ns = [sr.latestOffset()["1"]["n"] for _ in range(4)]
+        assert ns == [1, 2, 3, 3]  # one page per trigger, then parked
+        # exactly one request per productive probe; the exhausted chain
+        # (empty cursor) is never probed again
+        assert len(log) == 3
     finally:
         srv.shutdown()
