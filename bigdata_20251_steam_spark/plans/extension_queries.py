@@ -5411,3 +5411,378 @@ def q_logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_quality_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# IVFADC search (r11): coarse routing composed with residual PQ
+# ---------------------------------------------------------------------------
+
+#: Provenance: operators.similarity.kmeans_train(embeddings@sf0.001,
+#: k=16, iters=2, scale=1000) for the coarse centroids and
+#: operators.similarity.ivfadc_train(embeddings@sf0.001, cents, m=8,
+#: k_sub=16, iters=2, scale=1000) for the residual codebooks — both
+#: deterministic (lowest-id init, integer argmin ties-to-lowest,
+#: floor(sum/count) updates); re-derivation pinned by
+#: tests (test_ivfadc_artifacts_provenance).
+_IVFADC_NPROBE = 4
+_IVFADC_CENTS: list[list[int]] = [
+    [-17, -57, -8, 47, -34, -82, -67, -28, -4, 30, -41, -23, 26, -2,
+     9, -7, 49, -11, 14, -8, 4, -56, 49, -34, -40, 17, -41, -26, 6,
+     27, -77, 35, 26, 5, -17, 73, 11, -68, -30, 19, -29, -4, 88, -26,
+     35, 3, 32, -65, -18, 74, -3, 34, -27, -81, 53, 85, -18, 35, -43,
+     56, -5, -29, -121, 43],
+    [-31, 35, -33, -8, -50, -64, -7, -8, -16, -68, -23, -69, -24, 8,
+     65, 21, -11, -3, -34, -8, -25, -58, -7, -117, 25, -12, -19, -41,
+     -41, 26, -50, -27, -5, 79, 17, -66, 33, -57, -28, -16, 65, -27,
+     26, -3, -29, -76, 2, 52, 0, 23, -30, -14, 27, 96, -21, -79, -39,
+     -26, 1, 45, 8, -7, 0, -28],
+    [-23, -9, 65, 3, -32, -2, -75, -8, -72, -6, -8, 32, 27, -17, 34,
+     8, 26, 56, -25, -52, -48, -20, 1, 83, -5, 35, 30, -6, 13, 18, 2,
+     105, 46, -19, -18, 1, -2, 24, 15, -25, 78, 45, -18, 3, 8, -64,
+     -36, 18, -26, -21, 76, 37, 15, 11, 2, 30, 40, 10, -48, -51, 9, 6,
+     -7, -38],
+    [32, 29, 25, -24, 18, -34, 17, -109, 15, -11, -22, -8, -65, -14,
+     -78, -23, -32, 51, 49, -41, -7, -33, -6, 6, -18, -41, -28, 1, 31,
+     -23, 54, 14, -22, -37, 36, -19, 0, -58, 11, 51, -19, -136, 14,
+     -35, 5, -10, 32, -72, -12, 15, 22, 18, -14, 6, 73, 9, -5, -12,
+     50, 43, -30, -46, 54, 14],
+    [10, -31, -6, -1, 22, 14, -8, 91, -31, -40, 51, -31, -30, -14, 6,
+     -19, -19, -91, -52, -20, -99, -25, 37, 15, 23, -44, 17, 6, 11, 7,
+     -31, -36, -38, 6, -6, 11, -26, 24, -38, 26, 28, -38, 34, 18, -24,
+     58, -49, -45, -61, 8, -23, -74, 48, 9, -15, -16, 17, -65, -48, 0,
+     -13, 62, -56, -40],
+    [-32, 58, 27, 78, 26, 17, -4, -83, -92, -32, -14, -52, -24, 26,
+     58, 9, -95, -41, 28, -37, -10, 43, -7, 2, -60, -14, 16, -90, 21,
+     -93, -21, -90, -19, -18, 49, -99, 21, 15, 24, 17, 78, -61, 16,
+     104, -19, -16, -17, 20, 19, -60, 16, 18, -43, 39, -2, -35, 60,
+     38, -12, 31, -52, -36, 1, 29],
+    [87, -32, -34, -29, -25, -84, 20, 9, -11, 88, -23, -6, 15, 10,
+     -22, 13, 10, -23, -10, -53, 89, 27, 14, -2, 21, 6, 18, -11, -16,
+     28, 7, 52, 55, -16, 17, 23, -21, 50, -68, -21, 7, -40, -39, 2,
+     33, 24, 27, -13, 32, -38, -75, -3, 87, 16, 20, -19, 74, -18, 55,
+     -21, -23, 5, 31, 9],
+    [54, -5, 32, 97, 54, -12, -22, -55, 39, -46, 21, 8, 42, 2, 51, 25,
+     41, -14, -35, -40, -39, 0, 14, -9, -31, -6, 36, 30, 37, 6, 41,
+     21, 8, -43, 14, 12, 44, -12, -37, -20, -112, 44, 11, -34, 1, 38,
+     -2, -23, 7, -12, -63, -20, -42, 4, 20, 16, 45, -81, -43, -28,
+     -32, -3, -9, -4],
+    [-30, -49, -46, 41, 18, -3, 7, -23, 49, 133, -42, 45, -19, 24, 14,
+     56, 15, 44, -26, -9, -29, -10, 22, -50, -16, 52, -35, 22, -54,
+     -13, -46, -6, -43, 59, -22, 8, 49, 51, -11, -15, -35, 92, -17,
+     23, -15, -11, -1, -4, -6, 87, -16, -60, -1, -6, -71, -15, -28,
+     42, 88, 15, -10, 5, 40, 36],
+    [38, -7, 15, 5, -35, 2, 4, 18, -32, 30, 38, -30, 15, -69, -36,
+     -67, 22, -19, 26, 36, -3, 43, -18, -22, 24, 53, 8, -65, -93, -63,
+     47, -19, 5, -5, 84, 14, 58, 2, 29, 78, -2, -19, -18, 2, -2, 67,
+     -20, -3, -20, 68, 2, 34, 0, 29, -13, 22, -58, -43, -10, -51, 27,
+     -50, 50, -9],
+    [-84, 51, -16, -9, -23, 22, -8, 77, -126, 0, -15, -13, -14, 57,
+     -17, 3, 73, -26, -60, 54, 13, 30, 56, 22, 53, 10, -71, 85, -27,
+     -43, -11, -7, -7, 15, -3, 16, -11, 97, -5, 9, -33, 19, 49, 51,
+     -16, -79, -19, -3, 12, -62, 62, 22, 12, 48, 90, 23, 37, 29, 5,
+     -70, 48, 2, -76, 66],
+    [-50, 92, 65, 7, -14, -38, -13, 20, -21, 22, 15, 2, -33, 30, -46,
+     -58, 24, -35, 32, -15, 35, -5, -24, 17, -57, 0, 35, -42, -30, 52,
+     -39, -70, -28, 28, 9, -4, -86, -24, 5, -35, -19, -66, -35, -21,
+     57, -66, -9, 32, 11, -38, -44, -43, 27, -9, -8, -6, -46, 32, -53,
+     -18, 11, 35, 58, -64],
+    [-42, -38, 1, -30, 50, 36, 79, 14, -65, -47, 97, 15, 101, 45, 1,
+     4, 10, -29, 29, 54, 13, -11, -19, -80, 39, 17, -31, -31, 30, -36,
+     -42, 2, 0, -8, -31, 3, -29, 49, 17, 53, -20, -46, 21, -36, -4,
+     -95, -5, 29, -3, 23, 23, -32, 59, 11, -6, -22, 42, 18, -57, 31,
+     -70, 37, -45, 52],
+    [2, -3, -69, 45, -41, 34, 67, 45, 34, -51, 20, 3, 2, -46, 5, 14,
+     5, 7, 11, 27, -58, 28, 22, -20, -19, -36, 32, 26, 45, 56, -3, -9,
+     33, -10, -111, -6, -71, -29, 6, 0, -18, 21, -31, -3, -61, 32, 73,
+     -32, -35, -72, 90, -14, -41, 5, 43, 32, -50, 47, 103, 32, 34, 11,
+     45, 26],
+    [-48, -22, 22, -69, -6, 53, 39, -98, 12, -52, 40, -50, -39, 30,
+     59, 27, -81, 36, -13, 30, 39, -2, -24, -45, 6, -46, 28, 12, -22,
+     36, -18, 28, -27, 30, -49, 38, 13, -40, -35, 3, 6, 27, -32, 22,
+     -89, -4, -21, 37, 114, -42, -3, 46, 0, -31, 3, -21, -4, 33, -70,
+     38, 18, -20, -41, -49],
+    [55, -17, -70, 14, 18, 98, -90, 44, 75, -34, -34, 9, 14, 30, -10,
+     -59, -20, 47, -3, -8, 9, 29, -31, 72, 12, -38, -69, 100, 2, -106,
+     -27, -35, 71, 24, -13, 16, 42, 10, 1, 14, 8, 75, 35, 36, 34, -50,
+     15, 49, -10, 51, -27, 23, -87, 0, -1, -26, 22, 19, -9, -48, 38,
+     57, -61, 23],
+]
+
+_IVFADC_CODEBOOKS: list[list[list[int]]] = [
+    [
+        [-99, 10, -78, -79, -1, -99, -35, 92],
+        [36, 84, -33, 20, -98, -44, -56, 5],
+        [29, -53, 77, 125, -139, 54, -35, -78],
+        [-24, 281, -27, -28, -18, -219, -34, -298],
+        [65, 23, 116, -39, 94, -25, -144, 45],
+        [-71, 5, 28, 5, 45, 135, -60, -98],
+        [114, -78, -17, -55, -54, -145, 122, -6],
+        [-27, -13, 21, 175, 10, -29, 80, -94],
+        [76, -82, -28, 66, 127, -22, -35, -81],
+        [-2, -102, -148, 62, -81, -44, -52, -43],
+        [-124, 18, -177, -48, -3, 58, 102, -10],
+        [-131, 70, 86, 32, 84, -99, 11, 20],
+        [30, -68, 50, -179, -34, 7, -3, 1],
+        [113, 101, -56, -11, 66, 67, 61, 63],
+        [-49, 60, 135, -21, -71, 43, 62, -179],
+        [-65, -61, 76, 20, -39, 70, 42, 130],
+    ],
+    [
+        [89, -65, -59, -6, 91, 152, -76, 28],
+        [-35, -56, -2, -96, -39, -169, 34, 22],
+        [-225, 0, -43, 79, 54, 4, 53, -13],
+        [32, -59, -73, -16, -100, 35, 12, -129],
+        [-18, 19, 125, -49, -151, -16, 79, 30],
+        [-91, -64, -167, -42, -36, -50, 6, 53],
+        [-18, 163, -62, 13, -15, 68, 56, 6],
+        [57, -66, 20, 64, 80, 7, 160, -9],
+        [99, 73, -23, 61, 56, -94, -42, 163],
+        [2, -12, 73, 17, 14, -108, -55, -103],
+        [-184, 26, 113, -11, -62, 59, -104, 124],
+        [53, 41, 33, 63, -104, 40, -92, -23],
+        [-30, 38, 76, -47, 152, 64, -15, -2],
+        [58, 114, 26, 17, 123, 88, -172, 48],
+        [137, -75, -60, -127, -31, -4, 12, 94],
+        [89, -60, -204, 49, 92, -40, -104, -42],
+    ],
+    [
+        [62, 4, -6, 96, -47, -77, 160, 23],
+        [20, -86, -41, -78, -24, 14, 83, -169],
+        [-72, 103, -91, 2, -23, -95, 0, 69],
+        [-2, 69, 44, -31, -4, -95, -153, -113],
+        [-75, -146, -41, -65, -92, -82, 50, 29],
+        [-42, 67, 138, -20, 18, -15, 26, 135],
+        [-35, 100, -116, -39, 2, 75, 15, -115],
+        [105, 1, 25, -121, -94, -79, -43, 19],
+        [51, 0, 2, 45, -179, 98, 14, -51],
+        [125, -36, 27, -46, 59, 152, -17, 23],
+        [-7, 109, -81, 233, -12, -47, 17, -6],
+        [126, -138, -36, 31, 45, 7, -86, 110],
+        [15, -43, -2, 54, 131, -115, -18, -76],
+        [-55, -40, 70, 134, 70, 108, 98, -25],
+        [-49, 53, -7, -103, 146, 49, -43, 48],
+        [-138, -48, -2, 59, -94, 63, -82, -54],
+    ],
+    [
+        [97, 128, -38, -74, -3, 117, -204, 7],
+        [-24, -7, -103, -9, 145, -59, -65, -16],
+        [87, 99, -21, 61, 79, 30, 94, 97],
+        [-39, -93, -6, -104, 84, 51, 79, 94],
+        [3, -83, 114, 4, 42, -115, 21, -44],
+        [-70, 152, 65, -71, -14, -24, -1, -121],
+        [27, -36, 84, 35, 10, 42, -57, 193],
+        [-42, 41, 91, 47, -31, 91, 100, 24],
+        [-39, 148, -25, 49, -65, -10, -84, 27],
+        [-17, 127, -54, -129, -119, -72, 101, 49],
+        [77, -45, -114, 99, -13, -19, -11, -110],
+        [-22, 20, -29, -20, -31, 171, -45, -113],
+        [100, 74, 186, 16, -115, -28, -195, -203],
+        [-82, -53, 170, 13, -69, 126, -170, 25],
+        [-110, -34, -74, 36, -100, -18, 32, 53],
+        [142, -104, -6, -103, -79, -42, 17, -5],
+    ],
+    [
+        [0, -66, -19, 54, 39, -87, -10, 155],
+        [41, -85, 7, -127, -31, -95, -104, -74],
+        [-7, -8, -58, 87, 145, 50, 54, -89],
+        [-99, -74, -8, -110, -49, -37, 75, 81],
+        [-78, 30, 11, 47, -53, 14, -144, 55],
+        [-113, -41, 81, -76, 112, 63, 80, -17],
+        [153, -10, -25, -1, 52, 33, -95, -33],
+        [-44, -34, 3, -93, -11, 191, -1, -84],
+        [-21, 50, -158, -105, 73, 106, 22, 35],
+        [-72, 33, 200, -4, 163, -100, -18, -14],
+        [54, 136, -24, -59, -31, 18, 58, 88],
+        [-19, 18, 188, -32, -71, 16, 74, 28],
+        [37, 5, -59, 107, -90, 62, 77, -17],
+        [39, 30, -106, -39, -156, -82, 32, -56],
+        [45, 96, 66, 63, 3, -111, -25, -74],
+        [-48, -143, 18, 169, 56, -34, -1, -25],
+    ],
+    [
+        [143, -132, 67, -106, -1, -55, 84, 64],
+        [5, -131, 50, -147, -140, -5, -46, 94],
+        [100, 101, -73, 9, 71, 93, -104, 48],
+        [-36, -93, 97, -37, -26, 33, 72, -17],
+        [30, -47, 85, 104, -112, 140, -58, 7],
+        [117, -21, 67, 178, -20, -51, -2, -18],
+        [-43, 79, 5, 61, 149, 29, 53, -68],
+        [-57, 122, 109, -47, 33, 97, 29, 87],
+        [16, 135, -1, -15, -70, -69, 131, 26],
+        [-132, -81, -84, 62, -51, 12, -33, -32],
+        [-45, -60, 2, 26, 118, 6, -115, 120],
+        [51, -108, -76, 60, 101, 38, 122, 32],
+        [-22, 24, -79, -147, 40, -83, -4, 15],
+        [68, -14, -135, 22, -136, 29, 43, -16],
+        [4, -26, 20, -29, -75, -81, -222, -40],
+        [17, 131, 43, -44, -15, -80, -52, -143],
+    ],
+    [
+        [-61, 13, -73, 151, -38, -52, -3, 76],
+        [-21, 84, 5, 112, -18, 76, -83, -164],
+        [-90, -22, 72, 28, 30, 82, -141, 29],
+        [1, 17, 84, -98, -26, -190, -56, 30],
+        [-124, 89, -93, -44, 14, 148, 38, 40],
+        [-8, -165, 33, 85, -45, -6, 76, -67],
+        [19, -107, -64, 80, 97, -160, 31, -71],
+        [5, -26, -157, -35, -66, 61, 56, 22],
+        [74, -5, -56, -133, 114, -4, -78, -4],
+        [-26, 138, 52, -29, -22, -48, -79, 93],
+        [21, -53, 42, 9, 78, 60, -2, 171],
+        [-82, -11, 28, -39, 110, -11, 137, -51],
+        [-91, -30, 8, -12, -5, -70, -39, -125],
+        [-93, 17, 120, 66, -37, 130, 124, 99],
+        [154, 35, 21, 17, -45, 36, 69, 0],
+        [62, 12, 49, -8, -156, -16, -52, -123],
+    ],
+    [
+        [-37, -18, -40, 176, -32, 33, -82, 107],
+        [93, -59, -16, -29, -79, 14, 97, -38],
+        [25, 148, -68, 13, 20, -100, 62, -38],
+        [-54, -104, -92, 9, 20, -99, -5, 4],
+        [99, -33, -17, 101, 16, 44, -90, -95],
+        [1, 40, 133, -28, 22, 68, -70, 147],
+        [87, 91, 127, -73, -86, 11, 88, 25],
+        [55, -169, 13, -120, -61, 3, 41, 62],
+        [15, -63, 64, 174, 53, -28, 96, -10],
+        [-137, 15, 112, -78, -17, -12, -13, -53],
+        [-25, 4, 23, -45, 51, -132, -122, 183],
+        [19, 60, 20, -24, -8, 17, -2, -185],
+        [-52, -16, -92, -27, -143, 79, -66, 62],
+        [23, -33, -38, -48, 119, 94, 72, 77],
+        [-48, 15, 22, 45, 137, -114, -118, -90],
+        [-34, 91, 12, 94, -47, 125, -104, -42],
+    ],
+]
+
+def _ivfadc_oracle(k: int = 5) -> str:
+    """Full relational replay of ivfadc_search: coarse assignment
+    (argmin over the pinned centroids) -> residual -> residual-PQ
+    encode -> decode -> probe-set routing (nprobe nearest cells per
+    query) -> residual ADC over probed cells only -> exact integer
+    re-rank.  Integer end-to-end on the kmeans grid, so the replay is
+    bit-identical — the coarse ROUTING is hash-checked, not just
+    recall-claimed."""
+    m, sub = _PQ_M, 64 // _PQ_M
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    n_cells = len(_IVFADC_CENTS)
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q, dc,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    dec AS (SELECT vec_id, cell, ({recon}) AS rr FROM d),
+    qs AS (SELECT vec_id AS query_id, q AS qq, dc FROM cl
+           WHERE vec_id < 10),
+    pr AS (
+      SELECT query_id, j FROM (
+        SELECT query_id, j,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dc[CAST(j AS INT)], j) AS rn
+        FROM qs, range(1, {n_cells + 1}) t(j)) z
+      WHERE rn <= {_IVFADC_NPROBE}),
+    qres AS (
+      SELECT p.query_id, CAST(p.j AS INT) AS cell,
+             list_transform(range(1, 65),
+               i -> s.qq[i]
+                    - list_extract(list_extract({cents}, CAST(p.j AS INT)), i)
+             ) AS qr,
+             s.qq
+      FROM pr p JOIN qs s ON s.query_id = p.query_id),
+    adc AS (
+      SELECT s.query_id, b.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (s.qr[i]-b.rr[i])*(s.qr[i]-b.rr[i]))) AS adc_d
+      FROM dec b JOIN qres s ON s.cell = b.cell
+      WHERE b.vec_id <> s.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, vec_id) AS rn
+        FROM adc) t WHERE rn <= {_PQ_SHORTLIST}),
+    ex AS (
+      SELECT sl.query_id, sl.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (s.qq[i]-v.q[i])*(s.qq[i]-v.q[i]))) AS BIGINT) AS sqdist
+      FROM sl
+      JOIN qv v ON v.vec_id = sl.vec_id
+      JOIN (SELECT DISTINCT query_id, qq FROM qres) s
+        ON s.query_id = sl.query_id),
+    rr AS (
+      SELECT query_id, vec_id, sqdist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sqdist, vec_id) AS INT) AS rank
+      FROM ex)
+    SELECT query_id, vec_id, sqdist, rank FROM rr WHERE rank <= {k}
+    """
+
+
+@register(
+    "ivfadc_search",
+    oracle=_ivfadc_oracle(),
+    # new r11 registration — enters the r11 driver window first per
+    # the registry invariant (see the rotation note in
+    # plans/registry.py; the displaced fill is itemized there).
+    priority=80,
+    doc="IVFADC search with exact re-ranking "
+    "(operators/similarity.py kmeans_train/ivfadc_train/ivfadc_search, "
+    "r11; Jégou, Douze & Schmid, TPAMI 2011 §V-VI — the deployed "
+    "billion-vector shape, closing the r10 verdict's composition "
+    "gap): vectors assign to their nearest of 16 PINNED integer "
+    "coarse centroids and store (cell, m=8 residual PQ codes); each "
+    "query ranks the cells and scans ONLY its nprobe=4 nearest — "
+    "stage 1 reads ~nprobe/K of the codes instead of all n "
+    "(pq_search_rerank's flat ADC), which at 100 TB becomes parquet "
+    "PARTITION PRUNING when the index is stored partitioned by cell; "
+    "ADC runs residual-vs-reconstruction, the shortlist=50 re-rank "
+    "is the exact integer grid distance.  Integer end-to-end: coarse "
+    "assignment, probe sets, codes, ADC and re-rank all replay "
+    "relationally in the oracle, so the ROUTING is hash-checked "
+    "(recall floor 0.90/overall, 3/5 per query, pinned in pytest). "
+    "Corpus never shuffles in any stage; queries + probe lists "
+    "broadcast; both top-k cuts are the salted two-stage rank.",
+)
+def q_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivfadc_search(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        query_ids=_QUERY_IDS,
+        k=5,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+    )

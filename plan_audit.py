@@ -101,6 +101,12 @@ WHITELIST: dict[tuple[str, str], str] = {
         "scan (vec_id <> query_id non-equi — the embed_topk shape); "
         "the re-rank joins are equi and broadcast-bounded"
     ),
+    ("ivfadc_search", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 10-row query+probe-list frame onto the "
+        "cell-filtered ADC scan (array_contains(probes, cluster) "
+        "non-equi — the routing predicate itself); the re-rank joins "
+        "are equi and broadcast-bounded"
+    ),
     ("dsir_selection", "BroadcastNestedLoopJoin"): (
         "banded_percent_rank with a CONSTANT group (the "
         "user_value_quartiles shape): 1-row edges / bands-bounded "

@@ -810,3 +810,25 @@ def test_count_real_scans_sees_subquery_scans(spark, tmp_path):
     assert count_real_scans(jp) == 2
     plain = spark.read.parquet(p)._jdf.queryExecution().executedPlan()
     assert count_real_scans(plain) == 1
+
+
+def test_ivfadc_corpus_never_shuffles(spark):
+    """ivfadc_search (r11): same contract as pq_search_rerank — the
+    corpus side stays broadcast-joined in every stage (query+probe
+    frame onto the cell-filtered ADC scan; shortlist + queries onto
+    the re-rank scan); every hash exchange is a rank-stage exchange
+    over already-pruned rows, never a hashpartitioning of the corpus
+    relation itself.  The assign/encode/decode pass must stay
+    scan-fused (no exchange before the ADC join)."""
+    df = QUERIES["ivfadc_search"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(
+                f"corpus-side shuffle join in IVFADC search:\n{line}\n{plan}"
+            )
+        if "Exchange hashpartitioning" in line:
+            assert "query_id" in line, (
+                f"non-rank corpus exchange in IVFADC search:\n{line}\n{plan}"
+            )
