@@ -179,10 +179,30 @@ def _make_pixel_decoder():
                 if seg[0] != 8:
                     raise ValueError("only 8-bit JPEG precision supported")
                 h, w = struct.unpack_from(">HH", seg, 1)
+                if h * w > 4_194_304:
+                    # r11 fuzz hardening: decode work scales with the
+                    # DECLARED MCU grid even when the entropy stream is
+                    # tiny (measured ~7 s from a 300-byte payload
+                    # declaring 60000x60000) — an amplification attack
+                    # on 100 TB of scraped bytes.  4M pixels is far
+                    # beyond what a pure-Python IDCT tier should ever
+                    # be fed; larger images route to the fake tier
+                    # VISIBLY (decoder column contract).
+                    raise ValueError(
+                        "JPEG declares >4M pixels — too large for the "
+                        "stdlib decode tier"
+                    )
                 nc = seg[5]
                 comps = []
                 for k in range(nc):
                     hv = seg[7 + 3 * k]
+                    # T.81 B.2.2: sampling factors are 1..4; zero would
+                    # reach the MCU-grid division (r11 fuzz: observed
+                    # ZeroDivisionError leak on an all-zero SOF)
+                    if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                        raise ValueError(
+                            f"bad JPEG sampling factor 0x{hv:02x}"
+                        )
                     comps.append(
                         {
                             "id": seg[6 + 3 * k],
@@ -458,10 +478,32 @@ def _make_pixel_decoder():
                 pos += 12 + ln  # length + type + data + crc
             if w is None or not idat or w <= 0 or h <= 0:
                 raise ValueError("truncated PNG")
-            raw = zlib.decompress(idat)
             ch = 3 if color_type == 2 else 4
             stride = w * ch
-            if len(raw) != h * (stride + 1):
+            expect = h * (stride + 1)
+            if expect > 1 << 31:
+                # r11 fuzz hardening: a crafted IHDR can declare
+                # ~2^32 x 2^32 — the raw buffer bound below would
+                # overflow zlib's ssize_t max_length (observed
+                # OverflowError leak), and a >2 GiB pure-Python filter
+                # pass is not a real decode tier anyway.  Route to the
+                # fake tier visibly.
+                raise ValueError(
+                    "PNG declares >2 GiB of raw scanlines — too large "
+                    "for the stdlib decode tier"
+                )
+            # r11 fuzz hardening: a corrupt deflate stream raises
+            # zlib.error (NOT a ValueError subclass) — normalize it to
+            # the routing contract; and bound the inflate at the
+            # declared pixel size + 1 so a crafted decompression bomb
+            # cannot out-allocate the IHDR it claims (the +1 byte
+            # detects too-long streams without inflating them).
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(idat, expect + 1)
+            except zlib.error as e:
+                raise ValueError(f"corrupt PNG deflate stream: {e}") from e
+            if len(raw) != expect or d.decompress(b"", 1):
                 raise ValueError("PNG pixel data length mismatch")
             px: list[tuple[int, int, int]] = []
             prev = bytearray(stride)

@@ -676,11 +676,14 @@ def test_mp4_routing_contract(spark):
 
 
 # ---------------------------------------------------------------------------
-# Adversarial-bytes fuzz: the r10 stdlib binary parsers must treat a
+# Adversarial-bytes fuzz: the stdlib binary parsers must treat a
 # 100 TB corpus's payload column as UNTRUSTED — every malformed input
 # raises ValueError (routed to the fake tier), never struct.error /
-# IndexError / a hang.  (JPEG/PNG fuzz is the r11 follow-up; those
-# decoders predate this contract's test.)
+# IndexError / a hang.  r10 covered WAV/MP4; r11 extends the same
+# contract to the image decoders (PNG/baseline-JPEG), which caught
+# three live leaks: zlib.error on corrupt deflate, OverflowError on a
+# ~2^32-dim IHDR, ZeroDivisionError on all-zero SOF sampling factors
+# (plus the declared-MCU-grid work-amplification hang, capped).
 # ---------------------------------------------------------------------------
 
 try:
@@ -750,3 +753,120 @@ if _HAVE_HYP:
         wav[pos] = byte
         payload = bytes(wav)[: len(wav) - cut]
         _check_parser_contract(mm.decode_wav, payload)
+
+
+def _check_image_contract(payload):
+    """The image-decoder fuzz contract (r11, extending the r10 WAV/MP4
+    one): ValueError (-> visible fake-tier routing) or a well-formed
+    (w, h, px) decode — never zlib.error / struct.error / IndexError /
+    ZeroDivisionError / a hang."""
+    try:
+        w, h, px = mm.decode_image(payload)
+    except ValueError:
+        return
+    assert isinstance(w, int) and isinstance(h, int)
+    assert w > 0 and h > 0
+    assert len(px) == w * h
+    assert all(len(p) == 3 for p in px[:4])
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_image_decoder_fuzz_arbitrary(data):
+        _check_image_contract(data)
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_png_decoder_fuzz_magic_prefixed(data):
+        """Arbitrary bytes BEHIND the PNG magic — forces the chunk
+        walker / inflate / filter paths rather than the magic check."""
+        _check_image_contract(b"\x89PNG\r\n\x1a\n" + data)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=60),
+    )
+    def test_png_decoder_fuzz_mutated(pos, byte, cut):
+        """Byte flips and truncations of a VALID PNG — inputs that
+        pass the magic check and exercise IHDR validation, the zlib
+        stream, scanline-filter bounds and the length reconciliation."""
+        px = [
+            (r * 16 % 256, (r * 7 + c * 13) % 256, c * 31 % 256)
+            for r in range(6)
+            for c in range(5)
+        ]
+        good = bytearray(_png(5, 6, px, filters=[0, 1, 2, 3, 4, 1]))
+        pos %= len(good)
+        good[pos] = byte
+        _check_image_contract(bytes(good)[: len(good) - cut])
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_jpeg_decoder_fuzz_magic_prefixed(data):
+        """Arbitrary bytes behind the JPEG SOI — forces the marker
+        walker / Huffman / IDCT paths."""
+        _check_image_contract(b"\xff\xd8\xff" + data)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=60),
+    )
+    def test_jpeg_decoder_fuzz_mutated(pos, byte, cut):
+        """Byte flips and truncations of a VALID baseline JPEG —
+        inputs that pass the magic check and exercise segment lengths,
+        Huffman tables, the entropy stream and dimension handling."""
+        good = bytearray(_jpeg_baseline([[40], [12], [-7]], 8, 8,
+                                        n_comp=3))
+        pos %= len(good)
+        good[pos] = byte
+        _check_image_contract(bytes(good)[: len(good) - cut])
+
+
+def test_image_decoder_declared_size_caps():
+    """r11 fuzz hardening, pinned deterministically: (a) a JPEG
+    declaring 60000x60000 from a ~300-byte payload must raise FAST —
+    decode work scales with the DECLARED MCU grid, an amplification
+    attack; (b) a PNG IHDR declaring ~2^31 x 2^31 overflowed zlib's
+    ssize_t max_length (OverflowError leak) before the cap; (c) a
+    zero sampling factor stays inside the ValueError contract."""
+    import struct
+    import time
+
+    good = bytearray(_jpeg_baseline([[40], [12], [-7]], 8, 8, n_comp=3))
+    i, sof = 2, None
+    while i + 1 < len(good):
+        if good[i] == 0xFF and good[i + 1] == 0xC0:
+            sof = i
+            break
+        if good[i] == 0xFF and good[i + 1] not in (0xD8, 0x01) and not (
+            0xD0 <= good[i + 1] <= 0xD9
+        ):
+            ln = struct.unpack_from(">H", good, i + 2)[0]
+            i += 2 + ln
+        else:
+            i += 2
+    assert sof is not None
+    huge = bytearray(good)
+    struct.pack_into(">HH", huge, sof + 5, 60000, 60000)
+    t0 = time.time()
+    with pytest.raises(ValueError, match="4M pixels"):
+        mm.decode_image(bytes(huge))
+    assert time.time() - t0 < 1.0  # must reject at SOF, not after MCUs
+    zerosamp = bytearray(good)
+    # all three components' h/v bytes -> 0: before the SOF validation
+    # this reached the MCU-grid division as a ZeroDivisionError leak
+    for off in (sof + 11, sof + 14, sof + 17):
+        zerosamp[off] = 0x00
+    with pytest.raises(ValueError, match="sampling factor"):
+        mm.decode_image(bytes(zerosamp))
+
+    p = bytearray(_png(2, 2, [(1, 2, 3)] * 4))
+    struct.pack_into(">II", p, 16, 2**31 - 1, 2**31 - 1)
+    with pytest.raises(ValueError, match="too large"):
+        mm.decode_image(bytes(p))
