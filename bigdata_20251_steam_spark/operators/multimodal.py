@@ -828,6 +828,175 @@ def _make_mp4_parser():
 parse_mp4 = _make_mp4_parser()
 
 
+def _make_mp4_sample_parser():
+    """Factory for the stbl sample-table parser (same by-value
+    cloudpickle rationale as the other binary parsers)."""
+
+    def parse_mp4_samples(payload: bytes) -> list[tuple[int, int, int, int]]:
+        """ISO BMFF sample-table decode (r11, verdict #7): per-sample
+        ``(sample_idx, dts, size, offset)`` from the FIRST track whose
+        stbl carries a complete stts/stsz/st(co|sc) set.
+
+        This is the real ISO 14496-12 §8.6-8.7 derivation — the part
+        of "video decode" that is pure container arithmetic and needs
+        no codec:
+
+        - ``stts`` run-lengths expand to per-sample decode timestamps
+          (media-timescale units);
+        - ``stsz`` gives per-sample byte sizes (or the constant-size
+          form);
+        - ``stsc`` runs map chunks -> samples-per-chunk, with the
+          last run extending to the chunk count implied by stco and
+          the FINAL chunk allowed to hold fewer samples (count is
+          owned by stts/stsz, not the chunk map);
+        - ``stco``/``co64`` give chunk file offsets; a sample's offset
+          is its chunk's offset plus the sizes of its predecessors in
+          that chunk.
+
+        A training pipeline uses exactly these rows to sample frames
+        by TIME and slice codec payloads by OFFSET before ever paying
+        for a decoder.  Untrusted-input contract: ValueError on any
+        malformed table (fuzzed), with a loud 1M-sample cap — a
+        crafted 32-bit entry count must not become an allocation
+        bomb.
+        """
+        import struct
+
+        b = bytes(payload)
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            raise ValueError("not an ISO BMFF (ftyp-first) payload")
+
+        def boxes(pos: int, end: int):
+            while pos + 8 <= end:
+                (size,) = struct.unpack_from(">I", b, pos)
+                hdr = 8
+                if size == 1:
+                    if pos + 16 > end:
+                        raise ValueError("truncated largesize box")
+                    (size,) = struct.unpack_from(">Q", b, pos + 8)
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr or pos + size > end:
+                    raise ValueError("malformed box size")
+                yield b[pos + 4 : pos + 8], pos + hdr, pos + size
+                pos += size
+
+        def child(t, s, e):
+            for t2, s2, e2 in boxes(s, e):
+                if t2 == t:
+                    return s2, e2
+            return None
+
+        def u32s(s, e, n, off):
+            if s + off + 4 * n > e:
+                raise ValueError("truncated table")
+            return struct.unpack_from(f">{n}I", b, s + off)
+
+        moov = child(b"moov", 0, len(b))
+        if moov is None:
+            raise ValueError("no moov box")
+        for typ, s, e in boxes(*moov):
+            if typ != b"trak":
+                continue
+            mdia = child(b"mdia", s, e)
+            if mdia is None:
+                continue
+            minf = child(b"minf", *mdia)
+            if minf is None:
+                continue
+            stbl = child(b"stbl", *minf)
+            if stbl is None:
+                continue
+            stts = child(b"stts", *stbl)
+            stsz = child(b"stsz", *stbl)
+            stsc = child(b"stsc", *stbl)
+            stco = child(b"stco", *stbl)
+            co64 = None if stco else child(b"co64", *stbl)
+            if not (stts and stsz and stsc and (stco or co64)):
+                continue
+
+            (n_tt,) = u32s(*stts, 1, 4)
+            if n_tt > 1_048_576:
+                raise ValueError("stts entry count exceeds 1M cap")
+            tt = u32s(*stts, 2 * n_tt, 8)
+            dts, t = [], 0
+            for k in range(n_tt):
+                cnt, delta = tt[2 * k], tt[2 * k + 1]
+                if cnt > 1_048_576 or len(dts) + cnt > 1_048_576:
+                    raise ValueError("stts sample count exceeds 1M cap")
+                for _ in range(cnt):
+                    dts.append(t)
+                    t += delta
+            n = len(dts)
+
+            const_sz, n_sz = u32s(*stsz, 2, 4)
+            if const_sz:
+                sizes = [const_sz] * n_sz
+            else:
+                if n_sz > 1_048_576:
+                    raise ValueError("stsz entry count exceeds 1M cap")
+                sizes = list(u32s(*stsz, n_sz, 12))
+            if n_sz != n:
+                raise ValueError(
+                    f"stts ({n}) and stsz ({n_sz}) sample counts disagree"
+                )
+
+            (n_sc,) = u32s(*stsc, 1, 4)
+            if n_sc > 1_048_576:
+                raise ValueError("stsc entry count exceeds 1M cap")
+            sc = u32s(*stsc, 3 * n_sc, 8)
+            runs = [
+                (sc[3 * k], sc[3 * k + 1]) for k in range(n_sc)
+            ]  # (first_chunk, samples_per_chunk)
+            if any(
+                fc < 1 or (k and runs[k][0] <= runs[k - 1][0])
+                for k, (fc, _) in enumerate(runs)
+            ):
+                raise ValueError("stsc first_chunk not strictly increasing")
+
+            off_box, wide = (stco, False) if stco else (co64, True)
+            (n_ch,) = u32s(*off_box, 1, 4)
+            if n_ch > 1_048_576:
+                raise ValueError("chunk offset count exceeds 1M cap")
+            if wide:
+                s3, e3 = off_box
+                if s3 + 8 + 8 * n_ch > e3:
+                    raise ValueError("truncated co64 table")
+                chunk_offs = struct.unpack_from(f">{n_ch}Q", b, s3 + 8)
+            else:
+                chunk_offs = u32s(*off_box, n_ch, 8)
+
+            out: list[tuple[int, int, int, int]] = []
+            run_i, si = 0, 0
+            for c in range(1, n_ch + 1):
+                while run_i + 1 < len(runs) and runs[run_i + 1][0] <= c:
+                    run_i += 1
+                if not runs or runs[run_i][0] > c:
+                    raise ValueError(f"no stsc run covers chunk {c}")
+                spc = runs[run_i][1]
+                pos = chunk_offs[c - 1]
+                for _ in range(spc):
+                    if si >= n:
+                        break  # final chunk may hold fewer samples
+                    out.append((si, dts[si], sizes[si], pos))
+                    pos += sizes[si]
+                    si += 1
+            if si != n:
+                raise ValueError(
+                    f"chunk map covers {si} of {n} samples"
+                )
+            return out
+        raise ValueError("no track with a complete stbl sample table")
+
+    return parse_mp4_samples
+
+
+#: Pure-stdlib stbl sample-table parser: per-sample timing/size/offset
+#: straight from the container — the pre-codec frame index (r11).
+parse_mp4_samples = _make_mp4_sample_parser()
+
+
 def decode_real(payload: bytes, media_type: str) -> list[float]:
     """Real decode: bytes -> FEATURE_DIM pixel-statistics feature vector.
 
@@ -899,12 +1068,21 @@ RESIZE_SCHEMA = StructType(
     ]
 )
 
-#: Output schema of frame sampling: one row per sampled frame.
+#: Output schema of frame sampling: one row per sampled frame.  r11
+#: adds the per-sample container columns (dts/size/offset — real stbl
+#: data for ISO BMFF payloads) and the ``sampler`` provenance column
+#: (the decode_features ``decoder`` contract applied to frames:
+#: pipelines wanting container-derived rows filter
+#: ``sampler = 'mp4-stbl'``).
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("frame_idx", IntegerType(), False),
         StructField("frame", BinaryType(), False),
+        StructField("dts", LongType(), False),
+        StructField("size", IntegerType(), False),
+        StructField("offset", LongType(), False),
+        StructField("sampler", StringType(), False),
     ]
 )
 
@@ -946,26 +1124,66 @@ def resize_media(
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, fake: bool = True) -> DataFrame:
     """Payload -> sampled frames (video frame extraction shape): 1:N fan-out.
 
-    Demonstrates the generator-style mapInPandas contract (output rows !=
-    input rows).  The fake sampler emits one 16-byte "frame" every
-    ``every_n_bytes``; a real implementation dispatches to ffmpeg with the
-    same (doc_id, frame_idx, frame) output schema.
+    Generator-style mapInPandas (output rows != input rows).  r11
+    routing (verdict #7): an ISO BMFF payload whose stbl parses goes
+    through the REAL sample-table derivation — one row per container
+    sample with its stts decode timestamp, stsz byte size, the
+    stsc/stco-derived absolute file offset, and the sample's actual
+    bytes sliced from the payload at that offset (``sampler =
+    'mp4-stbl'``).  That is the pre-codec frame index a training
+    pipeline filters/samples on; only the codec payload itself remains
+    env-gated.  Everything else falls to the deterministic fake (one
+    16-byte "frame" every ``every_n_bytes``, ``sampler =
+    'fake-grid'``, dts = frame_idx, offset = byte offset) or raises
+    under ``fake=False`` — the decode_features provenance contract.
     """
+    stbl_parse = parse_mp4_samples  # factory-made => cloudpickled by value
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame": [],
+                "dts": [], "size": [], "offset": [], "sampler": [],
+            }
+
+            def emit(doc_id, idx, frame, dts, size, off, sampler):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame"].append(frame)
+                rows["dts"].append(dts)
+                rows["size"].append(size)
+                rows["offset"].append(off)
+                rows["sampler"].append(sampler)
+
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real frame sampling needs ffmpeg; not in this container"
-                    )
                 b = bytes(p)
+                if len(b) >= 12 and b[4:8] == b"ftyp":
+                    try:
+                        for si, dts, size, off in stbl_parse(b):
+                            emit(
+                                doc_id, si, b[off : off + size],
+                                dts, size, off, "mp4-stbl",
+                            )
+                        continue
+                    except ValueError:
+                        if not fake:
+                            raise NotImplementedError(
+                                "ISO BMFF payload without a parsable "
+                                "stbl; frame decode needs ffmpeg wired "
+                                "here"
+                            ) from None
+                        # malformed container: visible fake fall-through
+                elif not fake:
+                    raise NotImplementedError(
+                        "real frame sampling needs ffmpeg; not in this "
+                        "container"
+                    )
                 for i, off in enumerate(range(0, len(b), every_n_bytes)):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(b[off : off + 16])
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+                    emit(
+                        doc_id, i, b[off : off + 16],
+                        i, 16, off, "fake-grid",
+                    )
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
 

@@ -748,19 +748,171 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frames",
     oracle="""
-    WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents)
-    SELECT doc_id,
-           CAST(unnest(generate_series(0,
-             (octet_length(payload) - 1) // 256)) AS INTEGER) AS frame_idx
-    FROM b
+    WITH a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(((CAST(FLOOR(value * 1000) AS BIGINT) % 600 + 600)
+                       % 600)) AS BIGINT) AS ssum
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT user_id, n, ssum, 2 + (n % 7) AS ns FROM a),
+    p2 AS (
+      SELECT *, (ns + 2) // 3 AS nc,
+             389 + 12 * ns + 4 * nc AS data_start
+      FROM p),
+    s AS (
+      SELECT user_id, n, ssum, data_start,
+             CAST(unnest(generate_series(0, ns - 1)) AS BIGINT) AS i
+      FROM p2),
+    d AS (
+      SELECT user_id, i, data_start,
+             100 + ((n + i) % 3) * 50 AS delta,
+             16 + ((ssum + 7 * i) % 32) AS size
+      FROM s),
+    w AS (
+      SELECT user_id, i, size, data_start,
+             COALESCE(SUM(delta) OVER (PARTITION BY user_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS dts,
+             COALESCE(SUM(size) OVER (PARTITION BY user_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum
+      FROM d)
+    SELECT user_id AS doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(dts AS BIGINT) AS dts,
+           CAST(size AS INTEGER) AS size,
+           CAST(data_start + cum AS BIGINT) AS "offset",
+           'mp4-stbl' AS sampler,
+           CAST(((data_start + cum) * 7 + 3) % 256 AS INTEGER)
+             AS first_byte
+    FROM w
     """,
-    doc="Frame-sampling plumbing (video shape): mapInPandas 1:N fan-out, "
-    "one row per 256-byte frame. Oracle checks the fan-out arithmetic "
-    "(doc_id x frame_idx); frame bytes themselves are pinned in pytest.",
+    doc="Frame sampling from REAL container data (r11, verdict #7 — "
+    "was a fake byte-grid fan-out through r10): per user, derive "
+    "deterministic sample parameters from the events table (2-8 "
+    "samples, per-sample stts deltas/stsz sizes, 3-samples-per-chunk "
+    "stsc, contiguous stco), ENCODE a full ftyp+moov(stbl)+mdat "
+    "container in an executor, then sample_frames parses the "
+    "stts/stsz/stsc/stco tables BACK and emits one row per sample "
+    "with its decode timestamp, byte size, absolute file offset and "
+    "the payload slice at that offset.  The oracle recomputes every "
+    "column from the parameter derivation — including the ABSOLUTE "
+    "offsets via the closed-form moov size (389 + 12*ns + 4*nc) and "
+    "the first frame byte via the deterministic mdat fill — so a "
+    "hash match proves the encoder+sample-table-parser pair is "
+    "field-exact; gapped-stco/co64/tail-chunk forms are pinned in "
+    "pytest.  Only the codec payload itself remains env-gated "
+    "(sampler column = provenance contract).  Scale shape: one "
+    "bounded per-user aggregate, two narrow Arrow passes, no "
+    "collect.",
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = mm.to_media_frame(load_table(spark, sf_dir, "documents"))
-    return mm.sample_frames(media, every_n_bytes=256).select("doc_id", "frame_idx")
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod(F.floor(F.col("value") * 1000).cast("long"), F.lit(600)).alias(
+            "m"
+        ),
+    )
+    params = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("ssum")
+    )
+
+    def encode(batches):
+        # self-contained (cloudpickle by value): ftyp + moov with a
+        # full stbl + mdat whose byte at absolute position p is
+        # (p*7+3)%256 — so the oracle can replay frame slices.
+        import struct as _s
+
+        def _box(t, body):
+            return _s.pack(">I", 8 + len(body)) + t + body
+
+        def _full(t, body):
+            return _box(t, b"\0\0\0\0" + body)
+
+        def mp4(n, ssum):
+            ns = 2 + n % 7
+            nc = (ns + 2) // 3
+            deltas = [100 + ((n + i) % 3) * 50 for i in range(ns)]
+            sizes = [16 + ((ssum + 7 * i) % 32) for i in range(ns)]
+            data_start = 389 + 12 * ns + 4 * nc
+            cum, offs = 0, []
+            for i in range(ns):
+                if i % 3 == 0:
+                    offs.append(data_start + cum)
+                cum += sizes[i]
+            stts = _full(
+                b"stts",
+                _s.pack(">I", ns)
+                + b"".join(_s.pack(">II", 1, d) for d in deltas),
+            )
+            stsc = _full(b"stsc", _s.pack(">I", 1) + _s.pack(">III", 1, 3, 1))
+            stsz = _full(
+                b"stsz",
+                _s.pack(">II", 0, ns)
+                + b"".join(_s.pack(">I", sz) for sz in sizes),
+            )
+            stco = _full(
+                b"stco",
+                _s.pack(">I", nc)
+                + b"".join(_s.pack(">I", o) for o in offs),
+            )
+            stbl = _box(b"stbl", stts + stsc + stsz + stco)
+            minf = _box(b"minf", stbl)
+            hdlr = _full(
+                b"hdlr", _s.pack(">I", 0) + b"vide" + b"\0" * 12 + b"\0"
+            )
+            tkhd = _full(
+                b"tkhd",
+                _s.pack(">IIIII", 0, 0, 1, 0, 0)
+                + b"\0" * 16
+                + b"\0" * 36
+                + _s.pack(">II", 64 << 16, 48 << 16),
+            )
+            trak = _box(b"trak", tkhd + _box(b"mdia", hdlr + minf))
+            mvhd = _full(
+                b"mvhd", _s.pack(">IIII", 0, 0, 600, 600 * ns) + b"\0" * 80
+            )
+            moov = _box(b"moov", mvhd + trak)
+            ftyp = _box(
+                b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomiso2mp41"
+            )
+            head = ftyp + moov
+            assert len(head) + 8 == data_start, (len(head), data_start)
+            mdat_body = bytes(
+                ((data_start + k) * 7 + 3) % 256 for k in range(cum)
+            )
+            return head + _box(b"mdat", mdat_body)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["user_id"],
+                    "payload": [
+                        mp4(int(n), int(ss))
+                        for n, ss in zip(pdf["n"], pdf["ssum"])
+                    ],
+                    "media_type": "video/mp4",
+                }
+            )
+
+    media = params.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+    frames = mm.sample_frames(media, fake=False)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "dts",
+        "size",
+        F.col("offset"),
+        "sampler",
+        F.conv(F.substring(F.hex("frame"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("first_byte"),
+    )
 
 
 @register(
@@ -5758,6 +5910,7 @@ def _ivfadc_oracle(k: int = 5) -> str:
     # the registry invariant (see the rotation note in
     # plans/registry.py; the displaced fill is itemized there).
     priority=80,
+    headline=True,  # new heavy ANN shape -> bench + shuffle-audit row
     doc="IVFADC search with exact re-ranking "
     "(operators/similarity.py kmeans_train/ivfadc_train/ivfadc_search, "
     "r11; Jégou, Douze & Schmid, TPAMI 2011 §V-VI — the deployed "

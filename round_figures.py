@@ -123,6 +123,23 @@ def main() -> None:
         )
         if sh.get("missing"):
             lines.append(f"  UNATTRIBUTED: {sh['missing']}")
+        if sh.get("baseline_round") is not None:
+            d = sh.get("diff", {})
+            n_ok = sum(1 for r in d.values() if r["status"] == "ok")
+            n_new = sum(1 for r in d.values() if r["status"] == "new")
+            n_wl = sum(
+                1 for r in d.values()
+                if str(r["status"]).startswith("whitelisted")
+            )
+            lines.append(
+                f"  diff vs SHUFFLE_r{sh['baseline_round']:02d}: "
+                f"{n_ok} ok, {n_new} new, {n_wl} whitelisted, "
+                f"{len(sh.get('diff_violations', []))} violations"
+            )
+            for name, r in sorted(d.items()):
+                st = str(r["status"])
+                if st.startswith(("VIOLATION", "whitelisted")):
+                    lines.append(f"    {name}: {st}")
 
     if not found:
         raise SystemExit(f"no r{rnd:02d} artifacts found in {HERE}")

@@ -23,20 +23,113 @@ up as a reduction — which is the correct accounting.  Streaming
 queries are excluded (micro-batch jobs run on the stream-execution
 thread, outside the caller's job group); the headline suite is batch.
 
+r11 (verdict #4): the audit is a DIFFED REGRESSION GATE, not just a
+snapshot — after writing SHUFFLE_r{N}.json it loads the most recent
+committed prior round's artifact and fails loudly (exit 1) on
+
+  - any NEW spill (prior rounds pin zero spill at bench SF), or
+  - a carried headliner whose shuffle_write_bytes grew more than
+    +20% AND more than 256 KiB absolute (the absolute floor keeps
+    KB-scale rank-exchange queries from tripping on framing noise),
+
+unless the query is in ``SHUFFLE_WHITELIST`` with a written reason
+(the plan-audit convention).  New headliners are reported as baseline
+rows, never violations.  The full diff table lands in the artifact's
+``diff`` section and round_figures prints it for CHANGES.
+
 Usage:  python shuffle_audit.py <round>      -> SHUFFLE_r{N}.json
         SPARK_GRAFT_SF_DIR to override the SF (default sf0.1).
-Compare round over round with:  python - <<'PY'
-  import json; a=json.load(open('SHUFFLE_r09.json')); ...
-PY
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
+
+#: Grow-tolerance for carried headliners: BOTH must be exceeded.
+GROWTH_PCT = 0.20
+GROWTH_ABS_BYTES = 256 * 1024
+
+#: query -> reason for an ACCEPTED shuffle growth this round (cleared
+#: each round once the baseline artifact absorbs the new volume).
+SHUFFLE_WHITELIST: dict[str, str] = {}
+
+
+def diff_vs_previous(
+    cur: dict[str, dict[str, int]],
+    prev: dict[str, dict[str, int]],
+    whitelist: dict[str, str] | None = None,
+) -> tuple[dict[str, dict], list[str]]:
+    """Per-headliner diff of two audit ``queries`` sections.
+
+    Returns (diff_rows, violations).  A row's status is one of
+    ``ok`` / ``new`` / ``removed`` / ``whitelisted: <reason>`` /
+    ``VIOLATION: <what>``; violations lists the offending names."""
+    wl = whitelist or {}
+    rows: dict[str, dict] = {}
+    violations: list[str] = []
+    for name in sorted(set(cur) | set(prev)):
+        c, p = cur.get(name), prev.get(name)
+        if p is None:
+            rows[name] = {
+                "cur_write_bytes": c["shuffle_write_bytes"],
+                "status": "new",
+            }
+            continue
+        if c is None:
+            rows[name] = {
+                "prev_write_bytes": p["shuffle_write_bytes"],
+                "status": "removed",
+            }
+            continue
+        pb = p["shuffle_write_bytes"]
+        cb = c["shuffle_write_bytes"]
+        spill = c["disk_spill_bytes"] + c["memory_spill_bytes"]
+        delta = cb - pb
+        pct = (delta / pb) if pb else (1.0 if delta else 0.0)
+        row = {
+            "prev_write_bytes": pb,
+            "cur_write_bytes": cb,
+            "delta_bytes": delta,
+            "delta_pct": round(pct * 100, 1),
+        }
+        problems = []
+        if spill:
+            problems.append(f"new spill ({spill:,} bytes)")
+        if delta > GROWTH_ABS_BYTES and cb > pb * (1 + GROWTH_PCT):
+            problems.append(
+                f"shuffle bytes +{pct * 100:.0f}% (+{delta:,})"
+            )
+        if problems:
+            reason = wl.get(name)
+            if reason:
+                row["status"] = f"whitelisted: {reason}"
+            else:
+                row["status"] = "VIOLATION: " + "; ".join(problems)
+                violations.append(name)
+        else:
+            row["status"] = "ok"
+        rows[name] = row
+    return rows, violations
+
+
+def _previous_artifact(here: str, rnd: int) -> tuple[int, dict] | None:
+    """Most recent committed SHUFFLE_r{M}.json with M < rnd."""
+    best = None
+    for p in glob.glob(os.path.join(here, "SHUFFLE_r*.json")):
+        m = re.search(r"SHUFFLE_r(\d+)\.json$", p)
+        if m and int(m.group(1)) < rnd:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        return best[0], json.load(f)
 
 
 def main() -> None:
@@ -111,11 +204,27 @@ def main() -> None:
             acc["input_bytes"] += s.get("inputBytes", 0)
 
     missing = sorted(names - set(out))
+    prev = _previous_artifact(os.path.dirname(os.path.abspath(__file__)), rnd)
+    if prev is not None:
+        base_round, base = prev
+        diff, diff_violations = diff_vs_previous(
+            out, base.get("queries", {}), SHUFFLE_WHITELIST
+        )
+    else:
+        base_round, diff, diff_violations = None, {}, []
     artifact = {
         "round": rnd,
         "sf": sf_dir,
         "queries": dict(sorted(out.items())),
         "missing": missing,  # should be [] — loud if attribution broke
+        "baseline_round": base_round,
+        "diff": diff,
+        "diff_violations": diff_violations,
+        "growth_gate": {
+            "pct": GROWTH_PCT,
+            "abs_bytes": GROWTH_ABS_BYTES,
+            "whitelist": SHUFFLE_WHITELIST,
+        },
         "total_shuffle_write_bytes": sum(
             v["shuffle_write_bytes"] for v in out.values()
         ),
@@ -136,8 +245,17 @@ def main() -> None:
         f"{artifact['total_spill_bytes']:,} spill bytes"
         + (f", MISSING {missing}" if missing else "")
     )
+    if base_round is not None:
+        n_ok = sum(1 for r in diff.values() if r["status"] == "ok")
+        n_new = sum(1 for r in diff.values() if r["status"] == "new")
+        print(
+            f"diff vs SHUFFLE_r{base_round:02d}: {n_ok} ok, {n_new} new, "
+            f"{len(diff_violations)} violations"
+        )
+        for name in diff_violations:
+            print(f"  {name}: {diff[name]['status']}")
     spark.stop()
-    sys.exit(1 if missing else 0)
+    sys.exit(1 if (missing or diff_violations) else 0)
 
 
 if __name__ == "__main__":

@@ -189,3 +189,52 @@ def test_bronze_schema_evolution_merge(spark, tmp_path):
     got = {r["event_id"]: r["region"] for r in merged.collect()}
     assert got == {1: None, 2: "eu-west"}
     assert set(merged.columns) == {"event_id", "value", "region"}
+
+
+def test_shuffle_diff_gate_catches_injected_regression():
+    """r11 (verdict #4): the shuffle audit is a diffed regression gate.
+    Injected regressions must trip it; noise inside the two-sided
+    tolerance (20% AND 256 KiB) must not; the reasons-required
+    whitelist downgrades a named growth; new headliners baseline
+    quietly."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from shuffle_audit import diff_vs_previous
+
+    def q(wb, spill=0):
+        return {
+            "shuffle_write_bytes": wb,
+            "disk_spill_bytes": spill,
+            "memory_spill_bytes": 0,
+        }
+
+    prev = {
+        "a": q(10_000_000),
+        "b": q(100_000),
+        "c": q(5_000_000),
+        "gone": q(1),
+    }
+    cur = {
+        "a": q(13_000_000),        # +30%, +3 MB -> violation
+        "b": q(140_000),           # +40% but only +40 KB -> ok (abs floor)
+        "c": q(5_100_000, spill=7),  # new spill -> violation
+        "brand_new": q(9_999_999),   # no baseline -> "new", not a violation
+    }
+    rows, viol = diff_vs_previous(cur, prev)
+    assert viol == ["a", "c"]
+    assert rows["a"]["status"].startswith("VIOLATION: shuffle bytes +30%")
+    assert rows["c"]["status"].startswith("VIOLATION: new spill")
+    assert rows["b"]["status"] == "ok"
+    assert rows["brand_new"]["status"] == "new"
+    assert rows["gone"]["status"] == "removed"
+    # a written reason converts the failure into a visible acceptance
+    rows2, viol2 = diff_vs_previous(
+        cur, prev, {"a": "bucketed join re-keyed; absorbed as baseline",
+                    "c": "known sf bump"}
+    )
+    assert viol2 == []
+    assert rows2["a"]["status"].startswith("whitelisted: bucketed")
+    # growth just UNDER both gates passes without a reason
+    rows3, viol3 = diff_vs_previous({"a": q(11_900_000)}, {"a": q(10_000_000)})
+    assert viol3 == [] and rows3["a"]["status"] == "ok"
