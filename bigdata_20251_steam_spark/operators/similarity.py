@@ -1026,6 +1026,80 @@ def ivfadc_train(
     )
 
 
+def _ivfadc_recon(codebooks: list[list[list[int]]], codes: Column) -> Column:
+    """Decode an m-code column back to the residual reconstruction
+    under literal codebooks (array<long> of the full dim)."""
+    m = len(codebooks)
+    return F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(v).cast("long") for v in c])
+                            for c in codebooks[s]
+                        ]
+                    ),
+                    (codes.getItem(s) + 1).cast("int"),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+
+
+def ivfadc_encode(
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored IVFADC index frame: ``(vec_id, cluster, codes)``.
+
+    Zero-shuffle scan-fused projection (coarse argmin + residual +
+    per-subspace argmin, all over literals).  At 100 TB this is the
+    write-path pass whose output lands PARTITIONED BY ``cluster`` so
+    probe routing becomes partition pruning."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    res = _ivf_residuals(grid, coarse_cents)
+    codes = F.array(
+        *[
+            _pq_sub_assign(
+                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
+            )
+            for s in range(m)
+        ]
+    )
+    return res.select("vec_id", "cluster", codes.alias("codes"))
+
+
+def ivfadc_decode_snapshot(
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ADC-ready corpus snapshot: ``(vec_id, cluster, r)`` with
+    ``r`` the decoded residual reconstruction — what a probe scores
+    against.  encode+decode fuse into one scan here; a deployment
+    stores :func:`ivfadc_encode`'s codes and decodes at read (codes
+    are the ~64x-smaller artifact)."""
+    coded = ivfadc_encode(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
+    )
+    return coded.select(
+        "vec_id",
+        "cluster",
+        _ivfadc_recon(codebooks, F.col("codes")).alias("r"),
+    )
+
+
 def ivfadc_search(
     embeddings: DataFrame,
     coarse_cents: list[list[int]],
@@ -1083,38 +1157,13 @@ def ivfadc_search(
         raise ValueError("ivfadc_search: k must be <= shortlist")
     if not (1 <= nprobe <= K):
         raise ValueError(f"ivfadc_search: nprobe must be in [1, {K}]")
-    m = len(codebooks)
-    subdim = len(codebooks[0][0])
     grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    res = _ivf_residuals(grid, coarse_cents)
-    codes = F.array(
-        *[
-            _pq_sub_assign(
-                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
-            )
-            for s in range(m)
-        ]
-    )
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(v).cast("long") for v in c])
-                            for c in codebooks[s]
-                        ]
-                    ),
-                    (codes.getItem(s) + 1).cast("int"),
-                )
-                for s in range(m)
-            ]
-        )
-    )
     # (vec_id, cluster, r): the decoded residual reconstruction — at
     # scale this is the materialized inverted-list read; here the
     # decode fuses into the same scan as the encode.
-    decoded = res.select("vec_id", "cluster", recon.alias("r"))
+    decoded = ivfadc_decode_snapshot(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
+    )
     dist_structs = F.array(
         *[
             F.struct(

@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1206,5 +1207,175 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_sel") * F.col("_w")).cast("long").alias(
             "selected_weight_micro"
         ),
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN probe (r11, verdict #6): the live-ingest near-duplicate
+# gate at the embedding tier.
+# ---------------------------------------------------------------------------
+
+EMB_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ]
+)
+
+#: ADC near-dup threshold on the integer micro-grid (squared L2 of the
+#: probe's residual vs a same-cell reconstruction, scale=1000, dim 64).
+#: Calibrated offline from the batch distribution of same-cell min-ADC
+#: distances at sf0.001 (p10 ~= 888k, p25 ~= 944k) — the gate flags the
+#: closest ~10-15% tail; a production ingest calibrates tau against its
+#: own corpus the same way (the nb_threshold_sweep protocol).
+_PQ_PROBE_TAU = 900_000
+
+
+def _staged_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the embeddings table (vec ids + double vectors) once per
+    (sf_dir, content fingerprint)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    fp = _fingerprint(src, "vec_id", F.size("embedding"))
+    out = os.path.join(tempfile.gettempdir(), f"emb_stream_{tag}_{fp}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        _evict_stale(f"emb_stream_{tag}_", os.path.basename(out))
+        src.write.mode("overwrite").parquet(out)
+    return out
+
+
+def _streaming_pq_probe_oracle() -> str:
+    from .extension_queries import _IVFADC_CENTS, _IVFADC_CODEBOOKS
+
+    m, sub = len(_IVFADC_CODEBOOKS), 64 // len(_IVFADC_CODEBOOKS)
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    dec AS (SELECT vec_id, cell, ({recon}) AS rr FROM d),
+    flags AS (
+      SELECT a.vec_id, a.cell,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM dec b, res ar
+               WHERE ar.vec_id = a.vec_id AND b.cell = a.cell
+                 AND b.vec_id <> a.vec_id
+                 AND list_sum(list_transform(range(1, 65),
+                       i -> (ar.r[i]-b.rr[i])*(ar.r[i]-b.rr[i])))
+                     <= {_PQ_PROBE_TAU}
+             ) THEN 1 ELSE 0 END AS flagged
+      FROM cl a)
+    SELECT CAST(cell - 1 AS INTEGER) AS cell,  -- 0-based like the plan
+           CAST(count(*) AS BIGINT)     AS n_probed,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged
+    FROM flags GROUP BY cell
+    """
+
+
+@register(
+    "streaming_pq_probe",
+    oracle=_streaming_pq_probe_oracle(),
+    # new r11 registration — enters the r11 driver window first per
+    # the registry invariant (rotation note in plans/registry.py).
+    priority=80,
+    doc="The ANN tier running IN the stream (r11, verdict #6): the "
+    "live-ingest 'is this a near-duplicate of the corpus?' gate at "
+    "the embedding tier, complementing the exact-hash "
+    "incremental_dedup.  Embeddings arrive as a file stream; each "
+    "micro-batch row quantizes, routes to its nearest PINNED coarse "
+    "cell and forms its residual as a stateless scan-fused integer "
+    "projection (the streaming_dsir posture — no state, no RNG); a "
+    "stream-static LEFT SEMI join against the PQ-decoded corpus "
+    "snapshot flags rows with a same-cell reconstruction within the "
+    "calibrated ADC threshold (equi on cell, so at 100 TB the static "
+    "side prunes to the probed partition; self-id excluded for the "
+    "replay fixture); a complete-mode per-cell rollup (<= 16 keys — "
+    "bounded state) reports probed/flagged counts.  Per-row top-k in "
+    "the stream would need per-key aggregation state over unbounded "
+    "vec_ids — correctly rejected; the flag gate IS the live shape, "
+    "with flagged rows routed to the batch ivfadc_search for "
+    "adjudication.  Oracle: full batch replay of assignment, "
+    "residual, encode/decode, the EXISTS probe and the rollup — "
+    "batch/stream parity is the assertion.",
+)
+def q_streaming_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from .extension_queries import _IVFADC_CENTS, _IVFADC_CODEBOOKS
+
+    src_dir = _staged_embeddings_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EMB_STREAM_SCHEMA)
+    snapshot = sim.ivfadc_decode_snapshot(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+    grid = stream.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1000.0)).cast("long"),
+        ).alias("q"),
+    )
+    probe = sim._ivf_residuals(grid, _IVFADC_CENTS).select(
+        "vec_id", F.col("cluster").alias("cell"), F.col("q").alias("qr")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qr"), F.col("r"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flagged = probe.alias("a").join(
+        snapshot.alias("b"),
+        (F.col("b.cluster") == F.col("a.cell"))
+        & (F.col("b.vec_id") != F.col("a.vec_id"))
+        & (adc <= F.lit(_PQ_PROBE_TAU)),
+        "left_semi",
+    )
+    u = probe.select(
+        "cell", F.lit(1).alias("_p"), F.lit(0).alias("_f")
+    ).unionByName(
+        flagged.select("cell", F.lit(0).alias("_p"), F.lit(1).alias("_f"))
+    )
+    agg = u.groupBy("cell").agg(
+        F.sum("_p").cast("long").alias("n_probed"),
+        F.sum("_f").cast("long").alias("n_flagged"),
     )
     return run_available_now(agg, output_mode="complete")

@@ -3340,3 +3340,45 @@ def test_ivfadc_recall_floor(spark):
         worst = min(worst, h)
     assert hits / 50 >= 0.8, hits
     assert worst >= 3, worst
+
+
+def test_pq_probe_gate_semantics(spark):
+    """streaming_pq_probe's gate joins, pinned batch-side with planted
+    geometry (the oracle proves stream parity; THIS pins semantics
+    non-vacuously): a near-identical same-cell vector flags, a far
+    same-cell vector does not, and a vector alone in its cell does
+    not self-flag (self-id exclusion)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.1, 0.0, 0.0, 0.0]),    # cell 0, near-dup pair with 1
+            (1, [0.1, 0.001, 0.0, 0.0]),  # cell 0
+            (2, [4.0, 4.0, 0.0, 0.0]),    # cell 0, far from everything
+            (3, [10.0, 0.0, 0.0, 0.0]),   # cell 1, alone
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0, 0, 0, 0], [10000, 0, 0, 0]]
+    books = [[[0, 0], [1000, 1000]], [[0, 0], [1000, 1000]]]
+    tau = 11_000  # probe1->recon0 is 100^2+1^2 = 10,001
+    snapshot = sim.ivfadc_decode_snapshot(emb, cents, books)
+    grid = sim._pq_quantized(emb, 1000, "vec_id", "embedding")
+    probe = sim._ivf_residuals(grid, cents).select(
+        "vec_id", F.col("cluster").alias("cell"), F.col("q").alias("qr")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qr"), F.col("r"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flagged = probe.alias("a").join(
+        snapshot.alias("b"),
+        (F.col("b.cluster") == F.col("a.cell"))
+        & (F.col("b.vec_id") != F.col("a.vec_id"))
+        & (adc <= F.lit(tau)),
+        "left_semi",
+    )
+    assert sorted(r["vec_id"] for r in flagged.collect()) == [0, 1]
