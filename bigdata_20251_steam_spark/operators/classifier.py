@@ -365,3 +365,91 @@ def logreg_scores(
         p.alias("p_micro"),
         (p > F.lit(500_000)).alias("pred"),
     )
+
+
+def qbc_disagreement(
+    docs: DataFrame,
+    nb_weights: list[tuple[int, int]],
+    nb_buckets: int,
+    lr_weights: dict[int, int],
+    lr_bias: int,
+    lr_buckets: int,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-by-committee disagreement mining (Seung, Opper & Sompolinsky
+    1992; uncertainty sampling, Lewis & Gale 1994) over the repo's two
+    pinned classifier tiers.
+
+    The committee is the closed-form NB log-odds table and the
+    GD-trained logistic regression, both trained on the SAME target —
+    where two differently-biased models CONFIDENTLY disagree is
+    exactly where labels are noisy or the concept is underspecified,
+    and those rows are what a curation pipeline sends to annotation /
+    a stronger teacher model first (the active-learning tier of a
+    training-data pipeline).
+
+    Semantics (integer-exact end to end):
+
+    - ``nb_micro`` = the NB micro-nat document sum; ``lr_z_micro`` =
+      the logreg logit in micro-nats (bias + bucket weights);
+    - a document DISAGREES when ``(nb_micro > 0) != (lr_z_micro > 0)``
+      (wordless documents are excluded — neither member has evidence);
+    - disagreement strength = ``least(|nb_rate|, |lr_rate|)`` where
+      each rate is the member's per-token micro-nat margin
+      (``x DIV n_words`` — truncating integral division, identical in
+      Spark ``DIV`` and DuckDB ``//``): BOTH members must be confident
+      for a row to rank high, the committee margin;
+    - output = the ``top_n`` strongest disagreements under
+      ``(strength DESC, doc_id ASC)``.
+
+    Scale shape: both scores ride as map/array literals in ONE
+    zero-shuffle scan-fused projection (the NB/BM25/DSIR contract);
+    the final cut is :func:`~.ranking.banded_percent_rank`'s exact
+    global rank (constant group, ~n/64 rows per task) — never a
+    single-task window or driver top-k.  Disagreements are typically
+    a small corpus fraction, so the ranked frame is already narrow.
+    """
+    if top_n < 1:
+        raise ValueError("qbc_disagreement: top_n must be >= 1")
+    n_words, nb_total = nb_score_column(
+        nb_weights, nb_buckets, F.col(text_col)
+    )
+    lr_z = _lr_z_column(lr_weights, lr_bias, lr_buckets, F.col(text_col))
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_words.alias("n_words"),
+            nb_total.alias("nb_micro"),
+            lr_z.alias("lr_z_micro"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    dis = base.filter(
+        (F.col("nb_micro") > 0) != (F.col("lr_z_micro") > 0)
+    ).withColumn(
+        "strength_micro",
+        F.least(
+            F.abs(F.expr("nb_micro DIV n_words")),
+            F.abs(F.expr("lr_z_micro DIV n_words")),
+        ),
+    )
+    from .ranking import banded_percent_rank
+
+    ranked = banded_percent_rank(
+        dis.withColumn("_g", F.lit(1)),
+        "_g",
+        "strength_micro",
+        "doc_id",
+        n_groups=1,
+    )
+    return ranked.filter(F.col("_rank") <= top_n).select(
+        "doc_id",
+        "n_words",
+        "nb_micro",
+        "lr_z_micro",
+        F.col("strength_micro").cast("long").alias("strength_micro"),
+        F.col("_rank").cast("int").alias("qbc_rank"),
+    )

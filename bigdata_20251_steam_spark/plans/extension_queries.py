@@ -5939,3 +5939,100 @@ def q_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVFADC_NPROBE,
         shortlist=_PQ_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-by-committee disagreement mining (r11)
+# ---------------------------------------------------------------------------
+
+#: Pinned QBC logistic-regression member (r11) — trained on the SAME
+#: target as _NB_WEIGHTS so the committee is coherent.  Provenance:
+#: operators.classifier.train_logreg(documents@sf0.001,
+#: positive = doc_id % 7 == 3, n_buckets=64, iters=2) — integer-exact
+#: GD (all-zero init, pinned sigmoid table, truncating division);
+#: re-derivation pinned by tests (test_qbc_lr_provenance).
+_QBC_LR_BUCKETS = 64
+_QBC_LR_BIAS = -108218
+_QBC_LR_W: dict[int, int] = {0: -183834, 4: -168815, 7: -213344, 9: -205329, 10: -189837, 17:
+    -414124, 18: -207334, 23: -461159, 24: -205842, 25: -200831, 29:
+    -161309, 30: -8512, 33: -218343, 34: -573468, 36: -220839, 41:
+    -452670, 42: -447171, 44: -232323, 45: -243331, 46: -220362, 51:
+    -219844, 52: -413138, 58: -239339, 63: -194346}
+_QBC_TOP_N = 100
+
+
+def _qbc_oracle() -> str:
+    from ..operators.classifier import nb_oracle_score_sql
+
+    nb = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
+    dense = [0] * _QBC_LR_BUCKETS
+    for k, v in _QBC_LR_W.items():
+        dense[k] = v
+    lst = "[" + ", ".join(str(v) for v in dense) + "]"
+    bucket = (
+        "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % "
+        + str(_QBC_LR_BUCKETS)
+    )
+    lr = (
+        str(_QBC_LR_BIAS) + " + COALESCE(list_sum(list_transform("
+        "regexp_extract_all(lower(text), '[a-z]+'), "
+        "w -> (" + lst + ")[" + bucket + " + 1])), 0)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)
+               AS n_words,
+             CAST({nb} AS BIGINT) AS nb_micro,
+             CAST({lr} AS BIGINT) AS lr_z_micro
+      FROM documents WHERE text IS NOT NULL),
+    d AS (
+      SELECT doc_id, n_words, nb_micro, lr_z_micro,
+             least(abs(nb_micro // n_words), abs(lr_z_micro // n_words))
+               AS strength_micro
+      FROM s
+      WHERE n_words > 0
+        AND (nb_micro > 0) <> (lr_z_micro > 0)),
+    r AS (
+      SELECT doc_id, n_words, nb_micro, lr_z_micro,
+             CAST(strength_micro AS BIGINT) AS strength_micro,
+             CAST(row_number() OVER (ORDER BY strength_micro DESC, doc_id)
+                  AS INT) AS qbc_rank
+      FROM d)
+    SELECT * FROM r WHERE qbc_rank <= {_QBC_TOP_N}
+    """
+
+
+@register(
+    "qbc_disagreement",
+    oracle=_qbc_oracle(),
+    # new r11 registration — enters the r11 driver window first per
+    # the registry invariant (rotation note in plans/registry.py).
+    priority=80,
+    doc="Query-by-committee disagreement mining "
+    "(operators/classifier.py:qbc_disagreement, r11; Seung, Opper & "
+    "Sompolinsky 1992, Lewis & Gale 1994): the active-learning tier — "
+    "the pinned NB log-odds table and the pinned GD-trained logistic "
+    "regression (SAME training target, different inductive biases) "
+    "score every document in ONE zero-shuffle scan-fused projection; "
+    "documents where the members' signs disagree rank by the committee "
+    "margin least(|nb|, |lr|) per token (truncating DIV, identical "
+    "cross-engine), and the top-100 strongest disagreements are the "
+    "send-to-annotation set a curation pipeline drains first.  The "
+    "final cut is the banded exact global rank (constant group — no "
+    "single-task window, no driver top-k).  Oracle: full relational "
+    "replay of both scores, the disagreement set, the margin and the "
+    "rank.",
+)
+def q_qbc_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import qbc_disagreement
+
+    return qbc_disagreement(
+        load_table(spark, sf_dir, "documents"),
+        _NB_WEIGHTS,
+        _NB_BUCKETS,
+        _QBC_LR_W,
+        _QBC_LR_BIAS,
+        _QBC_LR_BUCKETS,
+        top_n=_QBC_TOP_N,
+    )

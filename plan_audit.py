@@ -112,6 +112,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "user_value_quartiles shape): 1-row edges / bands-bounded "
         "offsets broadcast frames, condition folded"
     ),
+    ("qbc_disagreement", "BroadcastNestedLoopJoin"): (
+        "banded_percent_rank with a CONSTANT group (the "
+        "user_value_quartiles/dsir_selection shape): 1-row edges / "
+        "bands-bounded offsets broadcast frames, condition folded"
+    ),
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -3382,3 +3382,68 @@ def test_pq_probe_gate_semantics(spark):
         "left_semi",
     )
     assert sorted(r["vec_id"] for r in flagged.collect()) == [0, 1]
+
+
+def test_qbc_lr_provenance(spark):
+    """The pinned _QBC_LR_W/_QBC_LR_BIAS artifact re-derives
+    bit-for-bit from its documented provenance (sf0.001 documents,
+    target doc_id % 7 == 3, 64 buckets, 2 GD iterations) — the
+    BPE-merges artifact discipline."""
+    from bigdata_20251_steam_spark.operators.classifier import train_logreg
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _QBC_LR_BIAS,
+        _QBC_LR_BUCKETS,
+        _QBC_LR_W,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w, b = train_logreg(
+        docs,
+        positive=(F.col("doc_id") % 7 == 3),
+        n_buckets=_QBC_LR_BUCKETS,
+        iters=2,
+    )
+    assert w == _QBC_LR_W
+    assert b == _QBC_LR_BIAS
+
+
+def test_qbc_disagreement_semantics(spark):
+    """The committee logic with hand-built weights (buckets computed
+    from the same md5 scheme the engine uses): sign disagreement is
+    the gate, agreement and wordless docs are excluded, strength is
+    the per-token min margin with truncating division, rank is
+    (strength DESC, doc_id ASC)."""
+    import hashlib
+
+    from bigdata_20251_steam_spark.operators.classifier import (
+        qbc_disagreement,
+    )
+
+    nbk = 8
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % nbk
+
+    # delta/kappa/sigma land in distinct buckets mod 8 (1/2/7) — the
+    # weights map literal requires unique keys
+    ba, bb, bc = bucket("delta"), bucket("kappa"), bucket("sigma")
+    assert len({ba, bb, bc}) == 3
+    nb_w = [(ba, 500_000), (bb, -100_000), (bc, 300_000)]
+    lr_w = {ba: -400_000, bb: -50_000, bc: -90_000}
+    docs = spark.createDataFrame(
+        [
+            (1, "delta delta"),    # nb +1e6, lr -8e5 -> disagree, s=400000
+            (2, "kappa"),          # both negative -> agree
+            (3, "sigma"),          # nb +3e5, lr -9e4 -> disagree, s=90000
+            (4, "12345 !!"),       # wordless -> excluded
+            (5, None),             # null -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = qbc_disagreement(
+        docs, nb_w, nbk, lr_w, 0, nbk, top_n=10
+    ).collect()
+    rows = sorted(
+        ((r["qbc_rank"], r["doc_id"], r["strength_micro"]) for r in got)
+    )
+    assert rows == [(1, 1, 400_000), (2, 3, 90_000)]

@@ -832,3 +832,20 @@ def test_ivfadc_corpus_never_shuffles(spark):
             assert "query_id" in line, (
                 f"non-rank corpus exchange in IVFADC search:\n{line}\n{plan}"
             )
+
+
+def test_qbc_disagreement_plan(spark):
+    """qbc_disagreement (r11): both member scores fuse into one
+    scan-projection; the only joins are the banded-rank
+    constant-group broadcasts (the user_value_quartiles/dsir shape,
+    whitelisted in plan_audit.py); scans stay inside the
+    banded_percent_rank multi-scan contract."""
+    import re
+
+    df = QUERIES["qbc_disagreement"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"FileScan parquet", plan)) <= 4, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(f"corpus shuffle join:\n{line}\n{plan}")
