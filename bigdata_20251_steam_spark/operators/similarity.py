@@ -1219,3 +1219,60 @@ def ivfadc_search(
     )
     out = _topk_per_query(scored2, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "sqdist", "rank")
+
+
+def selfsup_prune(
+    embeddings: DataFrame,
+    cents: list[list[int]],
+    keep_pct: int = 70,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-supervised prototypicality pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning", NeurIPS) — the embedding-space data-pruning tier.
+
+    The recipe: cluster the corpus, measure each example's distance
+    to its cluster centroid, and at a large data budget PRUNE THE
+    PROTOTYPICAL examples (closest to the centroid — they carry the
+    least marginal signal), keeping the hardest ``keep_pct`` percent
+    of every cluster.  Per-cluster (not global) ranking is the
+    published method's key detail: it preserves cluster balance, so a
+    tight cluster is pruned as aggressively as a diffuse one.
+
+    Integer-exact composition of existing tiers: the PINNED
+    :func:`kmeans_train` centroids assign each vector (argmin, ties
+    to the lowest cell) with its integer squared distance — a
+    zero-shuffle scan-fused projection, no training jobs — and the
+    per-cluster rank under ``(sqdist DESC, vec_id ASC)`` is
+    :func:`~.ranking.banded_percent_rank`'s exact grouped rank
+    (map-side-collapsible bands, no per-cluster single-task window —
+    the hot-key guard, since a cluster at 100 TB holds billions of
+    rows).  ``keep = rank <= ceil(n_cluster * keep_pct / 100)``
+    computed in integer arithmetic, identical cross-engine.
+
+    Output ``(vec_id, cluster, sqdist, ssp_rank, n_cluster, keep)``.
+    """
+    if not 0 <= keep_pct <= 100:
+        raise ValueError("selfsup_prune: keep_pct must be in [0, 100]")
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    assigned = _int_assign(grid, cents).select("vec_id", "cluster", "sqdist")
+    from .ranking import banded_percent_rank
+
+    ranked = banded_percent_rank(
+        assigned,
+        "cluster",
+        "sqdist",
+        "vec_id",
+        n_groups=len(cents),
+    )
+    keep_n = F.expr(f"(_n * {int(keep_pct)} + 99) DIV 100")
+    return ranked.select(
+        "vec_id",
+        "cluster",
+        "sqdist",
+        F.col("_rank").cast("long").alias("ssp_rank"),
+        F.col("_n").cast("long").alias("n_cluster"),
+        (F.col("_rank") <= keep_n).alias("keep"),
+    )

@@ -6036,3 +6036,137 @@ def q_qbc_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _QBC_LR_BUCKETS,
         top_n=_QBC_TOP_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates (r11)
+# ---------------------------------------------------------------------------
+
+_EDIT_VERIFY_CHARS = 1000
+_EDIT_VERIFY_PCT = 80
+
+
+@register(
+    "dedup_edit_verify",
+    oracle=_MINHASH_CTE
+    + f""",
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx)
+               AS band_sig
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    folded AS (
+      SELECT doc_id,
+             regexp_replace(substr(COALESCE(text, ''), 1,
+               {_EDIT_VERIFY_CHARS}), '[^\\x00-\\x7F]', '?', 'g') AS t
+      FROM documents),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(fa.t, fb.t) AS INTEGER) AS edit_dist,
+             greatest(length(fa.t), length(fb.t), 1) AS den
+      FROM cand c
+      JOIN folded fa ON fa.doc_id = c.doc_a
+      JOIN folded fb ON fb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, edit_dist,
+           CAST(100 - ((100 * edit_dist) // den) AS INTEGER) AS sim_pct,
+           (100 - ((100 * edit_dist) // den)) >= {_EDIT_VERIFY_PCT}
+             AS is_dup
+    FROM v
+    """,
+    # new r11 registration — enters the r11 driver window first per
+    # the registry invariant (rotation note in plans/registry.py).
+    priority=80,
+    doc="Edit-distance verification of LSH candidate pairs "
+    "(operators/dedup.py:edit_distance_verify, r11): the third dedup "
+    "verification metric next to exact shingle Jaccard "
+    "(dedup_quality_report) and embedding cosine — Levenshtein "
+    "similarity over the 1000-char ASCII-folded prefix, the gate "
+    "eval-set decontamination uses when token-set metrics are too "
+    "loose.  The fold is a DOCUMENTED cross-engine exactness "
+    "projection (Spark levenshtein counts chars, DuckDB counts "
+    "bytes; after the fold they agree exactly — pinned in pytest "
+    "with unicode fixtures).  Candidates stay O(true dups) with the "
+    "mega-bucket star guard; the verify is two narrow AQE-splittable "
+    "equi join-backs; per-pair cost bounded at max_chars^2 "
+    "regardless of corpus size.",
+)
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.edit_distance_verify(
+        load_table(spark, sf_dir, "documents"),
+        max_chars=_EDIT_VERIFY_CHARS,
+        threshold_pct=_EDIT_VERIFY_PCT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-supervised prototypicality pruning (r11; Sorscher et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SSP_KEEP_PCT = 70
+
+
+def _ssp_oracle() -> str:
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id,
+             CAST(list_indexof(dc, list_min(dc)) - 1 AS INT) AS cluster,
+             CAST(list_min(dc) AS BIGINT) AS sqdist
+      FROM asg),
+    r AS (
+      SELECT vec_id, cluster, sqdist,
+             CAST(row_number() OVER (PARTITION BY cluster
+                    ORDER BY sqdist DESC, vec_id) AS BIGINT) AS ssp_rank,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+               AS n_cluster
+      FROM cl)
+    SELECT vec_id, cluster, sqdist, ssp_rank, n_cluster,
+           ssp_rank <= ((n_cluster * {_SSP_KEEP_PCT} + 99) // 100) AS keep
+    FROM r
+    """
+
+
+@register(
+    "selfsup_prune",
+    oracle=_ssp_oracle(),
+    # new r11 registration — enters the r11 driver window first per
+    # the registry invariant (rotation note in plans/registry.py).
+    priority=80,
+    doc="Self-supervised prototypicality pruning "
+    "(operators/similarity.py:selfsup_prune, r11; Sorscher et al., "
+    "NeurIPS 2022): the embedding-space data-pruning tier — each "
+    "vector assigns to its nearest PINNED kmeans centroid with its "
+    "integer squared distance (zero-shuffle scan-fused, no training "
+    "jobs), then every CLUSTER keeps its hardest keep_pct=70% by "
+    "distance rank (per-cluster ranking preserves cluster balance — "
+    "the published method's key detail; at large data budgets the "
+    "prototypical examples carry the least marginal signal).  The "
+    "rank is the banded exact grouped rank, never a per-cluster "
+    "single-task window (a cluster at 100 TB holds billions of "
+    "rows); the keep cut is ceil(n*pct/100) in integer arithmetic.  "
+    "Oracle: full relational replay of assignment, distance, "
+    "per-cluster rank and the keep gate.",
+)
+def q_selfsup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.selfsup_prune(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        keep_pct=_SSP_KEEP_PCT,
+    )

@@ -3447,3 +3447,92 @@ def test_qbc_disagreement_semantics(spark):
         ((r["qbc_rank"], r["doc_id"], r["strength_micro"]) for r in got)
     )
     assert rows == [(1, 1, 400_000), (2, 3, 90_000)]
+
+
+def test_edit_distance_verify_semantics(spark):
+    """edit_distance_verify against a pure-Python Levenshtein DP on
+    constructed near-dups, INCLUDING unicode: the ASCII fold
+    (non-ASCII char -> '?') is the documented cross-engine projection
+    — each folded char still counts as one edit symbol, so a unicode
+    substitution costs exactly one edit, and two different non-ASCII
+    chars at the same position merge (cost 0) — bias toward
+    similarity, never away."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = base.replace("tok39", "tokXX")          # 1 token changed
+    uni_a = "héllo wörld " + base                      # é/ö -> ? ?
+    uni_b = "hèllo wõrld " + base                      # different accents
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, uni_a), (4, uni_b)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(docs, max_chars=1000).collect()
+    }
+
+    def fold(s):
+        return "".join(c if ord(c) < 128 else "?" for c in s)[:1000]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert (1, 2) in got  # 39/40 shared tokens -> LSH candidate
+    d12 = lev(fold(base), fold(variant))
+    r = got[(1, 2)]
+    assert r["edit_dist"] == d12 == 2  # tok39 -> tokXX: two chars
+    den = max(len(fold(base)), len(fold(variant)), 1)
+    assert r["sim_pct"] == 100 - (100 * d12) // den
+    assert r["is_dup"]  # near-verbatim
+    # the unicode pair: accents differ but both fold to '?' -> 0 edits
+    assert (3, 4) in got
+    assert got[(3, 4)]["edit_dist"] == 0
+    assert got[(3, 4)]["sim_pct"] == 100 and got[(3, 4)]["is_dup"]
+
+
+def test_selfsup_prune_semantics(spark):
+    """Sorscher pruning with hand geometry: per-CLUSTER keep fraction
+    (cluster balance — a tight cluster prunes as hard as a diffuse
+    one), hardest-first retention, prototypical (nearest-centroid)
+    rows pruned, ceil arithmetic on odd cluster sizes."""
+    from bigdata_20251_steam_spark.operators.similarity import (
+        selfsup_prune,
+    )
+
+    cents = [[0, 0], [10000, 0]]
+    vecs = [
+        # cluster 0: distances 1, 4, 9 (x=0.001, 0.002, 0.003)
+        (1, [0.001, 0.0]),
+        (2, [0.002, 0.0]),
+        (3, [0.003, 0.0]),
+        # cluster 1: distances 1, 4 (x=10.001, 10.002)
+        (4, [10.001, 0.0]),
+        (5, [10.002, 0.0]),
+    ]
+    docs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in selfsup_prune(docs, cents, keep_pct=50).collect()
+    }
+    # cluster 0 (n=3): ceil(3*50/100)=2 kept -> the two FARTHEST (3, 2)
+    assert [got[i]["cluster"] for i in (1, 2, 3)] == [0, 0, 0]
+    assert [got[i]["sqdist"] for i in (1, 2, 3)] == [1, 4, 9]
+    assert (got[3]["ssp_rank"], got[3]["keep"]) == (1, True)
+    assert (got[2]["ssp_rank"], got[2]["keep"]) == (2, True)
+    assert (got[1]["ssp_rank"], got[1]["keep"]) == (3, False)  # prototype
+    # cluster 1 (n=2): ceil(2*50/100)=1 kept -> only the farthest
+    assert got[5]["keep"] is True and got[4]["keep"] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        selfsup_prune(docs, cents, keep_pct=101)
