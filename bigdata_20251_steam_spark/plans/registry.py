@@ -112,171 +112,107 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-10 window rotation (r9 verdict #2, the registry's own r10 note).
-#: The driver checks the first 50 of the registered queries.  Cohorts
-#: computed from the committed CORRECTNESS_r0{7,8,9}.json artifacts
-#: (last driver row per query), per the amended staleness invariant
-#: (full sweep every round = coverage of record; driver row at most
-#: three rounds apart).
+#: Round-11 window rotation (r10 verdict #1).  Cohorts computed from
+#: the committed CORRECTNESS_r0{8,9,10}.json artifacts (last driver
+#: row per query) and validated by EXECUTING the dict (len == 50 ==
+#: first 50 of ordered_queries(); see test_r11_rotation_window).
+#: NOTE: the r10 note predicted 38 three-round-stale names; the
+#: artifacts say 37 — the same comment-arithmetic slip class r10
+#: found, which is why the dict, not the prose, is the invariant.
 #:
-#: - 24: code CHANGED in r10, re-prove first — multimodal_features
-#:   (decode_features router grew the wav-pcm branch),
-#:   streaming_api_source + api_source_reviews (sources/paged_api.py
-#:   grew the real HTTP transport; the fixture path these queries use
-#:   was refactored onto the shared _parse_data helper);
-#: - 25: kmeans_clusters (registered r9 after the window froze —
-#:   never driver-checked, new registrations enter first) plus the
-#:   ENTIRE three-round-stale cohort (last driver row r7): 33 names,
-#:   all forced in per the invariant;
-#: - 27: 13 fills from the two-round-stale r8-green cohort, preferring
-#:   operators with no in-window sibling — asof_join_nearest (as-of
-#:   family), event_share (C11 pct-of-total), hash_split_assignments
-#:   (hash split), nb_classifier_scores (classifier tier, newly
-#:   headline), pii_redaction (regex scan), player_windows (C1/C2
-#:   windowed agg), q1_pricing_summary (scan-agg), q5_region_revenue
-#:   (multi-join), review_bomb (C3-C5 unbounded per-key agg),
-#:   streaming_stream_join (stream-stream join, the only one of its
-#:   shape), udtf_sentences (UDTF tier).  rollup_orders,
-#:   tfidf_top_terms, hash_split_assignments and nb_classifier_scores
-#:   yielded their fill slots to the r10 registrations
-#:   dedup_graph_pagerank, multimodal_audio_roundtrip,
-#:   dedup_canonical_by_pagerank and dsir_selection (new registrations
-#:   enter first) and slip to r11 (rollup with its CUBE sibling
-#:   coverage, cube_orders r9; tfidf with the lexical tier coverage,
-#:   bm25_scores r9+bench; hash_split with the split-family coverage,
-#:   leakage_safe_split r9+bench; nb_classifier with the
-#:   hashed-scoring sibling dsir_selection in-window r10 + its own
-#:   bench headliner row).  q1_pricing_summary later yielded its slot
-#:   to the fifth r10 registration pq_search_rerank (scan-agg family
-#:   keeps in-window siblings genre_distribution /
-#:   histogram_event_values / cms_word_frequencies at 25, plus its
-#:   own bench-headliner row) and slips to r11; player_windows yielded
-#:   to the sixth, multimodal_video_meta_roundtrip (windowed-agg
-#:   family keeps session_windows / sliding_windows at 25) and slips
-#:   to r11; q5_region_revenue yielded to the seventh,
-#:   hard_negative_pairs (join family keeps key_skew_orders at 25
-#:   plus q5's own bench-headliner row) and slips to r11;
-#:   pii_redaction yielded to the eighth, streaming_dsir_gate
-#:   (regex-scan family keeps clean_html_roundtrip at 25, and pii
-#:   stays a scaling-probe member) and slips to r11;
-#:   nb_threshold_sweep yielded its promoted 50th-fill slot to the
-#:   ninth, logreg_quality_scores (classifier family then holds two
-#:   in-window rows) and rejoins the r11 must-enter list;
-#:   asof_join_nearest yielded to the tenth, dedup_quality_report
-#:   (the as-of family keeps bench-headliner + scaling-probe
-#:   coverage via asof_join_last_good) and slips to r11.
-#:
-#: 13 + 33 + 4 = 50 (multimodal_features is both r7-stale and a
-#: changed-code re-prove — ONE slot at 24, which the earlier
-#: "6 + 34 + 10" arithmetic double-counted; nb_threshold_sweep is
-#: promoted as the 50th fill, see the dict note).  Slipping to r11 at
-#: two-to-three rounds stale
-#: (MUST enter r11): the rest of the r8-green cohort —
-#: blocklist_filter, bpe_packed_sequences, cross_split_contamination,
-#: daily_user_rank, dataset_card, dedup_components, doc_chunks,
-#: embed_topk_lsh, gopher_quality_filter, hll_user_rollup,
-#: incremental_dedup_status, minhash_dedup_resolve, multimodal_frames,
-#: recent_windows, repetition_metrics,
-#: segment_dedup, semantic_dedup_resolve, semi_join_orders,
-#: sentiment_summary, source_capped_sample, streaming_asof_enrich,
-#: streaming_dim_enrich, streaming_quality_gate,
-#: streaming_sentiment_hourly, streaming_session_windows,
-#: temperature_mix_report, value_percentiles — 27 names (plus the
-#: ten yielded fills below, nb_threshold_sweep among them after its
-#: brief 50th-fill promotion) + any r10 changed-code re-proves +
-#: new r10 registrations; that is under 50, so r11 fills the
-#: remainder with the then-two-round-stale r9-green cohort by the
-#: no-in-window-sibling rule.
-_R10_ROTATION: dict[str, int] = {
-    # r10 changed-code re-proves
-    "multimodal_features": 24,
-    "streaming_api_source": 24,
+#: - 24: code CHANGED in r11, re-prove first (8 names, one of them
+#:   also three-round-stale):
+#:     api_source_reviews — sources/paged_api.py grew the full reference parameter surface;
+#:     streaming_api_source — paged_api stream reader: truncation raise + probe cap;
+#:     multimodal_features — decode_image gained the r11 fuzz-hardening guards;
+#:     multimodal_frames — REWRITTEN onto the stbl sample-table roundtrip — ALSO three-round-stale (last driver row r8): one slot, noted to avoid the r10 double-count;
+#:     kmeans_clusters — kmeans_exact refactored through kmeans_train_grid;
+#:     pq_search_rerank — pq_train refactored through _pq_train_grid;
+#:     dedup_graph_pagerank — pagerank gained the overflow guard;
+#:     dedup_canonical_by_pagerank — pagerank guard (same module path);
+#:   plus the FIVE new r11 registrations (never driver-checked, new
+#:   registrations enter first): ivfadc_search, streaming_pq_probe, qbc_disagreement, dedup_edit_verify, selfsup_prune;
+#: - 25: the ENTIRE remaining three-round-stale cohort (last driver
+#:   row r8): 36 names, all forced in per the invariant;
+#: - 27: ONE fill slot remains (8 changed + 5 new + 37 stale = 50
+#:   with the multimodal_frames overlap): sql_interface from the
+#:   two-round-stale r9-green pool — the SQL-passthrough surface has
+#:   no in-window sibling (every other r9-green candidate's family
+#:   already holds a window row: as-of via asof_join_nearest,
+#:   grouping sets via rollup_orders, TPC-H scan-agg via
+#:   q1/q5, lexical scoring via tfidf_top_terms, splits via
+#:   hash_split_assignments).
+_R11_ROTATION: dict[str, int] = {
+    # r11 changed-code re-proves + new registrations
     "api_source_reviews": 24,
-    # new r10 registrations — enter the window first
-    "dedup_graph_pagerank": 24,
-    "multimodal_audio_roundtrip": 24,
-    "dedup_canonical_by_pagerank": 24,
-    "dsir_selection": 24,
+    "streaming_api_source": 24,
+    "multimodal_features": 24,
+    "multimodal_frames": 24,
+    "kmeans_clusters": 24,
     "pq_search_rerank": 24,
-    "multimodal_video_meta_roundtrip": 24,
-    "hard_negative_pairs": 24,
-    "streaming_dsir_gate": 24,
-    "logreg_quality_scores": 24,
-    "dedup_quality_report": 24,
-    # never driver-checked (registered after the r9 freeze)
-    "kmeans_clusters": 25,
-    # three-round-stale cohort (last driver row r7) — ALL forced in
-    "bpe_token_counts": 25,
-    "clean_html_roundtrip": 25,
-    "cms_word_frequencies": 25,
-    "curation_pipeline_end_to_end": 25,
-    "dedup_pipeline_end_to_end": 25,
-    "doc_fingerprints": 25,
-    "embed_near_dup_pairs": 25,
-    "embed_topk_bruteforce": 25,
-    "embed_topk_ivf": 25,
-    "epoch_shuffle_order": 25,
-    "fuzzy_part_names": 25,
-    "genre_distribution": 25,
-    "histogram_event_values": 25,
-    "interval_event_counts": 25,
-    "intra_doc_dedup": 25,
-    "key_skew_orders": 25,
-    "minhash_dedup_pairs": 25,
-    "minhash_signatures": 25,
-    "multimodal_meta": 25,
-    "ngram_jaccard_pairs": 25,
-    "quality_scores": 25,
-    "session_windows": 25,
-    "simhash_signatures": 25,
-    "sliding_windows": 25,
-    "streaming_bloom_decontaminate": 25,
-    "streaming_hll_windows": 25,
-    "streaming_player_windows": 25,
-    "streaming_segment_dedup": 25,
-    "temperature_mix_sample": 25,
-    "token_budget_sample": 25,
-    "token_counts": 25,
-    "unigram_lm_scores": 25,
-    # two-round-stale fills (no in-window sibling)
-    "event_share": 27,
-    "review_bomb": 27,
-    "streaming_stream_join": 27,
-    "udtf_sentences": 27,
-    # (r10 session audit: the itemized window originally held 49 —
-    # multimodal_features is BOTH r7-stale and a changed-code re-prove
-    # (one slot at 24, not two), which the original 6+34+10 arithmetic
-    # double-counted, leaving slot 50 to whatever priority-80 query
-    # registered first.  nb_threshold_sweep was briefly promoted as
-    # the explicit 50th fill, then yielded that slot to the ninth r10
-    # registration logreg_quality_scores — its classifier family now
-    # holds TWO in-window rows (logreg + dsir_selection) — and joins
-    # the r11 must-enter list.)
+    "dedup_graph_pagerank": 24,
+    "dedup_canonical_by_pagerank": 24,
+    "ivfadc_search": 24,
+    "streaming_pq_probe": 24,
+    "qbc_disagreement": 24,
+    "dedup_edit_verify": 24,
+    "selfsup_prune": 24,
+    # three-round-stale cohort (last driver row r8) — all forced in
+    "asof_join_nearest": 25,
+    "blocklist_filter": 25,
+    "bpe_packed_sequences": 25,
+    "cross_split_contamination": 25,
+    "daily_user_rank": 25,
+    "dataset_card": 25,
+    "dedup_components": 25,
+    "doc_chunks": 25,
+    "embed_topk_lsh": 25,
+    "gopher_quality_filter": 25,
+    "hash_split_assignments": 25,
+    "hll_user_rollup": 25,
+    "incremental_dedup_status": 25,
+    "minhash_dedup_resolve": 25,
+    "nb_classifier_scores": 25,
+    "nb_threshold_sweep": 25,
+    "pii_redaction": 25,
+    "player_windows": 25,
+    "q1_pricing_summary": 25,
+    "q5_region_revenue": 25,
+    "recent_windows": 25,
+    "repetition_metrics": 25,
+    "rollup_orders": 25,
+    "segment_dedup": 25,
+    "semantic_dedup_resolve": 25,
+    "semi_join_orders": 25,
+    "sentiment_summary": 25,
+    "source_capped_sample": 25,
+    "streaming_asof_enrich": 25,
+    "streaming_dim_enrich": 25,
+    "streaming_quality_gate": 25,
+    "streaming_sentiment_hourly": 25,
+    "streaming_session_windows": 25,
+    "temperature_mix_report": 25,
+    "tfidf_top_terms": 25,
+    "value_percentiles": 25,
+    # fill (no in-window sibling)
+    "sql_interface": 27,
 }
 
 
-#: r11 ROTATION NOTE (for the next session): the r10 window is the 50
-#: names in _R10_ROTATION (24/25/27).  Due in r11, under the amended
+#: r12 ROTATION NOTE (for the next session): the r11 window is the 50
+#: names in _R11_ROTATION (24/25/27).  Due in r12, under the amended
 #: invariant above:
-#:
-#: - the rest of the r8-green cohort (last driver row r8, listed in
-#:   the _R10_ROTATION comment as "slipping to r11", PLUS the fills
-#:   that yielded their r10 slots) — THREE rounds stale by r11, ALL
-#:   forced in (38 names, incl. the yielded fills rollup_orders,
-#:   tfidf_top_terms, hash_split_assignments, nb_classifier_scores,
-#:   q1_pricing_summary, player_windows, q5_region_revenue,
-#:   pii_redaction, nb_threshold_sweep, asof_join_nearest);
-#: - any query whose code changes in r11, first;
-#: - any new r11 registrations, first;
-#: - fills from the then-two-round-stale r9-green cohort by the
-#:   no-in-window-sibling rule.
-#:
-#: Recompute cohorts from CORRECTNESS_r0{8,9,10}.json (the script in
-#: the r10 session: last driver row per query over the three committed
-#: driver artifacts), and refresh CORRECTNESS_FULL_r11.json
-#: (full_registry_sweep.py 11 — or round_close.py 11 for the whole
-#: evidence set) as the coverage of record.
-
+#: - the three-round-stale-by-r12 cohort = every query whose last
+#:   driver row is r9 and which did NOT get an r11 window slot —
+#:   recompute from CORRECTNESS_r0{9,10,11}.json (the r9-green pool
+#:   listed 49 names going into r11; sql_interface took the one r11
+#:   fill, so ~48 are due, which EXCEEDS 50 minus changed/new — if
+#:   the must-enter set overflows the window, split by oldest-first
+#:   and itemize the overflow for r13 with full-sweep coverage
+#:   named as the compensating evidence);
+#: - any query whose code changes in r12, first;
+#: - any new r12 registrations, first;
+#: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
     """Import every query module (side effect: registration)."""
@@ -293,7 +229,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R10_ROTATION.get(name, 80)
+        prio = _R11_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

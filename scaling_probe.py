@@ -112,6 +112,17 @@ PROBES = [
     "multimodal_video_meta_roundtrip",
     # round-10: LSH candidates + exact-verify joins + blocked truth
     "dedup_quality_report",
+    # round-11: coarse routing + residual ADC over probed cells +
+    # exact re-rank (the cell filter is the scale story)
+    "ivfadc_search",
+    # round-11: LSH candidates + prefix-capped Levenshtein verify
+    "dedup_edit_verify",
+    # round-11: two pinned-literal scores in one scan + banded cut
+    "qbc_disagreement",
+    # round-11: pinned-centroid assignment + banded per-cluster rank
+    "selfsup_prune",
+    # round-11: per-user container encode + stbl sample-table parse
+    "multimodal_frames",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -178,6 +189,11 @@ PROBE_TABLES = {
     "multimodal_video_meta_roundtrip": {"events"},
     "dedup_quality_report": {"documents"},
     "user_value_quartiles": {"events"},
+    "ivfadc_search": {"embeddings"},
+    "dedup_edit_verify": {"documents"},
+    "qbc_disagreement": {"documents"},
+    "selfsup_prune": {"embeddings"},
+    "multimodal_frames": {"events"},
 }
 
 

@@ -3536,3 +3536,30 @@ def test_selfsup_prune_semantics(spark):
 
     with _pytest.raises(ValueError):
         selfsup_prune(docs, cents, keep_pct=101)
+
+
+def test_r11_rotation_window():
+    """The r11 driver-window invariant, validated by EXECUTING the
+    rotation dict (the r10 lesson: never trust comment arithmetic):
+    exactly 50 names, and they are exactly the first 50 of
+    ordered_queries() — every changed-code re-prove, every new r11
+    registration, the entire three-round-stale cohort and the single
+    no-sibling fill."""
+    from bigdata_20251_steam_spark.plans.registry import (
+        _R11_ROTATION,
+        ordered_queries,
+    )
+
+    assert len(_R11_ROTATION) == 50
+    first50 = {q.name for q in ordered_queries()[:50]}
+    assert first50 == set(_R11_ROTATION)
+    # the five r11 registrations and the rewritten query are in
+    for name in (
+        "ivfadc_search",
+        "streaming_pq_probe",
+        "qbc_disagreement",
+        "dedup_edit_verify",
+        "selfsup_prune",
+        "multimodal_frames",
+    ):
+        assert _R11_ROTATION[name] == 24, name
