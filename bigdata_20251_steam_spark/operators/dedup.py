@@ -1198,6 +1198,18 @@ def edit_distance_verify(
             "doc_b",
         )
     )
+    # Pin the parallelism of the Levenshtein pass with an EXPLICIT-width
+    # exchange right before it.  Without this, AQE coalesces the
+    # upstream shuffle by BYTES — the pair frame is tiny on the wire —
+    # and the whole quadratic-compute projection lands in ONE task
+    # (measured: 17.8k pairs = 32.4 s single-task vs 3.0 s spread at
+    # 16x sf0.1).  Hash keys + explicit numPartitions keep the exchange
+    # deterministic AND exempt from AQE coalescing; the shipped rows
+    # are O(true dups) x 2 folded prefixes, cheap relative to the
+    # O(max_chars^2)-per-row work they balance.
+    j = j.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     scored = j.select(
         "doc_a",
         "doc_b",
