@@ -377,6 +377,7 @@ def qbc_disagreement(
     top_n: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Query-by-committee disagreement mining (Seung, Opper & Sompolinsky
     1992; uncertainty sampling, Lewis & Gale 1994) over the repo's two
@@ -410,6 +411,14 @@ def qbc_disagreement(
     global rank (constant group, ~n/64 rows per task) — never a
     single-task window or driver top-k.  Disagreements are typically
     a small corpus fraction, so the ranked frame is already narrow.
+    The narrow ``(doc_id, n_words, nb_micro, lr_z_micro,
+    strength_micro)`` disagreement frame is PERSISTED around the
+    banded rank (r12 advice fix): the ranker scans its input three
+    times and without the cache each scan would re-run the full
+    document scan plus BOTH map-literal scoring passes — the exact
+    lineage-multiplication hazard ``banded_percent_rank``'s contract
+    warns about.  Long-lived callers pass ``cache_tracker`` and
+    unpersist after consuming (LRU frees only the memory tier).
     """
     if top_n < 1:
         raise ValueError("qbc_disagreement: top_n must be >= 1")
@@ -436,8 +445,16 @@ def qbc_disagreement(
             F.abs(F.expr("lr_z_micro DIV n_words")),
         ),
     )
+    from pyspark import StorageLevel
+
     from .ranking import banded_percent_rank
 
+    # persist the narrow disagreement frame: the banded ranker reads it
+    # three times, and each uncached read would re-execute the corpus
+    # scan + both scoring projections (see docstring)
+    dis = dis.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_tracker is not None:
+        cache_tracker.append(dis)
     ranked = banded_percent_rank(
         dis.withColumn("_g", F.lit(1)),
         "_g",

@@ -1172,7 +1172,9 @@ def edit_distance_verify(
             "edit_distance_verify: 0 <= threshold_pct <= 100, "
             "max_chars >= 1"
         )
-    pairs = minhash_candidate_pairs(minhash_signatures(docs))
+    pairs = minhash_candidate_pairs(
+        minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    )
 
     def fold(c):
         return F.regexp_replace(

@@ -931,16 +931,22 @@ def _make_mp4_sample_parser():
             n = len(dts)
 
             const_sz, n_sz = u32s(*stsz, 2, 4)
-            if const_sz:
-                sizes = [const_sz] * n_sz
-            else:
-                if n_sz > 1_048_576:
-                    raise ValueError("stsz entry count exceeds 1M cap")
-                sizes = list(u32s(*stsz, n_sz, 12))
+            # Cap/consistency checks BEFORE materializing: n_sz is an
+            # untrusted u32, and `[const_sz] * n_sz` would allocate the
+            # full list (up to ~34 GB) before any later check could
+            # raise — a MemoryError, not the ValueError the routing
+            # contract needs (r12 advice fix; fuzzed in the const-size
+            # form).
+            if n_sz > 1_048_576:
+                raise ValueError("stsz entry count exceeds 1M cap")
             if n_sz != n:
                 raise ValueError(
                     f"stts ({n}) and stsz ({n_sz}) sample counts disagree"
                 )
+            if const_sz:
+                sizes = [const_sz] * n_sz
+            else:
+                sizes = list(u32s(*stsz, n_sz, 12))
 
             (n_sc,) = u32s(*stsc, 1, 4)
             if n_sc > 1_048_576:
@@ -979,6 +985,18 @@ def _make_mp4_sample_parser():
                 for _ in range(spc):
                     if si >= n:
                         break  # final chunk may hold fewer samples
+                    # A sample must lie inside the payload: a crafted
+                    # stco/co64 offset or oversized stsz would otherwise
+                    # yield sampler='mp4-stbl' rows whose frame slice is
+                    # empty/short while the size column reports the full
+                    # claim — silently inconsistent for any consumer
+                    # trusting size == len(frame) (r12 advice fix:
+                    # malformed table -> visible fake fall-through).
+                    if pos + sizes[si] > len(b):
+                        raise ValueError(
+                            f"sample {si} extends past payload end "
+                            f"(offset {pos} + size {sizes[si]} > {len(b)})"
+                        )
                     out.append((si, dts[si], sizes[si], pos))
                     pos += sizes[si]
                     si += 1

@@ -3500,6 +3500,85 @@ def test_edit_distance_verify_semantics(spark):
     assert got[(3, 4)]["sim_pct"] == 100 and got[(3, 4)]["is_dup"]
 
 
+def test_edit_distance_verify_custom_columns(spark):
+    """r12 advice fix: id_col/text_col must flow through to candidate
+    generation — previously minhash_signatures(docs) hardcoded the
+    defaults, so custom column names errored (or silently paired on
+    the wrong columns if doc_id/text also existed in the frame)."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = base.replace("tok39", "tokXX")
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, "entirely different words here only")],
+        "item_id long, body string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(
+            docs, max_chars=1000, id_col="item_id", text_col="body"
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)]["is_dup"]
+    # decoy columns named doc_id/text must NOT hijack the pairing: ids
+    # in the output come from item_id, and the near-dup pair (by body)
+    # is found even though doc_id/text would pair nothing
+    decoy = docs.select(
+        "item_id",
+        "body",
+        (F.col("item_id") + 100).alias("doc_id"),
+        F.lit("same decoy text for every row").alias("text"),
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_distance_verify(
+            decoy, max_chars=1000, id_col="item_id", text_col="body"
+        ).collect()
+    }
+    assert (1, 2) in got2 and got2[(1, 2)]["is_dup"]
+    assert all(a <= 3 and b <= 3 for a, b in got2)
+
+
+def test_qbc_disagreement_cache_tracker(spark):
+    """r12 advice fix: the narrow disagreement frame is persisted
+    around the banded rank (the ranker scans it three times; uncached,
+    each scan re-ran the corpus scan plus BOTH scoring projections)
+    and surfaced via cache_tracker for callers to unpersist."""
+    import hashlib
+
+    from bigdata_20251_steam_spark.operators.classifier import (
+        qbc_disagreement,
+    )
+
+    nbk = 8
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % nbk
+
+    ba = bucket("delta")
+    docs = spark.createDataFrame(
+        [(1, "delta delta"), (2, "delta")], "doc_id long, text string"
+    )
+    tracker: list = []
+    got = qbc_disagreement(
+        docs,
+        [(ba, 500_000)],
+        nbk,
+        {ba: -400_000},
+        0,
+        nbk,
+        top_n=10,
+        cache_tracker=tracker,
+    )
+    rows = got.collect()
+    assert len(rows) == 2  # both disagree (nb positive, lr negative)
+    assert len(tracker) == 1 and tracker[0].is_cached
+    tracker[0].unpersist()
+    assert not tracker[0].is_cached
+
+
 def test_selfsup_prune_semantics(spark):
     """Sorscher pruning with hand geometry: per-CLUSTER keep fraction
     (cluster balance — a tight cluster prunes as hard as a diffuse

@@ -975,6 +975,50 @@ def test_mp4_samples_golden():
         mm.parse_mp4_samples(bytes(bomb))
 
 
+def test_mp4_samples_const_stsz_allocation_bomb():
+    """r12 advice (medium): the CONSTANT-size stsz branch must check the
+    untrusted u32 sample count BEFORE materializing `[const]*n` — a
+    crafted count of 2^31 would otherwise allocate ~17 GB and die with
+    MemoryError (bypassing the ValueError routing contract) before any
+    later check ran.  Must raise ValueError promptly and cheaply."""
+    import struct
+    import time
+
+    payload = bytearray(_stbl_mp4(constant_size=True)[0])
+    i = payload.find(b"stsz")
+    # constant-size form: u32 sample_size (nonzero), u32 sample_count
+    struct.pack_into(">II", payload, i + 8, 6, 2**31)
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        mm.parse_mp4_samples(bytes(payload))
+    assert time.time() - t0 < 1.0  # rejected at the header, not after alloc
+
+
+def test_mp4_samples_offset_bounds():
+    """r12 advice: a sample whose stco offset + stsz size extends past
+    the payload end must raise (visible fake fall-through) instead of
+    yielding sampler='mp4-stbl' rows whose frame slice is shorter than
+    the reported size column."""
+    import struct
+
+    # (a) oversize one stsz entry far past the payload end
+    payload = bytearray(_stbl_mp4()[0])
+    i = payload.find(b"stsz")
+    struct.pack_into(">I", payload, i + 16, 1_000_000)  # first sample size
+    with pytest.raises(ValueError, match="past payload end"):
+        mm.parse_mp4_samples(bytes(payload))
+    # (b) point a chunk offset past the payload end
+    payload2 = bytearray(_stbl_mp4()[0])
+    j = payload2.find(b"stco")
+    struct.pack_into(">I", payload2, j + 16, 100_000)  # second chunk offset
+    with pytest.raises(ValueError, match="past payload end"):
+        mm.parse_mp4_samples(bytes(payload2))
+    # every row of a healthy parse satisfies size == len(payload slice)
+    good, exp = _stbl_mp4()
+    for si, dts, size, off in mm.parse_mp4_samples(good):
+        assert off + size <= len(good)
+
+
 def test_sample_frames_routes_stbl(spark):
     """The frame sampler's r11 routing: an ISO BMFF payload with a
     parsable stbl yields one row per SAMPLE carrying real container
@@ -1046,3 +1090,29 @@ if _HAVE_HYP:
         assert all(
             len(t) == 4 and all(isinstance(v, int) for v in t) for t in out
         )
+        # r12 invariant: every emitted sample lies inside the payload,
+        # so sample_frames' slice is exactly `size` bytes long
+        assert all(off + size <= len(payload) for _, _, size, off in out)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=60),
+    )
+    def test_mp4_samples_fuzz_mutated_const_stsz(pos, byte, cut):
+        """r12 advice: same mutation fuzz but over the CONSTANT-size
+        stsz fixture form, exercising the `[const]*n` branch's
+        pre-allocation guards (the allocation-bomb fix)."""
+        good = bytearray(_stbl_mp4(constant_size=True)[0])
+        pos %= len(good)
+        good[pos] = byte
+        payload = bytes(good)[: len(good) - cut]
+        try:
+            out = mm.parse_mp4_samples(payload)
+        except ValueError:
+            return
+        assert all(
+            len(t) == 4 and all(isinstance(v, int) for v in t) for t in out
+        )
+        assert all(off + size <= len(payload) for _, _, size, off in out)
