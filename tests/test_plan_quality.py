@@ -834,6 +834,41 @@ def test_ivfadc_corpus_never_shuffles(spark):
             )
 
 
+def test_edit_verify_levenshtein_exchange_pinned(spark):
+    """dedup_edit_verify (r12 pin for the r11 snapshot fix,
+    operators/dedup.py): the Levenshtein pass costs O(max_chars^2) CPU
+    per row while its input is tiny ON THE WIRE, so AQE's byte-based
+    coalescing would serialize the whole quadratic projection into ONE
+    task (measured 32.4 s single-task vs 3.0 s spread at 16x sf0.1 —
+    anchored in SCALING.md r12).  The operator pins an explicit-width
+    repartition(defaultParallelism, doc_a, doc_b) in front of it; in
+    the FINAL adaptive plan that strict numPartitions requirement must
+    survive: the exchange feeding the levenshtein projection keeps the
+    explicit width and no coalesced shuffle read sits between them."""
+    df = QUERIES["dedup_edit_verify"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE: only the executed plan shows the real reads
+    plan = _final_plan(df)
+    assert "isFinalPlan=true" in plan, plan[:200]
+    lines = plan.splitlines()
+    lev = next(
+        i for i, line in enumerate(lines) if "levenshtein(" in line
+    )
+    below = lines[lev:]
+    exch_i = next(
+        i for i, line in enumerate(below)
+        if "Exchange hashpartitioning" in line
+    )
+    exch = below[exch_i]
+    n = spark.sparkContext.defaultParallelism
+    assert "doc_a" in exch and "doc_b" in exch and f", {n})" in exch, (
+        f"levenshtein input exchange lost the explicit width:\n{exch}\n{plan}"
+    )
+    assert not any("coalesced" in line for line in below[:exch_i]), (
+        "AQE coalesced the pinned Levenshtein exchange:\n"
+        + "\n".join(below[:exch_i])
+    )
+
+
 def test_qbc_disagreement_plan(spark):
     """qbc_disagreement (r11): both member scores fuse into one
     scan-projection; the only joins are the banded-rank
