@@ -112,106 +112,106 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-11 window rotation (r10 verdict #1).  Cohorts computed from
-#: the committed CORRECTNESS_r0{8,9,10}.json artifacts (last driver
-#: row per query) and validated by EXECUTING the dict (len == 50 ==
-#: first 50 of ordered_queries(); see test_r11_rotation_window).
-#: NOTE: the r10 note predicted 38 three-round-stale names; the
-#: artifacts say 37 — the same comment-arithmetic slip class r10
-#: found, which is why the dict, not the prose, is the invariant.
+#: Round-12 window rotation (r11 verdict #2).  Cohorts computed from
+#: the committed CORRECTNESS_r0{9,10,11}.json artifacts (last GREEN
+#: driver row per query) and validated by EXECUTING the dict
+#: (test_r12_rotation_window).  The three-round-stale-by-r12 cohort
+#: (last driver row r9, no r11 slot) came out at exactly 48 names —
+#: the r11 note predicted ~48 — which OVERFLOWS the window: 50 slots
+#: minus 4 changed-code re-proves minus 2 new registrations leaves 44.
+#: All 48 tie at the same age (r9), so the prescribed oldest-first
+#: split degenerates; the tie is broken ALPHABETICALLY (deterministic,
+#: artifact-recomputable) and the 4 overflow names are itemized below
+#: as r13 must-enters, with the committed full-registry sweep
+#: (CORRECTNESS_FULL_r12.json covers ALL queries) as the compensating
+#: evidence in the meantime.
 #:
-#: - 24: code CHANGED in r11, re-prove first (8 names, one of them
-#:   also three-round-stale):
-#:     api_source_reviews — sources/paged_api.py grew the full reference parameter surface;
-#:     streaming_api_source — paged_api stream reader: truncation raise + probe cap;
-#:     multimodal_features — decode_image gained the r11 fuzz-hardening guards;
-#:     multimodal_frames — REWRITTEN onto the stbl sample-table roundtrip — ALSO three-round-stale (last driver row r8): one slot, noted to avoid the r10 double-count;
-#:     kmeans_clusters — kmeans_exact refactored through kmeans_train_grid;
-#:     pq_search_rerank — pq_train refactored through _pq_train_grid;
-#:     dedup_graph_pagerank — pagerank gained the overflow guard;
-#:     dedup_canonical_by_pagerank — pagerank guard (same module path);
-#:   plus the FIVE new r11 registrations (never driver-checked, new
-#:   registrations enter first): ivfadc_search, streaming_pq_probe, qbc_disagreement, dedup_edit_verify, selfsup_prune;
-#: - 25: the ENTIRE remaining three-round-stale cohort (last driver
-#:   row r8): 36 names, all forced in per the invariant;
-#: - 27: ONE fill slot remains (8 changed + 5 new + 37 stale = 50
-#:   with the multimodal_frames overlap): sql_interface from the
-#:   two-round-stale r9-green pool — the SQL-passthrough surface has
-#:   no in-window sibling (every other r9-green candidate's family
-#:   already holds a window row: as-of via asof_join_nearest,
-#:   grouping sets via rollup_orders, TPC-H scan-agg via
-#:   q1/q5, lexical scoring via tfidf_top_terms, splits via
-#:   hash_split_assignments).
-_R11_ROTATION: dict[str, int] = {
-    # r11 changed-code re-proves + new registrations
-    "api_source_reviews": 24,
-    "streaming_api_source": 24,
-    "multimodal_features": 24,
+#: - 24: code CHANGED in r12, re-prove first (4 names):
+#:     multimodal_frames — parse_mp4_samples gained the stsz
+#:       allocation-bomb guard + sample offset-bounds validation;
+#:     dedup_edit_verify — id_col/text_col now flow through to
+#:       candidate generation;
+#:     qbc_disagreement — narrow disagreement frame persisted around
+#:       the banded rank (cache_tracker surface);
+#:     ivfadc_search — refactored through the shared
+#:       _ivfadc_adc_rerank tail;
+#:   plus the TWO new r12 registrations (never driver-checked, new
+#:   registrations enter first): ivfadc_pruned_search,
+#:   streaming_pq_adjudicate;
+#: - 25: 44 of the 48-name three-round-stale cohort (alphabetical
+#:   split; the overflow is itemized in the r13 note below).
+_R12_ROTATION: dict[str, int] = {
+    # r12 changed-code re-proves + new registrations
     "multimodal_frames": 24,
-    "kmeans_clusters": 24,
-    "pq_search_rerank": 24,
-    "dedup_graph_pagerank": 24,
-    "dedup_canonical_by_pagerank": 24,
-    "ivfadc_search": 24,
-    "streaming_pq_probe": 24,
-    "qbc_disagreement": 24,
     "dedup_edit_verify": 24,
-    "selfsup_prune": 24,
-    # three-round-stale cohort (last driver row r8) — all forced in
-    "asof_join_nearest": 25,
-    "blocklist_filter": 25,
-    "bpe_packed_sequences": 25,
-    "cross_split_contamination": 25,
-    "daily_user_rank": 25,
-    "dataset_card": 25,
-    "dedup_components": 25,
-    "doc_chunks": 25,
-    "embed_topk_lsh": 25,
-    "gopher_quality_filter": 25,
-    "hash_split_assignments": 25,
-    "hll_user_rollup": 25,
-    "incremental_dedup_status": 25,
-    "minhash_dedup_resolve": 25,
-    "nb_classifier_scores": 25,
-    "nb_threshold_sweep": 25,
-    "pii_redaction": 25,
-    "player_windows": 25,
-    "q1_pricing_summary": 25,
-    "q5_region_revenue": 25,
-    "recent_windows": 25,
-    "repetition_metrics": 25,
-    "rollup_orders": 25,
-    "segment_dedup": 25,
-    "semantic_dedup_resolve": 25,
-    "semi_join_orders": 25,
-    "sentiment_summary": 25,
-    "source_capped_sample": 25,
-    "streaming_asof_enrich": 25,
-    "streaming_dim_enrich": 25,
-    "streaming_quality_gate": 25,
-    "streaming_sentiment_hourly": 25,
-    "streaming_session_windows": 25,
-    "temperature_mix_report": 25,
-    "tfidf_top_terms": 25,
-    "value_percentiles": 25,
-    # fill (no in-window sibling)
-    "sql_interface": 27,
+    "qbc_disagreement": 24,
+    "ivfadc_search": 24,
+    "ivfadc_pruned_search": 24,
+    "streaming_pq_adjudicate": 24,
+    # three-round-stale cohort (last driver row r9) — first 44 of 48,
+    # alphabetical
+    "anti_join_customers": 25,
+    "approx_stats": 25,
+    "asof_join_last_good": 25,
+    "bigram_lm_scores": 25,
+    "bloom_decontaminate": 25,
+    "bm25_scores": 25,
+    "cross_doc_span_dedup": 25,
+    "cube_orders": 25,
+    "curation_v2_end_to_end": 25,
+    "curriculum_order": 25,
+    "dedup_exact": 25,
+    "dim_join": 25,
+    "embed_quantize": 25,
+    "epoch_casts": 25,
+    "global_stats": 25,
+    "ivf_recall_vs_exact": 25,
+    "ivf_sampled_recall": 25,
+    "language_id": 25,
+    "latest_event": 25,
+    "leakage_safe_split": 25,
+    "lsh_recall_vs_exact": 25,
+    "moving_avg_daily": 25,
+    "normalize_text": 25,
+    "packed_sequences": 25,
+    "packing_assignments": 25,
+    "peak_activity": 25,
+    "pivot_event_matrix": 25,
+    "profile_documents": 25,
+    "props_json": 25,
+    "q14_promo_share": 25,
+    "q3_top_revenue": 25,
+    "q6_revenue_delta": 25,
+    "quality_quantile_filter": 25,
+    "quality_threshold_filter": 25,
+    "sentiment_hourly": 25,
+    "set_ops_users": 25,
+    "stratified_sample_counts": 25,
+    "streaming_curation_bounded_state": 25,
+    "streaming_curation_pipeline": 25,
+    "streaming_doc_chunks": 25,
+    "streaming_genre_counts": 25,
+    "streaming_running_totals": 25,
+    "streaming_token_budget": 25,
+    "supplier_nation_stats": 25,
 }
 
 
-#: r12 ROTATION NOTE (for the next session): the r11 window is the 50
-#: names in _R11_ROTATION (24/25/27).  Due in r12, under the amended
-#: invariant above:
-#: - the three-round-stale-by-r12 cohort = every query whose last
-#:   driver row is r9 and which did NOT get an r11 window slot —
-#:   recompute from CORRECTNESS_r0{9,10,11}.json (the r9-green pool
-#:   listed 49 names going into r11; sql_interface took the one r11
-#:   fill, so ~48 are due, which EXCEEDS 50 minus changed/new — if
-#:   the must-enter set overflows the window, split by oldest-first
-#:   and itemize the overflow for r13 with full-sweep coverage
-#:   named as the compensating evidence);
-#: - any query whose code changes in r12, first;
-#: - any new r12 registrations, first;
+#: r13 ROTATION NOTE (for the next session):
+#: - MUST-ENTER first: the 4 overflow names from the r12 alphabetical
+#:   split of the tied 48-name stale cohort (last driver row r9):
+#:     top_genres, top_spenders, user_value_quartiles,
+#:     winnow_fingerprints
+#:   — they are four-rounds-stale by r13; full-sweep coverage
+#:   (CORRECTNESS_FULL_r12.json) is the compensating evidence until
+#:   their r13 driver row lands;
+#: - then any query whose code changes in r13, and any new r13
+#:   registrations, first;
+#: - then the three-round-stale-by-r13 cohort = last GREEN driver row
+#:   r10 and no r12 slot — recompute from CORRECTNESS_r0{10,11,12}.json
+#:   (the r10 window held 43 non-r11/r12-repeated names; expect ~40
+#:   due, which again overflows — split oldest-first, alphabetical on
+#:   ties, itemize for r14);
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
@@ -229,7 +229,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R11_ROTATION.get(name, 80)
+        prio = _R12_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -1379,3 +1379,210 @@ def q_streaming_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_f").cast("long").alias("n_flagged"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN adjudication (r12, r11 verdict #7): the composition the
+# probe's docstring promised — flagged rows routed through the batch
+# IVFADC top-k.
+# ---------------------------------------------------------------------------
+
+_ADJ_K = 3
+_ADJ_SHORTLIST = 10
+
+
+def _streaming_pq_adjudicate_oracle() -> str:
+    from .extension_queries import _IVFADC_CENTS, _IVFADC_CODEBOOKS, _IVFADC_NPROBE
+
+    m, sub = len(_IVFADC_CODEBOOKS), 64 // len(_IVFADC_CODEBOOKS)
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    n_cells = len(_IVFADC_CENTS)
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q, dc,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    dec AS (SELECT vec_id, cell, ({recon}) AS rr FROM d),
+    flagged AS (
+      SELECT a.vec_id FROM cl a
+      WHERE EXISTS (
+        SELECT 1 FROM dec b, res ar
+        WHERE ar.vec_id = a.vec_id AND b.cell = a.cell
+          AND b.vec_id <> a.vec_id
+          AND list_sum(list_transform(range(1, 65),
+                i -> (ar.r[i]-b.rr[i])*(ar.r[i]-b.rr[i])))
+              <= {_PQ_PROBE_TAU})),
+    qs AS (
+      SELECT c.vec_id AS query_id, c.q AS qq, c.dc
+      FROM cl c JOIN flagged f ON f.vec_id = c.vec_id),
+    pr AS (
+      SELECT query_id, j FROM (
+        SELECT query_id, j,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dc[CAST(j AS INT)], j) AS rn
+        FROM qs, range(1, {n_cells + 1}) t(j)) z
+      WHERE rn <= {_IVFADC_NPROBE}),
+    qres AS (
+      SELECT p.query_id, CAST(p.j AS INT) AS cell,
+             list_transform(range(1, 65),
+               i -> s.qq[i]
+                    - list_extract(list_extract({cents}, CAST(p.j AS INT)), i)
+             ) AS qr,
+             s.qq
+      FROM pr p JOIN qs s ON s.query_id = p.query_id),
+    adc AS (
+      SELECT s.query_id, b.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (s.qr[i]-b.rr[i])*(s.qr[i]-b.rr[i]))) AS adc_d
+      FROM dec b JOIN qres s ON s.cell = b.cell
+      WHERE b.vec_id <> s.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, vec_id) AS rn
+        FROM adc) t WHERE rn <= {_ADJ_SHORTLIST}),
+    ex AS (
+      SELECT sl.query_id, sl.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (s.qq[i]-v.q[i])*(s.qq[i]-v.q[i]))) AS BIGINT) AS sqdist
+      FROM sl
+      JOIN qv v ON v.vec_id = sl.vec_id
+      JOIN (SELECT DISTINCT query_id, qq FROM qres) s
+        ON s.query_id = sl.query_id),
+    rr AS (
+      SELECT query_id, vec_id, sqdist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sqdist, vec_id) AS INT) AS rank
+      FROM ex)
+    SELECT query_id, vec_id, sqdist, rank FROM rr WHERE rank <= {_ADJ_K}
+    """
+
+
+@register(
+    "streaming_pq_adjudicate",
+    oracle=_streaming_pq_adjudicate_oracle(),
+    # new r12 registration — enters the r12 driver window first per
+    # the registry invariant (rotation note in plans/registry.py).
+    priority=80,
+    doc="Streaming ANN flag -> batch IVFADC adjudication (r12, r11 "
+    "verdict #7 — the composition streaming_pq_probe's docstring "
+    "promised but no query executed): the same stateless micro-batch "
+    "projection + stream-static LEFT SEMI flag gate as the probe "
+    "lands its flagged vec_ids in an epoch-keyed bronze store via the "
+    "EXACTLY-ONCE foreachBatch append (crash replays rewrite their "
+    "epoch directory), and the reconstructed flagged set then routes "
+    "through operators/similarity.py:ivfadc_topk_frame — the "
+    "UNBOUNDED-query-set batch IVFADC where every join is EQUI "
+    "(probe cells EXPLODE and equi-join the decoded snapshot on "
+    "cell == cluster, AQE-splittable; NO broadcast of the flagged or "
+    "shortlist frames, which scale with flag volume; both top-k cuts "
+    "are the salted two-stage rank).  Per-row top-k IN the stream "
+    "would need unbounded per-vec_id aggregation state — correctly "
+    "rejected; flag-in-stream + adjudicate-in-batch IS the deployed "
+    "shape.  Oracle: full relational replay of assignment, residual, "
+    "encode/decode, the EXISTS flag gate, probe routing, residual "
+    "ADC, shortlist and exact re-rank — stream/batch parity is the "
+    "assertion, hash-exact.",
+)
+def q_streaming_pq_adjudicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from ..streaming.engine import idempotent_epoch_append
+    from .extension_queries import _IVFADC_CENTS, _IVFADC_CODEBOOKS, _IVFADC_NPROBE
+
+    src_dir = _staged_embeddings_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EMB_STREAM_SCHEMA)
+    snapshot = sim.ivfadc_decode_snapshot(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+    grid = stream.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1000.0)).cast("long"),
+        ).alias("q"),
+    )
+    probe = sim._ivf_residuals(grid, _IVFADC_CENTS).select(
+        "vec_id", F.col("cluster").alias("cell"), F.col("q").alias("qr")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("qr"), F.col("r"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flagged = probe.alias("a").join(
+        snapshot.alias("b"),
+        (F.col("b.cluster") == F.col("a.cell"))
+        & (F.col("b.vec_id") != F.col("a.vec_id"))
+        & (adc <= F.lit(_PQ_PROBE_TAU)),
+        "left_semi",
+    )
+    work = tempfile.mkdtemp(prefix="pq_adjudicate_")
+    bronze = os.path.join(work, "bronze")
+    q = (
+        flagged.select("vec_id")
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: idempotent_epoch_append(
+                batch_df, bronze, epoch_id
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flagged_ids = spark.read.parquet(bronze).select("vec_id").distinct()
+    out = sim.ivfadc_topk_frame(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        flagged_ids,
+        k=_ADJ_K,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_ADJ_SHORTLIST,
+    )
+    # materialize the bounded (|flagged| x k)-row adjudication so the
+    # work dir (bronze + checkpoint, unique per run) is deleted NOW
+    # instead of leaking one tempdir per invocation (the
+    # streaming_token_budget pattern, ADVICE r5); the stream + batch
+    # adjudication executed for real above
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -3617,28 +3617,38 @@ def test_selfsup_prune_semantics(spark):
         selfsup_prune(docs, cents, keep_pct=101)
 
 
-def test_r11_rotation_window():
-    """The r11 driver-window invariant, validated by EXECUTING the
+def test_r12_rotation_window():
+    """The r12 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — every changed-code re-prove, every new r11
-    registration, the entire three-round-stale cohort and the single
-    no-sibling fill."""
+    ordered_queries() — the 4 changed-code re-proves, the 2 new r12
+    registrations, and 44 of the tied 48-name stale cohort under the
+    documented alphabetical split (the 4 overflow names are itemized
+    in the registry's r13 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R11_ROTATION,
+        _R12_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R11_ROTATION) == 50
+    assert len(_R12_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R11_ROTATION)
-    # the five r11 registrations and the rewritten query are in
+    assert first50 == set(_R12_ROTATION)
+    # the two r12 registrations and the changed-code re-proves enter first
     for name in (
+        "ivfadc_pruned_search",
+        "streaming_pq_adjudicate",
         "ivfadc_search",
-        "streaming_pq_probe",
         "qbc_disagreement",
         "dedup_edit_verify",
-        "selfsup_prune",
         "multimodal_frames",
     ):
-        assert _R11_ROTATION[name] == 24, name
+        assert _R12_ROTATION[name] == 24, name
+    # the itemized r13 overflow is OUT of the window
+    for name in (
+        "top_genres",
+        "top_spenders",
+        "user_value_quartiles",
+        "winnow_fingerprints",
+    ):
+        assert name not in _R12_ROTATION, name
+        assert name not in first50, name

@@ -834,6 +834,32 @@ def test_ivfadc_corpus_never_shuffles(spark):
             )
 
 
+def test_ivfadc_topk_frame_equi_only(spark):
+    """ivfadc_topk_frame (r12, the streaming adjudication tier): the
+    query set is an UNBOUNDED frame (flag volume scales with ingest),
+    so nothing about it may broadcast or nest-loop — probe routing
+    must EXPLODE each query's nprobe cells and equi-join the decoded
+    snapshot on cell == cluster, and the re-rank joins must be plain
+    equi joins.  No BroadcastNestedLoopJoin, no CartesianProduct, and
+    no broadcast whose build side is the query/shortlist lineage."""
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids = emb.select("vec_id").filter("vec_id % 50 = 0")
+    df = sim.ivfadc_topk_frame(
+        emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, ids, k=3, nprobe=4,
+        shortlist=10,
+    )
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_edit_verify_levenshtein_exchange_pinned(spark):
     """dedup_edit_verify (r12 pin for the r11 snapshot fix,
     operators/dedup.py): the Levenshtein pass costs O(max_chars^2) CPU

@@ -482,3 +482,93 @@ def test_write_training_shards_orc(spark, tmp_path):
     for f in sorted(str(p) for p in pathlib.Path(pq).glob("part-*.parquet")):
         pq_keys += [r["shuffle_key"] for r in spark.read.parquet(f).collect()]
     assert pq_keys == keys
+
+
+def test_ivfadc_index_partition_pruning(spark, tmp_path):
+    """r12 (r11 verdict #5): the IVFADC 100 TB layout is EXECUTABLE —
+    write_ivfadc_index lands (vec_id, cluster, codes) one directory
+    per coarse cell; ivfadc_search_pruned probes it with a static
+    cluster IN (...) partition filter and returns results
+    bit-identical to the in-memory ivfadc_search.  Physical-pruning
+    proof: every NON-probed cell's parquet files are overwritten with
+    garbage (the pruned read uses an explicit schema, so no planning-
+    time footer inference) — a scan that touched a pruned-away
+    directory would fail loudly, so a correct answer proves those
+    files were never opened."""
+    import glob
+
+    import pytest
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivfadc_idx")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), path
+    )
+    dirs = sorted((tmp_path / "ivfadc_idx").glob("cluster=*"))
+    assert len(dirs) == len(_IVFADC_CENTS)  # one directory per cell
+
+    kw = dict(query_ids=list(range(10)), k=5, nprobe=4, shortlist=50)
+    got = sim.ivfadc_search_pruned(
+        spark, path, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    )
+    # the probe filter reaches the scan as a PARTITION filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "codes" in line
+    ]
+    assert idx_scans and all(
+        "PartitionFilters" in line and "cluster" in line.split(
+            "PartitionFilters", 1
+        )[1]
+        for line in idx_scans
+    ), plan
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"])
+            for r in rows
+        )
+
+    exp = sim.ivfadc_search(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw)
+    assert key(got.collect()) == key(exp.collect())
+
+    # physical pruning: independently recompute query 0's probe cells
+    # (pure-python quantize + argmin, ties to the lower cell) and
+    # corrupt every OTHER cell's files
+    q0 = [
+        round(float(x) * 1000)
+        for x in emb.filter("vec_id = 0").collect()[0]["embedding"]
+    ]
+    d = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q0, c)), j)
+        for j, c in enumerate(_IVFADC_CENTS)
+    )
+    probed = {j for _, j in d[:4]}
+    assert len(probed) < len(_IVFADC_CENTS)
+    for dirp in dirs:
+        if int(dirp.name.split("=")[1]) not in probed:
+            for f in glob.glob(str(dirp / "*.parquet")):
+                with open(f, "wb") as fh:
+                    fh.write(b"corrupted - a pruned scan must never read this")
+    one = dict(kw, query_ids=[0])
+    got1 = sim.ivfadc_search_pruned(
+        spark, path, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **one
+    ).collect()
+    exp1 = sim.ivfadc_search(
+        emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **one
+    ).collect()
+    assert key(got1) == key(exp1) and len(got1) == 5
+
+    # the bounded-collect contract raises loudly
+    with pytest.raises(ValueError, match="bounded-collect cap"):
+        sim.ivfadc_search_pruned(
+            spark, path, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS,
+            query_ids=list(range(10)), max_query_batch=5,
+        )
