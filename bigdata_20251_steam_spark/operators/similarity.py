@@ -1504,3 +1504,113 @@ def selfsup_prune(
         F.col("_n").cast("long").alias("n_cluster"),
         (F.col("_rank") <= keep_n).alias("keep"),
     )
+
+
+def mmr_diversify(cands: DataFrame, k: int = 5) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) over a bounded per-query candidate
+    shortlist (r12) — the diversity re-rank every retrieval-augmented
+    pipeline puts between ANN top-k and the prompt: near-duplicate
+    passages burn context tokens, so the selector trades relevance
+    against redundancy instead of taking the k nearest.
+
+    ``cands`` carries ``(query_id, vec_id, qdist, v)`` — integer grid
+    distance to the query and the candidate's grid vector — with at
+    most an ANN shortlist's worth of rows per query (the caller's
+    contract; every in-repo producer cuts with ``_topk_per_query``).
+
+    Integer-exact greedy, the distance-form MMR at lambda = 1/2
+    scaled to integers: rank 1 is the nearest candidate under
+    ``(qdist, vec_id)``; step i scores every remaining candidate
+
+        ``score(c) = qdist(c) - min_{s in selected} sqdist(c, s)``
+
+    (relevance minus the strongest redundancy, both on the same
+    integer grid) and selects the ``(score, vec_id)`` minimum.  The
+    whole greedy runs INSIDE one ``groupBy(query_id)`` aggregation:
+    ``collect_list`` is bounded by the shortlist contract (the
+    packing/winnow idiom), and the k-1 selection steps execute as ONE
+    ``F.aggregate`` higher-order fold whose accumulator is the
+    selected array — the step body is written ONCE in the plan and
+    iterated at runtime, so expression size is O(1) in k.  (The first
+    formulation chained one select per step; CollapseProject inlined
+    the multiply-referenced selected-array alias and the optimized
+    plan grew ~7^k — 3.5 MB of expression text at k=5, measured —
+    before the fold rewrite.)  There is NO join and no second
+    shuffle: per-query state never leaves its row.  At 100 TB it is
+    queries that scale, not shortlists — the single exchange is
+    ``hashpartitioning(query_id)`` of |queries| x shortlist narrow
+    rows.
+
+    Output ``(query_id, vec_id, sqdist, mmr_rank)``; fewer than ``k``
+    rows per query only when the shortlist itself is smaller.
+    """
+    if k < 1:
+        raise ValueError("mmr_diversify: k must be >= 1")
+
+    def _sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    g = cands.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("qdist").cast("long").alias("qdist"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("v").alias("v"),
+                )
+            )
+        ).alias("_arr")
+    )
+
+    def _step(acc, _i):
+        rem = F.filter(
+            F.col("_arr"),
+            lambda c: ~F.exists(acc, lambda s: s["vec_id"] == c["vec_id"]),
+        )
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                (
+                    c["qdist"]
+                    - F.array_min(
+                        F.transform(acc, lambda s: _sq(c["v"], s["v"]))
+                    )
+                ).alias("score"),
+                c["vec_id"].alias("vec_id"),
+                c["qdist"].alias("qdist"),
+                c["v"].alias("v"),
+            ),
+        )
+        pick = F.array_min(scored)
+        return F.when(
+            F.size(scored) > 0,
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        pick["qdist"].alias("qdist"),
+                        pick["vec_id"].alias("vec_id"),
+                        pick["v"].alias("v"),
+                    )
+                ),
+            ),
+        ).otherwise(acc)
+
+    # k-1 fold steps; array_repeat (not sequence) because
+    # sequence(2, 1) would generate a DESCENDING two-step array at k=1
+    sel = F.aggregate(
+        F.array_repeat(F.lit(0), k - 1), F.slice(F.col("_arr"), 1, 1), _step
+    )
+    g = g.select("query_id", sel.alias("_sel"))
+    out = g.select("query_id", F.posexplode("_sel").alias("_i", "_s"))
+    return out.select(
+        "query_id",
+        F.col("_s.vec_id").alias("vec_id"),
+        F.col("_s.qdist").cast("long").alias("sqdist"),
+        (F.col("_i") + 1).cast("int").alias("mmr_rank"),
+    )

@@ -6235,3 +6235,137 @@ def q_selfsup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFADC_CENTS,
         keep_pct=_SSP_KEEP_PCT,
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (r12)
+# ---------------------------------------------------------------------------
+
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+
+
+def _mmr_oracle(k: int = _MMR_K, shortlist: int = _MMR_SHORTLIST) -> str:
+    """Unrolled relational replay of the MMR greedy (the logreg
+    unrolled-GD oracle pattern): brute integer shortlist, then one CTE
+    per selection step — step i excludes the selected set, scores
+    qd - min pairwise sqdist to it, and row_number-picks the
+    (score, vec_id) minimum per query."""
+
+    def sq(a: str, b: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+        )
+
+    steps = [
+        """sel1 AS (
+      SELECT query_id, vec_id, v, qd, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qd, vec_id) AS rn
+        FROM shortlist) t
+      WHERE rn = 1)"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id, v, qd FROM sel{j}"
+            for j in range(1, i)
+        )
+        # the redundancy minimum is a JOIN + GROUP BY, not a correlated
+        # subquery: DuckDB lambdas (list_transform) cannot capture
+        # correlated outer columns, but both sides of a join share one
+        # scope
+        steps.append(
+            f"""selprev{i} AS ({prev}),
+    sel{i} AS (
+      SELECT query_id, vec_id, v, qd, {i} AS mmr_rank FROM (
+        SELECT c2.*, row_number() OVER (PARTITION BY c2.query_id
+                                        ORDER BY c2.qd - c2.md,
+                                                 c2.vec_id) AS rn
+        FROM (
+          SELECT c.query_id, c.vec_id, any_value(c.v) AS v, c.qd,
+                 min({sq('c.v', 's.v')}) AS md
+          FROM shortlist c JOIN selprev{i} s
+            ON s.query_id = c.query_id
+          WHERE NOT EXISTS (SELECT 1 FROM selprev{i} s2
+                            WHERE s2.query_id = c.query_id
+                              AND s2.vec_id = c.vec_id)
+          GROUP BY c.query_id, c.vec_id, c.qd) c2) t
+      WHERE rn = 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, qd, mmr_rank FROM sel{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 10),
+    sc AS (
+      SELECT s.query_id, b.vec_id, b.q AS v, {sq('b.q', 's.qq')} AS qd
+      FROM qv b, qs s WHERE b.vec_id <> s.query_id),
+    shortlist AS (
+      SELECT query_id, vec_id, v, qd FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qd, vec_id) AS rn
+        FROM sc) z
+      WHERE rn <= {shortlist}),
+    {', '.join(steps)}
+    SELECT query_id, vec_id, CAST(qd AS BIGINT) AS sqdist,
+           CAST(mmr_rank AS INT) AS mmr_rank
+    FROM ({union})
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    # new r12 registration — enters the r12 driver window first per
+    # the registry invariant (it displaced the alphabetically-last
+    # in-window stale name into the r13 overflow; see the rotation
+    # note in plans/registry.py).
+    priority=80,
+    doc="MMR diversified retrieval "
+    "(operators/similarity.py:mmr_diversify, r12; Carbonell & "
+    "Goldstein, SIGIR 1998): the diversity re-rank between ANN top-k "
+    "and the prompt — near-duplicate passages burn context tokens, so "
+    "the selector greedily trades relevance against redundancy: "
+    "rank 1 is the nearest shortlist candidate, step i minimizes "
+    "qdist - min pairwise sqdist to the already-selected set "
+    "(distance-form MMR at lambda=1/2, integer-exact, ties to the "
+    "lower vec_id).  The greedy runs INSIDE one bounded "
+    "groupBy(query_id) aggregation as k unrolled array-lambda steps "
+    "over the collected shortlist — no join, no second shuffle, "
+    "per-query state never leaves its row; at 100 TB queries scale, "
+    "not shortlists.  Shortlist: brute integer-grid top-20 per query "
+    "(broadcast 10-row query frame, salted two-stage rank).  Oracle: "
+    "unrolled per-step relational replay (the logreg unrolled-GD "
+    "pattern), hash-exact.",
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = sim._pq_quantized(emb, 1000, "vec_id", "embedding")
+    qf = grid.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = grid.join(
+        F.broadcast(qf), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("q").alias("v"),
+        F.aggregate(
+            F.zip_with(
+                F.col("q"), F.col("qq"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdist"),
+    )
+    sl = sim._topk_per_query(
+        scored, _MMR_SHORTLIST, "qdist", ascending=True
+    ).select("query_id", "vec_id", "qdist", "v")
+    return sim.mmr_diversify(sl, k=_MMR_K)

@@ -117,6 +117,19 @@ WHITELIST: dict[tuple[str, str], str] = {
         "user_value_quartiles/dsir_selection shape): 1-row edges / "
         "bands-bounded offsets broadcast frames, condition folded"
     ),
+    ("ivfadc_pruned_search", "BroadcastNestedLoopJoin"): (
+        "broadcast of the bounded (loudly capped) query+probe-list "
+        "frame onto the PARTITION-PRUNED index scan "
+        "(array_contains(probes, cluster) non-equi — the ivfadc_search "
+        "routing predicate over the stored index); the re-rank joins "
+        "are equi and broadcast-bounded"
+    ),
+    ("mmr_diverse_topk", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 10-row literal query-vector frame onto the "
+        "shortlist scoring scan (vec_id <> query_id non-equi — the "
+        "embed_topk shape); the MMR greedy itself is a single bounded "
+        "groupBy aggregation, no join"
+    ),
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -123,6 +123,15 @@ PROBES = [
     "selfsup_prune",
     # round-11: per-user container encode + stbl sample-table parse
     "multimodal_frames",
+    # round-12: the STORED cluster-partitioned index probe (partition
+    # pruning + bounded query broadcast; the data term to watch is the
+    # probed cells' read volume).  streaming_pq_adjudicate is excluded
+    # like every streaming query; its batch tier (ivfadc_topk_frame)
+    # additionally has a fixture hazard here: replica embeddings are
+    # IDENTICAL vectors, so the flagged-query count grows with mult and
+    # the flagged x cell-size product measures workload explosion, not
+    # plan scaling.
+    "ivfadc_pruned_search",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -194,6 +203,7 @@ PROBE_TABLES = {
     "qbc_disagreement": {"documents"},
     "selfsup_prune": {"embeddings"},
     "multimodal_frames": {"events"},
+    "ivfadc_pruned_search": {"embeddings"},
 }
 
 

@@ -3617,13 +3617,59 @@ def test_selfsup_prune_semantics(spark):
         selfsup_prune(docs, cents, keep_pct=101)
 
 
+def test_mmr_diversify_semantics(spark):
+    """MMR greedy with hand geometry (Carbonell & Goldstein): plain
+    top-2 would take the two near-duplicates A and B; MMR's second
+    pick must be the diverse C because B's redundancy penalty
+    (sqdist(B, A) = 1) barely discounts it while C's distance from A
+    turns its score negative.  Also: rank 1 is the plain nearest,
+    ties break on vec_id, k beyond the shortlist yields exactly
+    |shortlist| rows, and k < 1 raises."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.similarity import (
+        mmr_diversify,
+    )
+
+    # query at the origin: A=(10,0) qd=100; B=(11,0) qd=121 (near-dup
+    # of A, sq(B,A)=1 -> score 120); C=(0,20) qd=400, sq(C,A)=500 ->
+    # score -100 -> C wins step 2
+    rows = [
+        (1, 100, 100, [10, 0]),
+        (1, 101, 121, [11, 0]),
+        (1, 102, 400, [0, 20]),
+        # second query: two equidistant candidates -> vec_id tie-break
+        (2, 201, 50, [5, 5]),
+        (2, 200, 50, [-5, -5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, qdist long, v array<long>"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["vec_id"], r["sqdist"])
+        for r in mmr_diversify(df, k=2).collect()
+    }
+    assert got[(1, 1)] == (100, 100)
+    assert got[(1, 2)] == (102, 400)  # diverse C, not near-dup B
+    assert got[(2, 1)] == (200, 50)  # tie -> lower vec_id
+    assert got[(2, 2)] == (201, 50)
+    # k beyond the shortlist: emits the whole shortlist, no padding
+    all1 = [
+        r["vec_id"]
+        for r in mmr_diversify(df.filter("query_id = 1"), k=9).collect()
+    ]
+    assert sorted(all1) == [100, 101, 102] and len(all1) == 3
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        mmr_diversify(df, k=0)
+
+
 def test_r12_rotation_window():
     """The r12 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 4 changed-code re-proves, the 2 new r12
-    registrations, and 44 of the tied 48-name stale cohort under the
-    documented alphabetical split (the 4 overflow names are itemized
+    ordered_queries() — the 4 changed-code re-proves, the 3 new r12
+    registrations, and 43 of the tied 48-name stale cohort under the
+    documented alphabetical split (the 5 overflow names are itemized
     in the registry's r13 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R12_ROTATION,
@@ -3633,10 +3679,11 @@ def test_r12_rotation_window():
     assert len(_R12_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
     assert first50 == set(_R12_ROTATION)
-    # the two r12 registrations and the changed-code re-proves enter first
+    # the three r12 registrations and the changed-code re-proves enter first
     for name in (
         "ivfadc_pruned_search",
         "streaming_pq_adjudicate",
+        "mmr_diverse_topk",
         "ivfadc_search",
         "qbc_disagreement",
         "dedup_edit_verify",
@@ -3645,6 +3692,7 @@ def test_r12_rotation_window():
         assert _R12_ROTATION[name] == 24, name
     # the itemized r13 overflow is OUT of the window
     for name in (
+        "supplier_nation_stats",
         "top_genres",
         "top_spenders",
         "user_value_quartiles",

@@ -834,6 +834,31 @@ def test_ivfadc_corpus_never_shuffles(spark):
             )
 
 
+def test_mmr_greedy_single_bounded_aggregation(spark):
+    """mmr_diverse_topk (r12): the MMR greedy must run INSIDE one
+    bounded groupBy(query_id) aggregation — the only exchanges are the
+    shortlist's salted rank stages and the final query_id
+    hashpartitioning of |queries| x shortlist rows; the k unrolled
+    selection steps add NO join, NO extra shuffle and NO lineage
+    re-expansion (CollapseProject must keep the multiply-referenced
+    _sel alias un-inlined, so the corpus is scanned once)."""
+    import re
+
+    df = QUERIES["mmr_diverse_topk"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # one corpus scan only: the greedy steps must not re-expand lineage
+    assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
+    # no join after the aggregation that collects the shortlist: every
+    # join line in the plan belongs to the shortlist scoring stage
+    # (BroadcastNestedLoopJoin of the 10-row query frame, whitelisted)
+    joins = [
+        line for line in plan.splitlines()
+        if "Join" in line and "BroadcastNestedLoopJoin" not in line
+    ]
+    assert not joins, "\n".join(joins)
+
+
 def test_ivfadc_topk_frame_equi_only(spark):
     """ivfadc_topk_frame (r12, the streaming adjudication tier): the
     query set is an UNBOUNDED frame (flag volume scales with ingest),
