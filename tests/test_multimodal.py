@@ -732,6 +732,50 @@ if _HAVE_HYP:
     def test_wav_decoder_fuzz_arbitrary(data):
         _check_parser_contract(mm.decode_wav, data)
 
+    #: adversarial u32/u16 values for field-targeted fuzz: zero, tiny,
+    #: off-by-one around the parsers' caps, and the 16/24/31/32-bit
+    #: boundaries a crafted header uses for allocation/overflow bombs
+    _EVIL_U32 = [
+        0, 1, 2, 7, 255, 65_535, 65_536, 16_777_215, 1_048_575,
+        1_048_576, 1_048_577, 2**31 - 1, 2**31, 2**32 - 1,
+    ]
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=3),   # which header field
+        st.sampled_from(_EVIL_U32),
+        st.booleans(),                           # also truncate the tail?
+    )
+    def test_wav_decoder_fuzz_header_fields(field, val, cut):
+        """Field-targeted WAV fuzz (r12, verdict #8 parity with the
+        image decoders): overwrite exactly the fields a crafted header
+        abuses — fmt chunk size, channel count, bit width, data chunk
+        size — with boundary values.  Contract: ValueError or a valid
+        8-float vector, never struct.error/MemoryError/a hang."""
+        import struct as _s
+
+        samples = [0, 1000, -1000, 32767, -32768, 7]
+        data = _s.pack("<6h", *samples)
+        fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVEfmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+        wav = bytearray(b"RIFF" + _s.pack("<I", len(body)) + body)
+        # layout: RIFF@0, riff-size@4, WAVE@8, "fmt "@12, fmt-size@16,
+        # fmt body@20 (code u16@20, n_ch u16@22, rate u32@24, ...,
+        # bits u16@34), "data"@36, data-size@40, samples@44
+        if field == 0:
+            _s.pack_into("<I", wav, 16, val)  # fmt chunk size
+        elif field == 1:
+            _s.pack_into("<H", wav, 22, val & 0xFFFF)  # n_channels
+        elif field == 2:
+            _s.pack_into("<H", wav, 34, val & 0xFFFF)  # bits
+        else:
+            _s.pack_into("<I", wav, 40, val)  # data chunk size
+        payload = bytes(wav)[: len(wav) - (7 if cut else 0)]
+        _check_parser_contract(mm.decode_wav, payload)
+
     @settings(max_examples=250, deadline=None)
     @given(
         st.integers(min_value=0, max_value=10_000),
@@ -1093,6 +1137,69 @@ if _HAVE_HYP:
         # r12 invariant: every emitted sample lies inside the payload,
         # so sample_frames' slice is exactly `size` bytes long
         assert all(off + size <= len(payload) for _, _, size, off in out)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.sampled_from([b"stts", b"stsz", b"stsc", b"stco"]),
+        st.integers(min_value=0, max_value=7),   # which u32 slot
+        st.sampled_from([
+            0, 1, 2, 7, 255, 65_535, 65_536, 16_777_215, 1_048_575,
+            1_048_576, 1_048_577, 2**31 - 1, 2**31, 2**32 - 1,
+        ]),
+    )
+    def test_mp4_samples_fuzz_table_fields(table, slot, val):
+        """Field-targeted stbl fuzz (r12, verdict #8): overwrite
+        exactly the u32 count/delta/size/offset slots a crafted sample
+        table abuses — entry counts at the caps' boundaries, 2^31-ish
+        allocation bombs, zero/one degenerates — instead of random
+        byte flips.  Contract: ValueError or a valid in-bounds sample
+        list, never MemoryError / IndexError / a hang."""
+        import struct as _s
+        import time as _t
+
+        good = bytearray(_stbl_mp4()[0])
+        i = good.find(table)
+        # u32 slots start after type(4) + version/flags(4)
+        _s.pack_into(">I", good, i + 8 + 4 * slot, val)
+        t0 = _t.time()
+        try:
+            out = mm.parse_mp4_samples(bytes(good))
+        except ValueError:
+            assert _t.time() - t0 < 2.0  # rejected promptly, no bomb
+            return
+        assert _t.time() - t0 < 2.0
+        assert all(
+            len(t) == 4 and all(isinstance(v, int) for v in t) for t in out
+        )
+        assert all(off + size <= len(good) for _, _, size, off in out)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=15),  # which box in the walk
+        st.sampled_from([
+            0, 1, 7, 8, 9, 16, 255, 65_535, 2**24, 2**31 - 1, 2**31,
+            2**32 - 1,
+        ]),
+    )
+    def test_mp4_parser_fuzz_box_sizes(nth, val):
+        """Box-size-targeted container fuzz (r12): overwrite the SIZE
+        field of the nth box header in the fixture (the walker's
+        primary attacker-controlled input — size=0 'to end', size=1
+        largesize, truncated, overlapping).  Contract: ValueError or a
+        valid 8-float vector from parse_mp4."""
+        import struct as _s
+
+        good = bytearray(_mp4_fixture())
+        # locate box headers by walking with SANE sizes first
+        offs, pos = [], 0
+        while pos + 8 <= len(good) and len(offs) <= nth:
+            (size,) = _s.unpack_from(">I", good, pos)
+            offs.append(pos)
+            if size < 8:
+                break
+            pos += size
+        _s.pack_into(">I", good, offs[min(nth, len(offs) - 1)], val)
+        _check_parser_contract(mm.parse_mp4, bytes(good))
 
     @settings(max_examples=250, deadline=None)
     @given(
