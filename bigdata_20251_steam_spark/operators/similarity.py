@@ -1614,3 +1614,143 @@ def mmr_diversify(cands: DataFrame, k: int = 5) -> DataFrame:
         F.col("_s.qdist").cast("long").alias("sqdist"),
         (F.col("_i") + 1).cast("int").alias("mmr_rank"),
     )
+
+
+def sign_signature(qcol: Column, dim: int = 64) -> list[Column]:
+    """Pack a grid vector's SIGN BITS into two 32-bit halves
+    ``(sig_lo, sig_hi)`` (r12) — the 8-bytes-per-vector binary
+    signature billion-scale ANN systems keep memory-resident as the
+    stage-0 prefilter (sign quantization; Charikar's hyperplane-LSH
+    degenerate case where the planes are the coordinate axes).
+
+    Bit j of the signature is ``q[j] > 0`` on the SHARED integer grid
+    (``round(x * scale)``), so both engines compute identical
+    signatures — no float comparisons.  Two 32-bit halves instead of
+    one 64-bit word: every packed value stays a small POSITIVE long,
+    so neither engine's shift/overflow semantics are in play (the
+    XOR+popcount distance is two's-complement-safe either way, but
+    the BUILD path avoids the 1<<63 hazard entirely)."""
+    if dim != 64:
+        raise ValueError("sign_signature: packs exactly 64 dims")
+    halves = []
+    for h in range(2):
+        powers = F.array(
+            *[F.lit(1 << j).cast("long") for j in range(32)]
+        )
+        halves.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qcol, h * 32 + 1, 32),
+                    powers,
+                    lambda x, p: F.when(x > 0, p).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return halves
+
+
+def hamming_topk_rerank(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 50,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-signature ANN: Hamming-distance stage-0 prefilter +
+    exact integer re-rank (r12) — the cheapest tier in the ANN ladder
+    (brute -> LSH -> IVF -> PQ -> IVFADC -> THIS as the memory-resident
+    prefilter).
+
+    Stage 0 scans only the two packed sign longs per vector:
+    ``hamming = bit_count(lo XOR q_lo) + bit_count(hi XOR q_hi)`` —
+    16 bytes read per corpus row, XOR+popcount inside whole-stage
+    codegen, no arrays touched until the shortlist.  The ``shortlist``
+    best per query under ``(hamming, vec_id)`` then re-rank by the
+    exact integer grid distance; top ``k`` win.  Corpus never
+    shuffles (queries broadcast, the embed_topk shape); both cuts are
+    the salted two-stage rank.  Output ``(query_id, vec_id, hamming,
+    sqdist, rank)`` — the ivfadc/pq schema plus the stage-0 distance,
+    so the tiers are drop-in comparable.
+
+    Hamming on sign bits approximates ANGULAR distance (Goemans-
+    Williamson: P[bit differs] = angle/pi); the exact re-rank
+    restores L2 ordering inside the shortlist, so recall depends only
+    on the shortlist size — the standard deployment contract.
+    """
+    if k > shortlist:
+        raise ValueError("hamming_topk_rerank: k must be <= shortlist")
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    lo, hi = sign_signature(F.col("q"))
+    sigs = grid.select(
+        "vec_id", "q", lo.alias("sig_lo"), hi.alias("sig_hi")
+    )
+    qf = sigs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    scored = sigs.join(
+        F.broadcast(qf), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "q",
+        "qq",
+        (
+            F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+        ).cast("int").alias("hamming"),
+    )
+    sl = _topk_per_query(scored, shortlist, "hamming", ascending=True)
+    rescored = sl.select(
+        "query_id",
+        "vec_id",
+        "hamming",
+        F.aggregate(
+            F.zip_with(
+                F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sqdist"),
+    )
+    out = _topk_per_query(
+        rescored.drop("rank"), k, order_col="sqdist", ascending=True
+    )
+    return out.select("query_id", "vec_id", "hamming", "sqdist", "rank")
+
+
+def upsert_ivfadc_index(
+    new_vectors: DataFrame,
+    path: str,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append newly-arrived vectors to the cluster-partitioned IVFADC
+    store (r12) — index MAINTENANCE, the operation that makes the
+    partition layout a living index instead of a one-shot export.
+
+    Encode is the same zero-shuffle :func:`ivfadc_encode` projection;
+    the append lands new files ONLY inside the partitions (cells) the
+    new vectors map to — untouched cells keep their existing files
+    byte-identical, so at 100 TB an ingest batch touching p cells
+    rewrites nothing and adds O(batch) bytes across p directories.
+    Because coarse centroids and codebooks are PINNED artifacts,
+    append-maintenance is provably equivalent to a full rebuild
+    (asserted by pytest: upserted store == rebuilt store row-for-row,
+    and a probe over the upserted store matches ivfadc_search over
+    the full corpus bit-for-bit)."""
+    coded = ivfadc_encode(
+        new_vectors, coarse_cents, codebooks, scale, id_col, vec_col
+    )
+    coded.write.mode("append").partitionBy("cluster").parquet(path)

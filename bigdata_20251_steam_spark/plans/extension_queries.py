@@ -6369,3 +6369,98 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, _MMR_SHORTLIST, "qdist", ascending=True
     ).select("query_id", "vec_id", "qdist", "v")
     return sim.mmr_diversify(sl, k=_MMR_K)
+
+
+# ---------------------------------------------------------------------------
+# Binary-signature Hamming prefilter + exact re-rank (r12)
+# ---------------------------------------------------------------------------
+
+_HAMMING_SHORTLIST = 50
+
+
+def _hamming_oracle(k: int = 5, shortlist: int = _HAMMING_SHORTLIST) -> str:
+    def sq(a: str, b: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+        )
+
+    def half(off: int) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(1, 33), "
+            f"j -> CASE WHEN q[j + {off}] > 0 THEN (1::BIGINT << (j - 1)) "
+            "ELSE 0 END)) AS BIGINT)"
+        )
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id, q,
+             {half(0)} AS sig_lo,
+             {half(32)} AS sig_hi
+      FROM qv),
+    qs AS (
+      SELECT vec_id AS query_id, q AS qq, sig_lo AS q_lo, sig_hi AS q_hi
+      FROM sig WHERE vec_id < 10),
+    sc AS (
+      SELECT s.query_id, b.vec_id, b.q, s.qq,
+             CAST(bit_count(xor(b.sig_lo, s.q_lo))
+                  + bit_count(xor(b.sig_hi, s.q_hi)) AS INT) AS hamming
+      FROM sig b, qs s WHERE b.vec_id <> s.query_id),
+    sl AS (
+      SELECT query_id, vec_id, q, qq, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS rn
+        FROM sc) z
+      WHERE rn <= {shortlist}),
+    ex AS (
+      SELECT query_id, vec_id, hamming,
+             CAST({sq('qq', 'q')} AS BIGINT) AS sqdist
+      FROM sl),
+    rr AS (
+      SELECT query_id, vec_id, hamming, sqdist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sqdist, vec_id) AS INT)
+               AS rank
+      FROM ex)
+    SELECT query_id, vec_id, hamming, sqdist, rank
+    FROM rr WHERE rank <= {k}
+    """
+
+
+@register(
+    "hamming_topk",
+    oracle=_hamming_oracle(),
+    # new r12 registration — enters the r12 driver window first per
+    # the registry invariant (it displaced the then-alphabetically-last
+    # in-window stale name into the r13 overflow; see the rotation
+    # note in plans/registry.py).
+    priority=80,
+    doc="Binary-signature ANN: Hamming stage-0 prefilter + exact "
+    "re-rank (operators/similarity.py:sign_signature + "
+    "hamming_topk_rerank, r12; Charikar hyperplane-LSH sign "
+    "quantization, Goemans-Williamson angle bound) — the cheapest "
+    "tier in the ANN ladder and the memory-resident prefilter "
+    "billion-scale systems run FIRST: 8 bytes per vector (two packed "
+    "32-bit sign halves on the shared integer grid), stage 0 reads "
+    "ONLY those two longs per corpus row and computes "
+    "bit_count(xor()) inside whole-stage codegen, arrays untouched "
+    "until the 50-deep shortlist, which then re-ranks under the "
+    "exact integer grid distance.  Corpus never shuffles; both cuts "
+    "are the salted two-stage rank.  Output schema matches the "
+    "pq/ivfadc tiers plus the stage-0 hamming column, so the ladder "
+    "is drop-in comparable.  Oracle: full relational replay of "
+    "packing, XOR+popcount, shortlist and re-rank (DuckDB bit_count "
+    "verified two's-complement-identical to the JVM's).",
+)
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.hamming_topk_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=_QUERY_IDS,
+        k=5,
+        shortlist=_HAMMING_SHORTLIST,
+    )

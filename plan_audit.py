@@ -124,6 +124,12 @@ WHITELIST: dict[tuple[str, str], str] = {
         "routing predicate over the stored index); the re-rank joins "
         "are equi and broadcast-bounded"
     ),
+    ("hamming_topk", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 10-row query signature frame onto the "
+        "two-long-per-row stage-0 scan (vec_id <> query_id non-equi — "
+        "the embed_topk shape); shortlist + re-rank cuts are the "
+        "salted rank"
+    ),
     ("mmr_diverse_topk", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row literal query-vector frame onto the "
         "shortlist scoring scan (vec_id <> query_id non-equi — the "

@@ -132,6 +132,10 @@ PROBES = [
     # the flagged x cell-size product measures workload explosion, not
     # plan scaling.
     "ivfadc_pruned_search",
+    # round-12: the 8-bytes-per-vector Hamming stage-0 prefilter —
+    # the scan tier whose linearity IS the claim (16 bytes read per
+    # corpus row until the shortlist)
+    "hamming_topk",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -204,6 +208,7 @@ PROBE_TABLES = {
     "selfsup_prune": {"embeddings"},
     "multimodal_frames": {"events"},
     "ivfadc_pruned_search": {"embeddings"},
+    "hamming_topk": {"embeddings"},
 }
 
 

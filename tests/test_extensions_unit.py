@@ -3667,9 +3667,9 @@ def test_r12_rotation_window():
     """The r12 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 4 changed-code re-proves, the 3 new r12
-    registrations, and 43 of the tied 48-name stale cohort under the
-    documented alphabetical split (the 5 overflow names are itemized
+    ordered_queries() — the 4 changed-code re-proves, the 4 new r12
+    registrations, and 42 of the tied 48-name stale cohort under the
+    documented alphabetical split (the 6 overflow names are itemized
     in the registry's r13 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R12_ROTATION,
@@ -3684,6 +3684,7 @@ def test_r12_rotation_window():
         "ivfadc_pruned_search",
         "streaming_pq_adjudicate",
         "mmr_diverse_topk",
+        "hamming_topk",
         "ivfadc_search",
         "qbc_disagreement",
         "dedup_edit_verify",
@@ -3692,6 +3693,7 @@ def test_r12_rotation_window():
         assert _R12_ROTATION[name] == 24, name
     # the itemized r13 overflow is OUT of the window
     for name in (
+        "streaming_token_budget",
         "supplier_nation_stats",
         "top_genres",
         "top_spenders",
@@ -3700,3 +3702,55 @@ def test_r12_rotation_window():
     ):
         assert name not in _R12_ROTATION, name
         assert name not in first50, name
+
+
+def test_hamming_topk_recall_floor(spark):
+    """The binary-signature prefilter's quality claim at sf0.001: a
+    64-bit sign signature (8 bytes/vector) + shortlist-50 exact
+    re-rank recovers >= 0.6 of the exact integer-grid top-5 overall
+    and >= 2/5 per query (measured 0.74 overall, worst query 2/5) —
+    the documented stage-0 trade: 10x less candidate volume at
+    sign-bit resolution, recall recoverable by widening the
+    shortlist.  Also pins hamming self-consistency: every returned
+    hamming distance equals the recomputed sign-bit XOR popcount."""
+    from bigdata_20251_steam_spark.operators.similarity import (
+        _pq_quantized,
+        hamming_topk_rerank,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    grid = {
+        r["vec_id"]: list(r["q"])
+        for r in _pq_quantized(emb, 1000, "vec_id", "embedding").collect()
+    }
+    got = hamming_topk_rerank(
+        emb, query_ids=list(range(10)), k=5, shortlist=50
+    ).collect()
+
+    def sig(v):
+        return sum(1 << j for j in range(64) if v[j] > 0)
+
+    hits, total = 0, 0
+    for qid in range(10):
+        exact = {
+            i
+            for _, i in sorted(
+                (sum((a - b) ** 2 for a, b in zip(grid[qid], grid[i])), i)
+                for i in grid
+                if i != qid
+            )[:5]
+        }
+        sel = {r["vec_id"] for r in got if r["query_id"] == qid}
+        assert len(sel) == 5
+        h = len(sel & exact)
+        assert h >= 2, f"query {qid}: {h}/5"
+        hits += h
+        total += 5
+    assert hits / total >= 0.6, f"overall recall {hits}/{total}"
+    for r in got:
+        expect = bin(sig(grid[r["query_id"]]) ^ sig(grid[r["vec_id"]])).count("1")
+        assert r["hamming"] == expect, (r, expect)
+        assert r["sqdist"] == sum(
+            (a - b) ** 2
+            for a, b in zip(grid[r["query_id"]], grid[r["vec_id"]])
+        )

@@ -935,3 +935,20 @@ def test_qbc_disagreement_plan(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             raise AssertionError(f"corpus shuffle join:\n{line}\n{plan}")
+
+
+def test_hamming_topk_corpus_never_shuffles(spark):
+    """hamming_topk (r12): the stage-0 scan reads two packed longs
+    per corpus row against the broadcast query frame — no corpus-side
+    shuffle join, no cartesian; every hash exchange is a rank-stage
+    exchange over already-pruned rows (the pq/ivfadc contract)."""
+    df = QUERIES["hamming_topk"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(f"corpus shuffle join:\n{line}\n{plan}")
+        if "Exchange hashpartitioning" in line:
+            assert "query_id" in line, (
+                f"non-rank corpus exchange:\n{line}\n{plan}"
+            )

@@ -572,3 +572,63 @@ def test_ivfadc_index_partition_pruning(spark, tmp_path):
             spark, path, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS,
             query_ids=list(range(10)), max_query_batch=5,
         )
+
+
+def test_ivfadc_index_upsert_equals_rebuild(spark, tmp_path):
+    """r12 index maintenance: appending newly-arrived vectors to the
+    cluster-partitioned store (upsert_ivfadc_index) is provably
+    equivalent to a full rebuild — same rows, and a pruned probe over
+    the upserted store matches ivfadc_search over the full corpus
+    bit-for-bit.  Untouched cells keep their existing files
+    byte-identical (only the new vectors' cells gain files)."""
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivfadc_live")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(old, _IVFADC_CENTS, _IVFADC_CODEBOOKS), path
+    )
+    before = {
+        str(f): f.stat().st_size
+        for f in (tmp_path / "ivfadc_live").rglob("*.parquet")
+    }
+    sim.upsert_ivfadc_index(new, path, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+    # append-only: every pre-existing file survives byte-identical
+    after = {
+        str(f): f.stat().st_size
+        for f in (tmp_path / "ivfadc_live").rglob("*.parquet")
+    }
+    assert set(before) <= set(after)
+    assert all(after[f] == sz for f, sz in before.items())
+    assert len(after) > len(before)
+    # upserted store == full rebuild, row for row
+    live = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    rebuilt = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in sim.ivfadc_encode(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+        ).collect()
+    }
+    assert live == rebuilt
+    # a probe over the maintained store == the in-memory search
+    kw = dict(query_ids=list(range(10)), k=5, nprobe=4, shortlist=50)
+    got = sim.ivfadc_search_pruned(
+        spark, path, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    ).collect()
+    exp = sim.ivfadc_search(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw).collect()
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"]) for r in rows
+        )
+
+    assert key(got) == key(exp)
