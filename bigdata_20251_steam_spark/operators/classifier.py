@@ -470,3 +470,104 @@ def qbc_disagreement(
         F.col("strength_micro").cast("long").alias("strength_micro"),
         F.col("_rank").cast("int").alias("qbc_rank"),
     )
+
+
+def nb_calibration_report(
+    docs: DataFrame,
+    weights: list[tuple[int, int]],
+    n_buckets: int,
+    positive: Column,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_tracker: list | None = None,
+) -> DataFrame:
+    """Reliability report for the pinned NB quality classifier (r12) —
+    the calibration check every score-gated curation pipeline owes its
+    thresholds: bin the corpus into ``n_bins`` equal-count bins by
+    per-token score margin and report each bin's observed positive
+    rate.  A well-ordered classifier shows the rate falling
+    monotonically from bin 1 (highest margin) down; a flat or
+    non-monotone tail says the threshold region is noise and the
+    operating point should move (Zadrozny & Elkan 2002's reliability
+    table, in the integer-exact idiom).
+
+    Semantics (integer-exact cross-engine):
+
+    - ``margin = nb_micro DIV n_words`` (truncating division,
+      identical in Spark ``DIV`` and DuckDB ``//``); wordless/null
+      docs excluded — no evidence, no bin;
+    - bins are exact ntile(n_bins) under ``(margin DESC, doc_id
+      ASC)``, computed from :func:`~.ranking.banded_percent_rank`'s
+      global rank via the exact bucket-size rule (first ``n mod k``
+      bins take ``ceil(n/k)`` rows) — bit-identical to the window
+      ntile with no single-task window (the user_value_quartiles
+      de-hazarding);
+    - per bin: ``n_docs``, ``mean_margin_micro = sum DIV n`` (both
+      engines truncate), margin min/max, ``positives`` under the
+      caller's ``positive`` predicate, and ``pos_rate_micro =
+      (1e6 * positives) DIV n``.
+
+    Scale shape: ONE zero-shuffle scoring scan (map-literal NB), the
+    banded rank's bounded exchanges, then an ``n_bins``-key aggregate.
+    The narrow scored frame is persisted around the rank (the
+    qbc_disagreement contract — the ranker scans it three times);
+    long-lived callers pass ``cache_tracker`` and unpersist.
+    """
+    if n_bins < 2:
+        raise ValueError("nb_calibration_report: n_bins must be >= 2")
+    n_words, nb_total = nb_score_column(weights, n_buckets, F.col(text_col))
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_words.alias("n_words"),
+            nb_total.alias("nb_micro"),
+            positive.cast("int").alias("label"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "label",
+            F.expr("nb_micro DIV n_words").alias("margin"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    from .ranking import banded_percent_rank
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_tracker is not None:
+        cache_tracker.append(base)
+    ranked = banded_percent_rank(
+        base.withColumn("_g", F.lit(1)),
+        "_g",
+        "margin",
+        "doc_id",
+        n_groups=1,
+    )
+    r, n = F.col("_rank"), F.col("_n")
+    bbase = F.floor(n / n_bins).cast("long")
+    rem = (n % n_bins).cast("long")
+    head = rem * (bbase + 1)
+    bin_col = (
+        F.when(r <= head, F.ceil(r / (bbase + 1)))
+        .otherwise(rem + F.ceil((r - head) / bbase))
+        .cast("int")
+    )
+    return (
+        ranked.select("label", "margin", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(margin) DIV count(1)")
+            .cast("long")
+            .alias("mean_margin_micro"),
+            F.min("margin").cast("long").alias("margin_min"),
+            F.max("margin").cast("long").alias("margin_max"),
+            F.sum("label").cast("long").alias("positives"),
+            F.expr("(1000000 * sum(label)) DIV count(1)")
+            .cast("long")
+            .alias("pos_rate_micro"),
+        )
+    )

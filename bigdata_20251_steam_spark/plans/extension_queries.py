@@ -6464,3 +6464,79 @@ def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=_HAMMING_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# NB classifier calibration / reliability report (r12)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def _nb_calibration_oracle(n_bins: int = _CAL_BINS) -> str:
+    from ..operators.classifier import nb_oracle_score_sql
+
+    nb = nb_oracle_score_sql(_NB_WEIGHTS, _NB_BUCKETS)
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             COALESCE(len(regexp_extract_all(lower(text), '[a-z]+')), 0)
+               AS n_words,
+             CAST({nb} AS BIGINT) AS nb_micro,
+             CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS label
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id, label, nb_micro // n_words AS margin
+      FROM s WHERE n_words > 0),
+    r AS (
+      SELECT label, margin,
+             CAST(ntile({n_bins}) OVER (ORDER BY margin DESC, doc_id ASC)
+                  AS INT) AS bin
+      FROM m)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_micro,
+           CAST(min(margin) AS BIGINT) AS margin_min,
+           CAST(max(margin) AS BIGINT) AS margin_max,
+           CAST(sum(label) AS BIGINT) AS positives,
+           CAST((1000000 * sum(label)) // count(*) AS BIGINT)
+             AS pos_rate_micro
+    FROM r GROUP BY bin
+    """
+
+
+@register(
+    "nb_calibration_report",
+    oracle=_nb_calibration_oracle(),
+    # new r12 registration — enters the r12 driver window first per
+    # the registry invariant (displacing the then-alphabetically-last
+    # in-window stale name into the r13 overflow; see the rotation
+    # note in plans/registry.py).
+    priority=80,
+    doc="Classifier reliability report "
+    "(operators/classifier.py:nb_calibration_report, r12; Zadrozny & "
+    "Elkan 2002's reliability table in the integer-exact idiom): the "
+    "calibration check a score-gated curation pipeline owes its "
+    "thresholds — bin the corpus into 10 equal-count bins by "
+    "per-token NB margin (truncating DIV, identical cross-engine) "
+    "and report each bin's n/mean/min/max margin, positives under "
+    "the pinned training target (doc_id % 7 == 3 — the SAME label "
+    "the committed NB and QBC-LR artifacts were trained on), and "
+    "pos_rate_micro.  Bins are exact ntile(10) derived from the "
+    "banded global rank (no single-task window — the "
+    "user_value_quartiles de-hazarding); scoring is the zero-shuffle "
+    "map-literal scan; the narrow scored frame persists around the "
+    "rank (the qbc contract).  Oracle: ntile window replay — the "
+    "arithmetic bucket rule must be bit-identical to the window "
+    "function.",
+)
+def q_nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import nb_calibration_report
+
+    return nb_calibration_report(
+        load_table(spark, sf_dir, "documents"),
+        _NB_WEIGHTS,
+        _NB_BUCKETS,
+        positive=(F.col("doc_id") % 7 == 3),
+        n_bins=_CAL_BINS,
+    )

@@ -130,6 +130,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "the embed_topk shape); shortlist + re-rank cuts are the "
         "salted rank"
     ),
+    ("nb_calibration_report", "BroadcastNestedLoopJoin"): (
+        "banded_percent_rank with a CONSTANT group (the "
+        "user_value_quartiles/dsir/qbc shape): 1-row edges / "
+        "bands-bounded offsets broadcast frames, condition folded"
+    ),
     ("mmr_diverse_topk", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row literal query-vector frame onto the "
         "shortlist scoring scan (vec_id <> query_id non-equi — the "

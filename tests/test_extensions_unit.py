@@ -3667,9 +3667,9 @@ def test_r12_rotation_window():
     """The r12 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 4 changed-code re-proves, the 4 new r12
-    registrations, and 42 of the tied 48-name stale cohort under the
-    documented alphabetical split (the 6 overflow names are itemized
+    ordered_queries() — the 4 changed-code re-proves, the 5 new r12
+    registrations, and 41 of the tied 48-name stale cohort under the
+    documented alphabetical split (the 7 overflow names are itemized
     in the registry's r13 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R12_ROTATION,
@@ -3685,6 +3685,7 @@ def test_r12_rotation_window():
         "streaming_pq_adjudicate",
         "mmr_diverse_topk",
         "hamming_topk",
+        "nb_calibration_report",
         "ivfadc_search",
         "qbc_disagreement",
         "dedup_edit_verify",
@@ -3693,6 +3694,7 @@ def test_r12_rotation_window():
         assert _R12_ROTATION[name] == 24, name
     # the itemized r13 overflow is OUT of the window
     for name in (
+        "streaming_running_totals",
         "streaming_token_budget",
         "supplier_nation_stats",
         "top_genres",
@@ -3754,3 +3756,56 @@ def test_hamming_topk_recall_floor(spark):
             (a - b) ** 2
             for a, b in zip(grid[r["query_id"]], grid[r["vec_id"]])
         )
+
+
+def test_nb_calibration_report_semantics(spark):
+    """Reliability-table semantics with hand weights: bins are exact
+    ntile under (margin DESC, doc_id ASC), per-bin stats are
+    truncating integer arithmetic, wordless/null docs are excluded,
+    and a perfectly-ordered classifier yields pos_rate 1e6 in the top
+    bin and 0 in the bottom."""
+    import hashlib
+
+    from bigdata_20251_steam_spark.operators.classifier import (
+        nb_calibration_report,
+    )
+
+    nbk = 8
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % nbk
+
+    ba, bb = bucket("delta"), bucket("kappa")
+    assert ba != bb
+    weights = [(ba, 1_000_000), (bb, -1_000_000)]
+    # 4 scoreable docs: two positive-looking (delta), two negative
+    # (kappa); labels follow the margins exactly -> perfect ordering.
+    docs = spark.createDataFrame(
+        [
+            (1, "delta delta", True),     # margin 1e6
+            (2, "delta kappa delta", True),   # margin (1e6)/3 = 333333
+            (3, "kappa delta kappa", False),  # margin -1e6 DIV 3 = -333333
+            (4, "kappa", False),          # margin -1e6
+            (5, "12345 !!", True),        # wordless -> excluded
+            (6, None, False),             # null -> excluded
+        ],
+        "doc_id long, text string, y boolean",
+    )
+    got = {
+        r["bin"]: r
+        for r in nb_calibration_report(
+            docs, weights, nbk, positive=F.col("y"), n_bins=2
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    # ntile(2) over 4 rows: bin 1 = margins {1e6, 333333}, both positive
+    assert got[1]["n_docs"] == 2 and got[1]["positives"] == 2
+    assert got[1]["pos_rate_micro"] == 1_000_000
+    assert got[1]["margin_min"] == 333_333
+    assert got[1]["margin_max"] == 1_000_000
+    assert got[1]["mean_margin_micro"] == (1_000_000 + 333_333) // 2
+    # bin 2 = the two negatives
+    assert got[2]["n_docs"] == 2 and got[2]["positives"] == 0
+    assert got[2]["pos_rate_micro"] == 0
+    assert got[2]["margin_max"] == -333_333  # trunc toward zero, not floor
+    assert got[2]["margin_min"] == -1_000_000
