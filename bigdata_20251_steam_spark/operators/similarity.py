@@ -1754,3 +1754,64 @@ def upsert_ivfadc_index(
         new_vectors, coarse_cents, codebooks, scale, id_col, vec_col
     )
     coded.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def ivfadc_distortion_report(
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell quantization-distortion report for the IVFADC index
+    (r12) — the index-health metric an ANN deployment monitors: the
+    squared error between each vector's residual and its PQ
+    reconstruction, aggregated per coarse cell.
+
+    A healthy index has distortion roughly uniform across cells; a
+    cell whose mean error spikes says the pinned codebooks no longer
+    fit that region's data (drift since training) and recall there
+    will sag FIRST — this report is what triggers retraining, the
+    operational loop Jégou §V assumes.  Output ``(cluster, n_vectors,
+    mean_err, max_err, total_err)`` with ``mean_err = total DIV n``
+    (truncating, identical cross-engine).
+
+    Scale shape: encode+decode+error fuse into ONE zero-shuffle scan
+    projection (all literals); the only exchange is the K-key
+    aggregate (map-side partials, K = number of cells) — the
+    CMS/HLL bounded-shuffle posture.  Runs identically over the
+    stored index (read codes, decode, join the grid) when the corpus
+    scan is the expensive part."""
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    res = _ivf_residuals(grid, coarse_cents)
+    # _ivfadc_recon decodes a CODES column; here the codes come from
+    # the same scan, so encode inline first (fuses into one projection)
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _pq_sub_assign(
+                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
+            )
+            for s in range(m)
+        ]
+    )
+    scored = res.select(
+        "cluster",
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                _ivfadc_recon(codebooks, codes),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("err"),
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr("sum(err) DIV count(1)").cast("long").alias("mean_err"),
+        F.max("err").cast("long").alias("max_err"),
+        F.sum("err").cast("long").alias("total_err"),
+    )

@@ -6540,3 +6540,95 @@ def q_nb_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         positive=(F.col("doc_id") % 7 == 3),
         n_bins=_CAL_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC quantization-distortion report (r12)
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_distortion_oracle() -> str:
+    m, sub = _PQ_M, 64 // _PQ_M
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    dec AS (SELECT vec_id, cell, r, ({recon}) AS rr FROM d),
+    e AS (
+      SELECT cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (r[i]-rr[i])*(r[i]-rr[i]))) AS err
+      FROM dec)
+    SELECT CAST(cell - 1 AS INTEGER) AS cluster,  -- 0-based like the plan
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err) // count(*) AS BIGINT) AS mean_err,
+           CAST(max(err) AS BIGINT) AS max_err,
+           CAST(sum(err) AS BIGINT) AS total_err
+    FROM e GROUP BY cell
+    """
+
+
+@register(
+    "ivfadc_distortion_report",
+    oracle=_ivfadc_distortion_oracle(),
+    # new r12 registration — enters the r12 driver window first per
+    # the registry invariant (displacing the then-alphabetically-last
+    # in-window stale name into the r13 overflow; see the rotation
+    # note in plans/registry.py).
+    priority=80,
+    doc="IVFADC index-health report "
+    "(operators/similarity.py:ivfadc_distortion_report, r12; the "
+    "operational loop Jégou §V assumes): per coarse cell, the squared "
+    "error between each vector's residual and its PQ reconstruction — "
+    "n/mean/max/total per cell, mean = sum DIV n (truncating, "
+    "identical cross-engine).  A cell whose distortion spikes says "
+    "the PINNED codebooks no longer fit that region (drift since "
+    "training) and recall there sags first — this report triggers "
+    "retraining.  Scale shape: assign+encode+decode+error fuse into "
+    "ONE zero-shuffle scan projection over literals; the only "
+    "exchange is the K-key aggregate with map-side partials (the "
+    "CMS/HLL bounded-shuffle posture).  Oracle: full relational "
+    "replay of assignment, residual, per-subspace argmin encode, "
+    "decode and the error aggregate.",
+)
+def q_ivfadc_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivfadc_distortion_report(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )

@@ -118,7 +118,7 @@ def oracle_map() -> dict[str, str]:
 #: (test_r12_rotation_window).  The three-round-stale-by-r12 cohort
 #: (last driver row r9, no r11 slot) came out at exactly 48 names —
 #: the r11 note predicted ~48 — which OVERFLOWS the window: 50 slots
-#: minus 4 changed-code re-proves minus 5 new registrations leaves 41.
+#: minus 4 changed-code re-proves minus 6 new registrations leaves 40.
 #: All 48 tie at the same age (r9), so the prescribed oldest-first
 #: split degenerates; the tie is broken ALPHABETICALLY (deterministic,
 #: artifact-recomputable) and the 4 overflow names are itemized below
@@ -135,15 +135,16 @@ def oracle_map() -> dict[str, str]:
 #:       the banded rank (cache_tracker surface);
 #:     ivfadc_search — refactored through the shared
 #:       _ivfadc_adc_rerank tail;
-#:   plus the FIVE new r12 registrations (never driver-checked, new
+#:   plus the SIX new r12 registrations (never driver-checked, new
 #:   registrations enter first): ivfadc_pruned_search,
 #:   streaming_pq_adjudicate, and — registered later in the round,
 #:   each displacing the then-alphabetically-last in-window stale
 #:   name into the r13 overflow — mmr_diverse_topk (displaced
 #:   supplier_nation_stats), hamming_topk (displaced
-#:   streaming_token_budget) and nb_calibration_report (displaced
-#:   streaming_running_totals);
-#: - 25: 41 of the 48-name three-round-stale cohort (alphabetical
+#:   streaming_token_budget), nb_calibration_report (displaced
+#:   streaming_running_totals) and ivfadc_distortion_report
+#:   (displaced streaming_genre_counts);
+#: - 25: 40 of the 48-name three-round-stale cohort (alphabetical
 #:   split; the overflow is itemized in the r13 note below).
 _R12_ROTATION: dict[str, int] = {
     # r12 changed-code re-proves + new registrations
@@ -156,6 +157,7 @@ _R12_ROTATION: dict[str, int] = {
     "mmr_diverse_topk": 24,
     "hamming_topk": 24,
     "nb_calibration_report": 24,
+    "ivfadc_distortion_report": 24,
     # three-round-stale cohort (last driver row r9) — first 44 of 48,
     # alphabetical
     "anti_join_customers": 25,
@@ -198,18 +200,19 @@ _R12_ROTATION: dict[str, int] = {
     "streaming_curation_bounded_state": 25,
     "streaming_curation_pipeline": 25,
     "streaming_doc_chunks": 25,
-    "streaming_genre_counts": 25,
 }
 
 
 #: r13 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 7 overflow names from the r12 alphabetical
-#:   split of the tied 48-name stale cohort (last driver row r9):
-#:     streaming_running_totals (displaced late by the
-#:     nb_calibration_report registration), streaming_token_budget
-#:     (displaced late by the hamming_topk registration),
-#:     supplier_nation_stats (displaced late by the mmr_diverse_topk
-#:     registration), top_genres, top_spenders, user_value_quartiles,
+#: - MUST-ENTER first: the 8 overflow names from the r12 alphabetical
+#:   split of the tied 48-name stale cohort (last driver row r9) —
+#:   four by the split itself, four displaced late by the r12
+#:   registrations (newest displacement first):
+#:     streaming_genre_counts (ivfadc_distortion_report),
+#:     streaming_running_totals (nb_calibration_report),
+#:     streaming_token_budget (hamming_topk),
+#:     supplier_nation_stats (mmr_diverse_topk),
+#:     top_genres, top_spenders, user_value_quartiles,
 #:     winnow_fingerprints
 #:   — they are four-rounds-stale by r13; full-sweep coverage
 #:   (CORRECTNESS_FULL_r12.json) is the compensating evidence until

@@ -3667,9 +3667,9 @@ def test_r12_rotation_window():
     """The r12 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 4 changed-code re-proves, the 5 new r12
-    registrations, and 41 of the tied 48-name stale cohort under the
-    documented alphabetical split (the 7 overflow names are itemized
+    ordered_queries() — the 4 changed-code re-proves, the 6 new r12
+    registrations, and 40 of the tied 48-name stale cohort under the
+    documented alphabetical split (the 8 overflow names are itemized
     in the registry's r13 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R12_ROTATION,
@@ -3686,6 +3686,7 @@ def test_r12_rotation_window():
         "mmr_diverse_topk",
         "hamming_topk",
         "nb_calibration_report",
+        "ivfadc_distortion_report",
         "ivfadc_search",
         "qbc_disagreement",
         "dedup_edit_verify",
@@ -3694,6 +3695,7 @@ def test_r12_rotation_window():
         assert _R12_ROTATION[name] == 24, name
     # the itemized r13 overflow is OUT of the window
     for name in (
+        "streaming_genre_counts",
         "streaming_running_totals",
         "streaming_token_budget",
         "supplier_nation_stats",

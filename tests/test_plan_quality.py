@@ -952,3 +952,17 @@ def test_hamming_topk_corpus_never_shuffles(spark):
             assert "query_id" in line, (
                 f"non-rank corpus exchange:\n{line}\n{plan}"
             )
+
+
+def test_ivfadc_distortion_report_scan_fused(spark):
+    """ivfadc_distortion_report (r12): assign+encode+decode+error must
+    fuse into ONE scan projection — no join anywhere, exactly one
+    parquet scan, and the only exchange is the K-key aggregate's."""
+    import re
+
+    df = QUERIES["ivfadc_distortion_report"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("hashpartitioning(cluster" in e for e in exchanges), plan
