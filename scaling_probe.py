@@ -136,6 +136,12 @@ PROBES = [
     # the scan tier whose linearity IS the claim (16 bytes read per
     # corpus row until the shortlist)
     "hamming_topk",
+    # round-12: bounded-fold MMR over a fixed shortlist (data term =
+    # the brute scoring scan), the banded-ntile calibration table, and
+    # the zero-shuffle + K-key-agg distortion report
+    "mmr_diverse_topk",
+    "nb_calibration_report",
+    "ivfadc_distortion_report",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -209,6 +215,9 @@ PROBE_TABLES = {
     "multimodal_frames": {"events"},
     "ivfadc_pruned_search": {"embeddings"},
     "hamming_topk": {"embeddings"},
+    "mmr_diverse_topk": {"embeddings"},
+    "nb_calibration_report": {"documents"},
+    "ivfadc_distortion_report": {"embeddings"},
 }
 
 
