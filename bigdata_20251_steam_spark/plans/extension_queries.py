@@ -5974,6 +5974,9 @@ def _staged_ivfadc_index_dir(spark: SparkSession, sf_dir: str) -> str:
     # new r12 registration — enters the r12 driver window first per
     # the registry invariant (rotation note in plans/registry.py).
     priority=80,
+    headline=True,  # benched NEXT TO ivfadc_search: the stored-index
+    # probe must show the in-plan encode cost disappearing (measured
+    # ~3.5x cheaper at every scale multiple, SCALING.md r12)
     doc="IVFADC search against the STORED cluster-partitioned index "
     "(operators/similarity.py:write_ivfadc_index + "
     "ivfadc_search_pruned, r12 — the r11 verdict's #5 made "
@@ -6440,6 +6443,8 @@ def _hamming_oracle(k: int = 5, shortlist: int = _HAMMING_SHORTLIST) -> str:
     # in-window stale name into the r13 overflow; see the rotation
     # note in plans/registry.py).
     priority=80,
+    headline=True,  # the cheapest ANN tier belongs in the bench: its
+    # flat ~1.5 s row is the stage-0 cost floor the ladder amortizes to
     doc="Binary-signature ANN: Hamming stage-0 prefilter + exact "
     "re-rank (operators/similarity.py:sign_signature + "
     "hamming_topk_rerank, r12; Charikar hyperplane-LSH sign "
