@@ -3811,3 +3811,67 @@ def test_nb_calibration_report_semantics(spark):
     assert got[2]["pos_rate_micro"] == 0
     assert got[2]["margin_max"] == -333_333  # trunc toward zero, not floor
     assert got[2]["margin_min"] == -1_000_000
+
+
+def test_r12_operators_degenerate_inputs(spark):
+    """Degenerate-input contracts for the r12 operators: empty
+    shortlists/corpora produce empty frames (never errors), dimension
+    and parameter guards raise loudly, and the distortion report's
+    mean/max hold on a single-vector cell."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.similarity import (
+        hamming_topk_rerank,
+        ivfadc_distortion_report,
+        ivfadc_topk_frame,
+        mmr_diversify,
+        sign_signature,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    # empty candidate shortlist -> empty MMR output, schema intact
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, qdist long, v array<long>"
+    )
+    out = mmr_diversify(empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "sqdist", "mmr_rank",
+    ]
+
+    # empty flagged frame -> empty adjudication, correct schema
+    emb = spark.createDataFrame(
+        [(1, [0.001] * 64)], "vec_id long, embedding array<double>"
+    )
+    none_flagged = spark.createDataFrame([], "vec_id long")
+    adj = ivfadc_topk_frame(
+        emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, none_flagged, k=1,
+        nprobe=1, shortlist=1,
+    )
+    assert adj.count() == 0
+    assert [f.name for f in adj.schema.fields] == [
+        "query_id", "vec_id", "sqdist", "rank",
+    ]
+
+    # parameter guards
+    with _pytest.raises(ValueError, match="packs exactly 64"):
+        sign_signature(None, dim=32)
+    with _pytest.raises(ValueError, match="k must be <= shortlist"):
+        hamming_topk_rerank(emb, query_ids=[1], k=9, shortlist=3)
+    with _pytest.raises(ValueError, match="nprobe must be in"):
+        ivfadc_topk_frame(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, none_flagged,
+            nprobe=99,
+        )
+
+    # single-vector corpus: one cell, n=1, mean == max == total
+    rep = ivfadc_distortion_report(
+        emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_vectors"] == 1
+    assert r["mean_err"] == r["max_err"] == r["total_err"] >= 0
