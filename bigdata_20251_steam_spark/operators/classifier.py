@@ -412,13 +412,21 @@ def qbc_disagreement(
     single-task window or driver top-k.  Disagreements are typically
     a small corpus fraction, so the ranked frame is already narrow.
     The narrow ``(doc_id, n_words, nb_micro, lr_z_micro,
-    strength_micro)`` disagreement frame is PERSISTED around the
-    banded rank (r12 advice fix): the ranker scans its input three
-    times and without the cache each scan would re-run the full
-    document scan plus BOTH map-literal scoring passes — the exact
+    strength_micro)`` disagreement frame is materialized ONCE around
+    the banded rank (r12 advice fix): the ranker scans its input three
+    times and without a cut each scan would re-run the full document
+    scan plus BOTH map-literal scoring passes — the exact
     lineage-multiplication hazard ``banded_percent_rank``'s contract
-    warns about.  Long-lived callers pass ``cache_tracker`` and
-    unpersist after consuming (LRU frees only the memory tier).
+    warns about.  Lifecycle (ADVICE r12, low — the unconditional
+    persist leaked: registered queries never unpersist, and Spark's
+    CacheManager holds persisted frames until an explicit unpersist):
+    with ``cache_tracker`` the frame is persisted MEMORY_AND_DISK and
+    appended for the CALLER to unpersist after consuming; without it
+    the frame is ``localCheckpoint``-ed instead — one eager bounded
+    job at plan-build time (the documented eager-job contract), and
+    the checkpoint storage is released by the ContextCleaner when the
+    returned frame is garbage-collected, so a long-lived session
+    accumulates nothing.
     """
     if top_n < 1:
         raise ValueError("qbc_disagreement: top_n must be >= 1")
@@ -445,16 +453,18 @@ def qbc_disagreement(
             F.abs(F.expr("lr_z_micro DIV n_words")),
         ),
     )
-    from pyspark import StorageLevel
-
     from .ranking import banded_percent_rank
 
-    # persist the narrow disagreement frame: the banded ranker reads it
-    # three times, and each uncached read would re-execute the corpus
-    # scan + both scoring projections (see docstring)
-    dis = dis.persist(StorageLevel.MEMORY_AND_DISK)
+    # cut the narrow disagreement frame ONCE: the banded ranker reads
+    # it three times, and each uncut read would re-execute the corpus
+    # scan + both scoring projections (lifecycle contract in docstring)
     if cache_tracker is not None:
+        from pyspark import StorageLevel
+
+        dis = dis.persist(StorageLevel.MEMORY_AND_DISK)
         cache_tracker.append(dis)
+    else:
+        dis = dis.localCheckpoint()
     ranked = banded_percent_rank(
         dis.withColumn("_g", F.lit(1)),
         "_g",
@@ -510,9 +520,12 @@ def nb_calibration_report(
 
     Scale shape: ONE zero-shuffle scoring scan (map-literal NB), the
     banded rank's bounded exchanges, then an ``n_bins``-key aggregate.
-    The narrow scored frame is persisted around the rank (the
-    qbc_disagreement contract — the ranker scans it three times);
-    long-lived callers pass ``cache_tracker`` and unpersist.
+    The narrow scored frame is cut once around the rank (the ranker
+    scans it three times) under the :func:`qbc_disagreement` lifecycle
+    contract: persist + track when ``cache_tracker`` is passed (caller
+    unpersists), else an eager ``localCheckpoint`` whose storage the
+    ContextCleaner frees on GC — no CacheManager-held leak in
+    long-lived sessions (ADVICE r12).
     """
     if n_bins < 2:
         raise ValueError("nb_calibration_report: n_bins must be >= 2")
@@ -532,13 +545,15 @@ def nb_calibration_report(
             F.expr("nb_micro DIV n_words").alias("margin"),
         )
     )
-    from pyspark import StorageLevel
-
     from .ranking import banded_percent_rank
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if cache_tracker is not None:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         cache_tracker.append(base)
+    else:
+        base = base.localCheckpoint()
     ranked = banded_percent_rank(
         base.withColumn("_g", F.lit(1)),
         "_g",

@@ -5957,7 +5957,14 @@ def _staged_ivfadc_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = sf_dir.strip("/").replace("/", "_")
     emb = load_table(spark, sf_dir, "embeddings")
-    fp = _fingerprint(emb, "vec_id", F.size("embedding"))
+    # fingerprint the VECTOR VALUES, not just id + dim (ADVICE r12,
+    # medium): same-shape regenerated testdata (sequential ids, fixed
+    # dim 64) must not reuse an index encoded from old vectors —
+    # xxhash64 over the raw array folds every element in, literal seed
+    # first for pair independence
+    fp = _fingerprint(
+        emb, "vec_id", F.xxhash64(F.lit(1), F.col("embedding"))
+    )
     out = os.path.join(tempfile.gettempdir(), f"ivfadc_idx_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

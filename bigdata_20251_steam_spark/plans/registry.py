@@ -158,8 +158,9 @@ _R12_ROTATION: dict[str, int] = {
     "hamming_topk": 24,
     "nb_calibration_report": 24,
     "ivfadc_distortion_report": 24,
-    # three-round-stale cohort (last driver row r9) — first 44 of 48,
-    # alphabetical
+    # three-round-stale cohort (last driver row r9) — 40 of the 48
+    # after the four late displacements (alphabetical; ADVICE r12
+    # comment-arithmetic fix: the dict holds 40 names, not 44)
     "anti_join_customers": 25,
     "approx_stats": 25,
     "asof_join_last_good": 25,
@@ -227,17 +228,18 @@ _R12_ROTATION: dict[str, int] = {
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
-    """Import every query module (side effect: registration)."""
-    from . import reference_queries  # noqa: F401
+    """Import every query module (side effect: registration).
 
-    try:
-        from . import extension_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import streaming_queries  # noqa: F401
-    except ImportError:
-        pass
+    Imports are UNGUARDED (r12 verdict "what's wrong" #2): the old
+    ``except ImportError: pass`` meant a real import failure in
+    extension/streaming modules silently deregistered ~130 queries and
+    shrank the driver window with no loud signal — only the full-sweep
+    count would have noticed.  A broken module now fails the whole
+    registry load (tests/test_registry.py poisons one module in a
+    subprocess and asserts the loud failure)."""
+    from . import reference_queries  # noqa: F401
+    from . import extension_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
     import dataclasses
 
     for name, q in QUERIES.items():

@@ -1239,7 +1239,15 @@ def _staged_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
     src = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    fp = _fingerprint(src, "vec_id", F.size("embedding"))
+    # content term hashes the VECTOR VALUES, not just id/shape (ADVICE
+    # r12, medium): regenerated testdata with the same sequential ids,
+    # count and dim 64 must be a cache MISS — xxhash64 over the raw
+    # array folds every element in (seed literal first: xxhash64 chains
+    # column hashes left-to-right, so an unseeded pair inherits every
+    # collision of its first column — spark-scale-patterns note)
+    fp = _fingerprint(
+        src, "vec_id", F.xxhash64(F.lit(1), F.col("embedding"))
+    )
     out = os.path.join(tempfile.gettempdir(), f"emb_stream_{tag}_{fp}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -1576,13 +1584,22 @@ def q_streaming_pq_adjudicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVFADC_NPROBE,
         shortlist=_ADJ_SHORTLIST,
     )
-    # materialize the bounded (|flagged| x k)-row adjudication so the
-    # work dir (bronze + checkpoint, unique per run) is deleted NOW
-    # instead of leaking one tempdir per invocation (the
-    # streaming_token_budget pattern, ADVICE r5); the stream + batch
-    # adjudication executed for real above
-    rows = out.collect()
+    # land the adjudication in a staged SILVER parquet dir (ADVICE r12,
+    # low: the old collect-to-driver was O(|flagged| x k) — flag volume
+    # scales with corpus size, so driver memory was the wrong place to
+    # park it just to delete the workdir).  The silver dir is keyed by
+    # the same (tag, content fingerprint) as the staged source —
+    # overwrite mode re-executes the adjudication every run while
+    # reusing ONE directory per testdata generation (no tempdir leak;
+    # stale fingerprints evicted) — and only the per-run bronze +
+    # checkpoint workdir is deleted eagerly.
+    tag_fp = os.path.basename(src_dir)[len("emb_stream_"):]
+    silver = os.path.join(
+        tempfile.gettempdir(), f"pq_adjudicate_silver_{tag_fp}"
+    )
+    _evict_stale("pq_adjudicate_silver_", os.path.basename(silver))
+    out.write.mode("overwrite").parquet(silver)
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return spark.read.parquet(silver)
