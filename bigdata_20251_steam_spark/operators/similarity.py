@@ -759,22 +759,19 @@ def pq_encode(
     Output ``(vec_id, codes)`` — ``codes`` an ``array<int>`` of length
     ``m``; at 4-bit codes this is the 32-64x storage compression that
     makes billion-vector ANN corpora memory-resident.  Zero-shuffle
-    scan-fused projection: the codebooks ride as literals and each
-    subspace is an integer argmin array expression (no Python, no
-    exchange — the NB/BM25 scoring contract).
+    scan-fused projection: the codebooks ride as a pinned
+    scalar-subquery column (r13 — the :func:`_pinned_view` hoist; each
+    subspace is still an integer argmin expression — no Python, no
+    exchange, the NB/BM25 scoring contract).
     """
-    m = len(codebooks)
     subdim = len(codebooks[0][0])
-    base = _pq_quantized(embeddings, scale, id_col, vec_col)
-    codes = F.array(
-        *[
-            _pq_sub_assign(
-                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
-            )
-            for s in range(m)
-        ]
+    cbv = _pinned_scalar(_cb_view(embeddings.sparkSession, codebooks))
+    base = _pq_quantized(embeddings, scale, id_col, vec_col).withColumn(
+        "_cb", cbv
     )
-    return base.select("vec_id", codes.alias("codes"))
+    return base.select(
+        "vec_id", _codes_col(F.col("_cb"), F.col("q"), subdim).alias("codes")
+    )
 
 
 def pq_topk(
@@ -803,26 +800,10 @@ def pq_topk(
     floors vs the exact scan are pinned in pytest, the
     ivf_recall_vs_exact protocol.
     """
-    m = len(codebooks)
-    subdim = len(codebooks[0][0])
     coded = pq_encode(embeddings, codebooks, scale, id_col, vec_col)
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(v).cast("long") for v in c])
-                            for c in codebooks[s]
-                        ]
-                    ),
-                    (F.col("codes").getItem(s) + 1).cast("int"),
-                )
-                for s in range(m)
-            ]
-        )
-    )
-    decoded = coded.select("vec_id", recon.alias("r"))
+    decoded = coded.withColumn(
+        "_cb", _pinned_scalar(_cb_view(embeddings.sparkSession, codebooks))
+    ).select("vec_id", _recon_col(F.col("_cb"), F.col("codes")).alias("r"))
     q = _pq_quantized(embeddings, scale, id_col, vec_col).filter(
         F.col("vec_id").isin(query_ids)
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
@@ -981,6 +962,155 @@ def _centroid_matrix(cents: list[list[int]]) -> Column:
     )
 
 
+def _pinned_view(spark, tag: str, value, sql_type: str) -> str:
+    """Register a pinned quantizer artifact (centroid matrix / PQ
+    codebooks) as a ONE-ROW temp view and return its name (r13, r12
+    verdict #2 — the IVFADC literal-compile fix).
+
+    The literal form (:func:`_centroid_matrix` et al.) builds a
+    ``CreateArray`` tree of ~1-2k ``Literal`` nodes that Catalyst
+    re-analyzes at EVERY reference — and the salted two-stage rank
+    references the scoring frame twice, so ``ivfadc_search``'s
+    optimized plan carried ~90% pure compile cost (16.2 s at sf0.1, of
+    which data work was ~2 s; SCALING.md r12 anchors).  Hoisting the
+    artifact into a one-row LocalRelation referenced via a SCALAR
+    SUBQUERY makes every reference a single ``ScalarSubquery`` node:
+    the value is computed once per query at run time (a driver-local
+    1-row job) and inlined as a constant into codegen, so the plan
+    keeps the exact same zero-shuffle scan-fused shape — no join is
+    introduced, and results stay bit-identical (same integers, same
+    tie rules).
+
+    Spark rejects subquery expressions WRITTEN inside higher-order
+    function lambdas at analysis time, so callers materialize the
+    subquery with ``withColumn(name, _pinned_scalar(view))`` FIRST and
+    reference the plain column inside ``transform``/``aggregate`` —
+    CollapseProject then folds it back into the HOF after analysis,
+    which executes fine (pinned by tests).
+
+    View names are CONTENT-ADDRESSED (md5 of the value), so
+    re-registration is an idempotent replace, distinct artifacts never
+    collide within a session, and regenerated artifacts can never be
+    served stale.
+    """
+    import hashlib
+
+    key = hashlib.md5(repr(value).encode()).hexdigest()[:16]
+    view = f"_pinned_{tag}_{key}"
+    spark.createDataFrame([(value,)], f"v {sql_type}").createOrReplaceTempView(
+        view
+    )
+    return view
+
+
+def _pinned_scalar(view: str) -> Column:
+    """Scalar-subquery reference to a :func:`_pinned_view` artifact."""
+    return F.expr(f"(select v from {view})")
+
+
+def _cmat_view(spark, cents: list[list[int]]) -> str:
+    return _pinned_view(
+        spark,
+        "cmat",
+        [[int(v) for v in c] for c in cents],
+        "array<array<bigint>>",
+    )
+
+
+def _cb_view(spark, codebooks: list[list[list[int]]]) -> str:
+    return _pinned_view(
+        spark,
+        "cb",
+        [[[int(v) for v in w] for w in cb] for cb in codebooks],
+        "array<array<array<bigint>>>",
+    )
+
+
+def _sqdist_cols(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cell(qcol: Column, cmat: Column) -> Column:
+    """Integer argmin ``struct(d, c)`` of ``qcol`` over the centroid
+    MATRIX COLUMN — ties to the lowest index via struct min, the exact
+    :func:`_int_assign` rule (transform's 0-based index replays
+    ``enumerate``)."""
+    return F.array_min(
+        F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                _sqdist_cols(qcol, c).alias("d"), i.alias("c")
+            ),
+        )
+    )
+
+
+def _probes_of(qcol: Column, cmat: Column, nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector over the
+    centroid matrix column — deterministic ``(distance, cell)``
+    argsort, ties to the lower cell id (the :func:`ivfadc_search`
+    literal rule, column form)."""
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    cmat,
+                    lambda c, j: F.struct(
+                        _sqdist_cols(qcol, c).alias("d"), j.alias("j")
+                    ),
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        1,
+        nprobe,
+    )
+
+
+def _recon_col(cb: Column, codes: Column) -> Column:
+    """Residual reconstruction from an m-code column under the codebook
+    COLUMN (the :func:`_ivfadc_recon` semantics, column form)."""
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda code, s: F.element_at(
+                F.element_at(cb, s + F.lit(1)),
+                (code + F.lit(1)).cast("int"),
+            ),
+        )
+    )
+
+
+def _codes_col(cb: Column, qcol: Column, subdim: int) -> Column:
+    """Per-subspace argmin codes over the codebook COLUMN — ties to
+    the lowest code via struct min (the :func:`_pq_sub_assign` rule,
+    column form)."""
+    return F.transform(
+        cb,
+        lambda cbs, s: F.array_min(
+            F.transform(
+                cbs,
+                lambda w, ci: F.struct(
+                    _sqdist_cols(
+                        F.slice(
+                            qcol,
+                            s * F.lit(subdim) + F.lit(1),
+                            F.lit(subdim),
+                        ),
+                        w,
+                    ).alias("d"),
+                    ci.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+
+
 def _ivf_residuals(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Assign each grid vector to its nearest coarse cell and subtract
     that centroid: ``(vec_id, cluster, q)`` with ``q`` the integer
@@ -996,6 +1126,29 @@ def _ivf_residuals(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
         "vec_id",
         "cluster",
         F.zip_with(F.col("q"), cent, lambda x, y: x - y).alias("q"),
+    )
+
+
+def _ivf_residuals_hoisted(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """:func:`_ivf_residuals` with the centroid matrix hoisted into a
+    pinned scalar-subquery column (r13) — bit-identical output, ~K x dim
+    fewer literal nodes per plan reference.  Used on the STREAM side of
+    the streaming ANN probes, where the literal tree was re-analyzed
+    per micro-batch plan; uncorrelated scalar subqueries execute fine
+    inside the micro-batch plans (pinned by the registered streaming
+    queries' oracles)."""
+    cm = _pinned_scalar(_cmat_view(grid.sparkSession, cents))
+    g = grid.withColumn("_cm", cm)
+    best = _argmin_cell(F.col("q"), F.col("_cm"))
+    g = g.withColumn("cluster", best["c"])
+    return g.select(
+        "vec_id",
+        "cluster",
+        F.zip_with(
+            F.col("q"),
+            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+            lambda x, y: x - y,
+        ).alias("q"),
     )
 
 
@@ -1062,19 +1215,53 @@ def ivfadc_encode(
     per-subspace argmin, all over literals).  At 100 TB this is the
     write-path pass whose output lands PARTITIONED BY ``cluster`` so
     probe routing becomes partition pruning."""
-    m = len(codebooks)
+    return _ivfadc_working(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
+    ).select("vec_id", "cluster", "codes")
+
+
+def _ivfadc_working(
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVFADC working frame ``(vec_id, cluster, qr, codes, _cb)``
+    with ``qr`` the integer residual and the pinned artifacts hoisted
+    into scalar-subquery columns (r13, r12 verdict #2): one zero-shuffle
+    scan-fused projection, but every artifact reference is a single
+    ``ScalarSubquery`` node instead of a ~1k-literal ``CreateArray``
+    tree, cutting the Catalyst compile cost that dominated the r12
+    ``ivfadc_search``/``ivfadc_distortion_report`` headlines.  Same
+    integers, same tie rules — bit-identical to the literal form (the
+    registered oracles replay both)."""
+    spark = embeddings.sparkSession
     subdim = len(codebooks[0][0])
-    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    res = _ivf_residuals(grid, coarse_cents)
-    codes = F.array(
-        *[
-            _pq_sub_assign(
-                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
-            )
-            for s in range(m)
-        ]
+    cm = _pinned_scalar(_cmat_view(spark, coarse_cents))
+    cbv = _pinned_scalar(_cb_view(spark, codebooks))
+    grid = (
+        _pq_quantized(embeddings, scale, id_col, vec_col)
+        .withColumn("_cm", cm)
+        .withColumn("_cb", cbv)
     )
-    return res.select("vec_id", "cluster", codes.alias("codes"))
+    best = _argmin_cell(F.col("q"), F.col("_cm"))
+    res = grid.withColumn("cluster", best["c"]).withColumn(
+        "qr",
+        F.zip_with(
+            F.col("q"),
+            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+            lambda x, y: x - y,
+        ),
+    )
+    return res.select(
+        "vec_id",
+        "cluster",
+        "qr",
+        _codes_col(F.col("_cb"), F.col("qr"), subdim).alias("codes"),
+        "_cb",
+    )
 
 
 def ivfadc_decode_snapshot(
@@ -1090,13 +1277,13 @@ def ivfadc_decode_snapshot(
     against.  encode+decode fuse into one scan here; a deployment
     stores :func:`ivfadc_encode`'s codes and decodes at read (codes
     are the ~64x-smaller artifact)."""
-    coded = ivfadc_encode(
+    coded = _ivfadc_working(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
     return coded.select(
         "vec_id",
         "cluster",
-        _ivfadc_recon(codebooks, F.col("codes")).alias("r"),
+        _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
     )
 
 
@@ -1169,21 +1356,15 @@ def ivfadc_search(
     decoded = ivfadc_decode_snapshot(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
-    dist_structs = F.array(
-        *[
-            F.struct(
-                _int_sqdist(F.col("q"), c).alias("d"), F.lit(j).alias("j")
-            )
-            for j, c in enumerate(coarse_cents)
-        ]
-    )
-    probes = F.slice(
-        F.transform(F.array_sort(dist_structs), lambda s: s["j"]), 1, nprobe
-    )
-    q = grid.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        probes.alias("probes"),
+    cm = _pinned_scalar(_cmat_view(embeddings.sparkSession, coarse_cents))
+    q = (
+        grid.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("_cm", cm)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            _probes_of(F.col("q"), F.col("_cm"), nprobe).alias("probes"),
+        )
     )
     cand = decoded.join(
         F.broadcast(q),
@@ -1211,17 +1392,17 @@ def _ivfadc_adc_rerank(
     query grid vector, candidate cell and decoded residual
     reconstruction; ``qf`` the BOUNDED ``(query_id, qq)`` re-rank
     frame (broadcast).  The query residual is recomputed per candidate
-    row from the literal centroid matrix (same integers either way, so
+    row from the pinned centroid matrix, hoisted as a scalar-subquery
+    column (r13 — same integers as the literal form, so
     :func:`ivfadc_search` and :func:`ivfadc_search_pruned` replay the
     same oracle bit-for-bit)."""
+    cm = _pinned_scalar(_cmat_view(cand.sparkSession, coarse_cents))
     qres = F.zip_with(
         F.col("qq"),
-        F.element_at(
-            _centroid_matrix(coarse_cents), (F.col("cluster") + 1).cast("int")
-        ),
+        F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
         lambda x, y: x - y,
     )
-    scored = cand.select(
+    scored = cand.withColumn("_cm", cm).select(
         "query_id",
         "vec_id",
         F.aggregate(
@@ -1326,10 +1507,12 @@ def ivfadc_search_pruned(
         .parquet(index_path)
         .filter(F.col("cluster").isin([int(c) for c in probe_union]))
     )
-    decoded = idx.select(
+    decoded = idx.withColumn(
+        "_cb", _pinned_scalar(_cb_view(spark, codebooks))
+    ).select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
-        _ivfadc_recon(codebooks, F.col("codes")).alias("r"),
+        _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
     )
     qdf = spark.createDataFrame(
         [
@@ -1391,32 +1574,29 @@ def ivfadc_topk_frame(
     decoded = ivfadc_decode_snapshot(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
+    cm = _pinned_scalar(_cmat_view(embeddings.sparkSession, coarse_cents))
     q = grid.join(
         query_ids_frame.select(F.col("vec_id")).distinct(), "vec_id"
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
-    dist_structs = F.array(
-        *[
-            F.struct(
-                _int_sqdist(F.col("qq"), c).alias("d"), F.lit(j).alias("j")
-            )
-            for j, c in enumerate(coarse_cents)
-        ]
-    )
-    probes = F.slice(
-        F.transform(F.array_sort(dist_structs), lambda s: s["j"]), 1, nprobe
-    )
-    qp = q.select(
-        "query_id", "qq", F.explode(probes).alias("cell")
-    ).select(
-        "query_id",
-        "cell",
-        F.zip_with(
-            F.col("qq"),
-            F.element_at(
-                _centroid_matrix(coarse_cents), (F.col("cell") + 1).cast("int")
-            ),
-            lambda x, y: x - y,
-        ).alias("qr"),
+    qp = (
+        q.withColumn("_cm", cm)
+        .select(
+            "query_id",
+            "qq",
+            "_cm",
+            F.explode(
+                _probes_of(F.col("qq"), F.col("_cm"), nprobe)
+            ).alias("cell"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("qq"),
+                F.element_at(F.col("_cm"), (F.col("cell") + 1).cast("int")),
+                lambda x, y: x - y,
+            ).alias("qr"),
+        )
     )
     cand = decoded.join(qp, decoded["cluster"] == qp["cell"]).filter(
         F.col("vec_id") != F.col("query_id")
@@ -1690,26 +1870,36 @@ def hamming_topk_rerank(
     sigs = grid.select(
         "vec_id", "q", lo.alias("sig_lo"), hi.alias("sig_hi")
     )
-    qf = sigs.filter(F.col("vec_id").isin(query_ids)).select(
+    # stage 0 carries ONLY (query_id, vec_id, hamming) into the salted
+    # shortlist rank — the r12 form dragged the full 64-long q/qq
+    # arrays through the stage-0 exchange, shipping ~8x more bytes per
+    # row than the 16-byte claim above (r12 verdict "what's wrong" #1).
+    # The broadcast query frame is signature-only; the grid arrays are
+    # joined back ONLY for the |queries| x shortlist survivors — the
+    # _ivfadc_adc_rerank shape.
+    qsig = sigs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
         F.col("sig_lo").alias("q_lo"),
         F.col("sig_hi").alias("q_hi"),
     )
     scored = sigs.join(
-        F.broadcast(qf), F.col("vec_id") != F.col("query_id")
+        F.broadcast(qsig), F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",
         "vec_id",
-        "q",
-        "qq",
         (
             F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
             + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
         ).cast("int").alias("hamming"),
     )
     sl = _topk_per_query(scored, shortlist, "hamming", ascending=True)
-    rescored = sl.select(
+    qf = grid.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cand2 = grid.join(
+        F.broadcast(sl.select("query_id", "vec_id", "hamming")), "vec_id"
+    )
+    rescored = cand2.join(F.broadcast(qf), "query_id").select(
         "query_id",
         "vec_id",
         "hamming",
@@ -1721,9 +1911,7 @@ def hamming_topk_rerank(
             lambda acc, x: acc + x,
         ).alias("sqdist"),
     )
-    out = _topk_per_query(
-        rescored.drop("rank"), k, order_col="sqdist", ascending=True
-    )
+    out = _topk_per_query(rescored, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "hamming", "sqdist", "rank")
 
 
@@ -1783,26 +1971,15 @@ def ivfadc_distortion_report(
     CMS/HLL bounded-shuffle posture.  Runs identically over the
     stored index (read codes, decode, join the grid) when the corpus
     scan is the expensive part."""
-    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    res = _ivf_residuals(grid, coarse_cents)
-    # _ivfadc_recon decodes a CODES column; here the codes come from
-    # the same scan, so encode inline first (fuses into one projection)
-    m = len(codebooks)
-    subdim = len(codebooks[0][0])
-    codes = F.array(
-        *[
-            _pq_sub_assign(
-                codebooks[s], F.slice(F.col("q"), s * subdim + 1, subdim)
-            )
-            for s in range(m)
-        ]
+    work = _ivfadc_working(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
-    scored = res.select(
+    scored = work.select(
         "cluster",
         F.aggregate(
             F.zip_with(
-                F.col("q"),
-                _ivfadc_recon(codebooks, codes),
+                F.col("qr"),
+                _recon_col(F.col("_cb"), F.col("codes")),
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0).cast("long"),

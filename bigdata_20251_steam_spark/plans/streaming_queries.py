@@ -1362,7 +1362,7 @@ def q_streaming_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * F.lit(1000.0)).cast("long"),
         ).alias("q"),
     )
-    probe = sim._ivf_residuals(grid, _IVFADC_CENTS).select(
+    probe = sim._ivf_residuals_hoisted(grid, _IVFADC_CENTS).select(
         "vec_id", F.col("cluster").alias("cell"), F.col("q").alias("qr")
     )
     adc = F.aggregate(
@@ -1545,7 +1545,7 @@ def q_streaming_pq_adjudicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * F.lit(1000.0)).cast("long"),
         ).alias("q"),
     )
-    probe = sim._ivf_residuals(grid, _IVFADC_CENTS).select(
+    probe = sim._ivf_residuals_hoisted(grid, _IVFADC_CENTS).select(
         "vec_id", F.col("cluster").alias("cell"), F.col("q").alias("qr")
     )
     adc = F.aggregate(

@@ -3875,3 +3875,124 @@ def test_r12_operators_degenerate_inputs(spark):
     r = rep[0]
     assert r["n_vectors"] == 1
     assert r["mean_err"] == r["max_err"] == r["total_err"] >= 0
+
+
+def test_pinned_artifact_forms_match_literal(spark):
+    """r13 (r12 verdict #2): the scalar-subquery artifact forms —
+    coarse argmin, probe argsort, per-subspace codes, reconstruction —
+    replay the LITERAL forms bit-for-bit, including both tie rules
+    (equidistant centroids -> lowest cell; equidistant codewords ->
+    lowest code).  This is the cross-check that keeps the literal
+    helpers (_int_assign/_pq_sub_assign/_ivfadc_recon) as the executable
+    reference for the hoisted plan shapes, and it pins the
+    CollapseProject behavior the hoist relies on: a scalar subquery
+    materialized via withColumn may be folded INTO a higher-order
+    function after analysis and still execute."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    cents = [[0, 0, 0, 0], [10, 0, 0, 0], [0, 10, 0, 0]]
+    books = [
+        [[0, 0], [5, 5], [9, 9]],
+        [[0, 0], [-5, -5]],
+    ]
+    subdim = 2
+    rows = [
+        (1, [1, 0, 0, 0]),
+        (2, [5, 0, 0, 0]),   # equidistant cells 0/1 -> tie to cell 0
+        (3, [0, 12, 3, -4]),
+        (4, [2, 2, 2, 2]),   # residual subspace ties exercise code min
+        (5, [-7, 3, 9, 9]),
+    ]
+    grid = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+
+    # literal forms
+    lit_assigned = sim._int_assign(grid, cents)
+    m = len(books)
+    lit_codes = F.array(
+        *[
+            sim._pq_sub_assign(
+                books[s], F.slice(F.col("qr"), s * subdim + 1, subdim)
+            )
+            for s in range(m)
+        ]
+    )
+    cent = F.element_at(
+        sim._centroid_matrix(cents), (F.col("cluster") + 1).cast("int")
+    )
+    lit = lit_assigned.select(
+        "vec_id",
+        "cluster",
+        F.zip_with(F.col("q"), cent, lambda x, y: x - y).alias("qr"),
+    ).select(
+        "vec_id",
+        "cluster",
+        "qr",
+        lit_codes.alias("codes"),
+    ).select(
+        "vec_id",
+        "cluster",
+        "qr",
+        "codes",
+        sim._ivfadc_recon(books, F.col("codes")).alias("r"),
+    )
+
+    # pinned scalar-subquery forms
+    cm = sim._pinned_scalar(sim._cmat_view(spark, cents))
+    cb = sim._pinned_scalar(sim._cb_view(spark, books))
+    g = grid.withColumn("_cm", cm).withColumn("_cb", cb)
+    best = sim._argmin_cell(F.col("q"), F.col("_cm"))
+    col = g.withColumn("cluster", best["c"]).withColumn(
+        "qr",
+        F.zip_with(
+            F.col("q"),
+            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+            lambda x, y: x - y,
+        ),
+    ).select(
+        "vec_id",
+        "cluster",
+        "qr",
+        sim._codes_col(F.col("_cb"), F.col("qr"), subdim).alias("codes"),
+        "_cb",
+    ).select(
+        "vec_id",
+        "cluster",
+        "qr",
+        "codes",
+        sim._recon_col(F.col("_cb"), F.col("codes")).alias("r"),
+    )
+
+    lit_rows = {r["vec_id"]: r.asDict() for r in lit.collect()}
+    col_rows = {r["vec_id"]: {k: v for k, v in r.asDict().items() if k != "_cb"}
+                for r in col.collect()}
+    assert lit_rows == col_rows
+    # the tie cases actually hit the rules they claim to
+    assert lit_rows[2]["cluster"] == 0
+
+    # probe argsort parity (ties to the lower cell id)
+    lit_probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            sim._int_sqdist(F.col("q"), c).alias("d"),
+                            F.lit(j).alias("j"),
+                        )
+                        for j, c in enumerate(cents)
+                    ]
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        1,
+        2,
+    )
+    got_lit = {r["vec_id"]: r["p"] for r in grid.select(
+        "vec_id", lit_probes.alias("p")).collect()}
+    got_col = {r["vec_id"]: r["p"] for r in g.select(
+        "vec_id", sim._probes_of(F.col("q"), F.col("_cm"), 2).alias("p")
+    ).collect()}
+    assert got_lit == got_col
