@@ -1458,10 +1458,21 @@ def ivfadc_search_pruned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_batch: int = 1024,
+    cell_codebooks: dict[int, list[list[list[int]]]] | None = None,
+    index_schema: str = "vec_id bigint, codes array<int>, cluster int",
 ) -> DataFrame:
     """IVFADC search against the STORED cluster-partitioned index
     (r12): bit-identical results to :func:`ivfadc_search`, but stage 1
     reads ONLY the probed cells' partition directories.
+
+    ``cell_codebooks`` (r13, the retrain-on-drift loop): per-cell
+    codebook OVERRIDES from :func:`retrain_ivfadc_on_drift` — cells
+    re-encoded under retrained books decode under them too (the
+    K-entry pinned ``cb4`` artifact routes decode by cluster);
+    unlisted cells keep the global ``codebooks``.  ``index_schema``
+    lets callers read stores carrying extra partition columns (the
+    streaming ingest's ``epoch`` segments) — the decode projection
+    drops them, so probe semantics are unchanged.
 
     The query batch is a driver-side literal (a search request):
     probe lists are computed in driver integer arithmetic — the same
@@ -1503,17 +1514,32 @@ def ivfadc_search_pruned(
     # test relies on this — a scan that touched a non-probed directory
     # would fail loudly, not silently widen)
     idx = (
-        spark.read.schema("vec_id bigint, codes array<int>, cluster int")
+        spark.read.schema(index_schema)
         .parquet(index_path)
         .filter(F.col("cluster").isin([int(c) for c in probe_union]))
     )
-    decoded = idx.withColumn(
-        "_cb", _pinned_scalar(_cb_view(spark, codebooks))
-    ).select(
-        "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
-        _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
-    )
+    if cell_codebooks:
+        cb4 = _pinned_scalar(
+            _cell_codebook_view(spark, K, codebooks, cell_codebooks)
+        )
+        decoded = idx.withColumn("_cb4", cb4).select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            _recon_col(
+                F.element_at(
+                    F.col("_cb4"), (F.col("cluster") + 1).cast("int")
+                ),
+                F.col("codes"),
+            ).alias("r"),
+        )
+    else:
+        decoded = idx.withColumn(
+            "_cb", _pinned_scalar(_cb_view(spark, codebooks))
+        ).select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
+        )
     qdf = spark.createDataFrame(
         [
             (int(r["vec_id"]), [int(x) for x in r["q"]], probes_by_q[int(r["vec_id"])])
@@ -1942,6 +1968,155 @@ def upsert_ivfadc_index(
         new_vectors, coarse_cents, codebooks, scale, id_col, vec_col
     )
     coded.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def streaming_upsert_ivfadc_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+):
+    """Live IVFADC index ingest (r13, r12 verdict #6): compose
+    :func:`ivfadc_encode` into a ``foreachBatch`` sink so streaming
+    vectors land in their coarse cells EXACTLY-ONCE.
+
+    ``foreachBatch`` is at-least-once; the idempotency key here is the
+    ``(cluster, epoch)`` partition pair — each micro-batch's encode
+    lands via DYNAMIC partition overwrite of ``cluster=c/epoch=n``
+    directories (the ``idempotent_epoch_append`` pattern pushed down
+    to per-cell granularity), so a crash replay rewrites its own epoch
+    directories instead of duplicating rows, and earlier epochs' files
+    stay byte-identical (pytest-proven).  The store keeps the
+    one-directory-per-cell top level, so probe partition pruning is
+    unchanged — :func:`ivfadc_search_pruned` reads it with the
+    epoch-bearing ``index_schema`` and stage 1 still lists only
+    ~nprobe/K of the cell directories; epoch subdirectories are the
+    LSM-ish segments a live index accretes (compaction = rewrite a
+    cell without the epoch column).
+
+    Returns the started StreamingQuery; callers decide await
+    semantics (the A6 orchestration contract)."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        coded = ivfadc_encode(
+            batch_df, coarse_cents, codebooks, scale, id_col, vec_col
+        )
+        (
+            coded.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster", "epoch")
+            .parquet(index_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def _cell_codebook_view(
+    spark,
+    n_cells: int,
+    codebooks: list[list[list[int]]],
+    overrides: dict[int, list[list[list[int]]]],
+) -> str:
+    """Pinned per-cell codebook artifact: a K-entry array whose slot c
+    holds cell c's codebooks (the override where one exists, the
+    global books elsewhere) — one scalar-subquery reference decodes
+    every cell under its own quantizer (r13: retrain-on-drift produces
+    PER-CELL codebooks, so the stored-index decode routes by cell)."""
+    value = [
+        [
+            [[int(v) for v in w] for w in book]
+            for book in overrides.get(c, codebooks)
+        ]
+        for c in range(n_cells)
+    ]
+    return _pinned_view(
+        spark, "cb4", value, "array<array<array<array<bigint>>>>"
+    )
+
+
+def retrain_ivfadc_on_drift(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    max_mean_err: int,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[list[list[int]]]]:
+    """Close the index-lifecycle loop (r13, r12 verdict #5):
+    :func:`ivfadc_distortion_report` flags drifted cells; this op
+    EXECUTES the retrain its docstring promises.
+
+    For every coarse cell whose ``mean_err`` exceeds ``max_mean_err``:
+
+    1. retrain PQ codebooks on THAT CELL's current residuals — the
+       same deterministic ``_pq_train_grid`` Lloyd loop as the global
+       artifact (lowest-id seeding, integer floor updates), so the
+       override replays relationally like every other pinned artifact;
+    2. re-encode the cell's vectors under the new books and OVERWRITE
+       ONLY that cell's partition directory — untouched cells keep
+       their files byte-identical (pytest-proven);
+    3. return the override map ``{cell: codebooks}`` — the artifact a
+       deployment pins next to the global books; probes pass it as
+       ``ivfadc_search_pruned(..., cell_codebooks=overrides)`` so
+       decode routes by cell.
+
+    Search over the maintained store is provably equivalent to a
+    fresh rebuild under the same ``(global, overrides)`` artifact set
+    (pytest: store rows identical, probe results bit-identical), and
+    the retrained cell's distortion never exceeds its pre-retrain
+    value on the cell's own data (Lloyd descent; asserted in pytest).
+
+    Bounded work: the report collect is K rows (K =
+    ``len(coarse_cents)``); each retrain runs the bounded
+    ``m x k_sub x subdim`` per-iteration aggregate; the re-encode
+    writes O(|cell|) rows into one directory.  A drifted cell smaller
+    than ``k_sub`` raises loudly (cannot seed ``k_sub`` codewords) —
+    pick the threshold so only substantive cells retrain."""
+    m, k_sub = len(codebooks), len(codebooks[0])
+    report = ivfadc_distortion_report(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
+    )
+    drifted = sorted(
+        int(r["cluster"])
+        for r in report.collect()
+        if int(r["mean_err"]) > max_mean_err
+    )
+    overrides: dict[int, list[list[list[int]]]] = {}
+    if not drifted:
+        return overrides
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    res = _ivf_residuals_hoisted(grid, coarse_cents)
+    for cell in drifted:
+        cell_res = res.filter(F.col("cluster") == cell).select(
+            "vec_id", "q"
+        )
+        books = _pq_train_grid(cell_res, m=m, k_sub=k_sub, iters=iters)
+        subdim = len(books[0][0])
+        coded = cell_res.withColumn(
+            "_cb", _pinned_scalar(_cb_view(spark, books))
+        ).select(
+            "vec_id",
+            _codes_col(F.col("_cb"), F.col("q"), subdim).alias("codes"),
+        )
+        coded.write.mode("overwrite").parquet(
+            f"{index_path}/cluster={cell}"
+        )
+        overrides[cell] = books
+    return overrides
 
 
 def ivfadc_distortion_report(

@@ -112,119 +112,112 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-12 window rotation (r11 verdict #2).  Cohorts computed from
-#: the committed CORRECTNESS_r0{9,10,11}.json artifacts (last GREEN
+#: Round-13 window rotation (r12 verdict #1).  Cohorts computed from
+#: the committed CORRECTNESS_r0{10,11,12}.json artifacts (last GREEN
 #: driver row per query) and validated by EXECUTING the dict
-#: (test_r12_rotation_window).  The three-round-stale-by-r12 cohort
-#: (last driver row r9, no r11 slot) came out at exactly 48 names —
-#: the r11 note predicted ~48 — which OVERFLOWS the window: 50 slots
-#: minus 4 changed-code re-proves minus 6 new registrations leaves 40.
-#: All 48 tie at the same age (r9), so the prescribed oldest-first
-#: split degenerates; the tie is broken ALPHABETICALLY (deterministic,
-#: artifact-recomputable) and the 4 overflow names are itemized below
-#: as r13 must-enters, with the committed full-registry sweep
-#: (CORRECTNESS_FULL_r12.json covers ALL queries) as the compensating
-#: evidence in the meantime.
+#: (test_r13_rotation_window).
 #:
-#: - 24: code CHANGED in r12, re-prove first (4 names):
-#:     multimodal_frames — parse_mp4_samples gained the stsz
-#:       allocation-bomb guard + sample offset-bounds validation;
-#:     dedup_edit_verify — id_col/text_col now flow through to
-#:       candidate generation;
-#:     qbc_disagreement — narrow disagreement frame persisted around
-#:       the banded rank (cache_tracker surface);
-#:     ivfadc_search — refactored through the shared
-#:       _ivfadc_adc_rerank tail;
-#:   plus the SIX new r12 registrations (never driver-checked, new
-#:   registrations enter first): ivfadc_pruned_search,
-#:   streaming_pq_adjudicate, and — registered later in the round,
-#:   each displacing the then-alphabetically-last in-window stale
-#:   name into the r13 overflow — mmr_diverse_topk (displaced
-#:   supplier_nation_stats), hamming_topk (displaced
-#:   streaming_token_budget), nb_calibration_report (displaced
-#:   streaming_running_totals) and ivfadc_distortion_report
-#:   (displaced streaming_genre_counts);
-#: - 25: 40 of the 48-name three-round-stale cohort (alphabetical
-#:   split; the overflow is itemized in the r13 note below).
-_R12_ROTATION: dict[str, int] = {
-    # r12 changed-code re-proves + new registrations
-    "multimodal_frames": 24,
-    "dedup_edit_verify": 24,
-    "qbc_disagreement": 24,
+#: - 23: the 8 MUST-ENTER overflow names itemized by the r12 note —
+#:   four-rounds driver-stale (last row r9) if they miss this window,
+#:   so they enter ahead of everything:
+#:     streaming_genre_counts, streaming_running_totals,
+#:     streaming_token_budget, supplier_nation_stats, top_genres,
+#:     top_spenders, user_value_quartiles, winnow_fingerprints
+#: - 24: code CHANGED in r13, re-prove (9 names):
+#:     ivfadc_search / ivfadc_pruned_search / ivfadc_distortion_report
+#:       / pq_search_rerank / streaming_pq_probe — pinned-artifact
+#:       scalar-subquery hoist (similarity.py r13);
+#:     hamming_topk — stage-0 exchange narrowed to
+#:       (query_id, vec_id, hamming);
+#:     streaming_pq_adjudicate — hoist + silver parquet staging
+#:       replacing the O(flagged x k) collect;
+#:     qbc_disagreement / nb_calibration_report — localCheckpoint
+#:       lifecycle replacing the unconditional persist;
+#:   plus the ONE new r13 registration (never driver-checked):
+#:     streaming_index_upsert;
+#: - 25: 32 of the 43-name three-round-stale cohort (last driver row
+#:   r10, no r11/r12 slot; recomputed from the committed JSONs —
+#:   the r12 note predicted ~40, actual 43).  50 slots minus 8
+#:   must-enters minus 10 changed/new leaves 32; ties all at age r10,
+#:   broken ALPHABETICALLY; the 11 overflow names are itemized in the
+#:   r14 note below, with CORRECTNESS_FULL_r13.json (all queries) as
+#:   the compensating evidence meanwhile.
+_R13_ROTATION: dict[str, int] = {
+    # r12-note must-enters (four-rounds-stale otherwise)
+    "streaming_genre_counts": 23,
+    "streaming_running_totals": 23,
+    "streaming_token_budget": 23,
+    "supplier_nation_stats": 23,
+    "top_genres": 23,
+    "top_spenders": 23,
+    "user_value_quartiles": 23,
+    "winnow_fingerprints": 23,
+    # r13 changed-code re-proves + the new registration
     "ivfadc_search": 24,
     "ivfadc_pruned_search": 24,
-    "streaming_pq_adjudicate": 24,
-    "mmr_diverse_topk": 24,
-    "hamming_topk": 24,
-    "nb_calibration_report": 24,
     "ivfadc_distortion_report": 24,
-    # three-round-stale cohort (last driver row r9) — 40 of the 48
-    # after the four late displacements (alphabetical; ADVICE r12
-    # comment-arithmetic fix: the dict holds 40 names, not 44)
-    "anti_join_customers": 25,
-    "approx_stats": 25,
-    "asof_join_last_good": 25,
-    "bigram_lm_scores": 25,
-    "bloom_decontaminate": 25,
-    "bm25_scores": 25,
-    "cross_doc_span_dedup": 25,
-    "cube_orders": 25,
-    "curation_v2_end_to_end": 25,
-    "curriculum_order": 25,
-    "dedup_exact": 25,
-    "dim_join": 25,
-    "embed_quantize": 25,
-    "epoch_casts": 25,
-    "global_stats": 25,
-    "ivf_recall_vs_exact": 25,
-    "ivf_sampled_recall": 25,
-    "language_id": 25,
-    "latest_event": 25,
-    "leakage_safe_split": 25,
-    "lsh_recall_vs_exact": 25,
-    "moving_avg_daily": 25,
-    "normalize_text": 25,
-    "packed_sequences": 25,
-    "packing_assignments": 25,
-    "peak_activity": 25,
-    "pivot_event_matrix": 25,
-    "profile_documents": 25,
-    "props_json": 25,
-    "q14_promo_share": 25,
-    "q3_top_revenue": 25,
-    "q6_revenue_delta": 25,
-    "quality_quantile_filter": 25,
-    "quality_threshold_filter": 25,
-    "sentiment_hourly": 25,
-    "set_ops_users": 25,
-    "stratified_sample_counts": 25,
-    "streaming_curation_bounded_state": 25,
-    "streaming_curation_pipeline": 25,
-    "streaming_doc_chunks": 25,
+    "pq_search_rerank": 24,
+    "streaming_pq_probe": 24,
+    "hamming_topk": 24,
+    "streaming_pq_adjudicate": 24,
+    "qbc_disagreement": 24,
+    "nb_calibration_report": 24,
+    "streaming_index_upsert": 24,
+    # three-round-stale cohort (last driver row r10) — first 32 of 43,
+    # alphabetical
+    "bpe_token_counts": 25,
+    "clean_html_roundtrip": 25,
+    "cms_word_frequencies": 25,
+    "curation_pipeline_end_to_end": 25,
+    "dedup_pipeline_end_to_end": 25,
+    "dedup_quality_report": 25,
+    "doc_fingerprints": 25,
+    "dsir_selection": 25,
+    "embed_near_dup_pairs": 25,
+    "embed_topk_bruteforce": 25,
+    "embed_topk_ivf": 25,
+    "epoch_shuffle_order": 25,
+    "event_share": 25,
+    "fuzzy_part_names": 25,
+    "genre_distribution": 25,
+    "hard_negative_pairs": 25,
+    "histogram_event_values": 25,
+    "interval_event_counts": 25,
+    "intra_doc_dedup": 25,
+    "key_skew_orders": 25,
+    "logreg_quality_scores": 25,
+    "minhash_dedup_pairs": 25,
+    "minhash_signatures": 25,
+    "multimodal_audio_roundtrip": 25,
+    "multimodal_meta": 25,
+    "multimodal_video_meta_roundtrip": 25,
+    "ngram_jaccard_pairs": 25,
+    "quality_scores": 25,
+    "review_bomb": 25,
+    "session_windows": 25,
+    "simhash_signatures": 25,
+    "sliding_windows": 25,
 }
 
 
-#: r13 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 8 overflow names from the r12 alphabetical
-#:   split of the tied 48-name stale cohort (last driver row r9) —
-#:   four by the split itself, four displaced late by the r12
-#:   registrations (newest displacement first):
-#:     streaming_genre_counts (ivfadc_distortion_report),
-#:     streaming_running_totals (nb_calibration_report),
-#:     streaming_token_budget (hamming_topk),
-#:     supplier_nation_stats (mmr_diverse_topk),
-#:     top_genres, top_spenders, user_value_quartiles,
-#:     winnow_fingerprints
-#:   — they are four-rounds-stale by r13; full-sweep coverage
-#:   (CORRECTNESS_FULL_r12.json) is the compensating evidence until
-#:   their r13 driver row lands;
-#: - then any query whose code changes in r13, and any new r13
+#: r14 ROTATION NOTE (for the next session):
+#: - MUST-ENTER first: the 11 overflow names from the r13 alphabetical
+#:   split of the tied 43-name stale cohort (last driver row r10) —
+#:   they are four-rounds-stale by r14:
+#:     streaming_bloom_decontaminate, streaming_dsir_gate,
+#:     streaming_hll_windows, streaming_player_windows,
+#:     streaming_segment_dedup, streaming_stream_join,
+#:     temperature_mix_sample, token_budget_sample, token_counts,
+#:     udtf_sentences, unigram_lm_scores
+#:   — full-sweep coverage (CORRECTNESS_FULL_r13.json) is the
+#:   compensating evidence until their r14 driver row lands;
+#: - then any query whose code changes in r14, and any new r14
 #:   registrations, first;
-#: - then the three-round-stale-by-r13 cohort = last GREEN driver row
-#:   r10 and no r12 slot — recompute from CORRECTNESS_r0{10,11,12}.json
-#:   (the r10 window held 43 non-r11/r12-repeated names; expect ~40
-#:   due, which again overflows — split oldest-first, alphabetical on
-#:   ties, itemize for r14);
+#: - then the three-round-stale-by-r14 cohort = last GREEN driver row
+#:   r11 and no r13 slot — recompute from CORRECTNESS_r0{11,12,13}.json
+#:   (expect ~39: the r11 window held 50 minus the names repeated in
+#:   r12/r13 — split oldest-first, alphabetical on ties, itemize for
+#:   r15);
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
@@ -243,7 +236,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R12_ROTATION.get(name, 80)
+        prio = _R13_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -1603,3 +1603,81 @@ def q_streaming_pq_adjudicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(silver)
+
+
+def _streaming_index_upsert_oracle() -> str:
+    from .extension_queries import _ivfadc_oracle
+
+    return _ivfadc_oracle()
+
+
+@register(
+    "streaming_index_upsert",
+    oracle=_streaming_index_upsert_oracle(),
+    priority=80,
+    doc="Live IVFADC index maintenance as a STREAM (r13, r12 verdict "
+    "#6): the staged embeddings replay as micro-batches "
+    "(maxFilesPerTrigger=4) and operators/similarity.py:"
+    "streaming_upsert_ivfadc_index lands each batch's encode in the "
+    "cluster-partitioned store EXACTLY-ONCE — dynamic partition "
+    "overwrite of (cluster, epoch) directories, the "
+    "idempotent_epoch_append pattern at per-cell granularity, so "
+    "crash replays rewrite their own epoch dirs and never duplicate "
+    "(replay pytest in tests/test_stateful_storage.py).  The "
+    "assertion is BATCH PARITY, hash-exact: a partition-pruned probe "
+    "over the stream-built store replays the same oracle as "
+    "ivfadc_search over the batch corpus — an index built "
+    "incrementally across epochs loses nothing vs one built in a "
+    "single pass.",
+)
+def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from .extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        _IVFADC_NPROBE,
+        _PQ_SHORTLIST,
+        _QUERY_IDS,
+    )
+
+    src_dir = _staged_embeddings_dir(spark, sf_dir)
+    stream = file_stream(
+        spark, src_dir, EMB_STREAM_SCHEMA, max_files_per_trigger=4
+    )
+    work = tempfile.mkdtemp(prefix="stream_idx_upsert_")
+    store = os.path.join(work, "index")
+    q = sim.streaming_upsert_ivfadc_index(
+        stream,
+        store,
+        os.path.join(work, "ckpt"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+    q.awaitTermination()
+    out = sim.ivfadc_search_pruned(
+        spark,
+        store,
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        query_ids=_QUERY_IDS,
+        k=5,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+        index_schema=(
+            "vec_id bigint, codes array<int>, cluster int, epoch int"
+        ),
+    )
+    # silver staging (the pq_adjudicate pattern): land the bounded
+    # |queries| x k result once per content fingerprint, delete the
+    # per-run store+checkpoint eagerly, return the parquet read
+    tag_fp = os.path.basename(src_dir)[len("emb_stream_"):]
+    silver = os.path.join(
+        tempfile.gettempdir(), f"stream_idx_upsert_silver_{tag_fp}"
+    )
+    _evict_stale("stream_idx_upsert_silver_", os.path.basename(silver))
+    out.write.mode("overwrite").parquet(silver)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(silver)

@@ -3663,37 +3663,24 @@ def test_mmr_diversify_semantics(spark):
         mmr_diversify(df, k=0)
 
 
-def test_r12_rotation_window():
-    """The r12 driver-window invariant, validated by EXECUTING the
+def test_r13_rotation_window():
+    """The r13 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 4 changed-code re-proves, the 6 new r12
-    registrations, and 40 of the tied 48-name stale cohort under the
-    documented alphabetical split (the 8 overflow names are itemized
-    in the registry's r13 note and must NOT hold a window slot)."""
+    ordered_queries() — the 8 r12-note must-enters ahead of
+    everything, then the 9 changed-code re-proves + 1 new
+    registration, then 32 of the tied 43-name stale cohort under the
+    documented alphabetical split (the 11 overflow names are itemized
+    in the registry's r14 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R12_ROTATION,
+        _R13_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R12_ROTATION) == 50
+    assert len(_R13_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R12_ROTATION)
-    # the three r12 registrations and the changed-code re-proves enter first
-    for name in (
-        "ivfadc_pruned_search",
-        "streaming_pq_adjudicate",
-        "mmr_diverse_topk",
-        "hamming_topk",
-        "nb_calibration_report",
-        "ivfadc_distortion_report",
-        "ivfadc_search",
-        "qbc_disagreement",
-        "dedup_edit_verify",
-        "multimodal_frames",
-    ):
-        assert _R12_ROTATION[name] == 24, name
-    # the itemized r13 overflow is OUT of the window
+    assert first50 == set(_R13_ROTATION)
+    # the 8 four-rounds-stale must-enters lead the window
     for name in (
         "streaming_genre_counts",
         "streaming_running_totals",
@@ -3704,7 +3691,36 @@ def test_r12_rotation_window():
         "user_value_quartiles",
         "winnow_fingerprints",
     ):
-        assert name not in _R12_ROTATION, name
+        assert _R13_ROTATION[name] == 23, name
+    # changed-code re-proves + the new registration enter next
+    for name in (
+        "ivfadc_search",
+        "ivfadc_pruned_search",
+        "ivfadc_distortion_report",
+        "pq_search_rerank",
+        "streaming_pq_probe",
+        "hamming_topk",
+        "streaming_pq_adjudicate",
+        "qbc_disagreement",
+        "nb_calibration_report",
+        "streaming_index_upsert",
+    ):
+        assert _R13_ROTATION[name] == 24, name
+    # the itemized r14 overflow is OUT of the window
+    for name in (
+        "streaming_bloom_decontaminate",
+        "streaming_dsir_gate",
+        "streaming_hll_windows",
+        "streaming_player_windows",
+        "streaming_segment_dedup",
+        "streaming_stream_join",
+        "temperature_mix_sample",
+        "token_budget_sample",
+        "token_counts",
+        "udtf_sentences",
+        "unigram_lm_scores",
+    ):
+        assert name not in _R13_ROTATION, name
         assert name not in first50, name
 
 

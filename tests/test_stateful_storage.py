@@ -632,3 +632,229 @@ def test_ivfadc_index_upsert_equals_rebuild(spark, tmp_path):
         )
 
     assert key(got) == key(exp)
+
+
+def test_streaming_index_upsert_exactly_once_replay(spark, tmp_path):
+    """r13 (r12 verdict #6): the foreachBatch IVFADC ingest is
+    exactly-once under replay.  The staged corpus streams in as
+    multiple micro-batches (maxFilesPerTrigger); a crash replay is
+    simulated by re-invoking an epoch's write with the same epoch id
+    and batch rows — the dynamic (cluster, epoch) partition overwrite
+    must rewrite that epoch's directories only: no duplicate rows,
+    other epochs' files byte-identical, and a pruned probe over the
+    stream-built store stays bit-identical to the in-plan
+    ivfadc_search over the batch corpus."""
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)
+    stream = file_stream(
+        spark, src, emb.schema, max_files_per_trigger=1
+    )
+    store = str(tmp_path / "index")
+    q = sim.streaming_upsert_ivfadc_index(
+        stream, store, str(tmp_path / "ckpt"),
+        _IVFADC_CENTS, _IVFADC_CODEBOOKS,
+    )
+    q.awaitTermination()
+
+    import pathlib
+
+    epochs = sorted(
+        {p.name for p in pathlib.Path(store).glob("cluster=*/epoch=*")}
+    )
+    assert len(epochs) >= 3, epochs  # genuinely multi-batch
+
+    # no duplicates, full coverage
+    rows = spark.read.parquet(store)
+    assert rows.count() == emb.count()
+    assert rows.select("vec_id").distinct().count() == emb.count()
+
+    # store contents == single-pass encode, row for row
+    live = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in rows.collect()
+    }
+    rebuilt = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in sim.ivfadc_encode(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+        ).collect()
+    }
+    assert live == rebuilt
+
+    # CRASH REPLAY: re-run epoch 0's write with the same batch rows
+    replay_epoch = 0
+    replayed_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(store)
+        .filter(f"epoch = {replay_epoch}")
+        .collect()
+    }
+    before = {
+        str(f): f.stat().st_size
+        for f in pathlib.Path(store).rglob("*.parquet")
+        if f"epoch={replay_epoch}" not in str(f)
+    }
+    batch_df = emb.filter(
+        F.col("vec_id").isin([int(v) for v in replayed_ids])
+    )
+    coded = sim.ivfadc_encode(batch_df, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+    (
+        coded.withColumn("epoch", F.lit(replay_epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster", "epoch")
+        .parquet(store)
+    )
+    after = {
+        str(f): f.stat().st_size
+        for f in pathlib.Path(store).rglob("*.parquet")
+        if f"epoch={replay_epoch}" not in str(f)
+    }
+    assert before == after  # untouched epochs byte-level identical sizes
+    rows2 = spark.read.parquet(store)
+    assert rows2.count() == emb.count()  # replay did not duplicate
+    live2 = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in rows2.collect()
+    }
+    assert live2 == rebuilt
+
+    # probe parity over the epoch-segmented store
+    kw = dict(query_ids=list(range(10)), k=5, nprobe=4, shortlist=50)
+    got = sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS,
+        index_schema="vec_id bigint, codes array<int>, cluster int, epoch int",
+        **kw,
+    ).collect()
+    exp = sim.ivfadc_search(
+        emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    ).collect()
+
+    def key(rs):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"]) for r in rs
+        )
+
+    assert key(got) == key(exp)
+
+
+def test_ivfadc_retrain_on_drift(spark, tmp_path):
+    """r13 (r12 verdict #5): the distortion report's 'drift ->
+    retrain' promise EXECUTES.  A synthetic two-cell corpus drifts in
+    cell 1 (its vectors move to a region the original codebooks never
+    saw, while still assigning to cell 1); retrain_ivfadc_on_drift
+    must: flag exactly the drifted cell, retrain per-cell books and
+    overwrite ONLY that cell's partition (cell 0's files
+    byte-identical), leave the maintained store row-identical to a
+    fresh rebuild under the same (global, overrides) artifact set
+    with bit-identical probe results, and reduce the drifted cell's
+    distortion."""
+    import pathlib
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    dim, m, k_sub = 8, 2, 4
+    cents = [[0] * dim, [1000] * dim]
+
+    def vec(base, jitter, i):
+        # deterministic small jitter so codebooks have structure
+        return [
+            (base + jitter * ((i * 7 + d * 3) % 5 - 2)) / 1000.0
+            for d in range(dim)
+        ]
+
+    # training-era corpus: tight around each center
+    train_rows = [(i, vec(0, 1, i)) for i in range(20)] + [
+        (100 + i, vec(1000, 1, i)) for i in range(20)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>"
+    )
+    books = sim.ivfadc_train(train, cents, m=m, k_sub=k_sub, iters=2)
+
+    # current corpus: cell 0 unchanged; cell 1 DRIFTED (offset +80 on
+    # the grid — still nearest cell 1's center, badly quantized by the
+    # training-era books)
+    cur_rows = [(i, vec(0, 1, i)) for i in range(20)] + [
+        (100 + i, vec(1080, 9, i)) for i in range(20)
+    ]
+    cur = spark.createDataFrame(
+        cur_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "drift_idx")
+    sim.write_ivfadc_index(sim.ivfadc_encode(cur, cents, books), path)
+
+    report = {
+        int(r["cluster"]): (int(r["mean_err"]), int(r["n_vectors"]))
+        for r in sim.ivfadc_distortion_report(cur, cents, books).collect()
+    }
+    assert report[1][0] > report[0][0], report  # drift is visible
+    thresh = report[0][0]  # flags cell 1 only
+
+    before = {
+        str(f): f.read_bytes()
+        for f in pathlib.Path(path).glob("cluster=0/*.parquet")
+    }
+    overrides = sim.retrain_ivfadc_on_drift(
+        spark, path, cur, cents, books, max_mean_err=thresh
+    )
+    assert set(overrides) == {1}
+    # untouched cell byte-identical
+    after = {
+        str(f): f.read_bytes()
+        for f in pathlib.Path(path).glob("cluster=0/*.parquet")
+    }
+    assert before == after
+
+    # distortion improved on the drifted cell under its new books
+    cell1 = cur.filter("vec_id >= 100")
+    err_new = {
+        int(r["cluster"]): int(r["mean_err"])
+        for r in sim.ivfadc_distortion_report(
+            cell1, cents, overrides[1]
+        ).collect()
+    }[1]
+    assert err_new < report[1][0]
+
+    # maintained store == fresh rebuild under the same artifact set
+    fresh = str(tmp_path / "fresh_idx")
+    sim.write_ivfadc_index(sim.ivfadc_encode(
+        cur.filter("vec_id < 100"), cents, books), fresh)
+    enc1 = sim.ivfadc_encode(cell1, cents, overrides[1]).filter(
+        "cluster = 1"
+    ).select("vec_id", "codes")
+    enc1.write.mode("overwrite").parquet(f"{fresh}/cluster=1")
+
+    def store_rows(p):
+        return {
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in spark.read.schema(
+                "vec_id bigint, codes array<int>, cluster int"
+            ).parquet(p).collect()
+        }
+
+    assert store_rows(path) == store_rows(fresh)
+
+    kw = dict(query_ids=[0, 100], k=3, nprobe=1, shortlist=10)
+    got = sim.ivfadc_search_pruned(
+        spark, path, cur, cents, books, cell_codebooks=overrides, **kw
+    ).collect()
+    exp = sim.ivfadc_search_pruned(
+        spark, fresh, cur, cents, books, cell_codebooks=overrides, **kw
+    ).collect()
+
+    def key(rs):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"]) for r in rs
+        )
+
+    assert key(got) == key(exp) and len(got) == 6
