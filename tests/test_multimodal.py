@@ -1223,3 +1223,136 @@ if _HAVE_HYP:
             len(t) == 4 and all(isinstance(v, int) for v in t) for t in out
         )
         assert all(off + size <= len(payload) for _, _, size, off in out)
+
+
+# ---------------------------------------------------------------------------
+# Field-targeted image fuzz (r13, r12 verdict #8): overwrite exactly the
+# header/marker fields a crafted payload abuses — PNG chunk lengths +
+# IHDR slots, BMP header slots, JPEG marker segment lengths — with the
+# boundary values of the WAV/MP4 treatment.  Random flips (above) cover
+# breadth; targeted flips are the stronger contract because every
+# example hits a validation branch.
+# ---------------------------------------------------------------------------
+
+if _HAVE_HYP:
+
+    _EVIL_U32_IMG = [
+        0, 1, 2, 7, 255, 65_535, 65_536, 16_777_215, 1_048_575,
+        1_048_576, 1_048_577, 2**31 - 1, 2**31, 2**32 - 1,
+    ]
+
+    def _png_fixture_bytes():
+        px = [
+            (r * 16 % 256, (r * 7 + c * 13) % 256, c * 31 % 256)
+            for r in range(6)
+            for c in range(5)
+        ]
+        return bytearray(_png(5, 6, px, filters=[0, 1, 2, 3, 4, 1]))
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=8),   # which field
+        st.sampled_from(_EVIL_U32_IMG),
+        st.booleans(),                           # also truncate the tail?
+    )
+    def test_png_decoder_fuzz_chunk_fields(field, val, cut):
+        """PNG chunk-level targets: IHDR/IDAT/IEND length fields, the
+        IHDR width/height/bit-depth/color-type/interlace slots and the
+        IHDR CRC.  Contract: ValueError or a valid decode — never
+        zlib.error / struct.error / OverflowError / a hang."""
+        import struct as _s
+
+        png = _png_fixture_bytes()
+        idat = bytes(png).index(b"IDAT")
+        iend = bytes(png).index(b"IEND")
+        # layout: magic@0..8; IHDR len@8, type@12, w@16, h@20, depth@24,
+        # color@25, interlace@28, crc@29; IDAT len@idat-4; IEND len@iend-4
+        if field == 0:
+            _s.pack_into(">I", png, 8, val)          # IHDR length
+        elif field == 1:
+            _s.pack_into(">I", png, 16, val)         # width
+        elif field == 2:
+            _s.pack_into(">I", png, 20, val)         # height
+        elif field == 3:
+            png[24] = val & 0xFF                     # bit depth
+        elif field == 4:
+            png[25] = val & 0xFF                     # color type
+        elif field == 5:
+            png[28] = val & 0xFF                     # interlace
+        elif field == 6:
+            _s.pack_into(">I", png, 29, val)         # IHDR CRC
+        elif field == 7:
+            _s.pack_into(">I", png, idat - 4, val)   # IDAT length
+        else:
+            _s.pack_into(">I", png, iend - 4, val)   # IEND length
+        _check_image_contract(bytes(png)[: len(png) - (7 if cut else 0)])
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=8),
+        st.sampled_from(_EVIL_U32_IMG),
+        st.booleans(),
+    )
+    def test_bmp_decoder_fuzz_header_fields(field, val, cut):
+        """BMP header targets: file size, pixel-data offset, info-header
+        size, width, height (incl. the negative top-down encoding),
+        planes, bpp, compression, declared image size."""
+        import struct as _s
+
+        bmp = bytearray(_bmp24(3, 2, GOLD_PX))
+        # BITMAPFILEHEADER: size u32@2, offset u32@10;
+        # BITMAPINFOHEADER: hdrsize u32@14, width i32@18, height i32@22,
+        # planes u16@26, bpp u16@28, compression u32@30, imgsize u32@34
+        if field == 0:
+            _s.pack_into("<I", bmp, 2, val)
+        elif field == 1:
+            _s.pack_into("<I", bmp, 10, val)
+        elif field == 2:
+            _s.pack_into("<I", bmp, 14, val)
+        elif field == 3:
+            _s.pack_into("<i", bmp, 18, val - 2**31)  # signed sweep
+        elif field == 4:
+            _s.pack_into("<i", bmp, 22, val - 2**31)
+        elif field == 5:
+            _s.pack_into("<H", bmp, 26, val & 0xFFFF)
+        elif field == 6:
+            _s.pack_into("<H", bmp, 28, val & 0xFFFF)
+        elif field == 7:
+            _s.pack_into("<I", bmp, 30, val)
+        else:
+            _s.pack_into("<I", bmp, 34, val)
+        _check_image_contract(bytes(bmp)[: len(bmp) - (5 if cut else 0)])
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=15),  # which marker (mod count)
+        st.sampled_from([0, 1, 2, 3, 7, 255, 4096, 65_534, 65_535]),
+        st.booleans(),
+    )
+    def test_jpeg_decoder_fuzz_marker_lengths(which, val, cut):
+        """JPEG marker-segment LENGTH fields: every non-RST/SOI/EOI
+        marker's u16 length in a valid baseline JPEG gets boundary
+        values — lengths shorter than the fixed header part, lengths
+        running past EOF, and 0/1 (self-inconsistent).  The walker must
+        reject or decode, never struct.error / IndexError / a hang."""
+        import struct as _s
+
+        good = bytearray(_jpeg_baseline([[40], [12], [-7]], 8, 8, n_comp=3))
+        # collect the length-bearing marker offsets from the VALID file
+        offs = []
+        i = 2
+        while i + 3 < len(good):
+            if good[i] != 0xFF:
+                break
+            marker = good[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            offs.append(i + 2)
+            ln = _s.unpack_from(">H", good, i + 2)[0]
+            if marker == 0xDA:  # entropy stream follows SOS
+                break
+            i += 2 + ln
+        assert offs
+        _s.pack_into(">H", good, offs[which % len(offs)], val)
+        _check_image_contract(bytes(good)[: len(good) - (9 if cut else 0)])
