@@ -1205,12 +1205,23 @@ def edit_distance_verify(
     # upstream shuffle by BYTES — the pair frame is tiny on the wire —
     # and the whole quadratic-compute projection lands in ONE task
     # (measured: 17.8k pairs = 32.4 s single-task vs 3.0 s spread at
-    # 16x sf0.1).  Hash keys + explicit numPartitions keep the exchange
-    # deterministic AND exempt from AQE coalescing; the shipped rows
-    # are O(true dups) x 2 folded prefixes, cheap relative to the
+    # 16x sf0.1).  The partition keys are a seeded HASH of the pair,
+    # not the raw (doc_a, doc_b) columns (r13): when AQE happens to
+    # plan both join-backs as broadcasts, the join output already
+    # carries hashpartitioning(doc_a, doc_b) and Catalyst ELIDES a
+    # same-key repartition — the surviving upstream ENSURE_REQUIREMENTS
+    # exchange then coalesces and the quadratic stage collapses to ~1
+    # task (reproduced at 16x sf0.1: 38.8 s vs 19.1 s at 64x, where the
+    # shuffled join-backs kept the repartition alive; the r12 SCALING
+    # anchor blamed box contamination — wrongly).  An expression key is
+    # never distribution-compatible with the join output, so the
+    # REPARTITION_BY_NUM exchange survives — deterministic AND exempt
+    # from AQE coalescing — at every scale.  The shipped rows are
+    # O(true dups) x 2 folded prefixes, cheap relative to the
     # O(max_chars^2)-per-row work they balance.
     j = j.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        docs.sparkSession.sparkContext.defaultParallelism,
+        F.xxhash64(F.lit(3), F.col("doc_a"), F.col("doc_b")),
     )
     scored = j.select(
         "doc_a",

@@ -3704,10 +3704,12 @@ def test_r13_rotation_window():
         "qbc_disagreement",
         "nb_calibration_report",
         "streaming_index_upsert",
+        "dedup_edit_verify",
     ):
         assert _R13_ROTATION[name] == 24, name
     # the itemized r14 overflow is OUT of the window
     for name in (
+        "sliding_windows",
         "streaming_bloom_decontaminate",
         "streaming_dsir_gate",
         "streaming_hll_windows",

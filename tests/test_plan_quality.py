@@ -914,6 +914,18 @@ def test_edit_verify_levenshtein_exchange_pinned(spark):
     assert "doc_a" in exch and "doc_b" in exch and f", {n})" in exch, (
         f"levenshtein input exchange lost the explicit width:\n{exch}\n{plan}"
     )
+    # r13: the exchange must carry the non-elidable REPARTITION origin.
+    # The r12 form repartitioned on the RAW (doc_a, doc_b) keys; when
+    # AQE planned both join-backs as broadcasts (reproduced at 16x
+    # sf0.1), the join output already satisfied that distribution,
+    # Catalyst elided the repartition, and the surviving
+    # ENSURE_REQUIREMENTS exchange coalesced — the quadratic stage ran
+    # ~single-task (38.8 s vs 8.7 s fixed).  The seeded-hash partition
+    # key is never distribution-compatible with the join output, so
+    # this origin survives at every scale.
+    assert "REPARTITION_BY_NUM" in exch, (
+        f"levenshtein input exchange was elided/demoted:\n{exch}\n{plan}"
+    )
     assert not any("coalesced" in line for line in below[:exch_i]), (
         "AQE coalesced the pinned Levenshtein exchange:\n"
         + "\n".join(below[:exch_i])
