@@ -1460,6 +1460,7 @@ def ivfadc_search_pruned(
     max_query_batch: int = 1024,
     cell_codebooks: dict[int, list[list[list[int]]]] | None = None,
     index_schema: str = "vec_id bigint, codes array<int>, cluster int",
+    extra_filter: Column | None = None,
 ) -> DataFrame:
     """IVFADC search against the STORED cluster-partitioned index
     (r12): bit-identical results to :func:`ivfadc_search`, but stage 1
@@ -1471,8 +1472,17 @@ def ivfadc_search_pruned(
     K-entry pinned ``cb4`` artifact routes decode by cluster);
     unlisted cells keep the global ``codebooks``.  ``index_schema``
     lets callers read stores carrying extra partition columns (the
-    streaming ingest's ``epoch`` segments) — the decode projection
-    drops them, so probe semantics are unchanged.
+    streaming ingest's ``epoch`` segments) or extra METADATA columns —
+    the decode projection drops them, so probe semantics are
+    unchanged.  ``extra_filter`` (r13, filtered search — the
+    vector-DB pre-filter capability): a predicate over the index
+    columns applied to the store read BEFORE candidate generation;
+    because metadata written next to the codes lives in the same
+    parquet rows, Catalyst pushes it into the scan (``PushedFilters``)
+    — the corpus never shuffles for the filter, the genuinely
+    100 TB-shaped alternative to semi-joining a corpus-sized allowed
+    set at query time.  Top-k semantics are PRE-FILTER: candidates are
+    restricted, queries come from the full corpus.
 
     The query batch is a driver-side literal (a search request):
     probe lists are computed in driver integer arithmetic — the same
@@ -1518,6 +1528,8 @@ def ivfadc_search_pruned(
         .parquet(index_path)
         .filter(F.col("cluster").isin([int(c) for c in probe_union]))
     )
+    if extra_filter is not None:
+        idx = idx.filter(extra_filter)
     if cell_codebooks:
         cb4 = _pinned_scalar(
             _cell_codebook_view(spark, K, codebooks, cell_codebooks)
@@ -2019,6 +2031,58 @@ def streaming_upsert_ivfadc_index(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def compact_ivfadc_index(spark, index_path: str) -> dict[str, int]:
+    """Compact an epoch-segmented IVFADC store (r13): rewrite every
+    coarse cell's accumulated ``epoch=n`` segment directories — the
+    LSM-ish layout :func:`streaming_upsert_ivfadc_index` accretes —
+    into one epoch-free file set per cell, the
+    :func:`write_ivfadc_index` batch layout.
+
+    Per cell: read its segments, drop the ``epoch`` column, write to a
+    sibling temp directory, then atomically swap directories — a
+    reader that raced the swap sees either the old segments or the
+    compacted files, never a partial mix (the standard write-then-swap
+    compaction contract; on a distributed FS the swap is the
+    manifest/rename step).  After compaction the store reads with the
+    DEFAULT ``index_schema``, probe pruning is unchanged (the
+    cell-directory top level survives), and further
+    :func:`upsert_ivfadc_index` appends land bare files in the same
+    layout.  Returns ``{cell_dir: n_segments_compacted}`` for the
+    cells that had segments (cells already bare are left untouched —
+    their files stay byte-identical).
+
+    Driver-side work is a bounded directory listing (K cell dirs);
+    each rewrite is one bounded job over that cell's rows.  Proofs in
+    ``tests/test_stateful_storage.py::test_compact_ivfadc_index``:
+    row-set identical, file count drops, probe results bit-identical
+    before/after, post-compaction upsert still equivalent."""
+    import os
+    import shutil
+
+    compacted: dict[str, int] = {}
+    for name in sorted(os.listdir(index_path)):
+        cdir = os.path.join(index_path, name)
+        if not (name.startswith("cluster=") and os.path.isdir(cdir)):
+            continue
+        segs = [
+            s for s in os.listdir(cdir)
+            if s.startswith("epoch=") and os.path.isdir(os.path.join(cdir, s))
+        ]
+        if not segs:
+            continue
+        rows = spark.read.schema(
+            "vec_id bigint, codes array<int>, epoch int"
+        ).parquet(cdir).select("vec_id", "codes")
+        tmp = cdir + "._compacting"
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = cdir + "._old"
+        os.rename(cdir, old)
+        os.rename(tmp, cdir)
+        shutil.rmtree(old, ignore_errors=True)
+        compacted[name] = len(segs)
+    return compacted
 
 
 def _cell_codebook_view(

@@ -5807,14 +5807,16 @@ _IVFADC_CODEBOOKS: list[list[list[int]]] = [
     ],
 ]
 
-def _ivfadc_oracle(k: int = 5) -> str:
+def _ivfadc_oracle(k: int = 5, cand_filter: str = "") -> str:
     """Full relational replay of ivfadc_search: coarse assignment
     (argmin over the pinned centroids) -> residual -> residual-PQ
     encode -> decode -> probe-set routing (nprobe nearest cells per
     query) -> residual ADC over probed cells only -> exact integer
     re-rank.  Integer end-to-end on the kmeans grid, so the replay is
     bit-identical — the coarse ROUTING is hash-checked, not just
-    recall-claimed."""
+    recall-claimed.  ``cand_filter`` (r13, filtered search): extra SQL
+    ANDed onto the candidate side of the ADC join — the pre-filter
+    semantics replay (candidates restricted, queries unrestricted)."""
     m, sub = _PQ_M, 64 // _PQ_M
     cents = "[" + ", ".join(
         "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
@@ -5879,7 +5881,7 @@ def _ivfadc_oracle(k: int = 5) -> str:
              list_sum(list_transform(range(1, 65),
                i -> (s.qr[i]-b.rr[i])*(s.qr[i]-b.rr[i]))) AS adc_d
       FROM dec b JOIN qres s ON s.cell = b.cell
-      WHERE b.vec_id <> s.query_id),
+      WHERE b.vec_id <> s.query_id{cand_filter}),
     sl AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
@@ -6618,11 +6620,11 @@ def _ivfadc_distortion_oracle() -> str:
 @register(
     "ivfadc_distortion_report",
     oracle=_ivfadc_distortion_oracle(),
-    # new r12 registration — enters the r12 driver window first per
-    # the registry invariant (displacing the then-alphabetically-last
-    # in-window stale name into the r13 overflow; see the rotation
-    # note in plans/registry.py).
     priority=80,
+    headline=True,  # promoted r13: the pinned-artifact hoist cut this
+    # from 11.8 s (r12, ~90% literal-compile) to ~2 s — benching it
+    # keeps the index-maintenance read path's cost on the record
+    # next to the search tiers it serves
     doc="IVFADC index-health report "
     "(operators/similarity.py:ivfadc_distortion_report, r12; the "
     "operational loop Jégou §V assumes): per coarse cell, the squared "
@@ -6643,4 +6645,87 @@ def q_ivfadc_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         _IVFADC_CENTS,
         _IVFADC_CODEBOOKS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN over the stored index (r13)
+# ---------------------------------------------------------------------------
+
+def _staged_ivfadc_meta_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once staging of the METADATA-BEARING cluster-partitioned
+    IVFADC index for ``sf_dir`` (r13): the encode frame equi-joined to
+    the documents table's ``lang`` column at BUILD time, landed one
+    directory per coarse cell.  Metadata written next to the codes is
+    what makes filtered search a SCAN-level predicate instead of a
+    query-time corpus join — the vector-DB pre-filter layout.
+    Fingerprint folds the vector values AND the lang values so any
+    regeneration of either table is a cache miss."""
+    import os
+    import tempfile
+
+    from .streaming_queries import _evict_stale, _fingerprint
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    joined_probe = emb.join(meta, "vec_id")
+    fp = _fingerprint(
+        joined_probe,
+        "vec_id",
+        F.xxhash64(F.lit(1), F.col("embedding")),
+        F.xxhash64(F.lit(2), F.col("lang")),
+    )
+    out = os.path.join(tempfile.gettempdir(), f"ivfadc_meta_idx_{tag}_{fp}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        _evict_stale(f"ivfadc_meta_idx_{tag}_", os.path.basename(out))
+        coded = sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+        sim.write_ivfadc_index(coded.join(meta, "vec_id"), out)
+    return out
+
+
+@register(
+    "ann_filtered_search",
+    oracle=_ivfadc_oracle(
+        cand_filter=(
+            " AND b.vec_id IN (SELECT doc_id FROM documents "
+            "WHERE lang = 'en')"
+        )
+    ),
+    priority=80,
+    headline=True,  # the filtered-probe cost belongs on the record
+    # next to the unfiltered pruned probe it specializes
+    doc="Metadata-filtered ANN over the stored index (r13) — the "
+    "vector-DB pre-filter capability: top-k restricted to vectors "
+    "whose document is lang='en', queries drawn from the full "
+    "corpus.  The lang column is written NEXT TO the codes at index "
+    "build (one equi join at write time, staged per content "
+    "fingerprint), so the query-time filter is a parquet SCAN "
+    "predicate (PushedFilters) composing with the probe's partition "
+    "pruning — the corpus never shuffles for the filter, unlike a "
+    "query-time semi-join against a corpus-sized allowed set.  "
+    "Shortlist and re-rank operate entirely within the filtered "
+    "candidate set (pre-filter semantics).  Oracle: the full IVFADC "
+    "relational replay with the predicate ANDed onto the candidate "
+    "side — hash-exact.",
+)
+def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx_dir = _staged_ivfadc_meta_index_dir(spark, sf_dir)
+    return sim.ivfadc_search_pruned(
+        spark,
+        idx_dir,
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        query_ids=_QUERY_IDS,
+        k=5,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+        index_schema=(
+            "vec_id bigint, codes array<int>, lang string, cluster int"
+        ),
+        extra_filter=F.col("lang") == "en",
     )

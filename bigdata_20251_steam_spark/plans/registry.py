@@ -123,7 +123,7 @@ def oracle_map() -> dict[str, str]:
 #:     streaming_genre_counts, streaming_running_totals,
 #:     streaming_token_budget, supplier_nation_stats, top_genres,
 #:     top_spenders, user_value_quartiles, winnow_fingerprints
-#: - 24: code CHANGED in r13, re-prove (10 names):
+#: - 24: code CHANGED in r13, re-prove (10 names), plus 2 new:
 #:     ivfadc_search / ivfadc_pruned_search / ivfadc_distortion_report
 #:       / pq_search_rerank / streaming_pq_probe — pinned-artifact
 #:       scalar-subquery hoist (similarity.py r13);
@@ -138,13 +138,16 @@ def oracle_map() -> dict[str, str]:
 #:       (the real cause of the r12 16x anomaly); its late re-prove
 #:       displaces the then-alphabetically-last in-window stale name
 #:       (sliding_windows) into the r14 overflow;
-#:   plus the ONE new r13 registration (never driver-checked):
-#:     streaming_index_upsert;
-#: - 25: 31 of the 43-name three-round-stale cohort (last driver row
+#:   plus the TWO new r13 registrations (never driver-checked):
+#:     streaming_index_upsert and ann_filtered_search — the latter
+#:     registered late, displacing the then-alphabetically-last
+#:     in-window stale name (simhash_signatures) into the r14
+#:     overflow;
+#: - 25: 30 of the 43-name three-round-stale cohort (last driver row
 #:   r10, no r11/r12 slot; recomputed from the committed JSONs —
 #:   the r12 note predicted ~40, actual 43).  50 slots minus 8
-#:   must-enters minus 11 changed/new leaves 31; ties all at age r10,
-#:   broken ALPHABETICALLY; the 12 overflow names are itemized in the
+#:   must-enters minus 12 changed/new leaves 30; ties all at age r10,
+#:   broken ALPHABETICALLY; the 13 overflow names are itemized in the
 #:   r14 note below, with CORRECTNESS_FULL_r13.json (all queries) as
 #:   the compensating evidence meanwhile.
 _R13_ROTATION: dict[str, int] = {
@@ -169,9 +172,11 @@ _R13_ROTATION: dict[str, int] = {
     "nb_calibration_report": 24,
     "streaming_index_upsert": 24,
     "dedup_edit_verify": 24,
-    # three-round-stale cohort (last driver row r10) — first 31 of 43,
-    # alphabetical (sliding_windows displaced late by the
-    # dedup_edit_verify re-prove)
+    "ann_filtered_search": 24,
+    # three-round-stale cohort (last driver row r10) — first 30 of 43,
+    # alphabetical (sliding_windows and simhash_signatures displaced
+    # late by the dedup_edit_verify re-prove and the
+    # ann_filtered_search registration)
     "bpe_token_counts": 25,
     "clean_html_roundtrip": 25,
     "cms_word_frequencies": 25,
@@ -202,16 +207,17 @@ _R13_ROTATION: dict[str, int] = {
     "quality_scores": 25,
     "review_bomb": 25,
     "session_windows": 25,
-    "simhash_signatures": 25,
 }
 
 
 #: r14 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 12 overflow names from the r13 alphabetical
+#: - MUST-ENTER first: the 13 overflow names from the r13 alphabetical
 #:   split of the tied 43-name stale cohort (last driver row r10) —
-#:   they are four-rounds-stale by r14 (sliding_windows displaced late
-#:   by the dedup_edit_verify changed-code re-prove):
-#:     sliding_windows, streaming_bloom_decontaminate, streaming_dsir_gate,
+#:   they are four-rounds-stale by r14 (sliding_windows and
+#:   simhash_signatures displaced late by the dedup_edit_verify
+#:   changed-code re-prove and the ann_filtered_search registration):
+#:     simhash_signatures, sliding_windows,
+#:     streaming_bloom_decontaminate, streaming_dsir_gate,
 #:     streaming_hll_windows, streaming_player_windows,
 #:     streaming_segment_dedup, streaming_stream_join,
 #:     temperature_mix_sample, token_budget_sample, token_counts,

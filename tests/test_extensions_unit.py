@@ -3705,10 +3705,12 @@ def test_r13_rotation_window():
         "nb_calibration_report",
         "streaming_index_upsert",
         "dedup_edit_verify",
+        "ann_filtered_search",
     ):
         assert _R13_ROTATION[name] == 24, name
     # the itemized r14 overflow is OUT of the window
     for name in (
+        "simhash_signatures",
         "sliding_windows",
         "streaming_bloom_decontaminate",
         "streaming_dsir_gate",

@@ -978,3 +978,29 @@ def test_ivfadc_distortion_report_scan_fused(spark):
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     exchanges = re.findall(r"Exchange [^\n]*", plan)
     assert all("hashpartitioning(cluster" in e for e in exchanges), plan
+
+
+def test_ann_filtered_search_filter_pushed_to_scan(spark):
+    """ann_filtered_search (r13): the lang predicate must reach the
+    index scan as a DATA FILTER (PushedFilters) composing with the
+    probe's PartitionFilters — never a post-scan corpus join.  That is
+    the whole point of writing metadata next to the codes: at 100 TB
+    the filter prices as a scan predicate, not an exchange."""
+    df = QUERIES["ann_filtered_search"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    idx_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "codes" in line
+    ]
+    assert idx_scans, plan
+    for line in idx_scans:
+        tail = line.split("PushedFilters", 1)
+        assert len(tail) == 2 and "lang" in tail[1], (
+            f"lang filter not pushed into the index scan:\n{line}"
+        )
+        assert "PartitionFilters" in line and "cluster" in line.split(
+            "PartitionFilters", 1
+        )[1], line
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan
+    )

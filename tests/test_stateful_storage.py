@@ -858,3 +858,89 @@ def test_ivfadc_retrain_on_drift(spark, tmp_path):
         )
 
     assert key(got) == key(exp) and len(got) == 6
+
+
+def test_compact_ivfadc_index(spark, tmp_path):
+    """r13: compacting the epoch-segmented streaming store rewrites
+    each cell's segments into one epoch-free file set — row-set
+    identical, file count drops, probe results bit-identical, the
+    store reads with the DEFAULT schema afterwards, and a subsequent
+    batch upsert composes (bare appends into the compacted layout,
+    still rebuild-equivalent)."""
+    import pathlib
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old = emb.filter("vec_id % 2 = 0")
+    late = emb.filter("vec_id % 2 = 1")
+    src = str(tmp_path / "src")
+    old.repartition(4).write.parquet(src)
+    store = str(tmp_path / "index")
+    q = sim.streaming_upsert_ivfadc_index(
+        file_stream(spark, src, old.schema, max_files_per_trigger=1),
+        store, str(tmp_path / "ckpt"),
+        _IVFADC_CENTS, _IVFADC_CODEBOOKS,
+    )
+    q.awaitTermination()
+    files_before = len(list(pathlib.Path(store).rglob("*.parquet")))
+    segs = list(pathlib.Path(store).glob("cluster=*/epoch=*"))
+    assert segs  # genuinely segmented
+
+    kw = dict(query_ids=[0, 2, 4, 6], k=3, nprobe=4, shortlist=20)
+    eschema = "vec_id bigint, codes array<int>, cluster int, epoch int"
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"]) for r in rows
+        )
+
+    before_probe = key(sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS,
+        index_schema=eschema, **kw,
+    ).collect())
+    before_rows = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.schema(eschema).parquet(store).collect()
+    }
+
+    compacted = sim.compact_ivfadc_index(spark, store)
+    assert compacted and all(n >= 1 for n in compacted.values())
+    assert not list(pathlib.Path(store).glob("cluster=*/epoch=*"))
+    files_after = len(list(pathlib.Path(store).rglob("*.parquet")))
+    assert files_after < files_before
+
+    # DEFAULT schema reads the compacted store; content unchanged
+    after_rows = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.schema(
+            "vec_id bigint, codes array<int>, cluster int"
+        ).parquet(store).collect()
+    }
+    assert after_rows == before_rows
+    after_probe = key(sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw,
+    ).collect())
+    assert after_probe == before_probe
+
+    # post-compaction maintenance composes: bare upsert, still == rebuild
+    sim.upsert_ivfadc_index(late, store, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+    live = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.schema(
+            "vec_id bigint, codes array<int>, cluster int"
+        ).parquet(store).collect()
+    }
+    rebuilt = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in sim.ivfadc_encode(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+        ).collect()
+    }
+    assert live == rebuilt
