@@ -124,6 +124,14 @@ WHITELIST: dict[tuple[str, str], str] = {
         "routing predicate over the stored index); the re-rank joins "
         "are equi and broadcast-bounded"
     ),
+    ("ann_filtered_search", "BroadcastNestedLoopJoin"): (
+        "broadcast of the bounded (loudly capped) query+probe-list "
+        "frame onto the PARTITION-PRUNED, METADATA-FILTERED index scan "
+        "(array_contains(probes, cluster) non-equi — the "
+        "ivfadc_pruned_search routing shape; the lang predicate is a "
+        "pushed scan filter, not a join); the re-rank joins are equi "
+        "and broadcast-bounded"
+    ),
     ("hamming_topk", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row query signature frame onto the "
         "two-long-per-row stage-0 scan (vec_id <> query_id non-equi — "
