@@ -2033,6 +2033,169 @@ def streaming_upsert_ivfadc_index(
     return writer.start()
 
 
+def ivfadc_nprobe_sweep(
+    embeddings: DataFrame,
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    query_ids: list[int],
+    nprobes: list[int] = (1, 2, 4, 8),
+    k: int = 5,
+    shortlist: int = 50,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index TUNING report (r13): recall@k of the IVFADC probe against
+    the exact integer top-k, per ``nprobe`` tier, in ONE query — the
+    operating-curve an ANN deployment reads before pinning its probe
+    width (more cells probed = more candidates = higher recall at
+    linearly higher stage-1 cost; the report quantifies where the
+    curve flattens).  Completes the index-ops story: build
+    (:func:`write_ivfadc_index`) → probe (:func:`ivfadc_search_pruned`)
+    → filter (``extra_filter``) → maintain (:func:`upsert_ivfadc_index`
+    / :func:`streaming_upsert_ivfadc_index` / :func:`compact_ivfadc_index`)
+    → retrain (:func:`retrain_ivfadc_on_drift`) → TUNE (this).
+
+    Output ``(nprobe, hits, possible, recall_micro)`` — one row per
+    tier: ``hits`` = matched (query, neighbor) pairs between the
+    tier's top-k and the exact top-k, ``possible = |queries| * k``,
+    ``recall_micro = (1e6 * hits) DIV possible`` (truncating,
+    cross-engine identical).  Integer end-to-end: both rankings use
+    ``(sqdist ASC, vec_id ASC)`` on the shared grid, so the report
+    replays relationally and is hash-exact, not recall-claimed.
+
+    Scale shape: every tier shares ONE decoded-snapshot scan — the
+    query frame crosses with the literal tier array and EXPLODES, so
+    candidate volume is ``~corpus * |queries| * sum(nprobes)/K``
+    (bounded; queries broadcast, corpus never shuffles); both top-k
+    cuts are the salted rank over a combined ``(tier, query)`` key.
+    The exact baseline is the embed_topk broadcast scan, shared across
+    tiers by construction (computed once)."""
+    K = len(coarse_cents)
+    if k > shortlist:
+        raise ValueError("ivfadc_nprobe_sweep: k must be <= shortlist")
+    if not nprobes or not all(1 <= int(n) <= K for n in nprobes):
+        raise ValueError(f"ivfadc_nprobe_sweep: nprobes must be in [1, {K}]")
+    nprobes = sorted({int(n) for n in nprobes})
+    grid = _pq_quantized(embeddings, scale, id_col, vec_col)
+    decoded = ivfadc_decode_snapshot(
+        embeddings, coarse_cents, codebooks, scale, id_col, vec_col
+    )
+    cm = _pinned_scalar(_cmat_view(embeddings.sparkSession, coarse_cents))
+
+    # exact integer top-k per query (the shared baseline)
+    qf = grid.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    exact_scored = grid.join(
+        F.broadcast(qf), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        _sqdist_cols(F.col("qq"), F.col("q")).alias("sqdist"),
+    )
+    exact = _topk_per_query(exact_scored, k, "sqdist", ascending=True).select(
+        "query_id", "vec_id"
+    )
+
+    # per-tier probe lists: one query frame, tiers exploded.  The
+    # probe argsort lives in its OWN projection: a generator (explode)
+    # in the same select rewrites lambda-internal struct aliases away
+    # at analysis (FIELD_NOT_FOUND on s["j"]), so the cells column is
+    # materialized first and the tier explode happens one select later.
+    qt = (
+        grid.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("_cm", cm)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            _probes_of(F.col("q"), F.col("_cm"), K).alias("cells"),
+        )
+        .select(
+            "query_id",
+            "qq",
+            "cells",
+            F.explode(
+                F.array(*[F.lit(int(n)) for n in nprobes])
+            ).alias("nprobe"),
+        )
+        .select(
+            "query_id",
+            "qq",
+            "nprobe",
+            F.slice(F.col("cells"), 1, F.col("nprobe")).alias("probes"),
+        )
+    )
+    cand = decoded.join(
+        F.broadcast(qt),
+        F.array_contains(F.col("probes"), F.col("cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    qres = F.zip_with(
+        F.col("qq"),
+        F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+        lambda x, y: x - y,
+    )
+    # combined (tier, query) rank key — _topk_per_query partitions by
+    # "query_id", so the tier rides inside it (queries are ids, tiers
+    # are <= K: the composition is collision-free for any real corpus)
+    ck = (F.col("nprobe").cast("long") * F.lit(1_000_000_000_000)
+          + F.col("query_id"))
+    scored = cand.withColumn("_cm", cm).select(
+        ck.alias("query_id"),
+        "vec_id",
+        F.aggregate(
+            F.zip_with(qres, F.col("r"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("adc_sqdist"),
+    )
+    sl = _topk_per_query(scored, shortlist, "adc_sqdist", ascending=True)
+    cand2 = grid.join(
+        F.broadcast(sl.select(F.col("query_id").alias("_ck"), "vec_id")),
+        "vec_id",
+    )
+    rescored = cand2.join(
+        F.broadcast(
+            qf.select(F.col("query_id").alias("_qid"), F.col("qq"))
+        ),
+        F.col("_ck") % F.lit(1_000_000_000_000) == F.col("_qid"),
+    ).select(
+        F.col("_ck").alias("query_id"),
+        "vec_id",
+        _sqdist_cols(F.col("qq"), F.col("q")).alias("sqdist"),
+    )
+    top = _topk_per_query(rescored, k, "sqdist", ascending=True).select(
+        F.expr("query_id DIV 1000000000000").cast("int").alias("nprobe"),
+        F.pmod(F.col("query_id"), F.lit(1_000_000_000_000))
+        .cast("long").alias("qid"),
+        "vec_id",
+    )
+    marked = top.join(
+        F.broadcast(
+            exact.select(
+                F.col("query_id").alias("_eq"),
+                F.col("vec_id").alias("_ev"),
+                F.lit(1).alias("_m"),
+            )
+        ),
+        (F.col("qid") == F.col("_eq")) & (F.col("vec_id") == F.col("_ev")),
+        "left",
+    )
+    possible = len(query_ids) * k
+    return (
+        marked.groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "nprobe",
+            "hits",
+            F.lit(possible).cast("long").alias("possible"),
+            F.expr(f"(1000000 * hits) DIV {possible}")
+            .cast("long").alias("recall_micro"),
+        )
+    )
+
+
 def compact_ivfadc_index(spark, index_path: str) -> dict[str, int]:
     """Compact an epoch-segmented IVFADC store (r13): rewrite every
     coarse cell's accumulated ``epoch=n`` segment directories — the

@@ -6729,3 +6729,153 @@ def q_ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         extra_filter=F.col("lang") == "en",
     )
+
+
+def _ivfadc_nprobe_sweep_oracle(
+    nprobes=(1, 2, 4, 8), k: int = 5, shortlist: int = 50
+) -> str:
+    """Relational replay of ivfadc_nprobe_sweep: the _ivfadc_oracle
+    composition with the probe stage crossed against the tier list,
+    plus the exact brute-force top-k baseline and the per-tier hit
+    aggregate — recall is REPLAYED, not trusted."""
+    m, sub = _PQ_M, 64 // _PQ_M
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    n_cells = len(_IVFADC_CENTS)
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+    tiers = ", ".join(f"({int(n)})" for n in sorted(set(nprobes)))
+    n_q = len(_QUERY_IDS)
+    possible = n_q * k
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q, dc,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    dec AS (SELECT vec_id, cell, ({recon}) AS rr FROM d),
+    qs AS (SELECT vec_id AS query_id, q AS qq, dc FROM cl
+           WHERE vec_id < {n_q}),
+    tiers(np) AS (VALUES {tiers}),
+    pr AS (
+      SELECT query_id, np, j FROM (
+        SELECT query_id, t.np, j,
+               row_number() OVER (PARTITION BY query_id, t.np
+                                  ORDER BY dc[CAST(j AS INT)], j) AS rn
+        FROM qs, range(1, {n_cells + 1}) r(j), tiers t) z
+      WHERE rn <= np),
+    qres AS (
+      SELECT p.query_id, p.np, CAST(p.j AS INT) AS cell,
+             list_transform(range(1, 65),
+               i -> s.qq[i]
+                    - list_extract(list_extract({cents}, CAST(p.j AS INT)), i)
+             ) AS qr,
+             s.qq
+      FROM pr p JOIN qs s ON s.query_id = p.query_id),
+    adc AS (
+      SELECT s.query_id, s.np, b.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (s.qr[i]-b.rr[i])*(s.qr[i]-b.rr[i]))) AS adc_d
+      FROM dec b JOIN qres s ON s.cell = b.cell
+      WHERE b.vec_id <> s.query_id),
+    sl AS (
+      SELECT query_id, np, vec_id FROM (
+        SELECT query_id, np, vec_id,
+               row_number() OVER (PARTITION BY query_id, np
+                                  ORDER BY adc_d, vec_id) AS rn
+        FROM adc) t WHERE rn <= {shortlist}),
+    ex AS (
+      SELECT sl.query_id, sl.np, sl.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (s.qq[i]-v.q[i])*(s.qq[i]-v.q[i]))) AS BIGINT) AS sqdist
+      FROM sl
+      JOIN qv v ON v.vec_id = sl.vec_id
+      JOIN (SELECT DISTINCT query_id, qq FROM qres) s
+        ON s.query_id = sl.query_id),
+    top AS (
+      SELECT query_id, np, vec_id FROM (
+        SELECT query_id, np, vec_id,
+               row_number() OVER (PARTITION BY query_id, np
+                                  ORDER BY sqdist, vec_id) AS rn
+        FROM ex) t WHERE rn <= {k}),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, b.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY list_sum(list_transform(
+                                    range(1, 65),
+                                    i -> (s.qq[i]-b.q[i])*(s.qq[i]-b.q[i]))),
+                                  b.vec_id) AS rn
+        FROM qs s JOIN qv b ON b.vec_id <> s.query_id) t
+      WHERE rn <= {k})
+    SELECT CAST(t.np AS INT) AS nprobe,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST({possible} AS BIGINT) AS possible,
+           CAST((1000000 * SUM(CASE WHEN e.vec_id IS NOT NULL
+                                    THEN 1 ELSE 0 END)) // {possible}
+                AS BIGINT) AS recall_micro
+    FROM top t
+    LEFT JOIN exact e
+      ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+    GROUP BY t.np
+    """
+
+
+@register(
+    "ivfadc_nprobe_sweep",
+    oracle=_ivfadc_nprobe_sweep_oracle(),
+    priority=80,
+    doc="IVFADC nprobe TUNING sweep "
+    "(operators/similarity.py:ivfadc_nprobe_sweep, r13) — the "
+    "operating-curve report an ANN deployment reads before pinning "
+    "its probe width: recall@5 of the probe+shortlist+re-rank "
+    "composition vs the exact integer top-5, per nprobe in "
+    "{1,2,4,8}, in ONE query.  Every tier shares one decoded-snapshot "
+    "scan (the query frame crosses the literal tier list and "
+    "explodes); both top-k cuts are the salted rank over a combined "
+    "(tier, query) key; the exact baseline is the embed_topk "
+    "broadcast scan computed once.  Integer end-to-end — recall is "
+    "REPLAYED relationally (routing, ADC, shortlist, re-rank, hit "
+    "join), hash-exact, completing the index-ops story: build -> "
+    "probe -> filter -> maintain -> retrain -> tune.",
+)
+def q_ivfadc_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivfadc_nprobe_sweep(
+        load_table(spark, sf_dir, "embeddings"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        query_ids=_QUERY_IDS,
+        nprobes=(1, 2, 4, 8),
+        k=5,
+        shortlist=_PQ_SHORTLIST,
+    )

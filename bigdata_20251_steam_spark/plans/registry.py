@@ -138,16 +138,17 @@ def oracle_map() -> dict[str, str]:
 #:       (the real cause of the r12 16x anomaly); its late re-prove
 #:       displaces the then-alphabetically-last in-window stale name
 #:       (sliding_windows) into the r14 overflow;
-#:   plus the TWO new r13 registrations (never driver-checked):
-#:     streaming_index_upsert and ann_filtered_search — the latter
-#:     registered late, displacing the then-alphabetically-last
-#:     in-window stale name (simhash_signatures) into the r14
+#:   plus the THREE new r13 registrations (never driver-checked):
+#:     streaming_index_upsert, ann_filtered_search and
+#:     ivfadc_nprobe_sweep — the latter two registered late, each
+#:     displacing the then-alphabetically-last in-window stale name
+#:     (simhash_signatures, then session_windows) into the r14
 #:     overflow;
-#: - 25: 30 of the 43-name three-round-stale cohort (last driver row
+#: - 25: 29 of the 43-name three-round-stale cohort (last driver row
 #:   r10, no r11/r12 slot; recomputed from the committed JSONs —
 #:   the r12 note predicted ~40, actual 43).  50 slots minus 8
-#:   must-enters minus 12 changed/new leaves 30; ties all at age r10,
-#:   broken ALPHABETICALLY; the 13 overflow names are itemized in the
+#:   must-enters minus 13 changed/new leaves 29; ties all at age r10,
+#:   broken ALPHABETICALLY; the 14 overflow names are itemized in the
 #:   r14 note below, with CORRECTNESS_FULL_r13.json (all queries) as
 #:   the compensating evidence meanwhile.
 _R13_ROTATION: dict[str, int] = {
@@ -173,10 +174,11 @@ _R13_ROTATION: dict[str, int] = {
     "streaming_index_upsert": 24,
     "dedup_edit_verify": 24,
     "ann_filtered_search": 24,
-    # three-round-stale cohort (last driver row r10) — first 30 of 43,
-    # alphabetical (sliding_windows and simhash_signatures displaced
-    # late by the dedup_edit_verify re-prove and the
-    # ann_filtered_search registration)
+    "ivfadc_nprobe_sweep": 24,
+    # three-round-stale cohort (last driver row r10) — first 29 of 43,
+    # alphabetical (sliding_windows, simhash_signatures and
+    # session_windows displaced late by the dedup_edit_verify re-prove
+    # and the ann_filtered_search / ivfadc_nprobe_sweep registrations)
     "bpe_token_counts": 25,
     "clean_html_roundtrip": 25,
     "cms_word_frequencies": 25,
@@ -206,17 +208,17 @@ _R13_ROTATION: dict[str, int] = {
     "ngram_jaccard_pairs": 25,
     "quality_scores": 25,
     "review_bomb": 25,
-    "session_windows": 25,
 }
 
 
 #: r14 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 13 overflow names from the r13 alphabetical
+#: - MUST-ENTER first: the 14 overflow names from the r13 alphabetical
 #:   split of the tied 43-name stale cohort (last driver row r10) —
-#:   they are four-rounds-stale by r14 (sliding_windows and
-#:   simhash_signatures displaced late by the dedup_edit_verify
-#:   changed-code re-prove and the ann_filtered_search registration):
-#:     simhash_signatures, sliding_windows,
+#:   they are four-rounds-stale by r14 (session_windows,
+#:   simhash_signatures and sliding_windows displaced late by the
+#:   dedup_edit_verify changed-code re-prove and the
+#:   ann_filtered_search / ivfadc_nprobe_sweep registrations):
+#:     session_windows, simhash_signatures, sliding_windows,
 #:     streaming_bloom_decontaminate, streaming_dsir_gate,
 #:     streaming_hll_windows, streaming_player_windows,
 #:     streaming_segment_dedup, streaming_stream_join,

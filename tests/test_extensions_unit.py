@@ -3706,10 +3706,12 @@ def test_r13_rotation_window():
         "streaming_index_upsert",
         "dedup_edit_verify",
         "ann_filtered_search",
+        "ivfadc_nprobe_sweep",
     ):
         assert _R13_ROTATION[name] == 24, name
     # the itemized r14 overflow is OUT of the window
     for name in (
+        "session_windows",
         "simhash_signatures",
         "sliding_windows",
         "streaming_bloom_decontaminate",
@@ -4016,3 +4018,50 @@ def test_pinned_artifact_forms_match_literal(spark):
         "vec_id", sim._probes_of(F.col("q"), F.col("_cm"), 2).alias("p")
     ).collect()}
     assert got_lit == got_col
+
+
+def test_ivfadc_nprobe_sweep_contracts(spark):
+    """ivfadc_nprobe_sweep (r13): validation raises loudly (tier out
+    of [1, K], k > shortlist, empty tier list); probing EVERY cell
+    with a corpus-covering shortlist recovers the exact top-k
+    verbatim (recall_micro == 1_000_000) — the sweep's upper anchor
+    is exactness, not an approximation claim; duplicate tiers
+    dedupe."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.similarity import (
+        ivfadc_nprobe_sweep,
+        ivfadc_train,
+        kmeans_train_grid,
+        _pq_quantized,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) / 10.0 for d in range(64)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    grid = _pq_quantized(emb, 1000, "vec_id", "embedding")
+    cents = kmeans_train_grid(grid, k=2, iters=1)
+    books = ivfadc_train(emb, cents, m=2, k_sub=4, iters=1)
+
+    with _pytest.raises(ValueError, match="nprobes must be in"):
+        ivfadc_nprobe_sweep(emb, cents, books, [0], nprobes=[0])
+    with _pytest.raises(ValueError, match="nprobes must be in"):
+        ivfadc_nprobe_sweep(emb, cents, books, [0], nprobes=[3])
+    with _pytest.raises(ValueError, match="nprobes must be in"):
+        ivfadc_nprobe_sweep(emb, cents, books, [0], nprobes=[])
+    with _pytest.raises(ValueError, match="k must be <= shortlist"):
+        ivfadc_nprobe_sweep(emb, cents, books, [0], k=9, shortlist=3)
+
+    got = {
+        r["nprobe"]: r
+        for r in ivfadc_nprobe_sweep(
+            emb, cents, books, query_ids=[0, 1, 2],
+            nprobes=[2, 2], k=3, shortlist=100,
+        ).collect()
+    }
+    assert set(got) == {2}  # duplicate tiers dedupe
+    full = got[2]
+    assert (full["hits"], full["possible"]) == (9, 9)
+    assert full["recall_micro"] == 1_000_000
