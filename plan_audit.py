@@ -132,6 +132,15 @@ WHITELIST: dict[tuple[str, str], str] = {
         "pushed scan filter, not a join); the re-rank joins are equi "
         "and broadcast-bounded"
     ),
+    ("ivfadc_nprobe_sweep", "BroadcastNestedLoopJoin"): (
+        "broadcast of the bounded |queries| x |tiers| probe frame onto "
+        "the decoded-snapshot scan (array_contains(probes, cluster) "
+        "non-equi — the ivfadc_search routing shape, tier-exploded), "
+        "of the |queries|-row frame onto the exact-baseline scan "
+        "(vec_id <> query_id non-equi, the embed_topk shape), and of "
+        "the bounded shortlist/exact frames onto the re-rank/hit "
+        "joins (modulo-decomposed combined key)"
+    ),
     ("hamming_topk", "BroadcastNestedLoopJoin"): (
         "broadcast of the 10-row query signature frame onto the "
         "two-long-per-row stage-0 scan (vec_id <> query_id non-equi — "
