@@ -142,6 +142,11 @@ PROBES = [
     "mmr_diverse_topk",
     "nb_calibration_report",
     "ivfadc_distortion_report",
+    # round-13: metadata-filtered probe (scan-level predicate over the
+    # staged metadata-bearing store) and the tiered tuning sweep
+    # (tiers explode over one decoded-snapshot scan)
+    "ann_filtered_search",
+    "ivfadc_nprobe_sweep",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -218,6 +223,8 @@ PROBE_TABLES = {
     "mmr_diverse_topk": {"embeddings"},
     "nb_calibration_report": {"documents"},
     "ivfadc_distortion_report": {"embeddings"},
+    "ann_filtered_search": {"embeddings", "documents"},
+    "ivfadc_nprobe_sweep": {"embeddings"},
 }
 
 
