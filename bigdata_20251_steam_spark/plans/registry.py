@@ -112,127 +112,122 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-13 window rotation (r12 verdict #1).  Cohorts computed from
-#: the committed CORRECTNESS_r0{10,11,12}.json artifacts (last GREEN
+#: Round-14 window rotation (r13 verdict #1).  Cohorts computed from
+#: the committed CORRECTNESS_r0{11,12,13}.json artifacts (last GREEN
 #: driver row per query) and validated by EXECUTING the dict
-#: (test_r13_rotation_window).
+#: (test_r14_rotation_window).
 #:
-#: - 23: the 8 MUST-ENTER overflow names itemized by the r12 note —
-#:   four-rounds driver-stale (last row r9) if they miss this window,
+#: - 23: the 14 MUST-ENTER overflow names itemized by the r13 note —
+#:   four-rounds driver-stale (last row r10) if they miss this window,
 #:   so they enter ahead of everything:
-#:     streaming_genre_counts, streaming_running_totals,
-#:     streaming_token_budget, supplier_nation_stats, top_genres,
-#:     top_spenders, user_value_quartiles, winnow_fingerprints
-#: - 24: code CHANGED in r13, re-prove (10 names), plus 2 new:
-#:     ivfadc_search / ivfadc_pruned_search / ivfadc_distortion_report
-#:       / pq_search_rerank / streaming_pq_probe — pinned-artifact
-#:       scalar-subquery hoist (similarity.py r13);
-#:     hamming_topk — stage-0 exchange narrowed to
-#:       (query_id, vec_id, hamming);
-#:     streaming_pq_adjudicate — hoist + silver parquet staging
-#:       replacing the O(flagged x k) collect;
-#:     qbc_disagreement / nb_calibration_report — localCheckpoint
-#:       lifecycle replacing the unconditional persist;
-#:     dedup_edit_verify — the Levenshtein-stage repartition now keys
-#:       on a seeded pair hash so broadcast-join plans cannot elide it
-#:       (the real cause of the r12 16x anomaly); its late re-prove
-#:       displaces the then-alphabetically-last in-window stale name
-#:       (sliding_windows) into the r14 overflow;
-#:   plus the THREE new r13 registrations (never driver-checked):
-#:     streaming_index_upsert, ann_filtered_search and
-#:     ivfadc_nprobe_sweep — the latter two registered late, each
-#:     displacing the then-alphabetically-last in-window stale name
-#:     (simhash_signatures, then session_windows) into the r14
-#:     overflow;
-#: - 25: 29 of the 43-name three-round-stale cohort (last driver row
-#:   r10, no r11/r12 slot; recomputed from the committed JSONs —
-#:   the r12 note predicted ~40, actual 43).  50 slots minus 8
-#:   must-enters minus 13 changed/new leaves 29; ties all at age r10,
-#:   broken ALPHABETICALLY; the 14 overflow names are itemized in the
-#:   r14 note below, with CORRECTNESS_FULL_r13.json (all queries) as
-#:   the compensating evidence meanwhile.
-_R13_ROTATION: dict[str, int] = {
-    # r12-note must-enters (four-rounds-stale otherwise)
-    "streaming_genre_counts": 23,
-    "streaming_running_totals": 23,
-    "streaming_token_budget": 23,
-    "supplier_nation_stats": 23,
-    "top_genres": 23,
-    "top_spenders": 23,
-    "user_value_quartiles": 23,
-    "winnow_fingerprints": 23,
-    # r13 changed-code re-proves + the new registration
-    "ivfadc_search": 24,
-    "ivfadc_pruned_search": 24,
-    "ivfadc_distortion_report": 24,
-    "pq_search_rerank": 24,
-    "streaming_pq_probe": 24,
-    "hamming_topk": 24,
-    "streaming_pq_adjudicate": 24,
-    "qbc_disagreement": 24,
-    "nb_calibration_report": 24,
-    "streaming_index_upsert": 24,
-    "dedup_edit_verify": 24,
-    "ann_filtered_search": 24,
-    "ivfadc_nprobe_sweep": 24,
-    # three-round-stale cohort (last driver row r10) — first 29 of 43,
-    # alphabetical (sliding_windows, simhash_signatures and
-    # session_windows displaced late by the dedup_edit_verify re-prove
-    # and the ann_filtered_search / ivfadc_nprobe_sweep registrations)
-    "bpe_token_counts": 25,
-    "clean_html_roundtrip": 25,
-    "cms_word_frequencies": 25,
-    "curation_pipeline_end_to_end": 25,
-    "dedup_pipeline_end_to_end": 25,
-    "dedup_quality_report": 25,
-    "doc_fingerprints": 25,
-    "dsir_selection": 25,
-    "embed_near_dup_pairs": 25,
-    "embed_topk_bruteforce": 25,
-    "embed_topk_ivf": 25,
-    "epoch_shuffle_order": 25,
-    "event_share": 25,
-    "fuzzy_part_names": 25,
-    "genre_distribution": 25,
-    "hard_negative_pairs": 25,
-    "histogram_event_values": 25,
-    "interval_event_counts": 25,
-    "intra_doc_dedup": 25,
-    "key_skew_orders": 25,
-    "logreg_quality_scores": 25,
-    "minhash_dedup_pairs": 25,
-    "minhash_signatures": 25,
-    "multimodal_audio_roundtrip": 25,
-    "multimodal_meta": 25,
-    "multimodal_video_meta_roundtrip": 25,
-    "ngram_jaccard_pairs": 25,
-    "quality_scores": 25,
-    "review_bomb": 25,
-}
-
-
-#: r14 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 14 overflow names from the r13 alphabetical
-#:   split of the tied 43-name stale cohort (last driver row r10) —
-#:   they are four-rounds-stale by r14 (session_windows,
-#:   simhash_signatures and sliding_windows displaced late by the
-#:   dedup_edit_verify changed-code re-prove and the
-#:   ann_filtered_search / ivfadc_nprobe_sweep registrations):
 #:     session_windows, simhash_signatures, sliding_windows,
 #:     streaming_bloom_decontaminate, streaming_dsir_gate,
 #:     streaming_hll_windows, streaming_player_windows,
 #:     streaming_segment_dedup, streaming_stream_join,
 #:     temperature_mix_sample, token_budget_sample, token_counts,
 #:     udtf_sentences, unigram_lm_scores
-#:   — full-sweep coverage (CORRECTNESS_FULL_r13.json) is the
-#:   compensating evidence until their r14 driver row lands;
-#: - then any query whose code changes in r14, and any new r14
+#: - 24: code CHANGED in r14, re-prove, plus new registrations (each
+#:   entry displaces an alphabetically-last in-window stale fill into
+#:   the r15 overflow, per the documented protocol):
+#:     streaming_index_upsert — streaming_upsert_ivfadc_index grew
+#:       meta_cols (metadata next to the codes through stream ingest);
+#:     ivfadc_pruned_search / ann_filtered_search — decision-adjacent
+#:       re-proves: r14 pins their deployed nprobe=4 operating point
+#:       off the measured curve (test_ivfadc_operating_point_pin) and
+#:       reworks the maintenance ops (compact/retrain) in the same
+#:       similarity.py store layer their probes read;
+#:     index_lifecycle_end_to_end — NEW r14 capstone registration
+#:       (stream-upsert -> compact -> retrain-on-drift -> filtered
+#:       pruned probe, full relational oracle);
+#: - 25: 32 of the 44-name three-round-stale cohort (last GREEN driver
+#:   row r11, no r12/r13 slot; recomputed from the committed JSONs —
+#:   the r13 note predicted ~39, actual 44).  50 slots minus 14
+#:   must-enters minus 4 changed/new leaves 32; ties all at age r11,
+#:   broken ALPHABETICALLY; the 12 overflow names are itemized in the
+#:   r15 note below, with CORRECTNESS_FULL_r14.json (all queries) as
+#:   the compensating evidence meanwhile.
+_R14_ROTATION: dict[str, int] = {
+    # r13-note must-enters (four-rounds-stale otherwise)
+    "session_windows": 23,
+    "simhash_signatures": 23,
+    "sliding_windows": 23,
+    "streaming_bloom_decontaminate": 23,
+    "streaming_dsir_gate": 23,
+    "streaming_hll_windows": 23,
+    "streaming_player_windows": 23,
+    "streaming_segment_dedup": 23,
+    "streaming_stream_join": 23,
+    "temperature_mix_sample": 23,
+    "token_budget_sample": 23,
+    "token_counts": 23,
+    "udtf_sentences": 23,
+    "unigram_lm_scores": 23,
+    # r14 changed-code re-proves + the new registration
+    "streaming_index_upsert": 24,
+    "ivfadc_pruned_search": 24,
+    "ann_filtered_search": 24,
+    "index_lifecycle_end_to_end": 24,
+    # three-round-stale cohort (last driver row r11) — first 32 of 44,
+    # alphabetical (streaming_asof_enrich, streaming_dim_enrich,
+    # streaming_quality_gate and streaming_sentiment_hourly displaced
+    # by the three changed-code re-proves and the capstone
+    # registration)
+    "api_source_reviews": 25,
+    "asof_join_nearest": 25,
+    "blocklist_filter": 25,
+    "bpe_packed_sequences": 25,
+    "cross_split_contamination": 25,
+    "daily_user_rank": 25,
+    "dataset_card": 25,
+    "dedup_canonical_by_pagerank": 25,
+    "dedup_components": 25,
+    "dedup_graph_pagerank": 25,
+    "doc_chunks": 25,
+    "embed_topk_lsh": 25,
+    "gopher_quality_filter": 25,
+    "hash_split_assignments": 25,
+    "hll_user_rollup": 25,
+    "incremental_dedup_status": 25,
+    "kmeans_clusters": 25,
+    "minhash_dedup_resolve": 25,
+    "multimodal_features": 25,
+    "nb_classifier_scores": 25,
+    "nb_threshold_sweep": 25,
+    "pii_redaction": 25,
+    "player_windows": 25,
+    "q1_pricing_summary": 25,
+    "q5_region_revenue": 25,
+    "recent_windows": 25,
+    "repetition_metrics": 25,
+    "rollup_orders": 25,
+    "segment_dedup": 25,
+    "selfsup_prune": 25,
+    "semantic_dedup_resolve": 25,
+    "semi_join_orders": 25,
+}
+
+
+#: r15 ROTATION NOTE (for the next session):
+#: - MUST-ENTER first: the 12 overflow names from the r14 alphabetical
+#:   split of the tied 44-name stale cohort (last driver row r11) —
+#:   they are four-rounds-stale by r15 (sentiment_summary,
+#:   source_capped_sample, sql_interface and streaming_api_source
+#:   displaced by the r14 changed-code re-proves and the
+#:   index_lifecycle_end_to_end registration):
+#:     sentiment_summary, source_capped_sample, sql_interface,
+#:     streaming_api_source, streaming_asof_enrich,
+#:     streaming_dim_enrich, streaming_quality_gate,
+#:     streaming_sentiment_hourly, streaming_session_windows,
+#:     temperature_mix_report, tfidf_top_terms, value_percentiles
+#:   (12 itemized at split time; plus any fills displaced late in
+#:   r14 — re-read the final committed dict, it is the source of truth)
+#:   — full-sweep coverage (CORRECTNESS_FULL_r14.json) is the
+#:   compensating evidence until their r15 driver row lands;
+#: - then any query whose code changes in r15, and any new r15
 #:   registrations, first;
-#: - then the three-round-stale-by-r14 cohort = last GREEN driver row
-#:   r11 and no r13 slot — recompute from CORRECTNESS_r0{11,12,13}.json
-#:   (expect ~39: the r11 window held 50 minus the names repeated in
-#:   r12/r13 — split oldest-first, alphabetical on ties, itemize for
-#:   r15);
+#: - then the three-round-stale-by-r15 cohort = last GREEN driver row
+#:   r12 and no r14 slot — recompute from CORRECTNESS_r0{12,13,14}.json
+#:   (split oldest-first, alphabetical on ties, itemize for r16);
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
@@ -251,7 +246,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R13_ROTATION.get(name, 80)
+        prio = _R14_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -1681,3 +1681,351 @@ def q_streaming_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(silver)
+
+
+def _staged_emb_meta_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the metadata-bearing vector stream source
+    ``(vec_id, embedding, lang)`` once per (sf_dir, content
+    fingerprint) — the ingest feed for the index-lifecycle capstone.
+    Written as 8 files so availableNow with maxFilesPerTrigger=4
+    yields a genuinely multi-epoch (segmented) store.  Fingerprint
+    folds the vector values AND the lang values (the
+    _staged_ivfadc_meta_index_dir rule): regenerating either table is
+    a cache miss."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    src = emb.join(meta, "vec_id")
+    fp = _fingerprint(
+        src,
+        "vec_id",
+        F.xxhash64(F.lit(1), F.col("embedding")),
+        F.xxhash64(F.lit(2), F.col("lang")),
+    )
+    out = os.path.join(tempfile.gettempdir(), f"emb_meta_stream_{tag}_{fp}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        _evict_stale(f"emb_meta_stream_{tag}_", os.path.basename(out))
+        src.repartition(8).write.mode("overwrite").parquet(out)
+    return out
+
+
+#: Lifecycle capstone retrain policy: the TOP_N most-drifted cells
+#: retrain — threshold = the (TOP_N+1)-th highest per-cell mean_err,
+#: flag = strictly above it.  Position-(TOP_N+1)'s VALUE is
+#: tie-break-independent, so driver arithmetic and the oracle's
+#: row_number() agree exactly; boundary ties flag fewer cells on both
+#: sides identically.
+_LIFECYCLE_TOP_N = 3
+_LIFECYCLE_SEG_SCHEMA = (
+    "vec_id bigint, codes array<int>, lang string, epoch int"
+)
+_LIFECYCLE_CELL_SCHEMA = (
+    "vec_id bigint, codes array<int>, lang string, cluster int"
+)
+
+
+def _index_lifecycle_oracle() -> str:
+    """Full relational replay of the index lifecycle's FINAL state:
+    the (global, overrides) artifact set and the filtered pruned probe
+    over it.  The maintained store is provably rebuild-equivalent
+    (stream-upsert exactly-once + compact row-identity + retrain
+    write-then-swap, each pytest-pinned), so the relational spec is:
+    encode the corpus, flag the TOP_N most-drifted cells under the
+    GLOBAL books, RETRAIN those cells' PQ codebooks (the same
+    deterministic integer Lloyd as _pq_train_grid — lowest-vec_id
+    seeding, argmin ties to the lowest code, floor(sum/n) updates,
+    emptied codes keep their previous word — iterations UNROLLED as
+    CTE blocks, the kmeans_clusters oracle pattern), decode every
+    vector under its cell's effective books, and replay the
+    lang-filtered nprobe probe + shortlist + exact re-rank.  Integer
+    end-to-end; floor(sum/n) is floor of IEEE double division of
+    exact integers on both engines (bit-identical below 2^53)."""
+    from .extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        _IVFADC_NPROBE,
+        _PQ_SHORTLIST,
+        _QUERY_IDS,
+    )
+
+    m = len(_IVFADC_CODEBOOKS)
+    sub = 64 // m
+    k_sub = len(_IVFADC_CODEBOOKS[0])
+    iters = 2
+    k = 5
+    n_cells = len(_IVFADC_CENTS)
+    cents = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in c) + "]" for c in _IVFADC_CENTS
+    ) + "]"
+    cb = [
+        "[" + ", ".join(
+            "[" + ", ".join(str(v) for v in c) + "]"
+            for c in _IVFADC_CODEBOOKS[s]
+        ) + "]"
+        for s in range(m)
+    ]
+    d_cols = ", ".join(
+        f"""list_transform({cb[s]}, c -> list_sum(list_transform(
+            range(1, {sub + 1}), j -> (r[{s * sub}+j]-c[j])*(r[{s * sub}+j]-c[j])))) AS d{s}"""
+        for s in range(m)
+    )
+    recon = " || ".join(
+        f"{cb[s]}[list_indexof(d{s}, list_min(d{s}))]" for s in range(m)
+    )
+
+    # unrolled Lloyd iterations: b0 = seeds, b{t} = after iteration t.
+    # Assignment and update are RELATIONAL over (cell, s) group keys —
+    # only the iteration count unrolls.
+    lloyd = ""
+    prev = "seed"
+    for t in range(1, iters + 1):
+        lloyd += f""",
+    a{t} AS (
+      SELECT cell, s, vec_id, x, c FROM (
+        SELECT v.cell, v.s, v.vec_id, v.x, b.c,
+               row_number() OVER (
+                 PARTITION BY v.cell, v.s, v.vec_id
+                 ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (v.x[i]-b.w[i])*(v.x[i]-b.w[i]))), b.c) AS rn
+        FROM sv v JOIN {prev} b ON b.cell = v.cell AND b.s = v.s) z
+      WHERE rn = 1),
+    u{t} AS (
+      SELECT cell, s, c, list(wd ORDER BY i) AS w FROM (
+        SELECT cell, s, c, i.i AS i,
+               CAST(floor(CAST(sum(x[i.i]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS wd
+        FROM a{t}, range(1, {sub + 1}) i(i)
+        GROUP BY cell, s, c, i.i) g
+      GROUP BY cell, s, c),
+    b{t} AS (
+      SELECT p.cell, p.s, p.c, COALESCE(u{t}.w, p.w) AS w
+      FROM {prev} p
+      LEFT JOIN u{t} ON u{t}.cell = p.cell AND u{t}.s = p.s
+                    AND u{t}.c = p.c)"""
+        prev = f"b{t}"
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    asg AS (
+      SELECT vec_id, q,
+             list_transform({cents}, c -> list_sum(list_transform(
+               range(1, 65), i -> (q[i]-c[i])*(q[i]-c[i])))) AS dc
+      FROM qv),
+    cl AS (
+      SELECT vec_id, q, dc,
+             CAST(list_indexof(dc, list_min(dc)) AS INT) AS cell
+      FROM asg),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(range(1, 65),
+               i -> q[i] - list_extract(list_extract({cents}, cell), i)) AS r
+      FROM cl),
+    d AS (SELECT vec_id, cell, r, {d_cols} FROM res),
+    gdec AS (SELECT vec_id, cell, r, ({recon}) AS rr FROM d),
+    e AS (
+      SELECT vec_id, cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (r[i]-rr[i])*(r[i]-rr[i]))) AS err
+      FROM gdec),
+    cs AS (SELECT cell, sum(err) // count(*) AS mean_err
+           FROM e GROUP BY cell),
+    ranked AS (
+      SELECT cell, mean_err,
+             row_number() OVER (ORDER BY mean_err DESC) AS rk
+      FROM cs),
+    thr AS (SELECT COALESCE(
+              (SELECT mean_err FROM ranked
+               WHERE rk = {_LIFECYCLE_TOP_N + 1}), -1) AS t),
+    flag AS (SELECT cell FROM ranked, thr WHERE mean_err > t),
+    sv AS (
+      SELECT e.cell, s.s, e.vec_id,
+             list_transform(range(1, {sub + 1}),
+               i -> e.r[s.s*{sub} + i]) AS x
+      FROM res e
+      JOIN flag f ON f.cell = e.cell,
+      range(0, {m}) s(s)),
+    seed AS (
+      SELECT cell, s, rn AS c, x AS w FROM (
+        SELECT cell, s, x,
+               row_number() OVER (PARTITION BY cell, s
+                                  ORDER BY vec_id) AS rn
+        FROM sv) z
+      WHERE rn <= {k_sub}){lloyd},
+    a_fin AS (
+      SELECT cell, s, vec_id, w FROM (
+        SELECT v.cell, v.s, v.vec_id, b.w,
+               row_number() OVER (
+                 PARTITION BY v.cell, v.s, v.vec_id
+                 ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                   i -> (v.x[i]-b.w[i])*(v.x[i]-b.w[i]))), b.c) AS rn
+        FROM sv v JOIN {prev} b ON b.cell = v.cell AND b.s = v.s) z
+      WHERE rn = 1),
+    rrn AS (
+      SELECT vec_id, flatten(list(w ORDER BY s)) AS rr
+      FROM a_fin GROUP BY vec_id),
+    dec AS (
+      SELECT g.vec_id, g.cell, COALESCE(rn.rr, g.rr) AS rr
+      FROM gdec g LEFT JOIN rrn rn ON rn.vec_id = g.vec_id),
+    qs AS (SELECT vec_id AS query_id, q AS qq, dc FROM cl
+           WHERE vec_id < {len(_QUERY_IDS)}),
+    pr AS (
+      SELECT query_id, j FROM (
+        SELECT query_id, j,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dc[CAST(j AS INT)], j) AS rn
+        FROM qs, range(1, {n_cells + 1}) t(j)) z
+      WHERE rn <= {_IVFADC_NPROBE}),
+    qres AS (
+      SELECT p.query_id, CAST(p.j AS INT) AS cell,
+             list_transform(range(1, 65),
+               i -> s.qq[i]
+                    - list_extract(list_extract({cents}, CAST(p.j AS INT)), i)
+             ) AS qr,
+             s.qq
+      FROM pr p JOIN qs s ON s.query_id = p.query_id),
+    adc AS (
+      SELECT s.query_id, b.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (s.qr[i]-b.rr[i])*(s.qr[i]-b.rr[i]))) AS adc_d
+      FROM dec b JOIN qres s ON s.cell = b.cell
+      WHERE b.vec_id <> s.query_id
+        AND b.vec_id IN (SELECT doc_id FROM documents
+                         WHERE lang = 'en')),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d, vec_id) AS rn
+        FROM adc) t WHERE rn <= {_PQ_SHORTLIST}),
+    ex AS (
+      SELECT sl.query_id, sl.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (s.qq[i]-v.q[i])*(s.qq[i]-v.q[i]))) AS BIGINT) AS sqdist
+      FROM sl
+      JOIN qv v ON v.vec_id = sl.vec_id
+      JOIN (SELECT DISTINCT query_id, qq FROM qres) s
+        ON s.query_id = sl.query_id),
+    rr AS (
+      SELECT query_id, vec_id, sqdist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sqdist, vec_id) AS INT) AS rank
+      FROM ex)
+    SELECT query_id, vec_id, sqdist, rank FROM rr WHERE rank <= {k}
+    """
+
+
+@register(
+    "index_lifecycle_end_to_end",
+    oracle=_index_lifecycle_oracle(),
+    priority=80,
+    doc="Index-lifecycle CAPSTONE (r14, r13 verdict #4 — the "
+    "curation_v2_end_to_end treatment for the ANN side): ONE "
+    "registered query runs the full maintenance loop a live vector "
+    "index ages through.  (1) STREAM-UPSERT: the staged "
+    "(vec_id, embedding, lang) feed ingests exactly-once via "
+    "streaming_upsert_ivfadc_index(meta_cols=('lang',)) — metadata "
+    "lands NEXT TO the codes in (cluster, epoch) segment dirs; "
+    "(2) COMPACT: compact_ivfadc_index rewrites each cell's segments "
+    "into size-targeted epoch-free files (write-then-swap, lang "
+    "preserved); (3) RETRAIN-ON-DRIFT: the TOP_N=3 most-drifted "
+    "cells (threshold = 4th-highest per-cell mean_err, "
+    "tie-break-independent) retrain per-cell PQ codebooks "
+    "(deterministic integer Lloyd) and swap in re-encoded cells, "
+    "metadata joined back; (4) FILTERED PRUNED PROBE: "
+    "ivfadc_search_pruned with cell_codebooks=overrides and the "
+    "lang='en' scan predicate over the maintained store.  Oracle: "
+    "the maintained store is rebuild-equivalent by the pytest-pinned "
+    "lifecycle contracts, so the relational spec replays the FINAL "
+    "(global, overrides) artifact set — drift flagging, the per-cell "
+    "Lloyd retrain (iterations unrolled, (cell, subspace) group "
+    "keys), per-cell decode routing and the filtered probe — "
+    "hash-exact, the first driver-checked surface for the compact + "
+    "retrain maintenance ops.",
+)
+def q_index_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from .extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        _IVFADC_NPROBE,
+        _PQ_SHORTLIST,
+        _QUERY_IDS,
+    )
+
+    src_dir = _staged_emb_meta_stream_dir(spark, sf_dir)
+    stream = file_stream(
+        spark,
+        src_dir,
+        "vec_id long, embedding array<double>, lang string",
+        max_files_per_trigger=4,
+    )
+    work = tempfile.mkdtemp(prefix="idx_lifecycle_")
+    store = os.path.join(work, "index")
+    q = sim.streaming_upsert_ivfadc_index(
+        stream,
+        store,
+        os.path.join(work, "ckpt"),
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        meta_cols=("lang",),
+    )
+    q.awaitTermination()
+    sim.compact_ivfadc_index(
+        spark, store, index_schema=_LIFECYCLE_SEG_SCHEMA
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    rep = sorted(
+        (
+            (int(r["mean_err"]), int(r["cluster"]))
+            for r in sim.ivfadc_distortion_report(
+                emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+            ).collect()
+        ),
+        reverse=True,
+    )
+    thr = rep[_LIFECYCLE_TOP_N][0] if len(rep) > _LIFECYCLE_TOP_N else -1
+    overrides = sim.retrain_ivfadc_on_drift(
+        spark,
+        store,
+        emb,
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        max_mean_err=thr,
+        index_schema=_LIFECYCLE_CELL_SCHEMA,
+    )
+    out = sim.ivfadc_search_pruned(
+        spark,
+        store,
+        emb,
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        query_ids=_QUERY_IDS,
+        k=5,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+        cell_codebooks=overrides,
+        index_schema=_LIFECYCLE_CELL_SCHEMA,
+        extra_filter=F.col("lang") == "en",
+    )
+    # silver staging (the pq_adjudicate pattern): land the bounded
+    # |queries| x k result once per content fingerprint, delete the
+    # per-run store+checkpoint eagerly, return the parquet read
+    tag_fp = os.path.basename(src_dir)[len("emb_meta_stream_"):]
+    silver = os.path.join(
+        tempfile.gettempdir(), f"idx_lifecycle_silver_{tag_fp}"
+    )
+    _evict_stale("idx_lifecycle_silver_", os.path.basename(silver))
+    out.write.mode("overwrite").parquet(silver)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(silver)

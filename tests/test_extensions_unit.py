@@ -3663,53 +3663,24 @@ def test_mmr_diversify_semantics(spark):
         mmr_diversify(df, k=0)
 
 
-def test_r13_rotation_window():
-    """The r13 driver-window invariant, validated by EXECUTING the
+def test_r14_rotation_window():
+    """The r14 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 8 r12-note must-enters ahead of
-    everything, then the 9 changed-code re-proves + 1 new
-    registration, then 32 of the tied 43-name stale cohort under the
-    documented alphabetical split (the 11 overflow names are itemized
-    in the registry's r14 note and must NOT hold a window slot)."""
+    ordered_queries() — the 14 r13-note must-enters ahead of
+    everything, then the 3 changed-code re-proves + 1 new
+    registration, then 32 of the tied 44-name stale cohort under the
+    documented alphabetical split (the 12 overflow names are itemized
+    in the registry's r15 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R13_ROTATION,
+        _R14_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R13_ROTATION) == 50
+    assert len(_R14_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R13_ROTATION)
-    # the 8 four-rounds-stale must-enters lead the window
-    for name in (
-        "streaming_genre_counts",
-        "streaming_running_totals",
-        "streaming_token_budget",
-        "supplier_nation_stats",
-        "top_genres",
-        "top_spenders",
-        "user_value_quartiles",
-        "winnow_fingerprints",
-    ):
-        assert _R13_ROTATION[name] == 23, name
-    # changed-code re-proves + the new registration enter next
-    for name in (
-        "ivfadc_search",
-        "ivfadc_pruned_search",
-        "ivfadc_distortion_report",
-        "pq_search_rerank",
-        "streaming_pq_probe",
-        "hamming_topk",
-        "streaming_pq_adjudicate",
-        "qbc_disagreement",
-        "nb_calibration_report",
-        "streaming_index_upsert",
-        "dedup_edit_verify",
-        "ann_filtered_search",
-        "ivfadc_nprobe_sweep",
-    ):
-        assert _R13_ROTATION[name] == 24, name
-    # the itemized r14 overflow is OUT of the window
+    assert first50 == set(_R14_ROTATION)
+    # the 14 four-rounds-stale must-enters lead the window
     for name in (
         "session_windows",
         "simhash_signatures",
@@ -3726,7 +3697,31 @@ def test_r13_rotation_window():
         "udtf_sentences",
         "unigram_lm_scores",
     ):
-        assert name not in _R13_ROTATION, name
+        assert _R14_ROTATION[name] == 23, name
+    # changed-code re-proves + the new registration enter next
+    for name in (
+        "streaming_index_upsert",
+        "ivfadc_pruned_search",
+        "ann_filtered_search",
+        "index_lifecycle_end_to_end",
+    ):
+        assert _R14_ROTATION[name] == 24, name
+    # the itemized r15 overflow is OUT of the window
+    for name in (
+        "sentiment_summary",
+        "source_capped_sample",
+        "sql_interface",
+        "streaming_api_source",
+        "streaming_asof_enrich",
+        "streaming_dim_enrich",
+        "streaming_quality_gate",
+        "streaming_sentiment_hourly",
+        "streaming_session_windows",
+        "temperature_mix_report",
+        "tfidf_top_terms",
+        "value_percentiles",
+    ):
+        assert name not in _R14_ROTATION, name
         assert name not in first50, name
 
 
@@ -4065,3 +4060,57 @@ def test_ivfadc_nprobe_sweep_contracts(spark):
     full = got[2]
     assert (full["hits"], full["possible"]) == (9, 9)
     assert full["recall_micro"] == 1_000_000
+
+
+def test_ivfadc_operating_point_pin(spark):
+    """r14 (r13 verdict #7): the deployed probe width is a DECISION
+    read off the measured nprobe curve, pinned so a codebook/centroid
+    re-pin that sags recall at the deployed tier — or shifts the knee
+    — fails loudly instead of silently bending the curve.
+
+    Measured at the artifact's own training corpus (sf0.001, where
+    the pinned _IVFADC_CENTS/_IVFADC_CODEBOOKS were derived):
+    recall@5 = 0.84 / 0.88 / 0.90 / 0.94 at nprobe 1/2/4/8 — the
+    curve knees at 4 (doubling stage-1 candidate volume to 8 buys
+    +0.04), and at sf0.1 the 4->8 gain is exactly 0 (0.34 -> 0.34,
+    SCALING.md r14).  nprobe=4 therefore stays the deployed tier for
+    ivfadc_search / ivfadc_pruned_search / ann_filtered_search.  The
+    sf0.01 curve's steeper tail (0.44 -> 0.68) is ARTIFACT DRIFT
+    (books trained at sf0.001 scoring sf0.01 data), which the
+    retrain-on-drift lifecycle remedies — widening every query's
+    probe to paper over stale codebooks would be the wrong knob.
+
+    Pins: recall monotone nondecreasing in nprobe; deployed-tier
+    recall_micro >= 900_000 (the measured value, exact); marginal
+    gain of the next doubling <= 50_000 micro (the knee claim)."""
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+        _IVFADC_NPROBE,
+        _PQ_SHORTLIST,
+        _QUERY_IDS,
+    )
+    from bigdata_20251_steam_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    assert _IVFADC_NPROBE == 4  # the documented operating point
+    curve = {
+        r["nprobe"]: r["recall_micro"]
+        for r in sim.ivfadc_nprobe_sweep(
+            load_table(spark, SF_SMOKE, "embeddings"),
+            _IVFADC_CENTS,
+            _IVFADC_CODEBOOKS,
+            query_ids=_QUERY_IDS,
+            nprobes=(1, 2, 4, 8),
+            k=5,
+            shortlist=_PQ_SHORTLIST,
+        ).collect()
+    }
+    tiers = sorted(curve)
+    assert all(
+        curve[a] <= curve[b] for a, b in zip(tiers, tiers[1:])
+    ), curve
+    assert curve[_IVFADC_NPROBE] >= 900_000, curve
+    assert curve[8] - curve[4] <= 50_000, curve
