@@ -1,0 +1,281 @@
+"""Mergeable log-bucket quantile sketch + banded exact quantiles.
+
+Distributed percentile machinery for corpus profiling at 100 TB, where
+the naive route — a global sort, or Spark's single-reducer
+``percentile`` — is the bottleneck.  Two tiers, both engine-exact:
+
+1. :func:`quantile_sketch` — a DDSketch-flavored (Masson et al.,
+   VLDB 2019) log-bucket histogram over non-negative integer units
+   ("cents").  Bucket id = ``(e, sub)`` where ``e = floor(log2(c))``
+   and ``sub`` splits ``[2^e, 2^{e+1})`` into ``m`` equal integer
+   sub-ranges, giving bounded relative error ``<= 1/m + quantization``.
+   Unlike DDSketch's ``log_gamma`` mapping there is NO float log
+   anywhere: the exponent comes from a literal-folded integer CASE
+   ladder (48 comparisons, whole-stage codegen) and the sub-bucket
+   from 64-bit ``DIV``, so Spark and the DuckDB oracle bucket
+   bit-identically without sharing a libm.  The sketch is a tiny
+   ``(e, sub, cnt)`` frame — one map-side-combined aggregate over the
+   corpus, O(48*m) rows of state, and MERGEABLE (counts add), so
+   per-partition / per-day sketches roll up without touching raw data
+   (pytest pins merge == whole-corpus associativity).
+2. :func:`exact_quantiles_banded` — EXACT discrete quantiles without a
+   global sort: the sketch's buckets double as range bands.  Cumulative
+   bucket counts locate, per requested quantile, the ONE bucket holding
+   the target global rank; only that bucket's rows are re-ranked
+   (window partitioned by bucket, sized by the bucket's count — never
+   the corpus).  Total work = one aggregate + one bucket-filtered
+   re-rank — the prune-and-pick pattern, vs a full shuffle-sort.
+   Skew caveat: a bucket holding a heavy point mass is ranked in one
+   window partition; bucket population (not corpus size) bounds it.
+
+All arithmetic is 64-bit integer (values are quantized to integer
+units by the caller, e.g. ``round(value*100)`` for 2dp currency), so
+every output column hash-matches the oracle exactly — no float
+tolerance anywhere.
+
+No reference counterpart (the reference's analytics layer has no
+quantile machinery); extends SURVEY.md §2's sketch tier (HLL/CMS/
+Bloom) with the quantile axis a training-data profiler needs
+(length/score distribution cuts, mixture calibration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Highest supported exponent: values < 2^48 integer units.  48
+#: literal comparisons fold into one codegen stage; raise if a corpus
+#: ever quantizes beyond ~2.8e14 units.
+MAX_EXP = 48
+
+
+def exp2_floor(c: Column) -> Column:
+    """``floor(log2(c))`` for positive integers — literal CASE ladder.
+
+    Descending ``WHEN c >= 2^e THEN e`` comparisons: pure 64-bit
+    integer compares against literals, so Spark and any SQL oracle
+    agree bit-for-bit (a float ``log2`` could round differently across
+    libms exactly at bucket edges, which is where quantile cuts live).
+    """
+    # built inside-out: the LAST wrap is evaluated FIRST, so ascending
+    # iteration puts the largest exponent outermost (first match wins,
+    # matching the descending CASE ladder in exp2_floor_sql)
+    expr = F.lit(0)
+    for e in range(1, MAX_EXP + 1):
+        expr = F.when(c >= F.lit(1 << e), F.lit(e)).otherwise(expr)
+    return expr
+
+
+def exp2_floor_sql(cexpr: str) -> str:
+    """The oracle-side twin of :func:`exp2_floor` (same ladder)."""
+    whens = "".join(
+        f" WHEN {cexpr} >= {1 << e} THEN {e}" for e in range(MAX_EXP, 0, -1)
+    )
+    return f"(CASE{whens} ELSE 0 END)"
+
+
+def with_log_bucket(
+    df: DataFrame, cents_col: Column, m: int = 16
+) -> DataFrame:
+    """Append ``(c, e, sub)`` to ``df`` — the shared bucketing step.
+
+    ``c`` = the integer units; ``e = floor(log2(c))``; ``sub =
+    ((c - 2^e) * m) DIV 2^e`` splits the octave into ``m`` integer
+    sub-ranges (relative half-width ``<= 1/m``).  ``c = 0`` maps to
+    ``(-1, 0)``.  ``sub`` uses SQL integer ``DIV`` on named columns so
+    the floor semantics are explicit (no float division anywhere);
+    NULL units are dropped (SQL aggregate convention).  Existing
+    columns pass through, so the bucketing composes with windowed /
+    streaming group keys.
+    """
+    step = (
+        df.filter(cents_col.isNotNull())
+        .withColumn("c", cents_col.cast("long"))
+        .withColumn("_e0", exp2_floor(F.col("c")))
+        .withColumn("_lo", F.call_function("shiftleft", F.lit(1).cast("long"), F.col("_e0")))
+    )
+    return (
+        step.withColumn(
+            "e",
+            F.when(F.col("c") <= 0, F.lit(-1)).otherwise(F.col("_e0")),
+        )
+        .withColumn(
+            "sub",
+            F.when(F.col("c") <= 0, F.lit(0))
+            .otherwise(F.expr(f"CAST(((c - _lo) * {m}) DIV _lo AS INT)"))
+            .cast("int"),
+        )
+        .drop("_e0", "_lo")
+    )
+
+
+def log_bucket_sql(cexpr: str, m: int = 16) -> tuple[str, str]:
+    """Oracle-side twin of :func:`with_log_bucket` → (e_expr, sub_expr).
+
+    DuckDB dialect: ``//`` is integer floor division on BIGINT.
+    """
+    e = exp2_floor_sql(cexpr)
+    lo = f"(1::BIGINT << {e})"
+    return (
+        f"(CASE WHEN {cexpr} <= 0 THEN -1 ELSE {e} END)",
+        f"(CASE WHEN {cexpr} <= 0 THEN 0 "
+        f"ELSE CAST((({cexpr} - {lo}) * {m}) // {lo} AS INT) END)",
+    )
+
+
+def bucket_rep_cents(e: Column, sub: Column, m: int = 16) -> Column:
+    """Deterministic representative (lower edge) of bucket ``(e, sub)``.
+
+    ``2^e + (sub * 2^e) DIV m``; the ``(-1, 0)`` zero-bucket reps as 0.
+    The true midpoint would halve worst-case error but the lower edge
+    keeps every output column integer-exact; callers judge by the
+    reported error column.
+    """
+    lo = F.call_function("shiftleft", F.lit(1).cast("long"), e)
+    frac = (sub.cast("long") * lo) - ((sub.cast("long") * lo) % m)
+    return F.when(e < 0, F.lit(0).cast("long")).otherwise(
+        lo + (frac / m).cast("long")
+    )
+
+
+def bucket_rep_sql(eexpr: str, subexpr: str, m: int = 16) -> str:
+    """Oracle-side twin of :func:`bucket_rep_cents`."""
+    lo = f"(1::BIGINT << {eexpr})"
+    return (
+        f"(CASE WHEN {eexpr} < 0 THEN 0 "
+        f"ELSE {lo} + (CAST({subexpr} AS BIGINT) * {lo}) // {m} END)"
+    )
+
+
+def quantile_sketch(
+    df: DataFrame, cents_col: Column, m: int = 16
+) -> DataFrame:
+    """Build the ``(e, sub, cnt)`` log-bucket sketch — ONE aggregate.
+
+    ``cents_col`` must be a non-negative integral column (quantize
+    floats with ``F.round(col*100).cast("long")`` at the call site so
+    the quantization convention is visible next to the data).  The
+    exchange carries at most ``(MAX_EXP+1)*m + 1`` rows after map-side
+    combine, corpus-size independent — the property that makes
+    per-shard sketches mergeable with :func:`merge_sketches`.
+    """
+    return (
+        with_log_bucket(df, cents_col, m)
+        .groupBy("e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches by summing bucket counts (associative, exact)."""
+    if not sketches:
+        raise ValueError("merge_sketches: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("e", "sub").agg(F.sum("cnt").alias("cnt"))
+
+
+def _cum_buckets(sketch: DataFrame) -> DataFrame:
+    """Cumulative counts over buckets in value order (tiny frame).
+
+    The window is partition-less BY DESIGN: its input is the sketch —
+    bounded at ``(MAX_EXP+1)*m + 1`` rows by construction — never the
+    corpus, the same bounded-frame exemption the HLL/CMS reports use.
+    """
+    w = Window.orderBy("e", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sketch.select(
+        "e", "sub", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+
+
+def _rank_targets(sketch: DataFrame, qs: list[int]) -> DataFrame:
+    """``(q_pct, r)`` target global ranks: ``r = ceil(q*n/100)``.
+
+    1-indexed discrete-quantile convention (SQL ``quantile_disc``);
+    integer ceiling via ``(q*n + 99) DIV 100`` — exact, no float.
+    """
+    if not qs:
+        raise ValueError("quantiles: qs must be non-empty")
+    if sorted(set(qs)) != sorted(qs) or not all(1 <= q <= 100 for q in qs):
+        raise ValueError("quantiles: qs must be unique ints in [1, 100]")
+    spark = sketch.sparkSession
+    total = sketch.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs], "q_pct int")
+    return qdf.crossJoin(F.broadcast(total)).select(
+        "q_pct",
+        F.expr("CAST((q_pct * n + 99) DIV 100 AS BIGINT)").alias("r"),
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame, qs: list[int], m: int = 16
+) -> DataFrame:
+    """Estimate discrete quantiles from a sketch → ``(q_pct, sketch_cents)``.
+
+    The estimate is the representative of the first bucket whose
+    cumulative count reaches the target rank.  Joins are against the
+    bounded cum-bucket frame — broadcast nested loops over O(sketch)
+    rows, never the corpus.
+    """
+    cum = _cum_buckets(sketch)
+    targets = _rank_targets(sketch, qs)
+    return (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q_pct")
+        .agg(F.min(F.struct("e", "sub")).alias("b"))
+        .select(
+            "q_pct",
+            bucket_rep_cents(F.col("b.e"), F.col("b.sub"), m).alias(
+                "sketch_cents"
+            ),
+        )
+    )
+
+
+def exact_quantiles_banded(
+    df: DataFrame,
+    cents_col: Column,
+    qs: list[int],
+    m: int = 16,
+) -> DataFrame:
+    """EXACT discrete quantiles via sketch-bucket pruning → no global sort.
+
+    Plan: (1) the sketch aggregate locates, per quantile, the bucket
+    containing global rank ``ceil(q*n/100)`` plus that bucket's rank
+    offset (cum − cnt); (2) rows are re-ranked ONLY inside chosen
+    buckets (broadcast semi-shaped join on ``(e, sub)``, then a window
+    partitioned per quantile over that bucket's rows); (3) the row at
+    ``rank − offset`` is the exact q-th value.  Returns
+    ``(q_pct, exact_cents)``.  Equal values make ``row_number``
+    nondeterministic among THEMSELVES but the value at any rank is
+    unique, so the output is deterministic.
+    """
+    rows = with_log_bucket(df, cents_col, m).select("e", "sub", "c")
+    sketch = rows.groupBy("e", "sub").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = _cum_buckets(sketch)
+    targets = _rank_targets(sketch, qs)
+    chosen = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q_pct", "r")
+        .agg(F.min(F.struct("e", "sub", "cum", "cnt")).alias("b"))
+        .select(
+            "q_pct",
+            F.col("b.e").alias("e"),
+            F.col("b.sub").alias("sub"),
+            (F.col("r") - (F.col("b.cum") - F.col("b.cnt"))).alias(
+                "local_r"
+            ),
+        )
+    )
+    in_band = rows.join(F.broadcast(chosen), ["e", "sub"])
+    w = Window.partitionBy("q_pct").orderBy("c")
+    return (
+        in_band.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("local_r"))
+        .select("q_pct", F.col("c").alias("exact_cents"))
+    )

@@ -312,3 +312,76 @@ def range_join(
         (F.col(start_ts) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_ts))
     )
     return joined.drop("_b")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Collapse a change log into SCD Type-2 validity intervals.
+
+    The dimension-history builder every warehouse needs and Spark has
+    no built-in for (SQL MERGE with history is a Delta/Hudi feature):
+    given per-key observations of an attribute over time, emit one row
+    per RUN of consecutive equal values —
+
+    ``(key, attr, valid_from, valid_to, is_current, n_obs)``
+
+    where ``valid_to`` is the next run's start (NULL on the open,
+    current run) — the classic gaps-and-islands formulation.  Total
+    order within a key is ``(ts, seq)`` with ``seq`` a unique
+    tie-breaker (an event id), so runs are well-defined under equal
+    timestamps and the output is deterministic.
+
+    Plan shape: ONE exchange on ``key`` serves both windows (lag to
+    flag changes, running sum to number islands — same partitioning,
+    same ordering, Spark evaluates them in a single Window node), then
+    the island groupBy reuses that partitioning (no second shuffle of
+    the log; the final lead-over-islands window shuffles only the
+    collapsed O(runs) frame).  State per row is O(1) — no per-key
+    ``collect_list``, so a hot key's history never has to fit in one
+    executor's memory.  NULL attribute values are treated as a regular
+    run value (NULL-safe equality), matching warehouse SCD semantics.
+    """
+    k, a, t, s = F.col(key_col), F.col(attr_col), F.col(ts_col), F.col(seq_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    flagged = df.select(
+        k.alias("key"), a.alias("attr"), t.alias("ts"), s.alias("seq")
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag("attr").over(
+                Window.partitionBy("key").orderBy("ts", "seq")
+            ).eqNullSafe(F.col("attr"))
+            & (F.row_number().over(
+                Window.partitionBy("key").orderBy("ts", "seq")
+            ) > 1),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    del w  # single window spec reused via identical partition+order
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_chg").over(
+            Window.partitionBy("key")
+            .orderBy("ts", "seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("key", "_island").agg(
+        F.min("attr").alias("attr"),  # constant within an island
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w_runs = Window.partitionBy("key").orderBy("_island")
+    return runs.select(
+        "key",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        F.lead("valid_from").over(w_runs).isNull().alias("is_current"),
+        "n_obs",
+    )

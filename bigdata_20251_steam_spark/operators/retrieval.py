@@ -135,3 +135,60 @@ def bm25_scores(
         .otherwise(F.round(score, 6))
         .alias("bm25"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings (Cormack et al. 2009).
+
+    The standard hybrid-retrieval combiner: each input frame is
+    ``(query_id, doc_id, rank)`` from one retrieval tier (lexical BM25,
+    dense ANN, ...); a document's fused score is
+
+        ``rrf_micro = sum over tiers of (1_000_000_000 DIV (c + rank))``
+
+    — the classic ``1/(c+rank)`` in integer micro-units (64-bit DIV),
+    so the fused ordering and the output column are engine-exact with
+    no float summation-order concerns.  A document missing from a tier
+    contributes 0 (the rank-list convention).  Returns the fused
+    ``(query_id, doc_id, rrf_micro, rank)`` top-``k`` per query,
+    ties broken by ``doc_id``.
+
+    Plan shape: tiers are unioned (no join — missing-doc handling falls
+    out of the groupBy), summed per ``(query_id, doc_id)``, then
+    top-k'd.  Input ranks come from per-tier top-N prunes, so every
+    frame here is O(|queries| x N) — the fusion never touches a corpus;
+    at 100 TB the expensive part is the tiers, and they prune before
+    this operator sees a row.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"CAST(1000000000 DIV ({c} + rank) AS BIGINT)").alias(
+                "_rrf"
+            ),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for r in contribs[1:]:
+        allc = allc.unionByName(r)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.sum("_rrf").alias("rrf_micro")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_micro", "rank")
+    )

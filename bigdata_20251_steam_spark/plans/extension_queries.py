@@ -6879,3 +6879,331 @@ def q_ivfadc_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=_PQ_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: quantile sketch, hybrid retrieval fusion, SCD2 change history
+# ---------------------------------------------------------------------------
+
+from ..operators import quantiles as qa  # noqa: E402
+from ..operators.relational_ext import scd2_intervals  # noqa: E402
+from ..operators.retrieval import rrf_fuse  # noqa: E402
+
+_QSK_QS = [1, 5, 25, 50, 75, 90, 95, 99, 100]
+_QSK_M = 16
+_QSK_CENTS_SQL = "CAST(FLOOR(value * 1000) AS BIGINT)"
+
+
+def _value_quantile_sketch_oracle() -> str:
+    e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
+    rep = qa.bucket_rep_sql("e", "sub", _QSK_M)
+    qvals = ", ".join(f"({q})" for q in _QSK_QS)
+    return f"""
+    WITH vals AS (
+      SELECT {_QSK_CENTS_SQL} AS c FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM vals),
+    qs(q_pct) AS (VALUES {qvals}),
+    tgt AS (SELECT CAST(q_pct AS INT) AS q_pct,
+                   (q_pct * n + 99) // 100 AS r FROM qs, tot),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM vals),
+    exact AS (SELECT q_pct, c AS exact_mils FROM tgt
+              JOIN ranked ON rn = r),
+    bux AS (SELECT {e_x} AS e, {sub_x} AS sub, count(*) AS cnt
+            FROM vals GROUP BY 1, 2),
+    cum AS (SELECT e, sub, cnt,
+                   sum(cnt) OVER (ORDER BY e, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bux),
+    hit AS (
+      SELECT q_pct, e, sub FROM (
+        SELECT t.q_pct, c2.e, c2.sub,
+               row_number() OVER (PARTITION BY t.q_pct
+                                  ORDER BY c2.e, c2.sub) AS pick
+        FROM tgt t JOIN cum c2 ON c2.cum >= t.r) z
+      WHERE pick = 1),
+    sk AS (SELECT q_pct, {rep} AS sketch_mils FROM hit)
+    SELECT e.q_pct, e.exact_mils, s.sketch_mils,
+           ABS(e.exact_mils - s.sketch_mils) AS abs_err_mils
+    FROM exact e JOIN sk s USING (q_pct)
+    """
+
+
+@register(
+    "value_quantile_sketch",
+    oracle=_value_quantile_sketch_oracle(),
+    headline=True,
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="Log-bucket quantile sketch vs banded exact quantiles "
+    "(operators/quantiles.py, r14): events.value quantized to integer "
+    "mils (the FLOOR(value*1000) corpus convention), sketched into a "
+    "DDSketch-flavored (e=floor(log2), m=16 sub-buckets) histogram — "
+    "one map-side-combined aggregate whose exchange carries <= "
+    "(48+1)*16+1 rows regardless of corpus size, MERGEABLE by "
+    "count-sum (pytest pins shard-merge == whole-corpus) — and cut at "
+    "9 quantiles; next to it the EXACT discrete quantiles computed "
+    "WITHOUT a global sort by the prune-and-pick pattern: the sketch "
+    "buckets double as range bands, cumulative counts locate the one "
+    "bucket holding each target rank, and only that bucket's rows are "
+    "re-ranked (window sized by bucket population, never the corpus). "
+    "No float log anywhere — the exponent is a literal-folded integer "
+    "CASE ladder, so Spark and DuckDB bucket bit-identically; every "
+    "output column is integer (q_pct, exact_mils, sketch_mils, "
+    "abs_err_mils), hash-exact.  The measured abs_err column IS the "
+    "<=1/m relative-error contract, driver-checked.",
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mils = F.floor(F.col("value") * 1000).cast("long")
+    sk = qa.quantile_sketch(ev, mils, m=_QSK_M)
+    est = qa.sketch_quantiles(sk, _QSK_QS, m=_QSK_M)
+    exact = qa.exact_quantiles_banded(ev, mils, _QSK_QS, m=_QSK_M)
+    return exact.join(est, "q_pct").select(
+        "q_pct",
+        F.col("exact_cents").alias("exact_mils"),
+        F.col("sketch_cents").alias("sketch_mils"),
+        F.abs(F.col("exact_cents") - F.col("sketch_cents")).alias(
+            "abs_err_mils"
+        ),
+    )
+
+
+#: Hybrid-retrieval query bags: query_id = the vec_id whose embedding
+#: is the dense side; terms = the lexical side.  idf pinned from
+#: train_bm25_stats(documents@sf0.001, union of bags) — same corpus
+#: and convention as _BM25_MODEL (n_docs/avgdl identical by
+#: construction, re-derivation pinned by test_hybrid_bm25_provenance).
+_HYBRID_QUERIES: dict[int, list[str]] = {
+    0: ["scan", "merge", "sort"],
+    1: ["vector", "spark", "stream"],
+    2: ["customer", "window", "batch"],
+}
+_HYBRID_IDF_MICRO: dict[str, int] = {
+    "scan": 211485,
+    "merge": 216430,
+    "sort": 218911,
+    "vector": 262065,
+    "spark": 256890,
+    "stream": 238987,
+    "customer": 233930,
+    "window": 206565,
+    "batch": 259474,
+}
+_HYBRID_TIER_N = 20
+_HYBRID_K = 10
+_HYBRID_RRF_C = 60
+
+
+def _hybrid_bm25_score_sql(terms: list[str]) -> str:
+    """BM25 score expression over the oracle's ``scored`` CTE rows."""
+    parts = []
+    for t in terms:
+        tf = f"CAST(len(list_filter(ws, w -> w = {_sq(t)})) AS DOUBLE)"
+        u = _HYBRID_IDF_MICRO[t]
+        parts.append(
+            f"(({u} / 1000000.0) * ({tf} * {_BM25_K1 + 1.0!r})"
+            f" / ({tf} + norm))"
+        )
+    return "\n             + ".join(parts)
+
+
+def _hybrid_rrf_oracle() -> str:
+    avgdl = _BM25_MODEL["avgdl_micro"]
+    lex_selects = "\n      UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id, "
+        f"round({_hybrid_bm25_score_sql(terms)}, 6) AS bm25 FROM scored"
+        for qid, terms in sorted(_HYBRID_QUERIES.items())
+    )
+    qids = ", ".join(str(q) for q in sorted(_HYBRID_QUERIES))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT doc_id, ws,
+             {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+               + {_BM25_B!r} * CAST(len(ws) AS DOUBLE)
+                 / ({avgdl} / 1000000.0)) AS norm
+      FROM toks WHERE len(ws) > 0),
+    lex AS (
+      {lex_selects}),
+    lexr AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM lex WHERE doc_id <> query_id),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base
+          WHERE vec_id IN ({qids})),
+    den AS (
+      SELECT q.query_id, b.vec_id AS doc_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos
+      FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+    denr AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM den),
+    contrib AS (
+      SELECT query_id, doc_id,
+             1000000000 // ({_HYBRID_RRF_C} + rank) AS rrf
+      FROM lexr WHERE rank <= {_HYBRID_TIER_N}
+      UNION ALL
+      SELECT query_id, doc_id,
+             1000000000 // ({_HYBRID_RRF_C} + rank)
+      FROM denr WHERE rank <= {_HYBRID_TIER_N}),
+    fused AS (
+      SELECT query_id, doc_id, CAST(sum(rrf) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_micro DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM fused
+    QUALIFY rank <= {_HYBRID_K}
+    """
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_hybrid_rrf_oracle(),
+    headline=True,
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="Hybrid retrieval with reciprocal-rank fusion "
+    "(operators/retrieval.py:rrf_fuse, Cormack et al. 2009 — the "
+    "standard lexical+dense combiner behind RAG retrieval stacks): "
+    "per hybrid query (a pinned term bag + the same id's embedding), "
+    "tier 1 scores BM25 for ALL query bags in ONE corpus scan (the "
+    "per-bag scores stack through an exploded struct array — no "
+    "per-query re-scan) and top-20s per query via the salted "
+    "two-stage rank; tier 2 is the exact-cosine top-20 (broadcast "
+    "query frame, corpus never shuffles).  Fusion unions the tiers "
+    "and sums 1e9 DIV (60+rank) integer micro-contributions per "
+    "(query, doc) — missing-from-a-tier contributes 0, no join — then "
+    "cuts the fused top-10.  Integer fusion scores and pinned idf "
+    "micro-nats make every stage engine-exact; the oracle replays "
+    "both tiers and the fusion relationally.  At 100 TB the corpus "
+    "cost is the two tier scans (both pruned before fusion: fusion "
+    "sees O(|queries| x 20 x 2) rows only).",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import _toks
+    from ..operators.similarity import _topk_per_query, cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    avgdl = float(_BM25_MODEL["avgdl_micro"]) / 1e6
+    dl = F.size(F.col("_toks")).cast("double")
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * dl / F.lit(avgdl)
+    )
+    def _term_eq(term: str):
+        # NOT a default-arg lambda: a 2-param lambda would be treated
+        # by F.filter as (element, index) and shadow the bound term
+        def _pred(w):
+            return w == F.lit(term)
+
+        return _pred
+
+    entries = []
+    for qid, terms in sorted(_HYBRID_QUERIES.items()):
+        score = None
+        for t in terms:
+            tf = F.size(
+                F.filter(F.col("_toks"), _term_eq(t))
+            ).cast("double")
+            part = (
+                F.lit(float(_HYBRID_IDF_MICRO[t]) / 1e6)
+                * (tf * F.lit(_BM25_K1 + 1.0))
+                / (tf + norm)
+            )
+            score = part if score is None else score + part
+        entries.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(score, 6).alias("bm25"),
+            )
+        )
+    lex_scored = (
+        base.select(
+            F.col("doc_id").alias("vec_id"),
+            F.explode(F.array(*entries)).alias("_q"),
+        )
+        .select(
+            F.col("_q.query_id").alias("query_id"),
+            "vec_id",
+            F.col("_q.bm25").alias("bm25"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    lex_rank = _topk_per_query(
+        lex_scored, _HYBRID_TIER_N, order_col="bm25"
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    dense_rank = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=sorted(_HYBRID_QUERIES),
+        k=_HYBRID_TIER_N,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [lex_rank, dense_rank], k=_HYBRID_K, c=_HYBRID_RRF_C
+    )
+
+
+@register(
+    "scd2_event_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+                       AND row_number() OVER w > 1
+                  THEN 0 ELSE 1 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    i AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM o),
+    runs AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+      FROM i GROUP BY 1, 2),
+    fin AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY island) AS valid_to,
+             n_obs
+      FROM runs)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current, n_obs
+    FROM fin
+    """,
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="SCD Type-2 change history "
+    "(operators/relational_ext.py:scd2_intervals, r14): the "
+    "dimension-history builder — each user's event-type run-lengths "
+    "collapse into validity intervals (valid_from, valid_to, "
+    "is_current, n_obs) via the gaps-and-islands formulation, the "
+    "capability a warehouse gets from Delta/Hudi MERGE-with-history "
+    "and core Spark lacks.  ONE exchange on user_id serves the "
+    "change-flag lag, the island running sum AND the island groupBy "
+    "(hashpartitioning(user_id) satisfies the (user_id, island) "
+    "clustering); only the collapsed O(runs) frame shuffles again for "
+    "the lead.  Total order within a key is (ts, event_id) — unique "
+    "tie-break, so runs and the output are deterministic.  No per-key "
+    "collect: a hot user's history never has to fit in one executor.",
+)
+def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_obs",
+    )

@@ -139,11 +139,11 @@ def oracle_map() -> dict[str, str]:
 #:     index_lifecycle_end_to_end — NEW r14 capstone registration
 #:       (stream-upsert -> compact -> retrain-on-drift -> filtered
 #:       pruned probe, full relational oracle);
-#: - 25: 32 of the 44-name three-round-stale cohort (last GREEN driver
+#: - 25: 28 of the 44-name three-round-stale cohort (last GREEN driver
 #:   row r11, no r12/r13 slot; recomputed from the committed JSONs —
 #:   the r13 note predicted ~39, actual 44).  50 slots minus 14
-#:   must-enters minus 4 changed/new leaves 32; ties all at age r11,
-#:   broken ALPHABETICALLY; the 12 overflow names are itemized in the
+#:   must-enters minus 8 changed/new leaves 28; ties all at age r11,
+#:   broken ALPHABETICALLY; the 16 overflow names are itemized in the
 #:   r15 note below, with CORRECTNESS_FULL_r14.json (all queries) as
 #:   the compensating evidence meanwhile.
 _R14_ROTATION: dict[str, int] = {
@@ -162,11 +162,20 @@ _R14_ROTATION: dict[str, int] = {
     "token_counts": 23,
     "udtf_sentences": 23,
     "unigram_lm_scores": 23,
-    # r14 changed-code re-proves + the new registration
+    # r14 changed-code re-proves + the new registrations (the second
+    # r14 batch added value_quantile_sketch / hybrid_rrf_search /
+    # scd2_event_history / streaming_quantile_sketch — each displaced
+    # an alphabetically-last in-window stale fill into the r15
+    # overflow: segment_dedup, selfsup_prune, semantic_dedup_resolve,
+    # semi_join_orders)
     "streaming_index_upsert": 24,
     "ivfadc_pruned_search": 24,
     "ann_filtered_search": 24,
     "index_lifecycle_end_to_end": 24,
+    "value_quantile_sketch": 24,
+    "hybrid_rrf_search": 24,
+    "scd2_event_history": 24,
+    "streaming_quantile_sketch": 24,
     # three-round-stale cohort (last driver row r11) — first 32 of 44,
     # alphabetical (streaming_asof_enrich, streaming_dim_enrich,
     # streaming_quality_gate and streaming_sentiment_hourly displaced
@@ -200,22 +209,22 @@ _R14_ROTATION: dict[str, int] = {
     "recent_windows": 25,
     "repetition_metrics": 25,
     "rollup_orders": 25,
-    "segment_dedup": 25,
-    "selfsup_prune": 25,
-    "semantic_dedup_resolve": 25,
-    "semi_join_orders": 25,
 }
 
 
 #: r15 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 12 overflow names from the r14 alphabetical
+#: - MUST-ENTER first: the 16 overflow names from the r14 alphabetical
 #:   split of the tied 44-name stale cohort (last driver row r11) —
 #:   they are four-rounds-stale by r15 (sentiment_summary,
 #:   source_capped_sample, sql_interface and streaming_api_source
 #:   displaced by the r14 changed-code re-proves and the
-#:   index_lifecycle_end_to_end registration):
-#:     sentiment_summary, source_capped_sample, sql_interface,
-#:     streaming_api_source, streaming_asof_enrich,
+#:   index_lifecycle_end_to_end registration; segment_dedup,
+#:   selfsup_prune, semantic_dedup_resolve and semi_join_orders by the
+#:   second r14 batch's four new registrations — value_quantile_sketch,
+#:   hybrid_rrf_search, scd2_event_history, streaming_quantile_sketch):
+#:     segment_dedup, selfsup_prune, semantic_dedup_resolve,
+#:     semi_join_orders, sentiment_summary, source_capped_sample,
+#:     sql_interface, streaming_api_source, streaming_asof_enrich,
 #:     streaming_dim_enrich, streaming_quality_gate,
 #:     streaming_sentiment_hourly, streaming_session_windows,
 #:     temperature_mix_report, tfidf_top_terms, value_percentiles

@@ -2029,3 +2029,60 @@ def q_index_lifecycle_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(silver)
+
+
+# ---------------------------------------------------------------------------
+# r14: streaming quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _streaming_quantile_sketch_oracle() -> str:
+    from ..operators import quantiles as qa
+
+    e_x, sub_x = qa.log_bucket_sql("CAST(FLOOR(value * 1000) AS BIGINT)", 16)
+    return f"""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           {e_x} AS e, {sub_x} AS sub,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "streaming_quantile_sketch",
+    oracle=_streaming_quantile_sketch_oracle(),
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="STREAMING windowed log-bucket quantile sketch "
+    "(operators/quantiles.py composed with watermarked 1-hour "
+    "tumbling windows, complete mode): per-window (e, sub) bucket "
+    "counts — the value-distribution telemetry a 100 TB event stream "
+    "serves without keeping raw values in state.  State per window is "
+    "the bucket frame, bounded at (48+1)*16+1 counters by "
+    "construction (the HLL-windows argument: exact per-window "
+    "percentiles are unsupported on streams precisely because their "
+    "state is unbounded; the sketch's is not).  Downstream, "
+    "sketch_quantiles cuts any percentile from the stored counts and "
+    "windows MERGE by count-sum into daily/weekly rollups without "
+    "reprocessing.  Unlike the HLL estimate the bucket counts are "
+    "DETERMINISTIC, so the oracle replays the full streamed output "
+    "relationally (time_bucket x the same integer CASE-ladder "
+    "bucketing), hash-exact — no tolerance flag needed.",
+)
+def q_streaming_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import quantiles as qa
+
+    src_dir = _staged_events_dir(spark, sf_dir)
+    stream = file_stream(spark, src_dir, EVENTS_STREAM_SCHEMA)
+    mils = F.floor(F.col("value") * 1000).cast("long")
+    bucketed = qa.with_log_bucket(
+        stream.withWatermark("ts", "10 minutes"), mils, m=16
+    )
+    agg = (
+        bucketed.groupBy(F.window("ts", "1 hour").alias("w"), "e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "e", "sub", "cnt")
+    )
+    return run_available_now(agg, output_mode="complete")

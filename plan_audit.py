@@ -158,6 +158,26 @@ WHITELIST: dict[tuple[str, str], str] = {
         "embed_topk shape); the MMR greedy itself is a single bounded "
         "groupBy aggregation, no join"
     ),
+    ("index_lifecycle_end_to_end", "BroadcastNestedLoopJoin"): (
+        "the capstone's final probe IS ann_filtered_search's shape: "
+        "broadcast of the bounded (loudly capped) query+probe-list "
+        "frame onto the PARTITION-PRUNED maintained-store scan "
+        "(array_contains(probes, cluster) non-equi routing predicate); "
+        "maintenance stages (upsert/compact/retrain) execute before "
+        "the returned frame and join equi/broadcast-bounded only"
+    ),
+    ("value_quantile_sketch", "BroadcastNestedLoopJoin"): (
+        "quantile-target frames join the broadcast cum-bucket frame "
+        "on cum >= r (non-equi BY DESIGN — the bucket-locate step); "
+        "both sides bounded by construction: |qs| = 9 rows x the "
+        "sketch's <= (48+1)*16+1 buckets, never the corpus"
+    ),
+    ("hybrid_rrf_search", "BroadcastNestedLoopJoin"): (
+        "broadcast of the 3-row query-vector frame onto the dense "
+        "cosine scan (vec_id <> query_id non-equi — the embed_topk "
+        "shape); the lexical tier and the fusion are scan + "
+        "equi-groupBy only"
+    ),
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")

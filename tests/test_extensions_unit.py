@@ -3668,10 +3668,11 @@ def test_r14_rotation_window():
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
     ordered_queries() — the 14 r13-note must-enters ahead of
-    everything, then the 3 changed-code re-proves + 1 new
-    registration, then 32 of the tied 44-name stale cohort under the
-    documented alphabetical split (the 12 overflow names are itemized
-    in the registry's r15 note and must NOT hold a window slot)."""
+    everything, then the 3 changed-code re-proves + 5 new
+    registrations (index_lifecycle capstone + the second-batch four),
+    then 28 of the tied 44-name stale cohort under the documented
+    alphabetical split (the 16 overflow names are itemized in the
+    registry's r15 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R14_ROTATION,
         ordered_queries,
@@ -3698,16 +3699,24 @@ def test_r14_rotation_window():
         "unigram_lm_scores",
     ):
         assert _R14_ROTATION[name] == 23, name
-    # changed-code re-proves + the new registration enter next
+    # changed-code re-proves + the new registrations enter next
     for name in (
         "streaming_index_upsert",
         "ivfadc_pruned_search",
         "ann_filtered_search",
         "index_lifecycle_end_to_end",
+        "value_quantile_sketch",
+        "hybrid_rrf_search",
+        "scd2_event_history",
+        "streaming_quantile_sketch",
     ):
         assert _R14_ROTATION[name] == 24, name
     # the itemized r15 overflow is OUT of the window
     for name in (
+        "segment_dedup",
+        "selfsup_prune",
+        "semantic_dedup_resolve",
+        "semi_join_orders",
         "sentiment_summary",
         "source_capped_sample",
         "sql_interface",

@@ -1,0 +1,199 @@
+"""Unit tests for the r14 additions: log-bucket quantile sketch +
+banded exact quantiles (operators/quantiles.py), reciprocal-rank
+fusion (operators/retrieval.py:rrf_fuse), and SCD Type-2 intervals
+(operators/relational_ext.py:scd2_intervals)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_20251_steam_spark.operators import quantiles as qa
+from bigdata_20251_steam_spark.operators.relational_ext import scd2_intervals
+from bigdata_20251_steam_spark.operators.retrieval import rrf_fuse
+from bigdata_20251_steam_spark.sources.batch import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_exp2_floor_ladder(spark):
+    """The integer CASE ladder equals floor(log2) across octave edges —
+    the exact boundary values where a float log2 would be at risk."""
+    vals = [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 255, 256, 257]
+    vals += [2**20 - 1, 2**20, 2**20 + 1, 2**47, 2**48 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = {
+        r["c"]: r["e"]
+        for r in df.select("c", qa.exp2_floor(F.col("c")).alias("e")).collect()
+    }
+    for v in vals:
+        assert got[v] == int(math.floor(math.log2(v))), v
+
+
+def test_log_bucket_zero_and_sub_ranges(spark):
+    """c=0 maps to (-1, 0); sub splits each octave into m integer
+    sub-ranges with the DIV floor convention."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (16,), (17,), (23,), (24,), (31,)], "c long"
+    )
+    rows = {
+        r["c"]: (r["e"], r["sub"])
+        for r in qa.with_log_bucket(df, F.col("c"), m=16)
+        .select("c", "e", "sub")
+        .collect()
+    }
+    assert rows[0] == (-1, 0)
+    assert rows[1] == (0, 0)
+    # octave [16, 32) with m=16: one integer per sub-bucket
+    assert rows[16] == (4, 0)
+    assert rows[17] == (4, 1)
+    assert rows[23] == (4, 7)
+    assert rows[24] == (4, 8)
+    assert rows[31] == (4, 15)
+
+
+def test_quantile_sketch_merge_associative(spark):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the mergeability
+    contract that lets per-shard/per-day sketches roll up."""
+    a = spark.range(0, 500).select((F.col("id") * 3 + 1).alias("c"))
+    b = spark.range(0, 300).select((F.col("id") * 7 + 2).alias("c"))
+    merged = qa.merge_sketches(
+        qa.quantile_sketch(a, F.col("c")), qa.quantile_sketch(b, F.col("c"))
+    )
+    whole = qa.quantile_sketch(
+        a.unionByName(b), F.col("c")
+    )
+    m = {(r["e"], r["sub"]): r["cnt"] for r in merged.collect()}
+    w = {(r["e"], r["sub"]): r["cnt"] for r in whole.collect()}
+    assert m == w
+
+
+def test_exact_banded_matches_sorted_and_sketch_error_bound(spark):
+    """exact_quantiles_banded equals the driver-side sorted answer at
+    every requested quantile, and the sketch estimate (bucket lower
+    edge) brackets it from below within one bucket width."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    mils = F.floor(F.col("value") * 1000).cast("long")
+    qs = [1, 5, 25, 50, 75, 90, 95, 99, 100]
+    got = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(ev, mils, qs, m=16).collect()
+    }
+    vals = sorted(
+        r["c"]
+        for r in ev.filter(F.col("value").isNotNull())
+        .select(mils.alias("c"))
+        .collect()
+    )
+    n = len(vals)
+    for q in qs:
+        r = (q * n + 99) // 100
+        assert got[q] == vals[r - 1], (q, got[q], vals[r - 1])
+    est = {
+        r["q_pct"]: r["sketch_cents"]
+        for r in qa.sketch_quantiles(
+            qa.quantile_sketch(ev, mils, m=16), qs, m=16
+        ).collect()
+    }
+    for q in qs:
+        lo_edge = est[q]
+        exact = got[q]
+        assert lo_edge <= exact, (q, lo_edge, exact)
+        # upper edge of the chosen bucket: lower + 2^e/m + 1 slack for
+        # the integer-division floor of the sub-bucket width
+        e = int(math.floor(math.log2(lo_edge))) if lo_edge > 0 else 0
+        width = max(1, (1 << e) // 16) + 1
+        assert exact <= lo_edge + width, (q, lo_edge, exact)
+
+
+def test_rrf_fuse_hand(spark):
+    """Hand-checkable fusion: doc present in both tiers beats a doc
+    with one better single-tier rank; missing-from-a-tier contributes
+    zero; integer micro scores match 1e9 DIV (c+rank)."""
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2), (0, 13, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    out = {
+        r["doc_id"]: (r["rrf_micro"], r["rank"])
+        for r in rrf_fuse([lex, den], k=4, c=60).collect()
+    }
+    s = lambda rk: 1_000_000_000 // (60 + rk)  # noqa: E731
+    assert out[11] == (s(2) + s(1), 1)  # both tiers, best combined
+    assert out[12] == (s(3) + s(2), 2)
+    assert out[10] == (s(1), 3)  # lexical only
+    assert out[13] == (s(3), 4)  # dense only
+    # tie-break determinism: equal scores order by doc_id
+    assert out[10][0] > out[13][0]
+
+
+def test_scd2_intervals_hand(spark):
+    """Gaps-and-islands semantics: runs collapse, re-appearing values
+    open NEW intervals, valid_to chains to the next run's start,
+    equal timestamps break ties by seq, NULL attrs form runs."""
+    rows = [
+        # user 1: a a b a  (b interrupts, a re-opens)
+        (1, "a", 100, 1),
+        (1, "a", 200, 2),
+        (1, "b", 300, 3),
+        (1, "a", 400, 4),
+        # user 2: tie timestamps — seq orders x before y
+        (2, "x", 100, 1),
+        (2, "y", 100, 2),
+        # user 3: NULL run then value
+        (3, None, 100, 1),
+        (3, None, 200, 2),
+        (3, "z", 300, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, attr string, ts long, seq int"
+    )
+    out = scd2_intervals(df, "user_id", "attr", "ts", "seq")
+    got = {
+        (
+            r["key"],
+            r["attr"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+            r["n_obs"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 100, 300, False, 2),
+        (1, "b", 300, 400, False, 1),
+        (1, "a", 400, None, True, 1),
+        (2, "x", 100, 100, False, 1),
+        (2, "y", 100, None, True, 1),
+        (3, None, 100, 300, False, 2),
+        (3, "z", 300, None, True, 1),
+    }
+
+
+def test_hybrid_bm25_provenance(spark):
+    """The pinned _HYBRID_IDF_MICRO artifact re-derives bit-for-bit
+    from its documented provenance (sf0.001 documents, the nine hybrid
+    query terms) and shares _BM25_MODEL's corpus scalars — the
+    NB-weights artifact discipline."""
+    from bigdata_20251_steam_spark.operators.retrieval import (
+        train_bm25_stats,
+    )
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _BM25_MODEL,
+        _HYBRID_IDF_MICRO,
+        _HYBRID_QUERIES,
+    )
+
+    terms = sorted({t for ts in _HYBRID_QUERIES.values() for t in ts})
+    assert sorted(_HYBRID_IDF_MICRO) == terms
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = train_bm25_stats(docs, terms)
+    assert got["n_docs"] == _BM25_MODEL["n_docs"]
+    assert got["avgdl_micro"] == _BM25_MODEL["avgdl_micro"]
+    assert got["idf_micro"] == _HYBRID_IDF_MICRO
