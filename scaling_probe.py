@@ -147,6 +147,13 @@ PROBES = [
     # (tiers explode over one decoded-snapshot scan)
     "ann_filtered_search",
     "ivfadc_nprobe_sweep",
+    # round-14: the sketch-aggregate + prune-and-pick quantile pair
+    # (data term = two scans + a bounded-bucket re-rank), the one-scan
+    # multi-bag lexical tier + broadcast dense tier + bounded fusion,
+    # and the single-exchange gaps-and-islands interval collapse
+    "value_quantile_sketch",
+    "hybrid_rrf_search",
+    "scd2_event_history",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -225,6 +232,9 @@ PROBE_TABLES = {
     "ivfadc_distortion_report": {"embeddings"},
     "ann_filtered_search": {"embeddings", "documents"},
     "ivfadc_nprobe_sweep": {"embeddings"},
+    "value_quantile_sketch": {"events"},
+    "hybrid_rrf_search": {"documents", "embeddings"},
+    "scd2_event_history": {"events"},
 }
 
 

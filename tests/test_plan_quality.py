@@ -1004,3 +1004,46 @@ def test_ann_filtered_search_filter_pushed_to_scan(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
         plan
     )
+
+
+def test_value_quantile_sketch_no_global_sort(spark):
+    """The prune-and-pick exact-quantile plan NEVER range-partitions:
+    no global sort of the corpus anywhere — that is the operator's
+    point (sorts happen only inside bucket-bounded window partitions
+    and the bounded cum-bucket frame)."""
+    from bigdata_20251_steam_spark.plans.registry import QUERIES
+
+    df = QUERIES["value_quantile_sketch"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_scd2_single_corpus_exchange(spark):
+    """ONE hashpartitioning exchange of the event log serves the
+    change-flag lag window, the island running sum AND the island
+    groupBy (hashpartitioning(user_id) satisfies the (user_id, island)
+    clustering), and the collapsed-runs lead window reuses it too —
+    the docstring's single-exchange claim, plan-pinned."""
+    import re
+
+    from bigdata_20251_steam_spark.plans.registry import QUERIES
+
+    df = QUERIES["scd2_event_history"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert len(exchanges) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_hybrid_lexical_tier_single_documents_scan(spark):
+    """ALL query bags score in ONE documents scan (the exploded struct
+    array), and the corpus reaches the fused rank only through the
+    per-tier top-N prunes — no per-bag re-scan."""
+    import re
+
+    from bigdata_20251_steam_spark.plans.registry import QUERIES
+
+    df = QUERIES["hybrid_rrf_search"].fn(spark, SF_SMOKE)
+    plan = _final_plan(df)
+    doc_scans = re.findall(r"FileScan parquet[^\n]*documents", plan)
+    assert len(doc_scans) == 1, plan
