@@ -150,51 +150,69 @@ def bucket_rep_sql(eexpr: str, subexpr: str, m: int = 16) -> str:
 
 
 def quantile_sketch(
-    df: DataFrame, cents_col: Column, m: int = 16
+    df: DataFrame,
+    cents_col: Column,
+    m: int = 16,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Build the ``(e, sub, cnt)`` log-bucket sketch — ONE aggregate.
+    """Build the ``(*group_cols, e, sub, cnt)`` log-bucket sketch.
 
     ``cents_col`` must be a non-negative integral column (quantize
-    floats with ``F.round(col*100).cast("long")`` at the call site so
-    the quantization convention is visible next to the data).  The
-    exchange carries at most ``(MAX_EXP+1)*m + 1`` rows after map-side
-    combine, corpus-size independent — the property that makes
-    per-shard sketches mergeable with :func:`merge_sketches`.
+    floats with ``F.floor(col*1000).cast("long")`` at the call site so
+    the quantization convention is visible next to the data).  ONE
+    aggregate; the exchange carries at most ``(MAX_EXP+1)*m + 1`` rows
+    PER GROUP after map-side combine, corpus-size independent — the
+    property that makes per-shard sketches mergeable with
+    :func:`merge_sketches`.  ``group_cols`` keys the sketch by
+    low-cardinality telemetry dimensions (source, lang, day); the
+    grouped frames stay bounded at ``|groups| x sketch`` rows.
     """
     return (
         with_log_bucket(df, cents_col, m)
-        .groupBy("e", "sub")
+        .groupBy(*group_cols, "e", "sub")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def merge_sketches(*sketches: DataFrame) -> DataFrame:
+def merge_sketches(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Merge sketches by summing bucket counts (associative, exact)."""
     if not sketches:
         raise ValueError("merge_sketches: need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("e", "sub").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*group_cols, "e", "sub").agg(
+        F.sum("cnt").alias("cnt")
+    )
 
 
-def _cum_buckets(sketch: DataFrame) -> DataFrame:
+def _cum_buckets(
+    sketch: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Cumulative counts over buckets in value order (tiny frame).
 
-    The window is partition-less BY DESIGN: its input is the sketch —
-    bounded at ``(MAX_EXP+1)*m + 1`` rows by construction — never the
-    corpus, the same bounded-frame exemption the HLL/CMS reports use.
+    Ungrouped, the window is partition-less BY DESIGN: its input is
+    the sketch — bounded at ``(MAX_EXP+1)*m + 1`` rows by construction
+    — never the corpus, the same bounded-frame exemption the HLL/CMS
+    reports use.  Grouped, it partitions by the group keys.
     """
-    w = Window.orderBy("e", "sub").rowsBetween(
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window
+    ).orderBy("e", "sub").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return sketch.select(
-        "e", "sub", "cnt", F.sum("cnt").over(w).alias("cum")
+        *group_cols, "e", "sub", "cnt", F.sum("cnt").over(w).alias("cum")
     )
 
 
-def _rank_targets(sketch: DataFrame, qs: list[int]) -> DataFrame:
-    """``(q_pct, r)`` target global ranks: ``r = ceil(q*n/100)``.
+def _rank_targets(
+    sketch: DataFrame, qs: list[int], group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(*group_cols, q_pct, r)`` targets: ``r = ceil(q*n/100)`` with
+    ``n`` the (per-group) row count.
 
     1-indexed discrete-quantile convention (SQL ``quantile_disc``);
     integer ceiling via ``(q*n + 99) DIV 100`` — exact, no float.
@@ -204,31 +222,44 @@ def _rank_targets(sketch: DataFrame, qs: list[int]) -> DataFrame:
     if sorted(set(qs)) != sorted(qs) or not all(1 <= q <= 100 for q in qs):
         raise ValueError("quantiles: qs must be unique ints in [1, 100]")
     spark = sketch.sparkSession
-    total = sketch.agg(F.sum("cnt").alias("n"))
+    total = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
     qdf = spark.createDataFrame([(int(q),) for q in qs], "q_pct int")
     return qdf.crossJoin(F.broadcast(total)).select(
+        *group_cols,
         "q_pct",
         F.expr("CAST((q_pct * n + 99) DIV 100 AS BIGINT)").alias("r"),
     )
 
 
 def sketch_quantiles(
-    sketch: DataFrame, qs: list[int], m: int = 16
+    sketch: DataFrame,
+    qs: list[int],
+    m: int = 16,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Estimate discrete quantiles from a sketch → ``(q_pct, sketch_cents)``.
+    """Estimate discrete quantiles from a sketch →
+    ``(*group_cols, q_pct, sketch_cents)``.
 
     The estimate is the representative of the first bucket whose
     cumulative count reaches the target rank.  Joins are against the
-    bounded cum-bucket frame — broadcast nested loops over O(sketch)
-    rows, never the corpus.
+    bounded cum-bucket frame — broadcast (grouped: equi on the group
+    keys + the non-equi rank residual), never the corpus.
     """
-    cum = _cum_buckets(sketch)
-    targets = _rank_targets(sketch, qs)
+    cum = _cum_buckets(sketch, group_cols)
+    targets = _rank_targets(sketch, qs, group_cols)
+    cond = F.col("cum") >= F.col("r")
+    if group_cols:
+        joined = targets.join(
+            F.broadcast(cum),
+            on=[*group_cols],
+        ).filter(cond)
+    else:
+        joined = targets.join(F.broadcast(cum), cond)
     return (
-        targets.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
-        .groupBy("q_pct")
+        joined.groupBy(*group_cols, "q_pct")
         .agg(F.min(F.struct("e", "sub")).alias("b"))
         .select(
+            *group_cols,
             "q_pct",
             bucket_rep_cents(F.col("b.e"), F.col("b.sub"), m).alias(
                 "sketch_cents"
@@ -242,28 +273,40 @@ def exact_quantiles_banded(
     cents_col: Column,
     qs: list[int],
     m: int = 16,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT discrete quantiles via sketch-bucket pruning → no global sort.
 
-    Plan: (1) the sketch aggregate locates, per quantile, the bucket
-    containing global rank ``ceil(q*n/100)`` plus that bucket's rank
+    Plan: (1) the sketch aggregate locates, per (group, quantile), the
+    bucket containing rank ``ceil(q*n/100)`` plus that bucket's rank
     offset (cum − cnt); (2) rows are re-ranked ONLY inside chosen
-    buckets (broadcast semi-shaped join on ``(e, sub)``, then a window
-    partitioned per quantile over that bucket's rows); (3) the row at
-    ``rank − offset`` is the exact q-th value.  Returns
-    ``(q_pct, exact_cents)``.  Equal values make ``row_number``
-    nondeterministic among THEMSELVES but the value at any rank is
-    unique, so the output is deterministic.
+    buckets (broadcast join on ``(*group_cols, e, sub)``, then a window
+    partitioned per (group, quantile) over that bucket's rows); (3) the
+    row at ``rank − offset`` is the exact q-th value.  Returns
+    ``(*group_cols, q_pct, exact_cents)``.  Equal values make
+    ``row_number`` nondeterministic among THEMSELVES but the value at
+    any rank is unique, so the output is deterministic.
     """
-    rows = with_log_bucket(df, cents_col, m).select("e", "sub", "c")
-    sketch = rows.groupBy("e", "sub").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = _cum_buckets(sketch)
-    targets = _rank_targets(sketch, qs)
+    rows = with_log_bucket(df, cents_col, m).select(
+        *group_cols, "e", "sub", "c"
+    )
+    sketch = rows.groupBy(*group_cols, "e", "sub").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = _cum_buckets(sketch, group_cols)
+    targets = _rank_targets(sketch, qs, group_cols)
+    cond = F.col("cum") >= F.col("r")
+    if group_cols:
+        located = targets.join(F.broadcast(cum), on=[*group_cols]).filter(
+            cond
+        )
+    else:
+        located = targets.join(F.broadcast(cum), cond)
     chosen = (
-        targets.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
-        .groupBy("q_pct", "r")
+        located.groupBy(*group_cols, "q_pct", "r")
         .agg(F.min(F.struct("e", "sub", "cum", "cnt")).alias("b"))
         .select(
+            *group_cols,
             "q_pct",
             F.col("b.e").alias("e"),
             F.col("b.sub").alias("sub"),
@@ -272,10 +315,10 @@ def exact_quantiles_banded(
             ),
         )
     )
-    in_band = rows.join(F.broadcast(chosen), ["e", "sub"])
-    w = Window.partitionBy("q_pct").orderBy("c")
+    in_band = rows.join(F.broadcast(chosen), [*group_cols, "e", "sub"])
+    w = Window.partitionBy(*group_cols, "q_pct").orderBy("c")
     return (
         in_band.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == F.col("local_r"))
-        .select("q_pct", F.col("c").alias("exact_cents"))
+        .select(*group_cols, "q_pct", F.col("c").alias("exact_cents"))
     )

@@ -7207,3 +7207,189 @@ def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "n_obs",
     )
+
+
+_DQS_QS = [25, 50, 75, 95]
+
+
+def _doclen_quantiles_oracle() -> str:
+    e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
+    rep = qa.bucket_rep_sql("e", "sub", _QSK_M)
+    qvals = ", ".join(f"({q})" for q in _DQS_QS)
+    return f"""
+    WITH vals AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS c FROM documents
+      WHERE n_chars IS NOT NULL),
+    tot AS (SELECT source, count(*) AS n FROM vals GROUP BY 1),
+    qs(q_pct) AS (VALUES {qvals}),
+    tgt AS (SELECT source, CAST(q_pct AS INT) AS q_pct,
+                   (q_pct * n + 99) // 100 AS r FROM qs, tot),
+    ranked AS (SELECT source, c,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY c) AS rn
+               FROM vals),
+    exact AS (SELECT t.source, t.q_pct, k.c AS exact_chars
+              FROM tgt t JOIN ranked k
+                ON k.source = t.source AND k.rn = t.r),
+    bux AS (SELECT source, {e_x} AS e, {sub_x} AS sub, count(*) AS cnt
+            FROM vals GROUP BY 1, 2, 3),
+    cum AS (SELECT source, e, sub, cnt,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY e, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bux),
+    hit AS (
+      SELECT source, q_pct, e, sub FROM (
+        SELECT t.source, t.q_pct, c2.e, c2.sub,
+               row_number() OVER (PARTITION BY t.source, t.q_pct
+                                  ORDER BY c2.e, c2.sub) AS pick
+        FROM tgt t JOIN cum c2
+          ON c2.source = t.source AND c2.cum >= t.r) z
+      WHERE pick = 1),
+    sk AS (SELECT source, q_pct, {rep} AS sketch_chars FROM hit)
+    SELECT e.source, e.q_pct, e.exact_chars, s.sketch_chars,
+           ABS(e.exact_chars - s.sketch_chars) AS abs_err_chars
+    FROM exact e JOIN sk s
+      ON s.source = e.source AND s.q_pct = e.q_pct
+    """
+
+
+@register(
+    "doclen_quantiles_by_source",
+    oracle=_doclen_quantiles_oracle(),
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="GROUPED quantile telemetry (operators/quantiles.py with "
+    "group_cols, r14): per-source document-length quartiles + p95 — "
+    "the length-distribution cut a corpus profiler reads per "
+    "ingestion source before mixing.  The grouped form keys the "
+    "sketch by the low-cardinality dimension, so every frame stays "
+    "bounded at |sources| x sketch rows; the bucket-locate join "
+    "becomes EQUI on the group key (+ the non-equi rank residual as a "
+    "join filter), and the exact prune-and-pick re-ranks within "
+    "(source, quantile, bucket) window partitions — per-group exact "
+    "quantiles WITHOUT per-group global sorts (the hot-group window "
+    "hazard the banded-rank family exists to avoid).  All-integer "
+    "output, hash-exact.",
+)
+def q_doclen_quantiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.col("n_chars").cast("long")
+    sk = qa.quantile_sketch(docs, chars, m=_QSK_M, group_cols=("source",))
+    est = qa.sketch_quantiles(
+        sk, _DQS_QS, m=_QSK_M, group_cols=("source",)
+    )
+    exact = qa.exact_quantiles_banded(
+        docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",)
+    )
+    return exact.join(est, ["source", "q_pct"]).select(
+        "source",
+        "q_pct",
+        F.col("exact_cents").alias("exact_chars"),
+        F.col("sketch_cents").alias("sketch_chars"),
+        F.abs(F.col("exact_cents") - F.col("sketch_cents")).alias(
+            "abs_err_chars"
+        ),
+    )
+
+
+_IVM_CUT = "2024-01-15 00:00:00"
+
+
+def _incremental_rollup_oracle() -> str:
+    e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
+    rep = qa.bucket_rep_sql("e", "sub", _QSK_M)
+    return f"""
+    WITH vals AS (
+      SELECT event_type, {_QSK_CENTS_SQL} AS c FROM events
+      WHERE value IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(c) AS BIGINT) AS sum_mils,
+             min(c) AS min_mils, max(c) AS max_mils
+      FROM vals GROUP BY 1),
+    tot AS (SELECT event_type, count(*) AS n FROM vals GROUP BY 1),
+    tgt AS (SELECT event_type, (50 * n + 99) // 100 AS r FROM tot),
+    bux AS (SELECT event_type, {e_x} AS e, {sub_x} AS sub,
+                   count(*) AS cnt
+            FROM vals GROUP BY 1, 2, 3),
+    cum AS (SELECT event_type, e, sub, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY e, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bux),
+    hit AS (
+      SELECT event_type, e, sub FROM (
+        SELECT t.event_type, c2.e, c2.sub,
+               row_number() OVER (PARTITION BY t.event_type
+                                  ORDER BY c2.e, c2.sub) AS pick
+        FROM tgt t JOIN cum c2
+          ON c2.event_type = t.event_type AND c2.cum >= t.r) z
+      WHERE pick = 1),
+    sk AS (SELECT event_type, {rep} AS p50_sketch_mils FROM hit)
+    SELECT a.event_type, a.n_events, a.sum_mils, a.min_mils,
+           a.max_mils, s.p50_sketch_mils
+    FROM agg a JOIN sk s ON s.event_type = a.event_type
+    """
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=_incremental_rollup_oracle(),
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="Incremental-view-maintenance rollup (r14): the per-type "
+    "daily-rollup state (count, sum, min, max, p50-sketch buckets) is "
+    "computed SEPARATELY for the base slice (ts < "
+    f"{_IVM_CUT}) and the delta slice, then MERGED state-to-state — "
+    "counts/sums add, min/max fold, sketch buckets add via "
+    "merge_sketches(group_cols) — and the p50 is cut from the MERGED "
+    "buckets.  Because every state is a commutative monoid, merged == "
+    "full recompute EXACTLY, and the oracle IS the full recompute: a "
+    "hash match proves the maintenance path (a 100 TB rollup absorbs "
+    "a day's delta without rescanning history — the mergeable-state "
+    "contract the HLL/CMS/quantile sketches were built to serve, here "
+    "driver-checked end-to-end).  All-integer output.",
+)
+def q_incremental_rollup_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("_mils", F.floor(F.col("value") * 1000).cast("long"))
+    )
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    base, delta = ev.filter(F.col("ts") < cut), ev.filter(
+        F.col("ts") >= cut
+    )
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_mils").alias("s"),
+            F.min("_mils").alias("mn"),
+            F.max("_mils").alias("mx"),
+        )
+
+    merged = (
+        _state(base)
+        .unionByName(_state(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("s").alias("sum_mils"),
+            F.min("mn").alias("min_mils"),
+            F.max("mx").alias("max_mils"),
+        )
+    )
+    mk = ("event_type",)
+    msk = qa.merge_sketches(
+        qa.quantile_sketch(base, F.col("_mils"), m=_QSK_M, group_cols=mk),
+        qa.quantile_sketch(delta, F.col("_mils"), m=_QSK_M, group_cols=mk),
+        group_cols=mk,
+    )
+    p50 = qa.sketch_quantiles(msk, [50], m=_QSK_M, group_cols=mk).select(
+        "event_type", F.col("sketch_cents").alias("p50_sketch_mils")
+    )
+    return merged.join(p50, "event_type")

@@ -172,6 +172,17 @@ WHITELIST: dict[tuple[str, str], str] = {
         "both sides bounded by construction: |qs| = 9 rows x the "
         "sketch's <= (48+1)*16+1 buckets, never the corpus"
     ),
+    ("doclen_quantiles_by_source", "BroadcastNestedLoopJoin"): (
+        "the quantile-frame crossJoin against the broadcast per-group "
+        "totals (|qs|=4 x |sources|=O(10) rows); bucket-locate and "
+        "re-rank joins are EQUI on the group key — both sides bounded "
+        "by construction, never the corpus"
+    ),
+    ("incremental_rollup_merge", "BroadcastNestedLoopJoin"): (
+        "the p50 target frame crossJoins the broadcast per-type "
+        "totals (1 x |event_types|=5 rows); all other joins equi and "
+        "state-frame-bounded (the mergeable-rollup shape)"
+    ),
     ("hybrid_rrf_search", "BroadcastNestedLoopJoin"): (
         "broadcast of the 3-row query-vector frame onto the dense "
         "cosine scan (vec_id <> query_id non-equi — the embed_topk "

@@ -197,3 +197,98 @@ def test_hybrid_bm25_provenance(spark):
     assert got["n_docs"] == _BM25_MODEL["n_docs"]
     assert got["avgdl_micro"] == _BM25_MODEL["avgdl_micro"]
     assert got["idf_micro"] == _HYBRID_IDF_MICRO
+
+
+def test_grouped_sketch_and_exact_quantiles(spark):
+    """The grouped form: per-group exact quantiles equal the per-group
+    driver-side sorted answers, and grouped merge stays associative
+    (base/delta split == whole, per group)."""
+    rows = [("a", v * 3 + 1) for v in range(200)] + [
+        ("b", v * 11 + 5) for v in range(57)
+    ]
+    df = spark.createDataFrame(rows, "g string, c long")
+    qs = [25, 50, 100]
+    got = {
+        (r["g"], r["q_pct"]): r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            df, F.col("c"), qs, m=16, group_cols=("g",)
+        ).collect()
+    }
+    import collections
+
+    byg = collections.defaultdict(list)
+    for g, c in rows:
+        byg[g].append(c)
+    for g, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            r = (q * n + 99) // 100
+            assert got[(g, q)] == vals[r - 1], (g, q)
+    # grouped merge associativity
+    base = df.filter(F.col("c") % 2 == 0)
+    delta = df.filter(F.col("c") % 2 == 1)
+    merged = qa.merge_sketches(
+        qa.quantile_sketch(base, F.col("c"), group_cols=("g",)),
+        qa.quantile_sketch(delta, F.col("c"), group_cols=("g",)),
+        group_cols=("g",),
+    )
+    whole = qa.quantile_sketch(df, F.col("c"), group_cols=("g",))
+    assert {
+        (r["g"], r["e"], r["sub"]): r["cnt"] for r in merged.collect()
+    } == {(r["g"], r["e"], r["sub"]): r["cnt"] for r in whole.collect()}
+
+
+def test_quantiles_property_random_corpora(spark):
+    """Hypothesis property: on arbitrary non-negative integer corpora
+    (point masses, skew, octave edges), banded-exact equals the sorted
+    answer at every percentile and the sketch estimate stays inside
+    its bucket bound."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**40),
+            min_size=1,
+            max_size=300,
+        ),
+        st.sets(
+            st.integers(min_value=1, max_value=100), min_size=1, max_size=4
+        ),
+    )
+    def prop(vals, qset):
+        qs = sorted(qset)
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        got = {
+            r["q_pct"]: r["exact_cents"]
+            for r in qa.exact_quantiles_banded(
+                df, F.col("c"), qs, m=16
+            ).collect()
+        }
+        svals = sorted(vals)
+        n = len(svals)
+        est = {
+            r["q_pct"]: r["sketch_cents"]
+            for r in qa.sketch_quantiles(
+                qa.quantile_sketch(df, F.col("c"), m=16), qs, m=16
+            ).collect()
+        }
+        for q in qs:
+            r = (q * n + 99) // 100
+            expect = svals[r - 1]
+            assert got[q] == expect, (q, got[q], expect)
+            lo_edge = est[q]
+            assert lo_edge <= expect
+            e = (
+                int(math.floor(math.log2(lo_edge))) if lo_edge > 0 else 0
+            )
+            width = max(1, (1 << e) // 16) + 1
+            assert expect <= lo_edge + width, (q, lo_edge, expect)
+
+    prop()
