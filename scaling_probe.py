@@ -154,6 +154,10 @@ PROBES = [
     "value_quantile_sketch",
     "hybrid_rrf_search",
     "scd2_event_history",
+    # round-14 third batch: grouped prune-and-pick + mergeable-state
+    # rollup (both bounded-frame joins; data term = the scans)
+    "doclen_quantiles_by_source",
+    "incremental_rollup_merge",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -235,6 +239,8 @@ PROBE_TABLES = {
     "value_quantile_sketch": {"events"},
     "hybrid_rrf_search": {"documents", "embeddings"},
     "scd2_event_history": {"events"},
+    "doclen_quantiles_by_source": {"documents"},
+    "incremental_rollup_merge": {"events"},
 }
 
 
