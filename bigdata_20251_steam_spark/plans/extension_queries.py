@@ -7393,3 +7393,70 @@ def q_incremental_rollup_merge(
         "event_type", F.col("sketch_cents").alias("p50_sketch_mils")
     )
     return merged.join(p50, "event_type")
+
+
+def _sketch_rollup_oracle() -> str:
+    e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
+    rep = qa.bucket_rep_sql("e", "sub", _QSK_M)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP) AS day,
+             {_QSK_CENTS_SQL} AS c
+      FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT day, count(*) AS n FROM vals GROUP BY 1),
+    qs(q_pct) AS (VALUES (50), (95)),
+    tgt AS (SELECT day, CAST(q_pct AS INT) AS q_pct,
+                   (q_pct * n + 99) // 100 AS r FROM qs, tot),
+    bux AS (SELECT day, {e_x} AS e, {sub_x} AS sub, count(*) AS cnt
+            FROM vals GROUP BY 1, 2, 3),
+    cum AS (SELECT day, e, sub, cnt,
+                   sum(cnt) OVER (PARTITION BY day ORDER BY e, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bux),
+    hit AS (
+      SELECT day, q_pct, e, sub FROM (
+        SELECT t.day, t.q_pct, c2.e, c2.sub,
+               row_number() OVER (PARTITION BY t.day, t.q_pct
+                                  ORDER BY c2.e, c2.sub) AS pick
+        FROM tgt t JOIN cum c2
+          ON c2.day = t.day AND c2.cum >= t.r) z
+      WHERE pick = 1)
+    SELECT day, q_pct, {rep} AS sketch_mils FROM hit
+    """
+
+
+@register(
+    "sketch_rollup_daily",
+    oracle=_sketch_rollup_oracle(),
+    priority=80,  # entered via _R14_ROTATION (new registration tier)
+    doc="Sketch ROLLUP-ON-READ (r14): hourly quantile-sketch bucket "
+    "counts — the exact frame streaming_quantile_sketch persists per "
+    "window — re-keyed to day and MERGED by count-sum, then p50/p95 "
+    "cut per day from the merged buckets.  This executes the claim "
+    "the windowed sketch makes: daily/weekly percentile rollups come "
+    "from stored per-window counters WITHOUT reprocessing raw events "
+    "(at 100 TB the raw scan happens once at ingest; every subsequent "
+    "granularity is an O(windows x sketch)-row aggregation).  The "
+    "oracle computes the daily cut DIRECTLY from raw events — the "
+    "hash match is the associativity proof that hour->day merging "
+    "loses nothing.  All-integer output columns on a TIMESTAMP day "
+    "key.",
+)
+def q_sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withColumn("_mils", F.floor(F.col("value") * 1000).cast("long"))
+    )
+    hourly = qa.quantile_sketch(
+        ev, F.col("_mils"), m=_QSK_M, group_cols=("hour",)
+    )
+    daily = (
+        hourly.withColumn("day", F.date_trunc("day", F.col("hour")))
+        .groupBy("day", "e", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return qa.sketch_quantiles(
+        daily, [50, 95], m=_QSK_M, group_cols=("day",)
+    ).select("day", "q_pct", F.col("sketch_cents").alias("sketch_mils"))

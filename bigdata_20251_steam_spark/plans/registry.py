@@ -139,11 +139,11 @@ def oracle_map() -> dict[str, str]:
 #:     index_lifecycle_end_to_end — NEW r14 capstone registration
 #:       (stream-upsert -> compact -> retrain-on-drift -> filtered
 #:       pruned probe, full relational oracle);
-#: - 25: 26 of the 44-name three-round-stale cohort (last GREEN driver
+#: - 25: 25 of the 44-name three-round-stale cohort (last GREEN driver
 #:   row r11, no r12/r13 slot; recomputed from the committed JSONs —
 #:   the r13 note predicted ~39, actual 44).  50 slots minus 14
-#:   must-enters minus 10 changed/new leaves 26; ties all at age r11,
-#:   broken ALPHABETICALLY; the 18 overflow names are itemized in the
+#:   must-enters minus 11 changed/new leaves 25; ties all at age r11,
+#:   broken ALPHABETICALLY; the 19 overflow names are itemized in the
 #:   r15 note below, with CORRECTNESS_FULL_r14.json (all queries) as
 #:   the compensating evidence meanwhile.
 _R14_ROTATION: dict[str, int] = {
@@ -180,6 +180,9 @@ _R14_ROTATION: dict[str, int] = {
     # repetition_metrics and rollup_orders into the r15 overflow
     "doclen_quantiles_by_source": 24,
     "incremental_rollup_merge": 24,
+    # fourth r14 registration (sketch rollup-on-read) — displacing
+    # recent_windows into the r15 overflow
+    "sketch_rollup_daily": 24,
     # three-round-stale cohort (last driver row r11) — first 32 of 44,
     # alphabetical (streaming_asof_enrich, streaming_dim_enrich,
     # streaming_quality_gate and streaming_sentiment_hourly displaced
@@ -210,12 +213,11 @@ _R14_ROTATION: dict[str, int] = {
     "player_windows": 25,
     "q1_pricing_summary": 25,
     "q5_region_revenue": 25,
-    "recent_windows": 25,
 }
 
 
 #: r15 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 18 overflow names from the r14 alphabetical
+#: - MUST-ENTER first: the 19 overflow names from the r14 alphabetical
 #:   split of the tied 44-name stale cohort (last driver row r11) —
 #:   they are four-rounds-stale by r15 (sentiment_summary,
 #:   source_capped_sample, sql_interface and streaming_api_source
@@ -225,8 +227,9 @@ _R14_ROTATION: dict[str, int] = {
 #:   second r14 batch's four new registrations — value_quantile_sketch,
 #:   hybrid_rrf_search, scd2_event_history, streaming_quantile_sketch;
 #:   repetition_metrics and rollup_orders by the third batch's two —
-#:   doclen_quantiles_by_source, incremental_rollup_merge):
-#:     repetition_metrics, rollup_orders, segment_dedup,
+#:   doclen_quantiles_by_source, incremental_rollup_merge;
+#:   recent_windows by the fourth registration, sketch_rollup_daily):
+#:     recent_windows, repetition_metrics, rollup_orders, segment_dedup,
 #:     selfsup_prune, semantic_dedup_resolve,
 #:     semi_join_orders, sentiment_summary, source_capped_sample,
 #:     sql_interface, streaming_api_source, streaming_asof_enrich,

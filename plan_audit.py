@@ -183,6 +183,12 @@ WHITELIST: dict[tuple[str, str], str] = {
         "totals (1 x |event_types|=5 rows); all other joins equi and "
         "state-frame-bounded (the mergeable-rollup shape)"
     ),
+    ("sketch_rollup_daily", "BroadcastNestedLoopJoin"): (
+        "the p50/p95 target frame crossJoins the broadcast per-day "
+        "totals (2 x |days|=O(30) rows); the rollup merge and the "
+        "bucket-locate are equi on the day key — every frame bounded "
+        "at |days| x sketch, never the corpus"
+    ),
     ("hybrid_rrf_search", "BroadcastNestedLoopJoin"): (
         "broadcast of the 3-row query-vector frame onto the dense "
         "cosine scan (vec_id <> query_id non-equi — the embed_topk "

@@ -3668,12 +3668,12 @@ def test_r14_rotation_window():
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
     ordered_queries() — the 14 r13-note must-enters ahead of
-    everything, then the 3 changed-code re-proves + 7 new
+    everything, then the 3 changed-code re-proves + 8 new
     registrations (index_lifecycle capstone + the second-batch four +
-    the third-batch two), then 26 of the tied 44-name stale cohort
-    under the documented alphabetical split (the 18 overflow names are
-    itemized in the registry's r15 note and must NOT hold a window
-    slot)."""
+    the third-batch two + the rollup-on-read), then 25 of the tied
+    44-name stale cohort under the documented alphabetical split (the
+    19 overflow names are itemized in the registry's r15 note and
+    must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
         _R14_ROTATION,
         ordered_queries,
@@ -3712,10 +3712,12 @@ def test_r14_rotation_window():
         "streaming_quantile_sketch",
         "doclen_quantiles_by_source",
         "incremental_rollup_merge",
+        "sketch_rollup_daily",
     ):
         assert _R14_ROTATION[name] == 24, name
     # the itemized r15 overflow is OUT of the window
     for name in (
+        "recent_windows",
         "repetition_metrics",
         "rollup_orders",
         "segment_dedup",
