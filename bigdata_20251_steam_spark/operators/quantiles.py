@@ -86,10 +86,25 @@ def with_log_bucket(
     sub-ranges (relative half-width ``<= 1/m``).  ``c = 0`` maps to
     ``(-1, 0)``.  ``sub`` uses SQL integer ``DIV`` on named columns so
     the floor semantics are explicit (no float division anywhere);
-    NULL units are dropped (SQL aggregate convention).  Existing
+    NULL units are dropped (SQL aggregate convention).  Other existing
     columns pass through, so the bucketing composes with windowed /
-    streaming group keys.
+    streaming group keys — but ``c``, ``e`` and ``sub`` are RESERVED
+    OUTPUT NAMES (plus ``_e0``/``_lo`` internally, ADVICE r14):
+
+    - an input frame already carrying ``e``/``sub``/``_e0``/``_lo`` is
+      rejected loudly rather than silently clobbered into corrupted
+      group keys;
+    - an existing ``c`` is REPLACED by ``cents_col.cast("long")`` —
+      fine when (as at every call site) ``c`` already IS the units
+      column being bucketed; rename it first otherwise.
     """
+    reserved = {"e", "sub", "_e0", "_lo"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "with_log_bucket: input already has reserved column(s) "
+            f"{sorted(reserved)}; rename them first (e/sub are the "
+            "bucketing outputs)"
+        )
     step = (
         df.filter(cents_col.isNotNull())
         .withColumn("c", cents_col.cast("long"))
@@ -132,11 +147,19 @@ def bucket_rep_cents(e: Column, sub: Column, m: int = 16) -> Column:
     The true midpoint would halve worst-case error but the lower edge
     keeps every output column integer-exact; callers judge by the
     reported error column.
+
+    Division is integer-exact for ANY ``m``/``MAX_EXP`` (ADVICE r14):
+    the mod-subtraction makes ``frac`` an exact multiple of ``m``, and
+    the quotient is taken in DECIMAL(38,0) — exact over the full long
+    range — not double, whose 53-bit mantissa would silently diverge
+    from the oracle's pure-integer ``//`` once ``sub * 2^e`` passes
+    2^52 (e.g. ``MAX_EXP`` > 48 or ``m`` > 16 pushed past the cap).
     """
     lo = F.call_function("shiftleft", F.lit(1).cast("long"), e)
-    frac = (sub.cast("long") * lo) - ((sub.cast("long") * lo) % m)
+    prod = sub.cast("long") * lo
+    frac = (prod - (prod % m)).cast("decimal(38,0)")
     return F.when(e < 0, F.lit(0).cast("long")).otherwise(
-        lo + (frac / m).cast("long")
+        lo + (frac / F.lit(m)).cast("long")
     )
 
 

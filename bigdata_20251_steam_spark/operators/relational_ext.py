@@ -347,30 +347,23 @@ def scd2_intervals(
     run value (NULL-safe equality), matching warehouse SCD semantics.
     """
     k, a, t, s = F.col(key_col), F.col(attr_col), F.col(ts_col), F.col(seq_col)
-    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    # ONE WindowSpec for the whole per-key pass (ADVICE r14): lag and
+    # row_number share `w` verbatim, and the running island sum derives
+    # its frame from the same spec, so the (partition, order) triple
+    # can never drift apart under a future edit.
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = df.select(
         k.alias("key"), a.alias("attr"), t.alias("ts"), s.alias("seq")
     ).withColumn(
         "_chg",
         F.when(
-            F.lag("attr").over(
-                Window.partitionBy("key").orderBy("ts", "seq")
-            ).eqNullSafe(F.col("attr"))
-            & (F.row_number().over(
-                Window.partitionBy("key").orderBy("ts", "seq")
-            ) > 1),
+            F.lag("attr").over(w).eqNullSafe(F.col("attr"))
+            & (F.row_number().over(w) > 1),
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
-    del w  # single window spec reused via identical partition+order
-    islands = flagged.withColumn(
-        "_island",
-        F.sum("_chg").over(
-            Window.partitionBy("key")
-            .orderBy("ts", "seq")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    islands = flagged.withColumn("_island", F.sum("_chg").over(w_run))
     runs = islands.groupBy("key", "_island").agg(
         F.min("attr").alias("attr"),  # constant within an island
         F.min("ts").alias("valid_from"),

@@ -7360,9 +7360,14 @@ def q_incremental_rollup_merge(
         .withColumn("_mils", F.floor(F.col("value") * 1000).cast("long"))
     )
     cut = F.lit(_IVM_CUT).cast("timestamp")
-    base, delta = ev.filter(F.col("ts") < cut), ev.filter(
-        F.col("ts") >= cut
-    )
+    # delta is the exact COMPLEMENT of base (ADVICE r14): a NULL ts
+    # fails both `ts < cut` and `ts >= cut`, so naive two-predicate
+    # routing would silently drop it from the merged state while the
+    # oracle (which filters only on value) still counts it.  Routing
+    # NULL ts into the delta keeps merged == full recompute for any
+    # corpus, not just ts-non-null ones.
+    base = ev.filter(F.col("ts") < cut)
+    delta = ev.filter((F.col("ts") >= cut) | F.col("ts").isNull())
 
     def _state(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
