@@ -50,6 +50,13 @@ from pyspark.sql.window import Window
 #: ever quantizes beyond ~2.8e14 units.
 MAX_EXP = 48
 
+#: Sub-band fan-out of :func:`exact_quantiles_banded`'s refinement
+#: level: the chosen sketch bucket's value range splits into this many
+#: uniform integer slices before the final per-value cumulative pick,
+#: so the largest data-sized window task is bounded by the distinct
+#: values in ONE slice (~1/256 of one bucket's range).
+SUBBANDS = 256
+
 
 def exp2_floor(c: Column) -> Column:
     """``floor(log2(c))`` for positive integers — literal CASE ladder.
@@ -302,13 +309,30 @@ def exact_quantiles_banded(
 
     Plan: (1) the sketch aggregate locates, per (group, quantile), the
     bucket containing rank ``ceil(q*n/100)`` plus that bucket's rank
-    offset (cum − cnt); (2) rows are re-ranked ONLY inside chosen
-    buckets (broadcast join on ``(*group_cols, e, sub)``, then a window
-    partitioned per (group, quantile) over that bucket's rows); (3) the
-    row at ``rank − offset`` is the exact q-th value.  Returns
-    ``(*group_cols, q_pct, exact_cents)``.  Equal values make
-    ``row_number`` nondeterministic among THEMSELVES but the value at
-    any rank is unique, so the output is deterministic.
+    offset (cum − cnt); (2) ONLY the chosen buckets' rows are read
+    back (broadcast join on ``(*group_cols, e, sub)``) and collapsed
+    to a PER-VALUE HISTOGRAM — a map-side-combined aggregate, so the
+    exchange carries DISTINCT values, never rows (r15, the r14
+    verdict's point-mass watch item: one value holding 30% of a
+    100 TB corpus collapses to one histogram row per map partition
+    instead of routing every row into one window task); (3) one
+    SUB-BAND refinement level (``SUBBANDS`` uniform integer slices of
+    the bucket's value range) locates the slice holding the residual
+    rank from slice totals — a window over <= ``SUBBANDS`` rows; (4)
+    cumulative counts over the chosen slice's distinct values pick
+    the value whose cumulative count first reaches the residual rank
+    — the exact q-th value, no ``row_number`` anywhere.  Returns
+    ``(*group_cols, q_pct, exact_cents)``; deterministic by
+    construction (every step is an aggregate or a cumulative sum over
+    a total order).
+
+    Per-task bound: the only data-sized window runs over the DISTINCT
+    values inside one ``1/SUBBANDS`` slice of one sketch bucket —
+    bounded by ``min(bucket_rows, bucket_value_range / SUBBANDS)``
+    and pinned by the point-mass pytest (one value = 50% of rows; the
+    hot bucket's histogram is a handful of rows).  A pathological
+    slice that is BOTH huge and all-distinct would need a recursive
+    re-split; the sketch estimate stays valid regardless.
     """
     rows = with_log_bucket(df, cents_col, m).select(
         *group_cols, "e", "sub", "c"
@@ -339,9 +363,75 @@ def exact_quantiles_banded(
         )
     )
     in_band = rows.join(F.broadcast(chosen), [*group_cols, "e", "sub"])
-    w = Window.partitionBy(*group_cols, "q_pct").orderBy("c")
+    # (2) per-value histogram of each chosen bucket (partial-agg
+    # combine collapses heavy values map-side)
+    vals = in_band.groupBy(
+        *group_cols, "q_pct", "local_r", "e", "sub", "c"
+    ).agg(F.count(F.lit(1)).alias("vn"))
+    # (3) one uniform sub-band split of the bucket's value range:
+    # the bucket covers [rep(e, sub), rep(e, sub+1)) — lower edges
+    # from bucket_rep_cents (rep(e, m) = 2^(e+1), the next octave);
+    # slice id = ((c - band_lo) * SUBBANDS) DIV width via SQL integer
+    # DIV on named columns (the with_log_bucket convention — all
+    # 64-bit integer, no float anywhere).
+    banded = (
+        vals.withColumn(
+            "_blo", bucket_rep_cents(F.col("e"), F.col("sub"), m)
+        )
+        .withColumn(
+            "_bw",
+            F.greatest(
+                F.lit(1).cast("long"),
+                bucket_rep_cents(F.col("e"), F.col("sub") + 1, m)
+                - F.col("_blo"),
+            ),
+        )
+        .withColumn(
+            "s2",
+            F.least(
+                F.lit(SUBBANDS - 1),
+                F.expr(
+                    f"CAST(((c - _blo) * {SUBBANDS}) DIV _bw AS INT)"
+                ),
+            ),
+        )
+    )
+    slice_tot = banded.groupBy(*group_cols, "q_pct", "local_r", "s2").agg(
+        F.sum("vn").alias("sn")
+    )
+    w_slice = (
+        Window.partitionBy(*group_cols, "q_pct")
+        .orderBy("s2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slice_hit = (
+        slice_tot.withColumn("scum", F.sum("sn").over(w_slice))
+        .filter(
+            (F.col("scum") >= F.col("local_r"))
+            & (F.col("scum") - F.col("sn") < F.col("local_r"))
+        )
+        .select(
+            *group_cols,
+            "q_pct",
+            F.col("s2").alias("_s2"),
+            (F.col("local_r") - (F.col("scum") - F.col("sn"))).alias("r2"),
+        )
+    )
+    # (4) cumulative histogram inside the ONE chosen slice
+    picked = banded.join(
+        F.broadcast(slice_hit),
+        [*group_cols, "q_pct"],
+    ).filter(F.col("s2") == F.col("_s2"))
+    w_val = (
+        Window.partitionBy(*group_cols, "q_pct")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        in_band.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == F.col("local_r"))
+        picked.withColumn("vcum", F.sum("vn").over(w_val))
+        .filter(
+            (F.col("vcum") >= F.col("r2"))
+            & (F.col("vcum") - F.col("vn") < F.col("r2"))
+        )
         .select(*group_cols, "q_pct", F.col("c").alias("exact_cents"))
     )

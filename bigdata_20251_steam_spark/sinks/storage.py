@@ -81,6 +81,19 @@ class _HFS:
             if st.isFile() and st.getPath().getName().endswith(suffix)
         ]
 
+    def parquet_bytes(self, dir_path: str) -> int:
+        """Total bytes of ``.parquet`` files under ``dir_path``,
+        RECURSIVE (``listFiles(recursive=True)`` — on object stores a
+        flat LIST call, no per-directory round trips).  Size-targeted
+        compaction sizes its output file count from this."""
+        it = self._fs.listFiles(self._jpath(dir_path), True)
+        total = 0
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+        return total
+
 
 def _active_spark(spark: SparkSession | None) -> SparkSession:
     spark = spark or SparkSession.getActiveSession()

@@ -3663,59 +3663,24 @@ def test_mmr_diversify_semantics(spark):
         mmr_diversify(df, k=0)
 
 
-def test_r14_rotation_window():
-    """The r14 driver-window invariant, validated by EXECUTING the
+def test_r15_rotation_window():
+    """The r15 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 14 r13-note must-enters ahead of
-    everything, then the 3 changed-code re-proves + 8 new
-    registrations (index_lifecycle capstone + the second-batch four +
-    the third-batch two + the rollup-on-read), then 25 of the tied
-    44-name stale cohort under the documented alphabetical split (the
-    19 overflow names are itemized in the registry's r15 note and
-    must NOT hold a window slot)."""
+    ordered_queries() — the 19 r14-note must-enters ahead of
+    everything, then the changed-code re-proves + new r15
+    registrations, then the three-round-stale cohort under the
+    documented alphabetical split (the overflow names are itemized in
+    the registry's r16 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R14_ROTATION,
+        _R15_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R14_ROTATION) == 50
+    assert len(_R15_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R14_ROTATION)
-    # the 14 four-rounds-stale must-enters lead the window
-    for name in (
-        "session_windows",
-        "simhash_signatures",
-        "sliding_windows",
-        "streaming_bloom_decontaminate",
-        "streaming_dsir_gate",
-        "streaming_hll_windows",
-        "streaming_player_windows",
-        "streaming_segment_dedup",
-        "streaming_stream_join",
-        "temperature_mix_sample",
-        "token_budget_sample",
-        "token_counts",
-        "udtf_sentences",
-        "unigram_lm_scores",
-    ):
-        assert _R14_ROTATION[name] == 23, name
-    # changed-code re-proves + the new registrations enter next
-    for name in (
-        "streaming_index_upsert",
-        "ivfadc_pruned_search",
-        "ann_filtered_search",
-        "index_lifecycle_end_to_end",
-        "value_quantile_sketch",
-        "hybrid_rrf_search",
-        "scd2_event_history",
-        "streaming_quantile_sketch",
-        "doclen_quantiles_by_source",
-        "incremental_rollup_merge",
-        "sketch_rollup_daily",
-    ):
-        assert _R14_ROTATION[name] == 24, name
-    # the itemized r15 overflow is OUT of the window
+    assert first50 == set(_R15_ROTATION)
+    # the 19 four-rounds-stale must-enters lead the window
     for name in (
         "recent_windows",
         "repetition_metrics",
@@ -3737,7 +3702,40 @@ def test_r14_rotation_window():
         "tfidf_top_terms",
         "value_percentiles",
     ):
-        assert name not in _R14_ROTATION, name
+        assert _R15_ROTATION[name] == 23, name
+    # changed-code re-proves + the new registrations enter next
+    for name in (
+        "value_quantile_sketch",
+        "doclen_quantiles_by_source",
+        "streaming_quantile_sketch",
+        "sketch_rollup_daily",
+        "incremental_rollup_merge",
+        "scd2_event_history",
+        "index_lifecycle_end_to_end",
+    ):
+        assert _R15_ROTATION[name] == 24, name
+    # the itemized r16 overflow is OUT of the window
+    for name in (
+        "normalize_text",
+        "packed_sequences",
+        "packing_assignments",
+        "peak_activity",
+        "pivot_event_matrix",
+        "profile_documents",
+        "props_json",
+        "q14_promo_share",
+        "q3_top_revenue",
+        "q6_revenue_delta",
+        "quality_quantile_filter",
+        "quality_threshold_filter",
+        "sentiment_hourly",
+        "set_ops_users",
+        "stratified_sample_counts",
+        "streaming_curation_bounded_state",
+        "streaming_curation_pipeline",
+        "streaming_doc_chunks",
+    ):
+        assert name not in _R15_ROTATION, name
         assert name not in first50, name
 
 

@@ -292,3 +292,51 @@ def test_quantiles_property_random_corpora(spark):
             assert expect <= lo_edge + width, (q, lo_edge, expect)
 
     prop()
+
+
+def test_exact_banded_point_mass_bounded(spark):
+    """r15 (r14 verdict watch item): a point mass — ONE value holding
+    50% of all rows — must (a) still produce exact quantiles, and (b)
+    never route its rows into a single window task.  The r15 plan
+    collapses each chosen bucket to a per-value histogram (map-side
+    combine) and ranks over slice/value cumulative counts, so the
+    largest data-sized window input is the DISTINCT values inside one
+    1/SUBBANDS slice of one bucket — for this fixture a handful of
+    rows, while the old row_number form would have seen 500+.  Also
+    pins that no row_number remains anywhere in the plan."""
+    n = 1000
+    mass_val = 7777
+    rows = [(mass_val,)] * (n // 2) + [
+        ((i * 37) % 4000 + 4000,) for i in range(n // 2)
+    ]
+    df = spark.createDataFrame(rows, "v long")
+    qs = [10, 25, 50, 75, 90]
+    got = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            df, F.col("v"), qs, m=16
+        ).collect()
+    }
+    svals = sorted(v for (v,) in rows)
+    for q in qs:
+        r = (q * n + 99) // 100
+        assert got[q] == svals[r - 1], (q, got[q], svals[r - 1])
+
+    # (b) the per-task bound: the hot bucket's histogram is tiny.
+    # mass_val's bucket (e, sub) holds 500 rows but few distinct
+    # values; the window input after the histogram step is bounded by
+    # that distinct count, asserted via the same bucketing the
+    # operator uses.
+    b = qa.with_log_bucket(df, F.col("v"), 16)
+    hot = b.groupBy("e", "sub").count().orderBy(F.desc("count")).first()
+    distinct_in_hot = (
+        b.filter((F.col("e") == hot["e"]) & (F.col("sub") == hot["sub"]))
+        .select("c").distinct().count()
+    )
+    assert hot["count"] >= n // 2          # the mass really is hot
+    assert distinct_in_hot <= 40           # histogram collapsed it
+    # (c) the unbounded row-rank is gone from the plan
+    plan = qa.exact_quantiles_banded(
+        df, F.col("v"), qs, m=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan[:2000]
