@@ -159,6 +159,40 @@ def minhash_signatures(
     return hashed.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
 
 
+def band_signatures(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH band table: ``(doc_id, band_id, band_sig)`` — one row per
+    (doc, band), ``band_sig`` the ordered concat of the band's
+    minhashes.
+
+    Factored out of :func:`minhash_candidate_pairs` (r15) so the
+    INCREMENTAL pair path (:func:`incremental_minhash_pairs`) buckets
+    a delta batch with the exact same key the full pipeline uses —
+    this frame is also the state a 100 TB ingest persists between
+    runs (the near-dup sibling of :func:`incremental_dedup`'s content
+    key set): delta docs join it by ``(band_id, band_sig)`` instead of
+    re-banding the corpus.
+    """
+    return (
+        signatures.withColumn(
+            "band_id", (F.col("h_idx") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("h_idx", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     rows_per_band: int = 4,
@@ -190,21 +224,21 @@ def minhash_candidate_pairs(
     sizes are observable via :func:`lsh_bucket_stats` — at 100 TB, chart
     it before loosening the cap.  ``max_bucket=None`` disables the guard.
     """
-    banded = (
-        signatures.withColumn("band_id", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("h_idx", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_sig")
-        )
+    return banded_candidate_pairs(
+        band_signatures(signatures, rows_per_band), max_bucket
     )
+
+
+def banded_candidate_pairs(
+    banded: DataFrame, max_bucket: int | None = 1000
+) -> DataFrame:
+    """:func:`minhash_candidate_pairs`' pair-enumeration half over an
+    already-built :func:`band_signatures` table — factored out (r15)
+    so a caller that ALSO needs the band table as state (the
+    incremental-closure query feeds it to
+    :func:`incremental_minhash_pairs`) materializes the banding once
+    instead of re-running the signature pipeline per consumer.
+    Identical semantics and mega-bucket star policy."""
     if max_bucket is None:
         small = banded.groupBy("band_id", "band_sig").agg(
             F.array_sort(F.collect_list("doc_id")).alias("ids")
@@ -788,6 +822,165 @@ def incremental_dedup(
         )
     )
     return labeled
+
+
+def incremental_minhash_pairs(
+    delta_signatures: DataFrame,
+    base_banded: DataFrame,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs for a DELTA batch against an existing
+    corpus: ``(doc_a, doc_b)`` where at least one endpoint is a delta
+    doc — the edges a full re-run would add on top of the base run's.
+
+    ``base_banded`` is the persisted :func:`band_signatures` table of
+    the already-deduped corpus (the maintainable state); the delta
+    bands UNION it, then join against it by ``(band_id, band_sig)`` —
+    so cost scales with the delta's bucket touches, never the corpus:
+    the corpus is read only through its (small, key-only) band table,
+    and only buckets a delta doc lands in produce work.  Together with
+    the base run's own pairs this reproduces the full-corpus LSH edge
+    set EXACTLY: full = base-base pairs (unchanged — signatures are
+    content hashes) + delta-vs-(base ∪ delta) pairs (this function).
+
+    **Mega-bucket safety** (the :func:`minhash_candidate_pairs` star
+    policy, delta form): a union bucket larger than ``max_bucket``
+    emits a STAR — every delta member pairs with the bucket's minimum
+    doc_id, plus ONE (bucket-min, base-min) stitch edge when the
+    bucket min is itself a delta doc — linear edges that span the
+    bucket for the closure consumer exactly like the batch path's
+    star (base members are already mutually connected by the base
+    run).  ``max_bucket=None`` disables the guard.
+    """
+    db = band_signatures(delta_signatures, rows_per_band)
+    allb = base_banded.unionByName(db)
+    if max_bucket is None:
+        cand = db.alias("d").join(
+            allb.alias("u"), ["band_id", "band_sig"]
+        ).filter(F.col("d.doc_id") != F.col("u.doc_id"))
+        return cand.select(
+            F.least("d.doc_id", "u.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "u.doc_id").alias("doc_b"),
+        ).distinct()
+    stats = allb.groupBy("band_id", "band_sig").agg(
+        F.count("*").alias("bn"), F.min("doc_id").alias("bmin")
+    )
+    base_stats = base_banded.groupBy("band_id", "band_sig").agg(
+        F.min("doc_id").alias("base_min")
+    )
+    d_stat = db.join(stats, ["band_id", "band_sig"])
+    small = (
+        d_stat.filter(F.col("bn") <= max_bucket)
+        .alias("d")
+        .join(allb.alias("u"), ["band_id", "band_sig"])
+        .filter(F.col("d.doc_id") != F.col("u.doc_id"))
+        .select(
+            F.least("d.doc_id", "u.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "u.doc_id").alias("doc_b"),
+        )
+    )
+    mega = d_stat.filter(F.col("bn") > max_bucket)
+    star = mega.filter(F.col("doc_id") != F.col("bmin")).select(
+        F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    # if the union-bucket min is a delta doc, base members of the
+    # bucket are connected among themselves (base run) but not to the
+    # star hub — one stitch edge per such bucket closes it
+    stitch = (
+        mega.select("band_id", "band_sig", "bmin")
+        .distinct()
+        .join(base_stats, ["band_id", "band_sig"])
+        .filter(F.col("bmin") < F.col("base_min"))
+        .select(
+            F.col("bmin").alias("doc_a"), F.col("base_min").alias("doc_b")
+        )
+    )
+    return small.unionByName(star).unionByName(stitch).distinct()
+
+
+def incremental_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Merge a delta batch's edges into EXISTING component labels
+    without re-closing the full graph (r15, r14 verdict #4 — the
+    dedup sibling of ``upsert_ivfadc_index``, completing the
+    incremental-view-maintenance story ``incremental_rollup_merge``
+    started for rollup states).
+
+    ``base_labels`` is the persisted ``(doc_id, component_id)``
+    closure of the corpus (labels are component MINIMA by the
+    :func:`connected_components` contract); ``new_edges`` the delta
+    pair set (:func:`incremental_minhash_pairs`).  Plan:
+
+    1. PROJECT each new edge endpoint onto its existing label (left
+       join; an endpoint absent from ``base_labels`` — a delta doc, or
+       a base doc that had no duplicate — stays itself);
+    2. CLOSE the projected SUPER-GRAPH, whose nodes are component
+       labels and new docs — its size is bounded by the DELTA edge
+       count, never the corpus graph (:func:`connected_components`
+       reused verbatim: driver union-find under the threshold,
+       pointer-jumped propagation above);
+    3. RELABEL: the super-closure is a bounded ``old_label ->
+       new_label`` map, broadcast onto ``base_labels`` (one scan of
+       the label table, no shuffle of it), plus the new nodes' own
+       rows.
+
+    EXACTNESS: because every existing label is its component's min
+    member and the super-closure takes min over {labels ∪ new doc
+    ids}, the merged label of every doc equals the min member of its
+    component in the UNION graph — i.e. merged == full recompute,
+    bit-for-bit (the registered query's oracle IS the full recompute;
+    the hash match is the proof).  At 100 TB the daily delta touches
+    O(delta edges) super-nodes, so step 2 closes a graph millions of
+    times smaller than the corpus closure it replaces; step 3's scan
+    of the label table is the unavoidable cost of rewriting labels
+    (and is a broadcast join, not a shuffle).
+    """
+    proj = (
+        new_edges.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .join(
+            base_labels.select(
+                F.col("doc_id").alias("_a"), F.col("component_id").alias("_la")
+            ),
+            "_a",
+            "left",
+        )
+        .join(
+            base_labels.select(
+                F.col("doc_id").alias("_b"), F.col("component_id").alias("_lb")
+            ),
+            "_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_la", F.col("_a")).alias("doc_a"),
+            F.coalesce("_lb", F.col("_b")).alias("doc_b"),
+        )
+    )
+    super_labels = connected_components(proj, **cc_kwargs)
+    relabel = super_labels.select(
+        F.col("doc_id").alias("_old"), F.col("component_id").alias("_new")
+    )
+    rebased = (
+        base_labels.join(
+            F.broadcast(relabel),
+            base_labels["component_id"] == F.col("_old"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_new", "component_id").alias("component_id"),
+        )
+    )
+    fresh = super_labels.join(
+        base_labels.select("doc_id"), "doc_id", "left_anti"
+    )
+    return rebased.unionByName(fresh)
 
 
 def segment_tokens(

@@ -4128,3 +4128,113 @@ def test_ivfadc_operating_point_pin(spark):
     ), curve
     assert curve[_IVFADC_NPROBE] >= 900_000, curve
     assert curve[8] - curve[4] <= 50_000, curve
+
+
+def test_incremental_components_merge_equals_full(spark):
+    """r15 (r14 verdict #4): merging delta edges into existing labels
+    via the projected super-graph equals the full re-closure — on a
+    hand graph exercising every case: a delta edge bridging two
+    existing components, a delta edge touching an edge-less base doc,
+    and a brand-new pair."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    base_labels = connected_components(base_pairs)
+    assert {
+        (r["doc_id"], r["component_id"]) for r in base_labels.collect()
+    } == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    delta = spark.createDataFrame(
+        [(3, 10), (20, 21), (30, 31)], "doc_a long, doc_b long"
+    )
+    merged = {
+        (r["doc_id"], r["component_id"])
+        for r in incremental_components(base_labels, delta).collect()
+    }
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            base_pairs.unionByName(delta)
+        ).collect()
+    }
+    assert merged == full
+    assert merged == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1),  # bridged -> min 1
+        (20, 20), (21, 20),
+        (30, 30), (31, 30),
+    }
+
+
+def test_incremental_minhash_pairs_union_equals_full(spark):
+    """base pairs + incremental delta pairs == the full-corpus LSH
+    pair set (same banding), on real sf0.001 documents — the edge-set
+    identity the registered query's oracle hash relies on."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter("doc_id % 8 != 0")
+    delta = docs.filter("doc_id % 8 = 0")
+    base_sigs = minhash_signatures(base)
+
+    def pset(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    full = pset(minhash_candidate_pairs(minhash_signatures(docs)))
+    got = pset(minhash_candidate_pairs(base_sigs)) | pset(
+        incremental_minhash_pairs(
+            minhash_signatures(delta), band_signatures(base_sigs)
+        )
+    )
+    assert got == full and len(full) > 0
+
+
+def test_incremental_pairs_mega_bucket_star(spark):
+    """The delta path's mega-bucket guard: an oversized union bucket
+    emits a linear star (delta members -> bucket min), plus the one
+    stitch edge to the base minimum when the bucket min is itself a
+    delta doc — never the quadratic delta-vs-union enumeration."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+    )
+
+    def const_sigs(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("h_idx"),
+            )
+            .withColumn("minhash", F.lit(7).cast("long"))
+        )
+
+    # bucket min is a BASE doc: pure star, no stitch
+    pairs = incremental_minhash_pairs(
+        const_sigs(50, 100), band_signatures(const_sigs(0, 50)),
+        max_bucket=10,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
+        (0, d) for d in range(50, 100)
+    }
+
+    # bucket min is a DELTA doc: star + one stitch to the base min
+    pairs2 = incremental_minhash_pairs(
+        const_sigs(0, 50), band_signatures(const_sigs(50, 100)),
+        max_bucket=10,
+    ).collect()
+    got2 = {(r["doc_a"], r["doc_b"]) for r in pairs2}
+    assert got2 == {(0, d) for d in range(1, 50)} | {(0, 50)}
