@@ -184,6 +184,7 @@ def quantile_sketch(
     cents_col: Column,
     m: int = 16,
     group_cols: tuple[str, ...] = (),
+    weight_col: Column | None = None,
 ) -> DataFrame:
     """Build the ``(*group_cols, e, sub, cnt)`` log-bucket sketch.
 
@@ -196,7 +197,22 @@ def quantile_sketch(
     :func:`merge_sketches`.  ``group_cols`` keys the sketch by
     low-cardinality telemetry dimensions (source, lang, day); the
     grouped frames stay bounded at ``|groups| x sketch`` rows.
+
+    ``weight_col`` (r15): WEIGHTED sketch — ``cnt`` becomes the SUM of
+    the (non-negative integral) weights instead of the row count, so
+    downstream rank targets and quantile cuts are over total weight
+    mass (e.g. token-mass-weighted document-length quantiles, the
+    form a token-denominated budget planner consults).  NULL-weight
+    rows are dropped (the NULL-unit convention); the sketch stays
+    mergeable — weighted counts add exactly like row counts.
     """
+    if weight_col is not None:
+        base = with_log_bucket(
+            df.filter(weight_col.isNotNull()), cents_col, m
+        ).withColumn("_w", weight_col.cast("long"))
+        return base.groupBy(*group_cols, "e", "sub").agg(
+            F.sum("_w").alias("cnt")
+        )
     return (
         with_log_bucket(df, cents_col, m)
         .groupBy(*group_cols, "e", "sub")
@@ -304,6 +320,7 @@ def exact_quantiles_banded(
     qs: list[int],
     m: int = 16,
     group_cols: tuple[str, ...] = (),
+    weight_col: Column | None = None,
 ) -> DataFrame:
     """EXACT discrete quantiles via sketch-bucket pruning → no global sort.
 
@@ -333,12 +350,30 @@ def exact_quantiles_banded(
     hot bucket's histogram is a handful of rows).  A pathological
     slice that is BOTH huge and all-distinct would need a recursive
     re-split; the sketch estimate stays valid regardless.
+
+    ``weight_col`` (r15): WEIGHTED exact quantiles — every count
+    (sketch buckets, histogram, slice totals) becomes a weight sum,
+    and the q-th value is the smallest value whose CUMULATIVE WEIGHT
+    reaches ``ceil(q * W / 100)`` of the total weight ``W`` — the
+    standard weighted discrete quantile.  Same plan shape; weights
+    must be non-negative integers (NULL-weight rows drop).
     """
-    rows = with_log_bucket(df, cents_col, m).select(
-        *group_cols, "e", "sub", "c"
-    )
+    if weight_col is not None:
+        rows = (
+            with_log_bucket(
+                df.filter(weight_col.isNotNull()), cents_col, m
+            )
+            .withColumn("_w", weight_col.cast("long"))
+            .select(*group_cols, "e", "sub", "c", "_w")
+        )
+        cnt_of = lambda: F.sum("_w")  # noqa: E731
+    else:
+        rows = with_log_bucket(df, cents_col, m).select(
+            *group_cols, "e", "sub", "c"
+        )
+        cnt_of = lambda: F.count(F.lit(1))  # noqa: E731
     sketch = rows.groupBy(*group_cols, "e", "sub").agg(
-        F.count(F.lit(1)).alias("cnt")
+        cnt_of().alias("cnt")
     )
     cum = _cum_buckets(sketch, group_cols)
     targets = _rank_targets(sketch, qs, group_cols)
@@ -367,7 +402,7 @@ def exact_quantiles_banded(
     # combine collapses heavy values map-side)
     vals = in_band.groupBy(
         *group_cols, "q_pct", "local_r", "e", "sub", "c"
-    ).agg(F.count(F.lit(1)).alias("vn"))
+    ).agg(cnt_of().alias("vn"))
     # (3) one uniform sub-band split of the bucket's value range:
     # the bucket covers [rep(e, sub), rep(e, sub+1)) — lower edges
     # from bucket_rep_cents (rep(e, m) = 2^(e+1), the next octave);

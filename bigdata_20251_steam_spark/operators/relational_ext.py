@@ -377,4 +377,105 @@ def scd2_intervals(
         F.lead("valid_from").over(w_runs).alias("valid_to"),
         F.lead("valid_from").over(w_runs).isNull().alias("is_current"),
         "n_obs",
+        # per-key 1-based run index in (ts, seq) order — valid_from
+        # alone cannot order runs (two adjacent runs may share a
+        # timestamp under the seq tie-break); the streaming merge
+        # (scd2_merge_delta) stitches on run_seq == 1 (r15)
+        F.row_number().over(w_runs).alias("run_seq"),
+    )
+
+
+def scd2_merge_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Extend an SCD2 interval ``state`` with a LATER batch of
+    observations — the ``foreachBatch`` maintenance step that keeps a
+    dimension history current without re-running gaps-and-islands
+    over the full log (r15, r14 verdict #9: the SCD2 sibling of
+    ``incremental_rollup_merge``'s mergeable-state proof).
+
+    ``state`` is a prior :func:`scd2_intervals` output (schema
+    ``key/attr/valid_from/valid_to/is_current/n_obs``; ``run_seq``
+    optional/ignored); ``delta`` is a batch of RAW observations, ALL
+    later (per key, in ``(ts, seq)`` order) than every observation
+    already folded into the state — the append-only monotone-log
+    contract a watermarked stream provides.  Plan:
+
+    1. close the DELTA alone into runs (one bounded
+       :func:`scd2_intervals` over the batch — never the history);
+    2. stitch per key: if the delta's FIRST run continues the state's
+       open run (null-safe equal attr), they fuse into one run
+       (``n_obs`` add, ``valid_from`` keeps the open run's start);
+       otherwise the open run CLOSES at the delta's first
+       ``valid_from``; keys without delta rows pass through
+       untouched, keys new to the state contribute their runs as-is;
+    3. the result is again a valid state (exactly one open run per
+       key), so merges CHAIN across micro-batches by induction —
+       and because every stitch is decided by the same (ts, seq)
+       total order the full recompute uses, state after the last
+       batch == ``scd2_intervals(base ∪ all deltas)`` EXACTLY (the
+       registered query's oracle is that full recompute; the hash
+       match is the proof).
+
+    Cost per batch: one islands pass over the BATCH plus one
+    key-equi join of the state against the batch's first runs —
+    delta-bounded compute; the state rewrite itself is the
+    snapshot-maintenance cost (a lakehouse MERGE INTO keyed on
+    ``(key, is_current)`` would localize it — same logical op).
+    """
+    druns = scd2_intervals(delta, key_col, attr_col, ts_col, seq_col)
+    first = druns.filter(F.col("run_seq") == 1).select(
+        "key",
+        F.col("attr").alias("_fattr"),
+        F.col("valid_from").alias("_ffrom"),
+        F.col("valid_to").alias("_fto"),
+        F.col("is_current").alias("_fcur"),
+        F.col("n_obs").alias("_fn"),
+    )
+    base_cols = [
+        "key", "attr", "valid_from", "valid_to", "is_current", "n_obs",
+    ]
+    state = state.select(*base_cols)
+    closed = state.filter(~F.col("is_current"))
+    open_ = state.filter(F.col("is_current")).join(first, "key", "left")
+    # keys without a delta batch row keep their open run verbatim
+    untouched = open_.filter(F.col("_fn").isNull()).select(*base_cols)
+    cont = F.col("attr").eqNullSafe(F.col("_fattr"))
+    fused = open_.filter(F.col("_fn").isNotNull() & cont).select(
+        "key",
+        "attr",
+        "valid_from",
+        F.col("_fto").alias("valid_to"),
+        F.col("_fcur").alias("is_current"),
+        (F.col("n_obs") + F.col("_fn")).alias("n_obs"),
+    )
+    closed_now = open_.filter(F.col("_fn").isNotNull() & ~cont).select(
+        "key",
+        "attr",
+        "valid_from",
+        F.col("_ffrom").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+        "n_obs",
+    )
+    # delta runs that stand on their own: every run of a key whose
+    # open run closed (or that is new to the state), and runs 2..R of
+    # a fused key
+    fused_keys = open_.filter(F.col("_fn").isNotNull() & cont).select(
+        "key"
+    )
+    standalone = druns.join(
+        fused_keys.withColumn("_fused", F.lit(True)), "key", "left"
+    ).filter(
+        F.col("_fused").isNull() | (F.col("run_seq") > 1)
+    ).select(*base_cols)
+    return (
+        closed.unionByName(untouched)
+        .unionByName(fused)
+        .unionByName(closed_now)
+        .unionByName(standalone)
     )

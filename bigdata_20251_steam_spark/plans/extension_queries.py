@@ -7360,6 +7360,94 @@ def q_doclen_quantiles_by_source(
     )
 
 
+def _doclen_quantiles_weighted_oracle() -> str:
+    e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
+    rep = qa.bucket_rep_sql("e", "sub", _QSK_M)
+    qvals = ", ".join(f"({q})" for q in _DQS_QS)
+    return f"""
+    WITH vals AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS c,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    tot AS (SELECT source, sum(w) AS n FROM vals GROUP BY 1),
+    qs(q_pct) AS (VALUES {qvals}),
+    tgt AS (SELECT source, CAST(q_pct AS INT) AS q_pct,
+                   (q_pct * n + 99) // 100 AS r FROM qs, tot),
+    vhist AS (SELECT source, c, sum(w) AS w FROM vals GROUP BY 1, 2),
+    vcum AS (SELECT source, c,
+                    sum(w) OVER (PARTITION BY source ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS cw
+             FROM vhist),
+    exact AS (SELECT t.source, t.q_pct, min(v.c) AS exact_chars_w
+              FROM tgt t JOIN vcum v
+                ON v.source = t.source AND v.cw >= t.r
+              GROUP BY 1, 2),
+    bux AS (SELECT source, {e_x} AS e, {sub_x} AS sub, sum(w) AS cnt
+            FROM vals GROUP BY 1, 2, 3),
+    cum AS (SELECT source, e, sub, cnt,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY e, sub
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bux),
+    hit AS (
+      SELECT source, q_pct, e, sub FROM (
+        SELECT t.source, t.q_pct, c2.e, c2.sub,
+               row_number() OVER (PARTITION BY t.source, t.q_pct
+                                  ORDER BY c2.e, c2.sub) AS pick
+        FROM tgt t JOIN cum c2
+          ON c2.source = t.source AND c2.cum >= t.r) z
+      WHERE pick = 1),
+    sk AS (SELECT source, q_pct, {rep} AS sketch_chars_w FROM hit)
+    SELECT e.source, e.q_pct, e.exact_chars_w, s.sketch_chars_w,
+           ABS(e.exact_chars_w - s.sketch_chars_w) AS abs_err_chars
+    FROM exact e JOIN sk s
+      ON s.source = e.source AND s.q_pct = e.q_pct
+    """
+
+
+@register(
+    "doclen_quantiles_weighted",
+    oracle=_doclen_quantiles_weighted_oracle(),
+    priority=80,  # entered via _R15_ROTATION (new registration tier)
+    doc="TOKEN-MASS-WEIGHTED document-length quantiles per source "
+    "(r15, r14 verdict #8): every count in the sketch, rank targets "
+    "and exact prune-and-pick becomes a whitespace-token weight sum, "
+    "so q_pct=50 answers 'the document length below which half the "
+    "TOKENS live' — the cut a token-denominated training-budget "
+    "planner actually consults (long docs dominate token mass; the "
+    "unweighted median wildly understates it).  Exact + sketch + "
+    "error columns, all-integer, same bounded plan shape as "
+    "doclen_quantiles_by_source; the weighted sketch stays mergeable "
+    "(weight sums add — pytest-pinned associativity).",
+)
+def q_doclen_quantiles_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    chars = F.col("n_chars").cast("long")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    sk = qa.quantile_sketch(
+        docs, chars, m=_QSK_M, group_cols=("source",), weight_col=toks
+    )
+    est = qa.sketch_quantiles(
+        sk, _DQS_QS, m=_QSK_M, group_cols=("source",)
+    )
+    exact = qa.exact_quantiles_banded(
+        docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",),
+        weight_col=toks,
+    )
+    return exact.join(est, ["source", "q_pct"]).select(
+        "source",
+        "q_pct",
+        F.col("exact_cents").alias("exact_chars_w"),
+        F.col("sketch_cents").alias("sketch_chars_w"),
+        F.abs(F.col("exact_cents") - F.col("sketch_cents")).alias(
+            "abs_err_chars"
+        ),
+    )
+
+
 _IVM_CUT = "2024-01-15 00:00:00"
 
 

@@ -173,8 +173,19 @@ _R15_ROTATION: dict[str, int] = {
     "incremental_rollup_merge": 24,
     "scd2_event_history": 24,
     "index_lifecycle_end_to_end": 24,
-    # three-round-stale cohort (last driver row r12) — first 24 of 42,
-    # alphabetical
+    # dedup_components — banding refactor re-prove (r15 split
+    # band_signatures / banded_candidate_pairs out of
+    # minhash_candidate_pairs on its exact code path)
+    "dedup_components": 24,
+    # r15 NEW registrations — each displaced an alphabetically-last
+    # in-window stale fill into the r16 overflow (lsh_recall_vs_exact,
+    # mmr_diverse_topk, moving_avg_daily, multimodal_frames)
+    "incremental_dedup_components": 24,
+    "doclen_quantiles_weighted": 24,
+    "streaming_scd2_merge": 24,
+    # three-round-stale cohort (last driver row r12) — first 20 of 42,
+    # alphabetical (the last four of the original 24-fill split were
+    # displaced by the four r15 prio-24 additions above)
     "anti_join_customers": 25,
     "approx_stats": 25,
     "asof_join_last_good": 25,
@@ -195,10 +206,6 @@ _R15_ROTATION: dict[str, int] = {
     "language_id": 25,
     "latest_event": 25,
     "leakage_safe_split": 25,
-    "lsh_recall_vs_exact": 25,
-    "mmr_diverse_topk": 25,
-    "moving_avg_daily": 25,
-    "multimodal_frames": 25,
 }
 
 
@@ -206,6 +213,8 @@ _R15_ROTATION: dict[str, int] = {
 #: - MUST-ENTER first: the overflow names from the r15 alphabetical
 #:   split of the tied 42-name stale cohort (last driver row r12) —
 #:   they are four-rounds-stale by r16:
+#:     lsh_recall_vs_exact, mmr_diverse_topk, moving_avg_daily,
+#:     multimodal_frames,
 #:     normalize_text, packed_sequences, packing_assignments,
 #:     peak_activity, pivot_event_matrix, profile_documents,
 #:     props_json, q14_promo_share, q3_top_revenue, q6_revenue_delta,
@@ -213,7 +222,7 @@ _R15_ROTATION: dict[str, int] = {
 #:     sentiment_hourly, set_ops_users, stratified_sample_counts,
 #:     streaming_curation_bounded_state, streaming_curation_pipeline,
 #:     streaming_doc_chunks
-#:   (18 itemized at split time; plus any fills displaced late in
+#:   (22 itemized at split time; plus any fills displaced late in
 #:   r15 — re-read the final committed dict, it is the source of
 #:   truth) — full-sweep coverage (CORRECTNESS_FULL_r15.json) is the
 #:   compensating evidence until their r16 driver row lands;

@@ -2086,3 +2086,100 @@ def q_streaming_quantile_sketch(
         .select(F.col("w.start").alias("window_start"), "e", "sub", "cnt")
     )
     return run_available_now(agg, output_mode="complete")
+
+
+#: streaming_scd2_merge: base/delta cut and the delta's micro-batch
+#: slice boundaries (events span 2024-01-01 .. 2024-01-30; ~70% base).
+_SCD2_CUT = "2024-01-22 00:00:00"
+_SCD2_SLICE_BOUNDS = ["2024-01-25 00:00:00", "2024-01-28 00:00:00"]
+
+
+@register(
+    "streaming_scd2_merge",
+    oracle=QUERIES["scd2_event_history"].oracle,
+    priority=80,  # entered via _R15_ROTATION (new registration tier)
+    doc="STREAMING SCD Type-2 maintenance (r15, r14 verdict #9): the "
+    f"event log before {_SCD2_CUT} closes into interval state once "
+    "(scd2_intervals); the remainder arrives as three time-ordered "
+    "micro-batches (single-file slices, maxFilesPerTrigger=1) and a "
+    "foreachBatch scd2_merge_delta extends the history per batch — "
+    "fusing continuations into the open run, closing flipped runs at "
+    "the delta's first observation, appending new runs — writing a "
+    "versioned state snapshot per epoch (the lakehouse MERGE INTO "
+    "shape).  The oracle is scd2_event_history's FULL gaps-and-"
+    "islands recompute over the whole log: the hash match proves "
+    "incremental == full, i.e. the dimension-history state is "
+    "maintainable under append-only arrival exactly like the rollup "
+    "and component-label states (incremental_rollup_merge / "
+    "incremental_dedup_components).  Per batch the islands pass runs "
+    "over the BATCH only; the history is touched through one "
+    "key-equi join against the batch's first runs.",
+)
+def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.relational_ext import scd2_intervals, scd2_merge_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SCD2_CUT).cast("timestamp")
+    base = ev.filter((F.col("ts") < cut) | F.col("ts").isNull())
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # stage the delta as one file per slice, written SEQUENTIALLY so
+    # both file modification time and name order match event time —
+    # the append-only monotone-log contract scd2_merge_delta documents
+    bounds = [_SCD2_CUT, *_SCD2_SLICE_BOUNDS, None]
+    for i in range(len(bounds) - 1):
+        cond = F.col("ts") >= F.lit(bounds[i]).cast("timestamp")
+        if bounds[i + 1] is not None:
+            cond &= F.col("ts") < F.lit(bounds[i + 1]).cast("timestamp")
+        tmp = os.path.join(work, f"_tmp{i}")
+        ev.filter(cond).repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, part), os.path.join(src, f"slice_{i}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    state_dir = os.path.join(work, "state")
+    versions = [os.path.join(state_dir, "v0")]
+    scd2_intervals(base, "user_id", "event_type", "ts", "event_id").write.parquet(
+        versions[0]
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = spark.read.parquet(versions[-1])
+        merged = scd2_merge_delta(
+            cur, batch_df, "user_id", "event_type", "ts", "event_id"
+        )
+        nxt = os.path.join(state_dir, f"v{len(versions)}")
+        merged.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    stream = file_stream(
+        spark, src, EVENTS_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1]).select(
+        F.col("key").alias("user_id"),
+        F.col("attr").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_obs",
+    )
+    # materialize the bounded history (O(runs) rows) so the per-run
+    # work dir can be deleted now (the streaming_token_budget pattern)
+    rows = final.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, final.schema)

@@ -3712,10 +3712,18 @@ def test_r15_rotation_window():
         "incremental_rollup_merge",
         "scd2_event_history",
         "index_lifecycle_end_to_end",
+        "dedup_components",
+        "incremental_dedup_components",
+        "doclen_quantiles_weighted",
+        "streaming_scd2_merge",
     ):
         assert _R15_ROTATION[name] == 24, name
     # the itemized r16 overflow is OUT of the window
     for name in (
+        "lsh_recall_vs_exact",
+        "mmr_diverse_topk",
+        "moving_avg_daily",
+        "multimodal_frames",
         "normalize_text",
         "packed_sequences",
         "packing_assignments",

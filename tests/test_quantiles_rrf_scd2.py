@@ -340,3 +340,106 @@ def test_exact_banded_point_mass_bounded(spark):
         df, F.col("v"), qs, m=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan, plan[:2000]
+
+
+def test_weighted_sketch_merge_associative_and_exact(spark):
+    """r15 weighted quantiles: (a) weighted sketches merge exactly
+    (weight sums add) — merge(sk(A), sk(B)) == sk(A ∪ B); (b) the
+    weighted exact quantile is the smallest value whose cumulative
+    weight reaches ceil(q*W/100), hand-checked."""
+    a = spark.createDataFrame(
+        [(10, 1), (20, 3), (30, 1)], "c long, w long"
+    )
+    b = spark.createDataFrame([(20, 2), (40, 5)], "c long, w long")
+    u = a.unionByName(b)
+
+    def sk(df):
+        return qa.quantile_sketch(
+            df, F.col("c"), weight_col=F.col("w")
+        )
+
+    merged = {
+        (r["e"], r["sub"]): r["cnt"]
+        for r in qa.merge_sketches(sk(a), sk(b)).collect()
+    }
+    whole = {
+        (r["e"], r["sub"]): r["cnt"] for r in sk(u).collect()
+    }
+    assert merged == whole
+
+    # W = 12; expanded multiset: 10x1, 20x5, 30x1, 40x5
+    # q50 -> r=6 -> cum(10)=1, cum(20)=6 -> 20; q75 -> r=9 -> 40
+    got = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            u, F.col("c"), [50, 75, 100], weight_col=F.col("w")
+        ).collect()
+    }
+    assert got == {50: 20, 75: 40, 100: 40}
+
+    # weighted == unweighted on replicated rows (the defining identity)
+    expanded = spark.createDataFrame(
+        [(10,)] * 1 + [(20,)] * 5 + [(30,)] * 1 + [(40,)] * 5, "c long"
+    )
+    unw = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            expanded, F.col("c"), [50, 75, 100]
+        ).collect()
+    }
+    assert unw == got
+
+
+def test_scd2_merge_delta_chains_to_full_recompute(spark):
+    """r15 streaming SCD2 maintenance: folding a log into the state
+    batch-by-batch (scd2_merge_delta) equals the one-shot
+    scd2_intervals over the union log — across continuation (same
+    attr), close-and-open (attr change), untouched keys, brand-new
+    keys, multi-run deltas, and a key spanning all three batches."""
+    from bigdata_20251_steam_spark.operators.relational_ext import (
+        scd2_merge_delta,
+    )
+
+    schema = "user_id int, attr string, ts long, seq int"
+    b0 = [  # base
+        (1, "a", 100, 1), (1, "a", 200, 2),
+        (2, "x", 100, 3),
+        (4, None, 100, 4),
+    ]
+    b1 = [  # batch 1: 1 continues 'a'; 2 flips to 'y'; 5 is new
+        (1, "a", 300, 5),
+        (2, "y", 300, 6), (2, "y", 400, 7),
+        (5, "m", 300, 8), (5, "n", 400, 9),
+    ]
+    b2 = [  # batch 2: 1 flips b then a; 4 leaves NULL; 5 continues 'n'
+        (1, "b", 500, 10), (1, "a", 600, 11),
+        (4, "z", 500, 12),
+        (5, "n", 500, 13),
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    state = scd2_intervals(df(b0), "user_id", "attr", "ts", "seq")
+    for batch in (b1, b2):
+        state = scd2_merge_delta(
+            state, df(batch), "user_id", "attr", "ts", "seq"
+        )
+    full = scd2_intervals(df(b0 + b1 + b2), "user_id", "attr", "ts", "seq")
+
+    def key(dfr):
+        rows = [
+            (
+                r["key"], r["attr"], r["valid_from"], r["valid_to"],
+                r["is_current"], r["n_obs"],
+            )
+            for r in dfr.collect()
+        ]
+        assert len(rows) == len(set(rows))  # no duplicate intervals
+        return set(rows)
+
+    assert key(state) == key(
+        full.select(
+            "key", "attr", "valid_from", "valid_to", "is_current", "n_obs"
+        )
+    )
