@@ -1897,7 +1897,10 @@ _IDC_DELTA_MOD = 8
     SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
     """,
     priority=80,  # entered via _R15_ROTATION (new registration tier)
-    headline=True,
+    # not a bench headliner: the in-query base-state computation (two
+    # closures back to back) is fixed job-scheduling floor that would
+    # dominate the suite; scale evidence is the SCALING.md r15 anchor
+    # (delta-bounded cost) instead
     doc="Incremental near-dup closure (r15, r14 verdict #4): the corpus "
     f"splits at doc_id % {_IDC_DELTA_MOD} == 0 into an already-closed "
     "base (labels = connected_components over its LSH pairs — the "

@@ -98,10 +98,13 @@ def running_totals_tws(
     store provider (set in ``session.py``).  Parity with the batch
     groupBy is pinned in ``tests/test_stateful_storage.py`` — the test
     SKIPS in this container because TWS's state-server protocol needs
-    ``google.protobuf``, which is not importable here (verified:
+    ``google.protobuf``, which is not importable here (r14 probe:
     ``transform_with_state_driver_worker`` dies with ``ImportError:
-    cannot import name 'descriptor' from 'google.protobuf'``); on a
-    normally-provisioned cluster the same code runs as-is.  The
+    cannot import name 'descriptor' from 'google.protobuf'``; r15
+    re-probe 2026-08-16: ``import google.protobuf`` now raises
+    ``ModuleNotFoundError: No module named 'google'`` — the package is
+    absent outright, and installs are disallowed in this environment);
+    on a normally-provisioned cluster the same code runs as-is.  The
     applyInPandasWithState form above is the executed tier in this repo.
 
     The processor class is defined inside this function so cloudpickle

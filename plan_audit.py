@@ -178,6 +178,13 @@ WHITELIST: dict[tuple[str, str], str] = {
         "re-rank joins are EQUI on the group key — both sides bounded "
         "by construction, never the corpus"
     ),
+    ("doclen_quantiles_weighted", "BroadcastNestedLoopJoin"): (
+        "same shape as doclen_quantiles_by_source with counts replaced "
+        "by token-weight sums: the quantile-frame crossJoin against "
+        "the broadcast per-group WEIGHT totals (|qs|=4 x |sources| "
+        "rows); bucket-locate, slice and histogram joins are EQUI on "
+        "the group key — all frames bounded by construction"
+    ),
     ("incremental_rollup_merge", "BroadcastNestedLoopJoin"): (
         "the p50 target frame crossJoins the broadcast per-type "
         "totals (1 x |event_types|=5 rows); all other joins equi and "

@@ -158,6 +158,12 @@ PROBES = [
     # rollup (both bounded-frame joins; data term = the scans)
     "doclen_quantiles_by_source",
     "incremental_rollup_merge",
+    # round-15: incremental closure (delta-bounded super-graph merge),
+    # token-weighted prune-and-pick, and the streaming SCD2 merge's
+    # batch twin is scd2_event_history (streaming queries stay
+    # excluded; the merge itself is delta-bounded by construction)
+    "incremental_dedup_components",
+    "doclen_quantiles_weighted",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -241,6 +247,8 @@ PROBE_TABLES = {
     "scd2_event_history": {"events"},
     "doclen_quantiles_by_source": {"documents"},
     "incremental_rollup_merge": {"events"},
+    "incremental_dedup_components": {"documents"},
+    "doclen_quantiles_weighted": {"documents"},
 }
 
 
