@@ -183,9 +183,12 @@ _R15_ROTATION: dict[str, int] = {
     "incremental_dedup_components": 24,
     "doclen_quantiles_weighted": 24,
     "streaming_scd2_merge": 24,
-    # three-round-stale cohort (last driver row r12) — first 20 of 42,
-    # alphabetical (the last four of the original 24-fill split were
-    # displaced by the four r15 prio-24 additions above)
+    # second r15 batch: the streaming form of the incremental closure
+    # — displaced leakage_safe_split into the r16 overflow
+    "streaming_incremental_dedup": 24,
+    # three-round-stale cohort (last driver row r12) — first 19 of 42,
+    # alphabetical (the last five of the original 24-fill split were
+    # displaced by the five r15 prio-24 additions above)
     "anti_join_customers": 25,
     "approx_stats": 25,
     "asof_join_last_good": 25,
@@ -205,7 +208,6 @@ _R15_ROTATION: dict[str, int] = {
     "ivf_sampled_recall": 25,
     "language_id": 25,
     "latest_event": 25,
-    "leakage_safe_split": 25,
 }
 
 
@@ -213,6 +215,7 @@ _R15_ROTATION: dict[str, int] = {
 #: - MUST-ENTER first: the overflow names from the r15 alphabetical
 #:   split of the tied 42-name stale cohort (last driver row r12) —
 #:   they are four-rounds-stale by r16:
+#:     leakage_safe_split,
 #:     lsh_recall_vs_exact, mmr_diverse_topk, moving_avg_daily,
 #:     multimodal_frames,
 #:     normalize_text, packed_sequences, packing_assignments,
@@ -222,7 +225,7 @@ _R15_ROTATION: dict[str, int] = {
 #:     sentiment_hourly, set_ops_users, stratified_sample_counts,
 #:     streaming_curation_bounded_state, streaming_curation_pipeline,
 #:     streaming_doc_chunks
-#:   (22 itemized at split time; plus any fills displaced late in
+#:   (23 itemized at split time; plus any fills displaced late in
 #:   r15 — re-read the final committed dict, it is the source of
 #:   truth) — full-sweep coverage (CORRECTNESS_FULL_r15.json) is the
 #:   compensating evidence until their r16 driver row lands;

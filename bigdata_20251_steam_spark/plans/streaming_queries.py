@@ -2183,3 +2183,103 @@ def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = final.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, final.schema)
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=QUERIES["incremental_dedup_components"].oracle,
+    priority=80,  # entered via _R15_ROTATION (new registration tier)
+    doc="STREAMING incremental near-dup closure (r15 — the streaming "
+    "form of incremental_dedup_components, completing the IVM trilogy "
+    "operationally: rollup states, SCD2 history, component labels). "
+    "The base corpus (doc_id % 8 != 0) closes once into two state "
+    "artifacts — the LSH band table and the component labels; the "
+    "delta docs then arrive as three micro-batches (hash-split by "
+    "doc_id, NO ordering assumption: unlike the SCD2 merge, closure "
+    "edges commute, so any batch arrival order yields the same "
+    "labels).  Per batch, foreachBatch computes the batch's edges "
+    "against the ACCUMULATED band table (batch-k docs pair with base "
+    "AND every earlier batch — cross-batch duplicates are caught when "
+    "the later doc arrives), merges them into the label state via "
+    "incremental_components (bounded super-graph, broadcast relabel), "
+    "then appends the batch's bands to the band state.  The oracle is "
+    "the FULL-corpus recursive-CTE closure: the hash match proves the "
+    "streamed, batch-at-a-time maintenance converges to exactly the "
+    "batch recompute.  Per batch: signature scan of the BATCH, a "
+    "band-key join against the state table, and a closure over the "
+    "batch-edge-bounded super-graph — never the corpus graph.",
+)
+def q_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 8 != 0)
+    delta = docs.filter(F.col("doc_id") % 8 == 0)
+
+    work = tempfile.mkdtemp(prefix="incdedup_stream_")
+    band_dir = os.path.join(work, "bands")
+    state_dir = os.path.join(work, "labels")
+    # base state artifacts (the in-query stand-in for yesterday's
+    # persisted run, the incremental_rollup_merge convention)
+    base_banded = dd.band_signatures(dd.minhash_signatures(base))
+    base_banded.write.parquet(band_dir)
+    dd.connected_components(
+        dd.banded_candidate_pairs(spark.read.parquet(band_dir))
+    ).write.parquet(os.path.join(state_dir, "v0"))
+    versions = [os.path.join(state_dir, "v0")]
+
+    # stage the delta as 3 hash-split files (order-free by design)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for i in range(3):
+        tmp = os.path.join(work, f"_tmp{i}")
+        delta.filter(F.col("doc_id") % 24 == i * 8).repartition(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sigs = dd.minhash_signatures(batch_df)
+        bands = dd.band_signatures(sigs)
+        new_edges = dd.incremental_minhash_pairs(
+            sigs, spark.read.parquet(band_dir)
+        )
+        merged = dd.incremental_components(
+            spark.read.parquet(versions[-1]), new_edges
+        )
+        nxt = os.path.join(state_dir, f"v{len(versions)}")
+        merged.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+        bands.write.mode("append").parquet(band_dir)
+
+    stream = file_stream(
+        spark, src, DOCS_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1]).select(
+        "doc_id", "component_id"
+    )
+    # materialize the bounded label set (O(duplicates) rows) so the
+    # per-run work dir can be deleted now
+    rows = final.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, final.schema)

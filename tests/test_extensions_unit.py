@@ -3716,10 +3716,12 @@ def test_r15_rotation_window():
         "incremental_dedup_components",
         "doclen_quantiles_weighted",
         "streaming_scd2_merge",
+        "streaming_incremental_dedup",
     ):
         assert _R15_ROTATION[name] == 24, name
     # the itemized r16 overflow is OUT of the window
     for name in (
+        "leakage_safe_split",
         "lsh_recall_vs_exact",
         "mmr_diverse_topk",
         "moving_avg_daily",
@@ -4246,3 +4248,53 @@ def test_incremental_pairs_mega_bucket_star(spark):
     ).collect()
     got2 = {(r["doc_a"], r["doc_b"]) for r in pairs2}
     assert got2 == {(0, d) for d in range(1, 50)} | {(0, 50)}
+
+
+def test_incremental_closure_batch_order_independent(spark):
+    """The streaming incremental closure's key property: because
+    closure edges COMMUTE, folding delta batches in ANY order yields
+    the same labels — each batch bands against base ∪ previously
+    folded batches, so a cross-batch duplicate pair is discovered when
+    the LATER-ARRIVING doc lands, whichever that is.  (Contrast
+    scd2_merge_delta, whose contract demands time order.)"""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        banded_candidate_pairs,
+        connected_components,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter("doc_id % 8 != 0")
+    batches = [
+        docs.filter(f"doc_id % 24 = {i * 8}") for i in range(3)
+    ]
+    base_banded = band_signatures(minhash_signatures(base)).localCheckpoint()
+    base_labels = connected_components(banded_candidate_pairs(base_banded))
+
+    def fold(order):
+        bands = base_banded
+        labels = base_labels
+        for i in order:
+            sigs = minhash_signatures(batches[i])
+            edges = incremental_minhash_pairs(sigs, bands)
+            labels = incremental_components(labels, edges).localCheckpoint()
+            bands = bands.unionByName(
+                band_signatures(sigs)
+            ).localCheckpoint()
+        return {
+            (r["doc_id"], r["component_id"]) for r in labels.collect()
+        }
+
+    fwd = fold([0, 1, 2])
+    rev = fold([2, 0, 1])
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            minhash_candidate_pairs(minhash_signatures(docs))
+        ).collect()
+    }
+    assert fwd == full and rev == full
