@@ -321,6 +321,9 @@ def exact_quantiles_banded(
     m: int = 16,
     group_cols: tuple[str, ...] = (),
     weight_col: Column | None = None,
+    max_band_rows: int | None = None,
+    max_refine_levels: int = 8,
+    telemetry: list | None = None,
 ) -> DataFrame:
     """EXACT discrete quantiles via sketch-bucket pruning → no global sort.
 
@@ -347,9 +350,23 @@ def exact_quantiles_banded(
     values inside one ``1/SUBBANDS`` slice of one sketch bucket —
     bounded by ``min(bucket_rows, bucket_value_range / SUBBANDS)``
     and pinned by the point-mass pytest (one value = 50% of rows; the
-    hot bucket's histogram is a handful of rows).  A pathological
-    slice that is BOTH huge and all-distinct would need a recursive
-    re-split; the sketch estimate stays valid regardless.
+    hot bucket's histogram is a handful of rows).
+
+    ``max_band_rows`` (r15, opt-in) makes that bound ABSOLUTE for the
+    pathological remainder (a slice both huge and all-distinct): an
+    adaptive refinement loop re-slices the surviving candidate
+    histogram — normalized to its own per-(group, quantile) [min, max]
+    value range, so every level shrinks the occupied range by
+    ``SUBBANDS``x — until no (group, quantile) holds more than
+    ``max_band_rows`` distinct candidate values (or
+    ``max_refine_levels`` is hit; 8 levels cover the full 48-bit
+    range).  Each level costs one bounded count job + one slice
+    aggregate over the ALREADY-PRUNED histogram (localCheckpointed —
+    the corpus is never rescanned), the eager-loop pattern
+    ``connected_components`` uses; with real data the loop exits after
+    the first check, so the default ``None`` keeps the fully lazy
+    single-level plan (byte-identical to the registered queries').
+    Pass ``telemetry`` (a list) to observe per-level candidate maxima.
 
     ``weight_col`` (r15): WEIGHTED exact quantiles — every count
     (sketch buckets, histogram, slice totals) becomes a weight sum,
@@ -462,11 +479,81 @@ def exact_quantiles_banded(
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        picked.withColumn("vcum", F.sum("vn").over(w_val))
-        .filter(
-            (F.col("vcum") >= F.col("r2"))
-            & (F.col("vcum") - F.col("vn") < F.col("r2"))
+
+    def _pick(cand: DataFrame, rank: str) -> DataFrame:
+        return (
+            cand.withColumn("vcum", F.sum("vn").over(w_val))
+            .filter(
+                (F.col("vcum") >= F.col(rank))
+                & (F.col("vcum") - F.col("vn") < F.col(rank))
+            )
+            .select(*group_cols, "q_pct", F.col("c").alias("exact_cents"))
         )
-        .select(*group_cols, "q_pct", F.col("c").alias("exact_cents"))
-    )
+
+    if max_band_rows is None:
+        return _pick(picked, "r2")
+
+    # adaptive refinement: keep re-slicing the surviving candidate
+    # histogram (bounded frame, localCheckpointed) until every
+    # (group, quantile) holds <= max_band_rows distinct values
+    if max_band_rows < 2:
+        raise ValueError("max_band_rows must be >= 2")
+    cand = picked.select(
+        *group_cols, "q_pct", F.col("r2").alias("r"), "c", "vn"
+    ).localCheckpoint()
+    level = 1
+    while True:
+        stats = cand.groupBy(*group_cols, "q_pct").agg(
+            F.count(F.lit(1)).alias("nvals"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+        worst = stats.agg(F.max("nvals").alias("w")).first()["w"] or 0
+        if telemetry is not None:
+            telemetry.append(
+                {"level": level, "max_candidate_values": int(worst)}
+            )
+        if worst <= max_band_rows or level >= max_refine_levels:
+            break
+        level += 1
+        c2 = (
+            cand.join(F.broadcast(stats), [*group_cols, "q_pct"])
+            .withColumn(
+                "_sw",
+                F.greatest(
+                    F.lit(1).cast("long"), F.col("mx") - F.col("mn") + 1
+                ),
+            )
+            .withColumn(
+                "s2",
+                F.least(
+                    F.lit(SUBBANDS - 1),
+                    F.expr(f"CAST(((c - mn) * {SUBBANDS}) DIV _sw AS INT)"),
+                ),
+            )
+        )
+        st = c2.groupBy(*group_cols, "q_pct", "s2").agg(
+            F.sum("vn").alias("sn"), F.min("r").alias("r")
+        )
+        hit = (
+            st.withColumn("scum", F.sum("sn").over(w_slice))
+            .filter(
+                (F.col("scum") >= F.col("r"))
+                & (F.col("scum") - F.col("sn") < F.col("r"))
+            )
+            .select(
+                *group_cols,
+                "q_pct",
+                F.col("s2").alias("_s2"),
+                (F.col("r") - (F.col("scum") - F.col("sn"))).alias("_r2"),
+            )
+        )
+        cand = (
+            c2.join(F.broadcast(hit), [*group_cols, "q_pct"])
+            .filter(F.col("s2") == F.col("_s2"))
+            .select(
+                *group_cols, "q_pct", F.col("_r2").alias("r"), "c", "vn"
+            )
+            .localCheckpoint()
+        )
+    return _pick(cand, "r")

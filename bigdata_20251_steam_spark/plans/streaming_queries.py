@@ -2207,7 +2207,14 @@ def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streamed, batch-at-a-time maintenance converges to exactly the "
     "batch recompute.  Per batch: signature scan of the BATCH, a "
     "band-key join against the state table, and a closure over the "
-    "batch-edge-bounded super-graph — never the corpus graph.",
+    "batch-edge-bounded super-graph — never the corpus graph.  At "
+    "100 TB the band-table probe is the batch cost to watch: the "
+    "delta side is small, so AQE broadcasts it and the state table "
+    "is SCANNED (never shuffled) per batch; a real deployment "
+    "additionally buckets the band table by band key "
+    "(sinks/bucketing.py) so each batch touches only the bucket "
+    "files its delta bands hash to — the same pruning contract the "
+    "IVFADC store uses.",
 )
 def q_streaming_incremental_dedup(
     spark: SparkSession, sf_dir: str

@@ -443,3 +443,42 @@ def test_scd2_merge_delta_chains_to_full_recompute(spark):
             "key", "attr", "valid_from", "valid_to", "is_current", "n_obs"
         )
     )
+
+
+def test_exact_banded_adaptive_refinement_bound(spark):
+    """r15 opt-in absolute per-task bound: a dense all-distinct value
+    cluster inside ONE level-1 slice (the pathological remainder the
+    static refinement cannot split) must trigger the adaptive loop
+    until no (group, quantile) holds more than max_band_rows candidate
+    values — same exact answers as the default path and the sorted
+    oracle."""
+    base = (1 << 20) + 5000
+    vals = [base + i for i in range(200)] + [7, 7, 7, (1 << 21) + 123]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [25, 50, 75]
+    svals = sorted(vals)
+    expected = {q: svals[(q * len(vals) + 99) // 100 - 1] for q in qs}
+
+    tel: list = []
+    got = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            df, F.col("v"), qs, max_band_rows=10, telemetry=tel
+        ).collect()
+    }
+    assert got == expected
+    assert len(tel) >= 2, tel  # the loop genuinely engaged
+    assert tel[0]["max_candidate_values"] > 10, tel
+    assert tel[-1]["max_candidate_values"] <= 10, tel
+
+    # default (lazy single-level) path agrees
+    dflt = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(df, F.col("v"), qs).collect()
+    }
+    assert dflt == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_band_rows"):
+        qa.exact_quantiles_banded(df, F.col("v"), qs, max_band_rows=1)
