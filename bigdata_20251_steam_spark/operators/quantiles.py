@@ -179,6 +179,30 @@ def bucket_rep_sql(eexpr: str, subexpr: str, m: int = 16) -> str:
     )
 
 
+def _guarded_weight(weight_col: Column) -> Column:
+    """Weight column cast to long with a LOUD non-negativity guard
+    (r16, ADVICE r15): the weighted docstrings require non-negative
+    integral weights, but the r15 form silently accepted a negative
+    weight — cumulative masses went non-monotone and quantiles came
+    back wrong or missing instead of failing.  ``assert_true`` folded
+    INTO the value (the :func:`range_join` convention — a standalone
+    guard column would be optimizer-pruned and never evaluated), so
+    the check rides the same scan at zero extra jobs."""
+    w = weight_col.cast("long")
+    guard = F.coalesce(
+        F.assert_true(
+            w >= 0,
+            F.concat(
+                F.lit("quantiles: negative weight ("),
+                w.cast("string"),
+                F.lit(") — weights must be non-negative integers"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return w + guard
+
+
 def quantile_sketch(
     df: DataFrame,
     cents_col: Column,
@@ -203,13 +227,15 @@ def quantile_sketch(
     downstream rank targets and quantile cuts are over total weight
     mass (e.g. token-mass-weighted document-length quantiles, the
     form a token-denominated budget planner consults).  NULL-weight
-    rows are dropped (the NULL-unit convention); the sketch stays
-    mergeable — weighted counts add exactly like row counts.
+    rows are dropped (the NULL-unit convention); a NEGATIVE weight
+    fails loudly at scan time (:func:`_guarded_weight`, r16 ADVICE);
+    the sketch stays mergeable — weighted counts add exactly like row
+    counts.
     """
     if weight_col is not None:
         base = with_log_bucket(
             df.filter(weight_col.isNotNull()), cents_col, m
-        ).withColumn("_w", weight_col.cast("long"))
+        ).withColumn("_w", _guarded_weight(weight_col))
         return base.groupBy(*group_cols, "e", "sub").agg(
             F.sum("_w").alias("cnt")
         )
@@ -373,14 +399,16 @@ def exact_quantiles_banded(
     and the q-th value is the smallest value whose CUMULATIVE WEIGHT
     reaches ``ceil(q * W / 100)`` of the total weight ``W`` — the
     standard weighted discrete quantile.  Same plan shape; weights
-    must be non-negative integers (NULL-weight rows drop).
+    must be non-negative integers (NULL-weight rows drop; a negative
+    weight fails loudly at scan time — :func:`_guarded_weight`, r16
+    ADVICE).
     """
     if weight_col is not None:
         rows = (
             with_log_bucket(
                 df.filter(weight_col.isNotNull()), cents_col, m
             )
-            .withColumn("_w", weight_col.cast("long"))
+            .withColumn("_w", _guarded_weight(weight_col))
             .select(*group_cols, "e", "sub", "c", "_w")
         )
         cnt_of = lambda: F.sum("_w")  # noqa: E731

