@@ -983,6 +983,99 @@ def incremental_components(
     return rebased.unionByName(fresh)
 
 
+def retract_band_table(
+    band_table: DataFrame, removed: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The band-table half of a RETRACTION (r16, r15 verdict #2 — the
+    DELETE side of the dedup IVM story): surviving band table =
+    ``band_table`` anti-join the removed doc_ids.  The delete set is
+    delta-bounded (a takedown/TTL batch), so the anti-join broadcasts
+    it and the band table is SCANNED, never shuffled — a metadata-cheap
+    rewrite at 100 TB (a lakehouse table would express the same op as
+    a MERGE DELETE; callers persist the result as the next band-state
+    snapshot)."""
+    rm = removed.select(F.col(id_col).alias("doc_id")).distinct()
+    return band_table.join(F.broadcast(rm), "doc_id", "left_anti")
+
+
+def retract_components(
+    base_labels: DataFrame,
+    band_table: DataFrame,
+    removed: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+    **cc_kwargs,
+) -> DataFrame:
+    """RETRACT documents from an existing near-dup closure without
+    re-closing the corpus (r16, r15 verdict #2: the IVM family covered
+    inserts everywhere — rollup states, SCD2 history, component labels,
+    index upserts — but nothing could REMOVE a document; a takedown or
+    TTL event on a 100 TB corpus meant a full dedup-graph recompute).
+
+    ``base_labels`` is the persisted ``(doc_id, component_id)`` closure
+    (labels are component MINIMA by the :func:`connected_components`
+    contract); ``band_table`` the persisted :func:`band_signatures`
+    state; ``removed`` a delta of doc_ids to delete.  Plan:
+
+    1. TOUCHED components = the distinct labels of removed docs (one
+       broadcast semi-join against the label table — a removed doc
+       absent from the labels was a singleton and retracts for free);
+    2. SURVIVORS = the touched components' members minus the removed
+       docs (the label table is scanned once with broadcast joins,
+       never shuffled);
+    3. RE-CLOSE the survivors among themselves:
+       :func:`banded_candidate_pairs` over the band table restricted
+       to the survivor set, then :func:`connected_components` — a
+       closure bounded by the TOUCHED components' member count, never
+       the corpus graph;
+    4. UNION with the untouched components' labels, verbatim.
+
+    EXACTNESS (merged == full recompute on corpus-minus-removed,
+    bit-for-bit — the registered query's oracle IS that recompute; the
+    hash match is the proof): any doc sharing a band bucket with a
+    touched-component member is, by the LSH edge rule, in the SAME
+    component — so the touched components are CLOSED under
+    bucket-sharing, restricting the band table to their survivors
+    preserves every surviving bucket's membership exactly (removal
+    only shrinks buckets, so the mega-bucket star policy sees the same
+    bucket sizes the full re-run would), and the re-closure reproduces
+    the full re-run's edges on exactly the docs whose edges could have
+    changed.  Edges only DISAPPEAR under retraction, so components
+    split or shrink but never merge — removing a bridge doc splits its
+    component in two (pytest-pinned), and a survivor that lost its
+    last duplicate partner drops out of the labels entirely (the
+    docs-with-duplicates output convention).
+
+    Cost at 100 TB: the removed set and the touched-component frames
+    are delta-bounded broadcasts; the band table and label table are
+    each scanned once, shuffle-free; the only closure runs over the
+    touched survivors.  The broadcast bound is the touched components'
+    MEMBER count — a pathological giant component (a boilerplate
+    cluster holding millions of docs) should be retracted with the
+    full :func:`connected_components` path instead (pass
+    ``local_threshold=0`` and drop the broadcast by pre-persisting
+    survivors), the same escape hatch the relabel broadcast documents.
+    """
+    rm = removed.select(F.col(id_col).alias("doc_id")).distinct()
+    touched = (
+        base_labels.join(F.broadcast(rm), "doc_id")
+        .select("component_id")
+        .distinct()
+    )
+    members = base_labels.join(F.broadcast(touched), "component_id")
+    survivors = members.join(F.broadcast(rm), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+    surv_bands = band_table.join(F.broadcast(survivors), "doc_id")
+    re_labels = connected_components(
+        banded_candidate_pairs(surv_bands, max_bucket), **cc_kwargs
+    )
+    untouched = base_labels.join(
+        F.broadcast(touched), "component_id", "left_anti"
+    )
+    return untouched.unionByName(re_labels)
+
+
 def segment_tokens(
     docs: DataFrame,
     seg_tokens: int = 10,

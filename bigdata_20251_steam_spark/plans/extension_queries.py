@@ -1938,6 +1938,71 @@ def q_incremental_dedup_components(
     return dd.incremental_components(base_labels, new_edges)
 
 
+#: Pinned removal cut for the retraction IVM proof: docs with
+#: ``doc_id % 7 == 0`` (~14%) arrive as the "takedown batch"; at
+#: sf0.01 that retracts 8 of the 51 labeled docs across 8 components,
+#: including 2 component MINIMA (the relabel-on-min-removal path).
+_RETRACT_MOD = 7
+
+
+@register(
+    "dedup_retraction",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    .replace(
+        "FROM documents", f"FROM documents WHERE doc_id % {_RETRACT_MOD} <> 0", 1
+    )
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    """,
+    priority=80,  # enters via the r16 rotation (new registration tier)
+    doc="Near-dup closure RETRACTION (r16, r15 verdict #2 — the DELETE "
+    "side of the IVM story: the insert direction landed in r15 as "
+    "incremental_dedup_components; until now a takedown or TTL event "
+    "on a 100 TB corpus meant re-closing the whole dedup graph).  The "
+    "full corpus closes once into the two persisted state artifacts "
+    f"(band table + component labels); a takedown batch (doc_id % "
+    f"{_RETRACT_MOD} == 0) then retracts via retract_components: the "
+    "touched components (one broadcast semi-join), their surviving "
+    "members, and a re-closure over ONLY those survivors' band rows — "
+    "bounded by the touched components' member count, never the "
+    "corpus graph; untouched components pass through verbatim and the "
+    "band state shrinks by anti-join (retract_band_table).  The "
+    "oracle is the FULL recursive-CTE closure over corpus-minus-"
+    "removed: the hash match proves retract == full recompute on the "
+    "surviving corpus, exactly (components split or shrink but never "
+    "merge under retraction; a survivor whose last duplicate partner "
+    "was removed drops out of the labels — both paths exercised at "
+    "sf0.01 and the bridge-doc SPLIT is pytest-pinned).",
+)
+def q_dedup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the band table + labels are the persisted state in a real
+    # deployment; materialize the banding ONCE (localCheckpoint) — it
+    # feeds both the base closure and the survivor re-closure
+    banded = dd.band_signatures(dd.minhash_signatures(docs)).localCheckpoint()
+    labels = dd.connected_components(dd.banded_candidate_pairs(banded))
+    removed = docs.filter(
+        F.col("doc_id") % _RETRACT_MOD == 0
+    ).select("doc_id")
+    return dd.retract_components(labels, banded, removed)
+
+
 @register(
     "tfidf_top_terms",
     oracle="""

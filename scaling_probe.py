@@ -164,6 +164,11 @@ PROBES = [
     # excluded; the merge itself is delta-bounded by construction)
     "incremental_dedup_components",
     "doclen_quantiles_weighted",
+    # round-16: the DELETE side of the IVM pair — touched-component
+    # re-closure bounded by the takedown batch's component members
+    # (data terms = the base-state build; the retraction itself is
+    # delta-bounded)
+    "dedup_retraction",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -249,6 +254,7 @@ PROBE_TABLES = {
     "incremental_rollup_merge": {"events"},
     "incremental_dedup_components": {"documents"},
     "doclen_quantiles_weighted": {"documents"},
+    "dedup_retraction": {"documents"},
 }
 
 

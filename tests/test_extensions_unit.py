@@ -4298,3 +4298,108 @@ def test_incremental_closure_batch_order_independent(spark):
         ).collect()
     }
     assert fwd == full and rev == full
+
+def test_retract_components_hand_graph(spark):
+    """r16 (r15 verdict #2): retracting docs from an existing closure
+    equals the full re-closure on the surviving corpus — on a hand
+    band table exercising every case: a removed BRIDGE doc splitting
+    its component in two, a removed component MINIMUM forcing a
+    relabel, a survivor dropping out after losing its last partner,
+    an untouched component passing through verbatim, and a removed
+    singleton (absent from the labels) retracting for free."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        banded_candidate_pairs,
+        connected_components,
+        retract_band_table,
+        retract_components,
+    )
+
+    # buckets: chain 1-2-3-4-5 (3 is the bridge); {10,11} untouched;
+    # {20,21} (removing 20 strands 21); {30,31,32} (30 is the min);
+    # {99} a banded singleton
+    rows = [
+        (1, 0, "A"), (2, 0, "A"),
+        (2, 1, "B"), (3, 1, "B"),
+        (3, 2, "C"), (4, 2, "C"),
+        (4, 3, "D"), (5, 3, "D"),
+        (10, 0, "E"), (11, 0, "E"),
+        (20, 1, "G"), (21, 1, "G"),
+        (30, 2, "H"), (31, 2, "H"),
+        (31, 3, "I"), (32, 3, "I"),
+        (99, 0, "F"),
+    ]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_sig string"
+    )
+    labels = connected_components(banded_candidate_pairs(bands))
+    assert {
+        (r["doc_id"], r["component_id"]) for r in labels.collect()
+    } == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30),
+    }
+    removed = spark.createDataFrame(
+        [(3,), (20,), (30,), (99,)], "doc_id long"
+    )
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in retract_components(labels, bands, removed).collect()
+    }
+    surv_bands = retract_band_table(bands, removed)
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            banded_candidate_pairs(surv_bands)
+        ).collect()
+    }
+    assert got == full
+    assert got == {
+        (1, 1), (2, 1),      # bridge removed: split half one
+        (4, 4), (5, 4),      # split half two (fresh min 4)
+        (10, 10), (11, 10),  # untouched, verbatim
+        (31, 31), (32, 31),  # min removed: relabeled to fresh min
+        # 21 lost its last partner -> out; 3/20/30/99 removed
+    }
+    # the band state shrank by exactly the removed docs' rows
+    assert {
+        (r["doc_id"], r["band_id"], r["band_sig"])
+        for r in surv_bands.collect()
+    } == {t for t in rows if t[0] not in (3, 20, 30, 99)}
+
+
+def test_retract_components_on_documents(spark):
+    """Retraction over the real sf0.001 corpus: persisted-state
+    retract == full recompute on corpus-minus-removed, for a removal
+    cut that hits multiple components and component minima (the
+    registered dedup_retraction query's shape, independently of its
+    DuckDB oracle)."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        banded_candidate_pairs,
+        connected_components,
+        minhash_signatures,
+        retract_components,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    banded = band_signatures(
+        minhash_signatures(docs)
+    ).localCheckpoint()
+    labels = connected_components(banded_candidate_pairs(banded))
+    removed = docs.filter("doc_id % 5 = 0").select("doc_id")
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in retract_components(labels, banded, removed).collect()
+    }
+    surv = docs.filter("doc_id % 5 != 0")
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            banded_candidate_pairs(
+                band_signatures(minhash_signatures(surv))
+            )
+        ).collect()
+    }
+    assert got == full
+    assert got  # the cut leaves surviving duplicate pairs to label
