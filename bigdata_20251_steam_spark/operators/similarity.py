@@ -1495,7 +1495,10 @@ def ivfadc_search_pruned(
     routing predicate as :func:`ivfadc_search`, and the tail is the
     shared :func:`_ivfadc_adc_rerank`.  Bounded-collect contract: the
     query batch is capped at ``max_query_batch`` rows (loud raise) —
-    the collect is O(queries), never O(corpus)."""
+    the collect is O(queries), never O(corpus).  A store carrying
+    TOMBSTONES (:func:`delete_from_ivfadc_index`, r16) automatically
+    excludes the marked ids (broadcast anti-join; stores without
+    tombstones keep the r15 plan byte-identical)."""
     K = len(coarse_cents)
     if k > shortlist:
         raise ValueError("ivfadc_search_pruned: k must be <= shortlist")
@@ -1530,6 +1533,14 @@ def ivfadc_search_pruned(
     )
     if extra_filter is not None:
         idx = idx.filter(extra_filter)
+    # pending deletes (r16): a store carrying tombstones
+    # (delete_from_ivfadc_index) excludes the marked ids via a
+    # broadcast anti-join — the delete set is delta-bounded, the index
+    # scan never shuffles, and a store WITHOUT tombstones costs one
+    # driver-side existence check (plan byte-identical to r15)
+    ts = read_ivfadc_tombstones(spark, index_path)
+    if ts is not None:
+        idx = idx.join(F.broadcast(ts), "vec_id", "left_anti")
     if cell_codebooks:
         cb4 = _pinned_scalar(
             _cell_codebook_view(spark, K, codebooks, cell_codebooks)
@@ -2209,6 +2220,91 @@ def ivfadc_nprobe_sweep(
     )
 
 
+#: Sibling directory holding pending DELETE markers.  The leading
+#: underscore makes Spark's file index skip it, so a store read never
+#: sees tombstone rows as index rows.
+_TOMBSTONE_DIR = "_tombstones"
+
+
+def _tombstone_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/" + _TOMBSTONE_DIR
+
+
+def delete_from_ivfadc_index(
+    spark,
+    index_path: str,
+    removed: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE vectors from the IVFADC store without a rebuild (r16,
+    r15 verdict #3 — the missing side of the lifecycle: the store had
+    upsert/compact/retrain but a takedown meant re-encoding the
+    corpus).  Classic LSM tombstones: the removed ids land as an
+    APPEND-ONLY parquet set under ``{index_path}/_tombstones`` (the
+    underscore prefix hides it from every store scan), probes consult
+    it as a broadcast anti-join (:func:`ivfadc_search_pruned` — the
+    corpus is scanned, never shuffled, and an absent tombstone dir
+    costs one driver-side existence check, leaving the plan
+    byte-identical), and :func:`compact_ivfadc_index` PURGES the
+    marked rows physically, clearing the markers.
+
+    The delete set is delta-bounded (a takedown/TTL batch): O(removed)
+    rows written, zero index files touched — at 100 TB a delete is a
+    metadata-sized operation until the next compaction pays the
+    rewrite for exactly the cells that contain marked rows.
+
+    RE-INSERT semantics (documented contract): a tombstone marks the
+    id dead for the WHOLE store — re-upserting a marked id stays
+    invisible to probes until a compaction purges the marker (purge
+    removes the stored rows AND the marker; upsert again afterwards).
+    Run :func:`compact_ivfadc_index` between a delete and a re-insert
+    of the same id.
+    """
+    (
+        removed.select(F.col(id_col).cast("long").alias("vec_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(_tombstone_path(index_path))
+    )
+
+
+def read_ivfadc_tombstones(spark, index_path: str) -> DataFrame | None:
+    """The pending-delete set of a store, or ``None`` when the store
+    has no tombstones (the common case — one FileSystem existence
+    check, no job)."""
+    from ..sinks.storage import _HFS
+
+    ts = _tombstone_path(index_path)
+    if not _HFS(spark, index_path).exists(ts):
+        return None
+    return spark.read.parquet(ts).select("vec_id").distinct()
+
+
+def _recover_interrupted_swaps(fs, index_path: str) -> list[str]:
+    """Crash recovery for the write-then-swap maintenance ops (r16,
+    ADVICE r15): a crash between ``rename(cdir, old)`` and
+    ``rename(tmp, cdir)`` leaves a cell's data ONLY in
+    ``cluster=N._old`` — and the r15 cell listings filtered any
+    ``._``-bearing name, so the cell silently vanished from the store.
+    Every maintenance entry point now repairs first: an orphaned
+    ``._old`` with NO live sibling renames BACK (the swap never
+    completed — the old data is the only copy and is still
+    consistent); an ``._old`` WITH a live sibling is a crash after the
+    second rename but before cleanup, so the leftover deletes (the new
+    cell is complete — the tmp directory was fully written before the
+    first rename).  Returns the repaired cell dirs (for telemetry /
+    tests)."""
+    repaired = []
+    for old in fs.glob_dirs(f"{index_path}/cluster=*._old"):
+        live = old[: -len("._old")]
+        if fs.exists(live):
+            fs.delete(old)
+        else:
+            fs.rename(old, live)
+            repaired.append(live)
+    return repaired
+
+
 def compact_ivfadc_index(
     spark,
     index_path: str,
@@ -2271,12 +2367,22 @@ def compact_ivfadc_index(
     there — the manifest-pointer upgrade documented in
     ``upsert_ivfadc_index`` applies.  Scheme-qualified ``file:`` URI
     pytest proves the routing
-    (``test_compact_ivfadc_index_file_scheme_uri``)."""
+    (``test_compact_ivfadc_index_file_scheme_uri``).
+
+    r16 additions: (1) every entry repairs interrupted swaps first
+    (:func:`_recover_interrupted_swaps` — a crash between the two
+    renames used to leave the cell's only copy in a filtered-out
+    ``._old`` dir, ADVICE r15); (2) compaction is also the PURGE step
+    of the tombstone delete path (:func:`delete_from_ivfadc_index`) —
+    after the segment rewrite it locates the cells holding marked rows
+    with one column-pruned scan, rewrites exactly those cells minus
+    the marked rows, and clears the marker set."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..sinks.storage import _HFS
 
     fs = _HFS(spark, index_path)
+    _recover_interrupted_swaps(fs, index_path)  # r16: crash repair first
     keep = [
         f.split()[0]
         for f in index_schema.split(",")
@@ -2303,12 +2409,65 @@ def compact_ivfadc_index(
 
     cells = [
         c for c in fs.glob_dirs(f"{index_path}/cluster=*")
-        # a glob on cluster=* also matches crash leftovers like
-        # cluster=3._old — never compact those
+        # a glob on cluster=* also matches in-flight maintenance dirs
+        # like cluster=3._compacting — never compact those (orphaned
+        # ._old leftovers were already repaired above)
         if "._" not in c.rsplit("/", 1)[1]
     ]
     with ThreadPoolExecutor(max_workers=max(1, max_concurrent_cells)) as ex:
         results = list(ex.map(_compact_cell, cells))
+
+    # TOMBSTONE PURGE (r16, r15 verdict #3): with every cell now bare,
+    # physically drop the rows the pending-delete set marks.  ONE
+    # column-pruned scan of the store (vec_id + the cluster partition
+    # column) locates the touched cells — bounded collect, <= K ids —
+    # then only those cells rewrite (anti-join against the broadcast
+    # tombstones, same write-then-swap), and the markers clear.  A
+    # crash between swaps and the marker delete is idempotent: re-run
+    # purges nothing new and clears the marker.  A cell whose every
+    # row was marked keeps an empty directory (zero files) — probes
+    # prune it like any other non-matching partition.
+    ts = read_ivfadc_tombstones(spark, index_path)
+    if ts is not None:
+        tsb = F.broadcast(ts)
+        keep_schema = ", ".join(
+            f.strip()
+            for f in index_schema.split(",")
+            if f.split()[0] != "epoch"
+        )
+        touched = sorted(
+            int(r["cluster"])
+            for r in spark.read.schema(keep_schema + ", cluster int")
+            .parquet(index_path)
+            .join(tsb, "vec_id")
+            .select("cluster")
+            .distinct()
+            .collect()
+        )
+
+        def _purge_cell(cell: int) -> None:
+            cdir = f"{index_path}/cluster={cell}"
+            cell_bytes = fs.parquet_bytes(cdir)
+            nfiles = max(1, math.ceil(cell_bytes / target_file_bytes))
+            rows = (
+                spark.read.schema(keep_schema)
+                .parquet(cdir)
+                .join(tsb, "vec_id", "left_anti")
+            )
+            tmp = cdir + "._compacting"
+            fs.delete(tmp)
+            rows.repartition(nfiles).write.mode("overwrite").parquet(tmp)
+            old = cdir + "._old"
+            fs.delete(old)
+            fs.rename(cdir, old)
+            fs.rename(tmp, cdir)
+            fs.delete(old)
+
+        with ThreadPoolExecutor(
+            max_workers=max(1, max_concurrent_cells)
+        ) as ex:
+            list(ex.map(_purge_cell, touched))
+        fs.delete(_tombstone_path(index_path))
     return dict(r for r in results if r is not None)
 
 
@@ -2359,9 +2518,14 @@ def _pq_train_grid_cells(
       ``orderBy(vec_id).limit(k_sub)`` seeds;
     - ASSIGNMENT: per iteration ONE aggregate keyed by
       ``(cluster, subspace, code, pos)``.  The per-cell books ride as
-      one pinned cb4 artifact (slot = cell id) and the argmin is the
-      column form of :func:`_pq_sub_assign` — ``array_min`` over
-      ``struct(d, c)``, ties to the lowest code;
+      one pinned cb4 artifact with DENSE slots — one per drifted cell
+      in sorted order, addressed through a literal cluster -> slot
+      CASE ladder (r16, ADVICE r15: the r15 slot-per-cell-id layout
+      padded the artifact to ``max(cells)+1`` slots with filler
+      books, so its size scaled with the max drifted id rather than
+      ``|drifted|``) — and the argmin is the column form of
+      :func:`_pq_sub_assign` — ``array_min`` over ``struct(d, c)``,
+      ties to the lowest code;
     - UPDATE: the same driver-side ``floor(sum/n)`` fold, now over a
       collect bounded by ``|cells| * m * k_sub * subdim``; an emptied
       code keeps its centroid.
@@ -2404,20 +2568,26 @@ def _pq_train_grid_cells(
             ]
             for s in range(m)
         ]
-    filler = [[[0] * subdim] * k_sub] * m
+    # DENSE slot layout (r16, ADVICE r15): one artifact slot per
+    # DRIFTED cell (sorted order), looked up through a literal
+    # cluster -> slot CASE ladder — the r15 form padded one slot per
+    # id in range(max(cells)+1) with filler books, so the pinned
+    # artifact scaled with the MAX drifted cluster id (K*m*k_sub*
+    # subdim worst case) instead of |drifted|
+    dense = sorted(int(c) for c in cells)
+    slot_of: Column = F.lit(None).cast("int")
+    for i, c in enumerate(dense):
+        slot_of = F.when(F.col("cluster") == c, F.lit(i + 1)).otherwise(
+            slot_of
+        )
     for _ in range(iters):
-        slots = [
-            books_by_cell.get(c, filler)
-            for c in range(max(int(c) for c in cells) + 1)
-        ]
+        slots = [books_by_cell[c] for c in dense]
         cbv = _pinned_scalar(
             _pinned_view(
                 spark, "cb4i", slots, "array<array<array<array<bigint>>>>"
             )
         )
-        cb_cell = F.element_at(
-            F.col("_cb4"), (F.col("cluster") + 1).cast("int")
-        )
+        cb_cell = F.element_at(F.col("_cb4"), slot_of)
 
         def _assign(s: int, sub: Column) -> Column:
             return F.array_min(
@@ -2544,6 +2714,11 @@ def retrain_ivfadc_on_drift(
     ``s3a://`` stores (scheme-qualified URI pytest:
     ``test_retrain_ivfadc_file_scheme_uri``)."""
     from ..sinks.storage import _HFS
+
+    # r16 (ADVICE r15): repair interrupted swaps before anything else —
+    # an orphaned cluster=N._old from a crashed compact/retrain pass is
+    # the cell's only copy and must rename back, not be filtered out
+    _recover_interrupted_swaps(_HFS(spark, index_path), index_path)
 
     m, k_sub = len(codebooks), len(codebooks[0])
     report = ivfadc_distortion_report(

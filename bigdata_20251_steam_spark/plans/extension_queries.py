@@ -6153,6 +6153,86 @@ def q_ivfadc_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned takedown cut for the tombstone-delete proof: vectors with
+#: ``vec_id % 10 == 7`` (~10%) are deleted.  vec_id 7 is also a QUERY
+#: id — pre-filter semantics keep it querying while its stored vector
+#: disappears from every candidate set.
+_TOMB_MOD, _TOMB_REM = 10, 7
+
+
+@register(
+    "index_tombstone_delete",
+    oracle=f"""
+    WITH base AS ({_ivfadc_oracle(
+        k=5, cand_filter=f" AND b.vec_id % {_TOMB_MOD} <> {_TOMB_REM}"
+    )})
+    SELECT p.phase, b.query_id, b.vec_id, b.sqdist, b.rank
+    FROM base b CROSS JOIN (VALUES ('tombstoned'), ('purged')) p(phase)
+    """,
+    priority=80,  # enters via the r16 rotation (new registration tier)
+    doc="IVFADC tombstone DELETE lifecycle (r16, r15 verdict #3 — the "
+    "delete side the index lifecycle lacked: upsert/compact/retrain "
+    "existed, a takedown meant a rebuild).  The per-run store encodes "
+    f"once; a takedown batch (vec_id % {_TOMB_MOD} == {_TOMB_REM}) "
+    "lands as APPEND-ONLY markers under the store's _tombstones "
+    "sibling (delete_from_ivfadc_index — zero index files touched, "
+    "the LSM tombstone shape); phase 'tombstoned' probes the marked "
+    "store (ivfadc_search_pruned auto-excludes marked ids via a "
+    "broadcast anti-join, corpus never shuffles); compaction then "
+    "PURGES — one column-pruned scan locates the touched cells, "
+    "exactly those rewrite minus the marked rows (write-then-swap), "
+    "markers clear — and phase 'purged' probes the bare survivors.  "
+    "Both phases must equal the relational replay over the surviving "
+    "candidate set (the oracle's cand_filter), proving delete-by-"
+    "marker == purge-by-rewrite == fresh rebuild on corpus-minus-"
+    "removed; the store-level equivalences (physical row purge, "
+    "marker clearing, re-insert contract, crash-window idempotence) "
+    "are pytest-pinned (test_ivfadc_tombstone_delete_probe_and_purge)."
+    "  Bounded collects only: each probe returns |queries| x k rows.",
+)
+def q_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="idx_tombstone_")
+    store = os.path.join(work, "index")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+    )
+    sim.delete_from_ivfadc_index(
+        spark,
+        store,
+        emb.filter(F.col("vec_id") % _TOMB_MOD == _TOMB_REM).select("vec_id"),
+    )
+    kw = dict(
+        query_ids=_QUERY_IDS, k=5, nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+    )
+    probe = sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    )
+    # materialize BEFORE the compaction mutates the store (lazy frames
+    # would otherwise re-probe the purged layout); bounded |queries|*k
+    tombstoned = probe.collect()
+    sim.compact_ivfadc_index(spark, store)
+    purged = sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    ).collect()
+    shutil.rmtree(work, ignore_errors=True)
+    schema = T.StructType(
+        [T.StructField("phase", T.StringType())] + list(probe.schema.fields)
+    )
+    return spark.createDataFrame(
+        [("tombstoned", *r) for r in tombstoned]
+        + [("purged", *r) for r in purged],
+        schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Query-by-committee disagreement mining (r11)
 # ---------------------------------------------------------------------------

@@ -169,6 +169,11 @@ PROBES = [
     # (data terms = the base-state build; the retraction itself is
     # delta-bounded)
     "dedup_retraction",
+    # round-16: the index DELETE lifecycle — encode+write store, marker
+    # delete, tombstone-filtered probe, purge compaction, bare probe
+    # (data terms = the store build + the touched-cell rewrites; the
+    # probes stay partition-pruned and query-bounded)
+    "index_tombstone_delete",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -255,6 +260,7 @@ PROBE_TABLES = {
     "incremental_dedup_components": {"documents"},
     "doclen_quantiles_weighted": {"documents"},
     "dedup_retraction": {"documents"},
+    "index_tombstone_delete": {"embeddings"},
 }
 
 

@@ -1244,3 +1244,139 @@ def test_compact_ivfadc_index_file_scheme_uri(spark, tmp_path):
         ).parquet(store).collect()
     }
     assert after == before
+
+def test_ivfadc_tombstone_delete_probe_and_purge(spark, tmp_path):
+    """r16 (r15 verdict #3): the DELETE side of the index lifecycle.
+    delete_from_ivfadc_index writes tombstones (zero index files
+    touched); a probe over the tombstoned store equals a fresh rebuild
+    on the surviving vectors; compact_ivfadc_index purges the marked
+    rows physically and clears the markers; the post-purge probe is
+    identical; and a post-purge re-upsert of a deleted id composes
+    (the documented re-insert contract)."""
+    import pathlib
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    surv = emb.filter("vec_id % 10 != 7")
+    store = str(tmp_path / "index")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+    )
+    files_before = {
+        p: p.stat().st_mtime for p in pathlib.Path(store).rglob("*.parquet")
+    }
+    sim.delete_from_ivfadc_index(
+        spark, store, emb.filter("vec_id % 10 = 7").select("vec_id")
+    )
+    # the delete touched ZERO index files — markers only
+    assert {
+        p: p.stat().st_mtime for p in pathlib.Path(store).rglob("*.parquet")
+        if "_tombstones" not in str(p)
+    } == files_before
+    assert (tmp_path / "index" / "_tombstones").exists()
+
+    kw = dict(query_ids=[0, 2, 4, 6], k=3, nprobe=4, shortlist=20)
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["sqdist"], r["rank"])
+            for r in df.collect()
+        )
+
+    got = key(sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    ))
+    rebuilt_store = str(tmp_path / "rebuilt")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(surv, _IVFADC_CENTS, _IVFADC_CODEBOOKS),
+        rebuilt_store,
+    )
+    want = key(sim.ivfadc_search_pruned(
+        spark, rebuilt_store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    ))
+    assert got == want
+    assert not any(v % 10 == 7 for _, v, _, _ in got)
+
+    # PURGE: compaction rewrites exactly the touched cells, markers go
+    sim.compact_ivfadc_index(spark, store)
+    assert not (tmp_path / "index" / "_tombstones").exists()
+    live_ids = {
+        r["vec_id"]
+        for r in spark.read.schema(
+            "vec_id bigint, codes array<int>, cluster int"
+        ).parquet(store).collect()
+    }
+    assert live_ids == {r["vec_id"] for r in surv.collect()}
+    assert key(sim.ivfadc_search_pruned(
+        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+    )) == want
+
+    # re-insert after purge: the id is visible again (== full rebuild)
+    back = emb.filter("vec_id = 7")
+    sim.upsert_ivfadc_index(back, store, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+    live2 = {
+        r["vec_id"]
+        for r in spark.read.schema(
+            "vec_id bigint, codes array<int>, cluster int"
+        ).parquet(store).collect()
+    }
+    assert live2 == {r["vec_id"] for r in surv.collect()} | {7}
+
+
+def test_recover_interrupted_swaps(spark, tmp_path):
+    """r16 (ADVICE r15): a crash between the two swap renames leaves a
+    cell's only copy in cluster=N._old — the next maintenance pass
+    must rename it BACK (the r15 listings filtered it out, silently
+    dropping the cell); an ._old WITH a live sibling (crash after the
+    second rename) is a leftover and deletes."""
+    import os
+    import shutil
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = str(tmp_path / "index")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+    )
+    schema = "vec_id bigint, codes array<int>, cluster int"
+    before = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.schema(schema).parquet(store).collect()
+    }
+    cells = sorted(
+        d for d in os.listdir(store) if d.startswith("cluster=")
+    )
+    assert len(cells) >= 2
+    # crash type A: first rename done, second never happened — the
+    # cell exists ONLY as ._old
+    a = os.path.join(store, cells[0])
+    os.rename(a, a + "._old")
+    # crash type B: both renames done, cleanup didn't — stale ._old
+    # next to the live (newer) cell
+    b = os.path.join(store, cells[1])
+    shutil.copytree(b, b + "._old")
+
+    compacted = sim.compact_ivfadc_index(spark, store)
+    assert compacted == {}  # bare store: nothing segmented
+    names = set(os.listdir(store))
+    assert cells[0] in names and f"{cells[0]}._old" not in names
+    assert f"{cells[1]}._old" not in names
+    after = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.schema(schema).parquet(store).collect()
+    }
+    assert after == before
