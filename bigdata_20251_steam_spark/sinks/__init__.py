@@ -1,5 +1,6 @@
 from .bucketing import bucketed_join, write_bucketed
 from .storage import (
+    compact_state_dir,
     compact_table,
     retention_vacuum,
     upsert_snapshot,
@@ -10,6 +11,7 @@ from .storage import (
 __all__ = [
     "bucketed_join",
     "write_bucketed",
+    "compact_state_dir",
     "compact_table",
     "retention_vacuum",
     "upsert_snapshot",

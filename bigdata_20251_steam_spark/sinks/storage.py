@@ -163,6 +163,57 @@ def compact_table(
     return out
 
 
+def compact_state_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a FLAT (unpartitioned) parquet state directory to
+    ``ceil(bytes/target)`` files — the small-file maintenance for
+    append-accreting state tables (r16, r15 verdict watch #3: the
+    streaming incremental dedup appends one band-table write per
+    micro-batch; a long-running ingest accumulated unbounded small
+    files with no compaction op for that state, unlike the index
+    store).
+
+    Same write-then-swap contract as ``compact_ivfadc_index``: the
+    rewrite lands in a ``._compacting`` sibling, two renames swap it
+    in, and an interrupted swap self-repairs on the next pass (an
+    orphaned ``._old`` with no live sibling renames back; one WITH a
+    live sibling deletes) — a racing reader sees the old file set or
+    the new one, never a partial mix.  Returns the file count after
+    compaction (which equals the count before when already compact —
+    the rewrite is skipped).  All IO routes through the Hadoop
+    FileSystem of ``path``'s scheme (``file://``/``hdfs://``/
+    ``s3a://``; on object stores rename is copy+delete — the usual
+    manifest caveat applies).
+    """
+    fs = _HFS(spark, path)
+    old = path.rstrip("/") + "._old"
+    live = fs.exists(path)
+    if fs.exists(old):
+        if live:
+            fs.delete(old)
+        else:
+            fs.rename(old, path)
+            live = True
+    if not live:
+        raise FileNotFoundError(f"compact_state_dir: no such dir {path}")
+    sizes = fs.file_sizes(path)
+    n_target = max(1, math.ceil(sum(sizes) / target_file_bytes))
+    if len(sizes) <= n_target:
+        return len(sizes)
+    rows = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    fs.delete(tmp)
+    rows.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    fs.delete(old)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old)
+    return n_target
+
+
 def retention_vacuum(
     path: str,
     keep_days: int,
