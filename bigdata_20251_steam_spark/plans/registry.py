@@ -112,129 +112,125 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-15 window rotation (r14 verdict #1).  Cohorts computed from
-#: the committed CORRECTNESS_r0{12,13,14}.json artifacts (last GREEN
+#: Round-16 window rotation (r15 verdict #1).  Cohorts computed from
+#: the committed CORRECTNESS_r0{13,14,15}.json artifacts (last GREEN
 #: driver row per query) and validated by EXECUTING the dict
-#: (test_r15_rotation_window).
+#: (test_r16_rotation_window).
 #:
-#: - 23: the 19 MUST-ENTER overflow names itemized by the r14 note —
-#:   four-rounds driver-stale (no green driver row in r12/r13/r14;
-#:   judge-recomputed, matches the itemized list exactly), so they
-#:   enter ahead of everything;
-#: - 24: code CHANGED in r15, re-prove, plus new registrations (each
-#:   new entry displaces an alphabetically-last in-window stale fill
-#:   into the r16 overflow, per the documented protocol):
-#:     value_quantile_sketch / doclen_quantiles_by_source /
-#:       streaming_quantile_sketch / sketch_rollup_daily /
-#:       incremental_rollup_merge — quantiles.py changed in r15
-#:       (ADVICE: decimal-exact bucket representative, reserved-name
-#:       guard; hot-bucket fallback) and incremental_rollup_merge
-#:       additionally fixed NULL-ts delta routing;
-#:     scd2_event_history — relational_ext.py scd2_intervals window
-#:       spec consolidation (ADVICE);
-#:     index_lifecycle_end_to_end — compact/retrain maintenance ops
-#:       rewrote in r15 (weak marks #1/#2: _HFS routing + batched
-#:       multi-cell Lloyd trainer) and both EXECUTE inside the
-#:       capstone;
-#: - 25: 24 of the 42-name three-round-stale cohort (last GREEN driver
-#:   row r12, no r13/r14 slot; recomputed from the committed JSONs).
-#:   50 slots minus 19 must-enters minus 7 changed-code leaves 24;
-#:   ties all at age r12, broken ALPHABETICALLY; the overflow names
-#:   are itemized in the r16 note below, with
-#:   CORRECTNESS_FULL_r15.json (all queries) as the compensating
+#: - 23: the 23 MUST-ENTER overflow names itemized by the r15 note —
+#:   four-rounds driver-stale by r16 (last green driver row r12;
+#:   recomputed from the artifacts, matches the itemized list
+#:   exactly), so they enter ahead of everything;
+#: - 24: code whose EXECUTED path changed in r16, re-prove, plus the
+#:   two new registrations (the re-prove criterion is the executed
+#:   code path, not merely the containing file — e.g. the r16
+#:   negative-weight guard lives in the WEIGHTED branch of
+#:   quantiles.py, so the unweighted quantile queries' plans are
+#:   byte-identical and keep their r15 rows):
+#:     dedup_retraction / index_tombstone_delete — NEW (retraction
+#:       closure + tombstone lifecycle);
+#:     doclen_quantiles_weighted — _guarded_weight rides its weighted
+#:       scan, and the adaptive max_band_rows path now executes;
+#:     streaming_scd2_merge — the scd2_merge_delta monotone-log guard
+#:       executes inside its foreachBatch;
+#:     streaming_incremental_dedup — band-state compaction + the
+#:       silver-dir return path;
+#:     index_lifecycle_end_to_end — compact/retrain changed (swap
+#:       crash-repair entry, dense-slot batched trainer, tombstone
+#:       purge hook) and both execute inside the capstone;
+#:     ivfadc_pruned_search / ann_filtered_search /
+#:       streaming_index_upsert — ivfadc_search_pruned gained the
+#:       tombstone existence check (plan byte-identical for
+#:       tombstone-free stores; the driver row re-proves that);
+#: - 25: 18 of the 47-name three-round-stale cohort (last GREEN driver
+#:   row r13, no r14/r15 slot; recomputed from the committed JSONs).
+#:   50 slots minus 23 must-enters minus 9 changed/new leaves 18;
+#:   ties all at age r13, broken ALPHABETICALLY; the 29 overflow names
+#:   are itemized in the r17 note below, with
+#:   CORRECTNESS_FULL_r16.json (all queries) as the compensating
 #:   evidence meanwhile.
-_R15_ROTATION: dict[str, int] = {
-    # r14-note must-enters (four-rounds-stale otherwise)
-    "recent_windows": 23,
-    "repetition_metrics": 23,
-    "rollup_orders": 23,
-    "segment_dedup": 23,
-    "selfsup_prune": 23,
-    "semantic_dedup_resolve": 23,
-    "semi_join_orders": 23,
-    "sentiment_summary": 23,
-    "source_capped_sample": 23,
-    "sql_interface": 23,
-    "streaming_api_source": 23,
-    "streaming_asof_enrich": 23,
-    "streaming_dim_enrich": 23,
-    "streaming_quality_gate": 23,
-    "streaming_sentiment_hourly": 23,
-    "streaming_session_windows": 23,
-    "temperature_mix_report": 23,
-    "tfidf_top_terms": 23,
-    "value_percentiles": 23,
-    # r15 changed-code re-proves (quantiles.py, relational_ext.py,
-    # similarity.py maintenance ops)
-    "value_quantile_sketch": 24,
-    "doclen_quantiles_by_source": 24,
-    "streaming_quantile_sketch": 24,
-    "sketch_rollup_daily": 24,
-    "incremental_rollup_merge": 24,
-    "scd2_event_history": 24,
-    "index_lifecycle_end_to_end": 24,
-    # dedup_components — banding refactor re-prove (r15 split
-    # band_signatures / banded_candidate_pairs out of
-    # minhash_candidate_pairs on its exact code path)
-    "dedup_components": 24,
-    # r15 NEW registrations — each displaced an alphabetically-last
-    # in-window stale fill into the r16 overflow (lsh_recall_vs_exact,
-    # mmr_diverse_topk, moving_avg_daily, multimodal_frames)
-    "incremental_dedup_components": 24,
+_R16_ROTATION: dict[str, int] = {
+    # r15-note must-enters (four-rounds-stale otherwise)
+    "leakage_safe_split": 23,
+    "lsh_recall_vs_exact": 23,
+    "mmr_diverse_topk": 23,
+    "moving_avg_daily": 23,
+    "multimodal_frames": 23,
+    "normalize_text": 23,
+    "packed_sequences": 23,
+    "packing_assignments": 23,
+    "peak_activity": 23,
+    "pivot_event_matrix": 23,
+    "profile_documents": 23,
+    "props_json": 23,
+    "q14_promo_share": 23,
+    "q3_top_revenue": 23,
+    "q6_revenue_delta": 23,
+    "quality_quantile_filter": 23,
+    "quality_threshold_filter": 23,
+    "sentiment_hourly": 23,
+    "set_ops_users": 23,
+    "stratified_sample_counts": 23,
+    "streaming_curation_bounded_state": 23,
+    "streaming_curation_pipeline": 23,
+    "streaming_doc_chunks": 23,
+    # r16 changed-code re-proves + new registrations
+    "dedup_retraction": 24,
+    "index_tombstone_delete": 24,
     "doclen_quantiles_weighted": 24,
     "streaming_scd2_merge": 24,
-    # second r15 batch: the streaming form of the incremental closure
-    # — displaced leakage_safe_split into the r16 overflow
     "streaming_incremental_dedup": 24,
-    # three-round-stale cohort (last driver row r12) — first 19 of 42,
-    # alphabetical (the last five of the original 24-fill split were
-    # displaced by the five r15 prio-24 additions above)
-    "anti_join_customers": 25,
-    "approx_stats": 25,
-    "asof_join_last_good": 25,
-    "bigram_lm_scores": 25,
-    "bloom_decontaminate": 25,
-    "bm25_scores": 25,
-    "cross_doc_span_dedup": 25,
-    "cube_orders": 25,
-    "curation_v2_end_to_end": 25,
-    "curriculum_order": 25,
-    "dedup_exact": 25,
-    "dim_join": 25,
-    "embed_quantize": 25,
-    "epoch_casts": 25,
-    "global_stats": 25,
-    "ivf_recall_vs_exact": 25,
-    "ivf_sampled_recall": 25,
-    "language_id": 25,
-    "latest_event": 25,
+    "index_lifecycle_end_to_end": 24,
+    "ivfadc_pruned_search": 24,
+    "ann_filtered_search": 24,
+    "streaming_index_upsert": 24,
+    # three-round-stale cohort (last driver row r13) — first 18
+    # of 47, alphabetical
+    "bpe_token_counts": 25,
+    "clean_html_roundtrip": 25,
+    "cms_word_frequencies": 25,
+    "curation_pipeline_end_to_end": 25,
+    "dedup_edit_verify": 25,
+    "dedup_pipeline_end_to_end": 25,
+    "dedup_quality_report": 25,
+    "doc_fingerprints": 25,
+    "dsir_selection": 25,
+    "embed_near_dup_pairs": 25,
+    "embed_topk_bruteforce": 25,
+    "embed_topk_ivf": 25,
+    "epoch_shuffle_order": 25,
+    "event_share": 25,
+    "fuzzy_part_names": 25,
+    "genre_distribution": 25,
+    "hamming_topk": 25,
+    "hard_negative_pairs": 25,
 }
 
 
-#: r16 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the overflow names from the r15 alphabetical
-#:   split of the tied 42-name stale cohort (last driver row r12) —
-#:   they are four-rounds-stale by r16:
-#:     leakage_safe_split,
-#:     lsh_recall_vs_exact, mmr_diverse_topk, moving_avg_daily,
-#:     multimodal_frames,
-#:     normalize_text, packed_sequences, packing_assignments,
-#:     peak_activity, pivot_event_matrix, profile_documents,
-#:     props_json, q14_promo_share, q3_top_revenue, q6_revenue_delta,
-#:     quality_quantile_filter, quality_threshold_filter,
-#:     sentiment_hourly, set_ops_users, stratified_sample_counts,
-#:     streaming_curation_bounded_state, streaming_curation_pipeline,
-#:     streaming_doc_chunks
-#:   (23 itemized at split time; plus any fills displaced late in
-#:   r15 — re-read the final committed dict, it is the source of
-#:   truth) — full-sweep coverage (CORRECTNESS_FULL_r15.json) is the
-#:   compensating evidence until their r16 driver row lands;
-#: - then any query whose code changes in r16, and any new r16
-#:   registrations, first;
-#: - then the three-round-stale-by-r16 cohort = last GREEN driver row
-#:   r13 and no r15 slot — recompute from
-#:   CORRECTNESS_r0{13,14,15}.json (split oldest-first, alphabetical
-#:   on ties, itemize for r17);
+#: r17 ROTATION NOTE (for the next session):
+#: - MUST-ENTER first: the 29 overflow names from the r16 alphabetical
+#:   split of the 47-name stale cohort (last driver row r13) — they
+#:   are four-rounds-stale by r17:
+#:     histogram_event_values, interval_event_counts, intra_doc_dedup,
+#:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
+#:     key_skew_orders, logreg_quality_scores, minhash_dedup_pairs,
+#:     minhash_signatures, multimodal_audio_roundtrip, multimodal_meta,
+#:     multimodal_video_meta_roundtrip, nb_calibration_report,
+#:     ngram_jaccard_pairs, pq_search_rerank, qbc_disagreement,
+#:     quality_scores, review_bomb, streaming_genre_counts,
+#:     streaming_pq_adjudicate, streaming_pq_probe,
+#:     streaming_running_totals, streaming_token_budget,
+#:     supplier_nation_stats, top_genres, top_spenders,
+#:     user_value_quartiles, winnow_fingerprints
+#:   (29 itemized at split time; plus any fills displaced late in
+#:   r16 — re-read the final committed dict, it is the source of
+#:   truth) — full-sweep coverage (CORRECTNESS_FULL_r16.json) is the
+#:   compensating evidence until their r17 driver row lands.  29
+#:   must-enters leave ~21 slots: changed-code re-proves and new r17
+#:   registrations next, then fills from the three-round-stale-by-r17
+#:   cohort (last GREEN driver row r14, no r15/r16 slot — recompute
+#:   from CORRECTNESS_r0{14,15,16}.json, split oldest-first,
+#:   alphabetical on ties, itemize the remainder for r18);
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
@@ -253,7 +249,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R15_ROTATION.get(name, 80)
+        prio = _R16_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -26,7 +26,8 @@ installs are disallowed.  r15 attempt (2026-08-16): fetching
 ``spark-sql-kafka-0-10_2.13-4.1.2.jar`` from Maven Central fails with
 ``curl: (6) Could not resolve host: repo1.maven.org`` — the container
 has no outbound network, so ``spark.jars.packages`` resolution would
-fail identically.  A1 therefore stays done-modulo-broker: the full
+fail identically.  r16 re-probe (2026-08-16, same session family):
+identical ``(6) Could not resolve host`` failure.  A1 therefore stays done-modulo-broker: the full
 option surface is asserted in the resolved plan and a broker-shaped
 Python DataSource executes a micro-batch (``tests/test_kafka_plan.py``).
 """

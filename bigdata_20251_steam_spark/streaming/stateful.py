@@ -103,7 +103,9 @@ def running_totals_tws(
     cannot import name 'descriptor' from 'google.protobuf'``; r15
     re-probe 2026-08-16: ``import google.protobuf`` now raises
     ``ModuleNotFoundError: No module named 'google'`` — the package is
-    absent outright, and installs are disallowed in this environment);
+    absent outright, and installs are disallowed in this environment;
+    r16 re-probe 2026-08-16: unchanged, still ``No module named
+    'google'``);
     on a normally-provisioned cluster the same code runs as-is.  The
     applyInPandasWithState form above is the executed tier in this repo.
 

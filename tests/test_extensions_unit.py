@@ -3663,63 +3663,24 @@ def test_mmr_diversify_semantics(spark):
         mmr_diversify(df, k=0)
 
 
-def test_r15_rotation_window():
-    """The r15 driver-window invariant, validated by EXECUTING the
+def test_r16_rotation_window():
+    """The r16 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 19 r14-note must-enters ahead of
-    everything, then the changed-code re-proves + new r15
+    ordered_queries() — the 23 r15-note must-enters ahead of
+    everything, then the changed-code re-proves + new r16
     registrations, then the three-round-stale cohort under the
-    documented alphabetical split (the overflow names are itemized in
-    the registry's r16 note and must NOT hold a window slot)."""
+    documented alphabetical split (the 29 overflow names are itemized
+    in the registry's r17 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R15_ROTATION,
+        _R16_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R15_ROTATION) == 50
+    assert len(_R16_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R15_ROTATION)
-    # the 19 four-rounds-stale must-enters lead the window
-    for name in (
-        "recent_windows",
-        "repetition_metrics",
-        "rollup_orders",
-        "segment_dedup",
-        "selfsup_prune",
-        "semantic_dedup_resolve",
-        "semi_join_orders",
-        "sentiment_summary",
-        "source_capped_sample",
-        "sql_interface",
-        "streaming_api_source",
-        "streaming_asof_enrich",
-        "streaming_dim_enrich",
-        "streaming_quality_gate",
-        "streaming_sentiment_hourly",
-        "streaming_session_windows",
-        "temperature_mix_report",
-        "tfidf_top_terms",
-        "value_percentiles",
-    ):
-        assert _R15_ROTATION[name] == 23, name
-    # changed-code re-proves + the new registrations enter next
-    for name in (
-        "value_quantile_sketch",
-        "doclen_quantiles_by_source",
-        "streaming_quantile_sketch",
-        "sketch_rollup_daily",
-        "incremental_rollup_merge",
-        "scd2_event_history",
-        "index_lifecycle_end_to_end",
-        "dedup_components",
-        "incremental_dedup_components",
-        "doclen_quantiles_weighted",
-        "streaming_scd2_merge",
-        "streaming_incremental_dedup",
-    ):
-        assert _R15_ROTATION[name] == 24, name
-    # the itemized r16 overflow is OUT of the window
+    assert first50 == set(_R16_ROTATION)
+    # the 23 four-rounds-stale must-enters lead the window
     for name in (
         "leakage_safe_split",
         "lsh_recall_vs_exact",
@@ -3745,7 +3706,53 @@ def test_r15_rotation_window():
         "streaming_curation_pipeline",
         "streaming_doc_chunks",
     ):
-        assert name not in _R15_ROTATION, name
+        assert _R16_ROTATION[name] == 23, name
+    # changed-executed-path re-proves + the new registrations enter next
+    for name in (
+        "dedup_retraction",
+        "index_tombstone_delete",
+        "doclen_quantiles_weighted",
+        "streaming_scd2_merge",
+        "streaming_incremental_dedup",
+        "index_lifecycle_end_to_end",
+        "ivfadc_pruned_search",
+        "ann_filtered_search",
+        "streaming_index_upsert",
+    ):
+        assert _R16_ROTATION[name] == 24, name
+    # the itemized r17 overflow is OUT of the window
+    for name in (
+        "histogram_event_values",
+        "interval_event_counts",
+        "intra_doc_dedup",
+        "ivfadc_distortion_report",
+        "ivfadc_nprobe_sweep",
+        "ivfadc_search",
+        "key_skew_orders",
+        "logreg_quality_scores",
+        "minhash_dedup_pairs",
+        "minhash_signatures",
+        "multimodal_audio_roundtrip",
+        "multimodal_meta",
+        "multimodal_video_meta_roundtrip",
+        "nb_calibration_report",
+        "ngram_jaccard_pairs",
+        "pq_search_rerank",
+        "qbc_disagreement",
+        "quality_scores",
+        "review_bomb",
+        "streaming_genre_counts",
+        "streaming_pq_adjudicate",
+        "streaming_pq_probe",
+        "streaming_running_totals",
+        "streaming_token_budget",
+        "supplier_nation_stats",
+        "top_genres",
+        "top_spenders",
+        "user_value_quartiles",
+        "winnow_fingerprints",
+    ):
+        assert name not in _R16_ROTATION, name
         assert name not in first50, name
 
 
