@@ -184,6 +184,11 @@ _R16_ROTATION: dict[str, int] = {
     "ivfadc_pruned_search": 24,
     "ann_filtered_search": 24,
     "streaming_index_upsert": 24,
+    # second r16 batch: the mixed add+remove streaming maintenance
+    # loop — displaced hard_negative_pairs (alphabetically last
+    # in-window stale fill) into the r17 overflow, per the documented
+    # displacement protocol
+    "streaming_dedup_maintenance": 24,
     # three-round-stale cohort (last driver row r13) — first 18
     # of 47, alphabetical
     "bpe_token_counts": 25,
@@ -203,14 +208,15 @@ _R16_ROTATION: dict[str, int] = {
     "fuzzy_part_names": 25,
     "genre_distribution": 25,
     "hamming_topk": 25,
-    "hard_negative_pairs": 25,
 }
 
 
 #: r17 ROTATION NOTE (for the next session):
 #: - MUST-ENTER first: the 29 overflow names from the r16 alphabetical
 #:   split of the 47-name stale cohort (last driver row r13) — they
-#:   are four-rounds-stale by r17:
+#:   are four-rounds-stale by r17 (hard_negative_pairs joined the
+#:   overflow when the second r16 registration displaced it):
+#:     hard_negative_pairs,
 #:     histogram_event_values, interval_event_counts, intra_doc_dedup,
 #:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
 #:     key_skew_orders, logreg_quality_scores, minhash_dedup_pairs,

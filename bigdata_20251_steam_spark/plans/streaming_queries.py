@@ -2312,3 +2312,164 @@ def q_streaming_incremental_dedup(
     final.write.mode("overwrite").parquet(silver)
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(silver)
+
+
+#: Pinned cut for the streaming maintenance proof: the base corpus is
+#: doc_id % 8 != 0; batch i (i = 0, 1, 2) ADDS the docs with
+#: doc_id % 24 == 8*i and REMOVES the base docs with
+#: doc_id % 24 == 8*i + 1 — so the final surviving set is exactly
+#: ``documents WHERE doc_id % 24 NOT IN (1, 9, 17)``.
+_MAINT_REMOVED = (1, 9, 17)
+
+
+@register(
+    "streaming_dedup_maintenance",
+    oracle=QUERIES["dedup_components"].oracle.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % 24 NOT IN "
+        f"{_MAINT_REMOVED}", 1,
+    ),
+    priority=80,  # enters via the r16 rotation (new registration tier)
+    doc="STREAMING dedup MAINTENANCE loop (r16 — the composition of "
+    "the whole IVM family: each micro-batch carries both ADDS (new "
+    "docs) and REMOVES (takedown doc_ids), and the foreachBatch folds "
+    "both into the persisted band/label state).  Per batch, in order: "
+    "(1) the batch's removes append to a band TOMBSTONE set (the "
+    "index store's marker pattern applied to the band table — the "
+    "append-only band state is never rewritten mid-stream; the "
+    "effective state is bands anti-join markers, one broadcast); "
+    "(2) retract_components re-closes only the components the "
+    "removes touch; (3) the batch's adds band against the effective "
+    "state (incremental_minhash_pairs) and merge via "
+    "incremental_components — remove-BEFORE-add within a batch, so "
+    "an add never pairs with a doc removed in the same batch.  After "
+    "the run the band state PURGES (retract_band_table) and compacts "
+    "(compact_state_dir), the lifecycle's compaction step.  The "
+    "oracle is the FULL recursive-CTE closure over the final "
+    "surviving corpus (base minus all removes plus all adds): the "
+    "hash match proves the streamed add+remove maintenance converges "
+    "to exactly the batch recompute.  Per batch the costs are the "
+    "delta-bounded terms the insert-only and retract-only siblings "
+    "anchor (SCALING.md r15/r16); the same re-insert contract as the "
+    "index tombstones applies (purge between a remove and a re-add "
+    "of the same doc).",
+)
+def q_streaming_dedup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators import dedup as dd
+    from ..sinks.storage import compact_state_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 8 != 0)
+
+    work = tempfile.mkdtemp(prefix="dedup_maint_stream_")
+    band_dir = os.path.join(work, "bands")
+    ts_dir = os.path.join(work, "band_tombstones")
+    state_dir = os.path.join(work, "labels")
+    base_banded = dd.band_signatures(dd.minhash_signatures(base))
+    base_banded.write.parquet(band_dir)
+    dd.connected_components(
+        dd.banded_candidate_pairs(spark.read.parquet(band_dir))
+    ).write.parquet(os.path.join(state_dir, "v0"))
+    versions = [os.path.join(state_dir, "v0")]
+
+    # stage 3 maintenance batches: op='add' rows carry the doc, op='del'
+    # rows carry only the takedown doc_id (hash-split, time-ordered
+    # arrival — the one order constraint is remove-before-re-add of the
+    # SAME doc, which this cut never exercises; adds/removes of
+    # DISTINCT docs commute batch-to-batch, pytest-pinned)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    batch_schema = StructType(
+        [StructField("op", StringType(), True)]
+        + list(DOCS_STREAM_SCHEMA.fields)
+    )
+    for i in range(3):
+        adds = docs.filter(F.col("doc_id") % 24 == 8 * i).select(
+            F.lit("add").alias("op"), "doc_id", "lang", "source", "text"
+        )
+        rms = docs.filter(
+            F.col("doc_id") % 24 == _MAINT_REMOVED[i]
+        ).select(
+            F.lit("del").alias("op"),
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        tmp = os.path.join(work, f"_tmp{i}")
+        adds.unionByName(rms).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _eff_bands() -> DataFrame:
+        bands = spark.read.parquet(band_dir)
+        if os.path.exists(ts_dir):
+            return dd.retract_band_table(
+                bands, spark.read.parquet(ts_dir)
+            )
+        return bands
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        rm = batch_df.filter(F.col("op") == "del").select("doc_id")
+        adds = batch_df.filter(F.col("op") == "add").drop("op")
+        labels = spark.read.parquet(versions[-1])
+        # (1) removes -> band tombstones; (2) retract touched components
+        rm.write.mode("append").parquet(ts_dir)
+        eff = _eff_bands()
+        labels = dd.retract_components(labels, eff, rm)
+        # (3) adds band against the effective (post-remove) state
+        sigs = dd.minhash_signatures(adds)
+        new_edges = dd.incremental_minhash_pairs(sigs, eff)
+        merged = dd.incremental_components(labels, new_edges)
+        nxt = os.path.join(state_dir, f"v{len(versions)}")
+        merged.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+        dd.band_signatures(sigs).write.mode("append").parquet(band_dir)
+
+    stream = file_stream(
+        spark, src, batch_schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # lifecycle compaction: purge the tombstoned band rows physically
+    # and rewrite the appends into size-targeted files — after this the
+    # band state is bare again (the index store's compact contract)
+    purged = dd.retract_band_table(
+        spark.read.parquet(band_dir), spark.read.parquet(ts_dir)
+    ).localCheckpoint()
+    purged.write.mode("overwrite").parquet(band_dir + ".v2")
+    shutil.rmtree(band_dir, ignore_errors=True)
+    os.rename(band_dir + ".v2", band_dir)
+    compact_state_dir(spark, band_dir)
+
+    final = spark.read.parquet(versions[-1]).select(
+        "doc_id", "component_id"
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    fp = _fingerprint(docs, "doc_id", F.length("text"))
+    silver = os.path.join(
+        tempfile.gettempdir(), f"dedup_maint_silver_{tag}_{fp}"
+    )
+    _evict_stale("dedup_maint_silver_", os.path.basename(silver))
+    final.write.mode("overwrite").parquet(silver)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(silver)

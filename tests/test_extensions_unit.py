@@ -3718,10 +3718,12 @@ def test_r16_rotation_window():
         "ivfadc_pruned_search",
         "ann_filtered_search",
         "streaming_index_upsert",
+        "streaming_dedup_maintenance",
     ):
         assert _R16_ROTATION[name] == 24, name
     # the itemized r17 overflow is OUT of the window
     for name in (
+        "hard_negative_pairs",
         "histogram_event_values",
         "interval_event_counts",
         "intra_doc_dedup",
@@ -4410,3 +4412,64 @@ def test_retract_components_on_documents(spark):
     }
     assert got == full
     assert got  # the cut leaves surviving duplicate pairs to label
+
+def test_maintenance_fold_order_independent(spark):
+    """r16: the mixed add+remove maintenance fold (band tombstones ->
+    retract_components -> incremental merge, remove-before-add within
+    a batch) converges to the full recompute on the final surviving
+    set under ANY batch arrival order — adds/removes of DISTINCT docs
+    commute (the one ordering contract is remove-before-re-add of the
+    SAME doc, which the registered cut never exercises)."""
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        banded_candidate_pairs,
+        connected_components,
+        incremental_components,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        retract_band_table,
+        retract_components,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter("doc_id % 8 != 0")
+    batches = [
+        (
+            docs.filter(f"doc_id % 24 = {8 * i}"),           # adds
+            docs.filter(f"doc_id % 24 = {8 * i + 1}")        # removes
+            .select("doc_id"),
+        )
+        for i in range(3)
+    ]
+    base_banded = band_signatures(minhash_signatures(base)).localCheckpoint()
+    base_labels = connected_components(banded_candidate_pairs(base_banded))
+
+    def fold(order):
+        bands = base_banded
+        labels = base_labels
+        for i in order:
+            adds, rm = batches[i]
+            bands = retract_band_table(bands, rm).localCheckpoint()
+            labels = retract_components(labels, bands, rm).localCheckpoint()
+            sigs = minhash_signatures(adds)
+            edges = incremental_minhash_pairs(sigs, bands)
+            labels = incremental_components(labels, edges).localCheckpoint()
+            bands = bands.unionByName(
+                band_signatures(sigs)
+            ).localCheckpoint()
+        return {
+            (r["doc_id"], r["component_id"]) for r in labels.collect()
+        }
+
+    fwd = fold([0, 1, 2])
+    rev = fold([2, 0, 1])
+    surv = docs.filter("doc_id % 24 NOT IN (1, 9, 17)")
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            banded_candidate_pairs(
+                band_signatures(minhash_signatures(surv))
+            )
+        ).collect()
+    }
+    assert fwd == full and rev == full
