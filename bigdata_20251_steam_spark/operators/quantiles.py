@@ -260,6 +260,47 @@ def merge_sketches(
     )
 
 
+def subtract_sketches(
+    state: DataFrame, removed: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """RETRACT a removed slice's sketch from a bucket-count state — the
+    delete direction of :func:`merge_sketches` (r16: sketch bucket
+    counts form an abelian GROUP, not just a monoid, so deletion is an
+    exact subtraction — no recompute, no approximation).  A bucket
+    driven NEGATIVE fails loudly (``assert_true`` folded into the
+    count, the :func:`range_join` convention): over-retraction means
+    the removed slice was never fully contained in the state — a
+    double-delete or a wrong slice — and silently clamping it would
+    corrupt every later cut.  Zero-count buckets drop, so the state
+    stays minimal."""
+    neg = removed.withColumn("cnt", (-F.col("cnt")).cast("long"))
+    merged = (
+        state.unionByName(neg)
+        .groupBy(*group_cols, "e", "sub")
+        .agg(F.sum("cnt").alias("_c"))
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_c") >= 0,
+            F.concat(
+                F.lit(
+                    "subtract_sketches: bucket count driven negative "
+                    "(over-retraction — the removed slice is not "
+                    "contained in the state); bucket (e, sub) = ("
+                ),
+                F.col("e").cast("string"),
+                F.lit(", "),
+                F.col("sub").cast("string"),
+                F.lit(")"),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return merged.select(
+        *group_cols, "e", "sub", (F.col("_c") + guard).alias("cnt")
+    ).filter(F.col("cnt") > 0)
+
+
 def _cum_buckets(
     sketch: DataFrame, group_cols: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -7711,6 +7711,111 @@ def q_incremental_rollup_merge(
     return merged.join(p50, "event_type")
 
 
+#: Pinned retraction cut for the rollup delete-side proof: every event
+#: at or after this timestamp is "taken down" (a GDPR purge / bad-data
+#: rollback of the last ~6 days — ~20% of rows, touching all 5 types).
+_ROLLBACK_TS = "2024-01-25 00:00:00"
+
+
+@register(
+    "rollup_retraction",
+    oracle=_incremental_rollup_oracle().replace(
+        "WHERE value IS NOT NULL",
+        "WHERE value IS NOT NULL AND (ts < TIMESTAMP "
+        f"'{_ROLLBACK_TS}' OR ts IS NULL)",
+        1,
+    ),
+    priority=80,  # enters via the r16 rotation (new registration tier)
+    doc="Rollup-state RETRACTION (r16 — the delete side of "
+    "incremental_rollup_merge, completing the IVM delete story across "
+    "all three state families: rollup states here, component labels "
+    "via dedup_retraction, index rows via index_tombstone_delete).  "
+    f"Events at ts >= {_ROLLBACK_TS} are rolled back from the per-type "
+    "state.  The INVERTIBLE parts subtract exactly — counts and sums "
+    "are an abelian group, and sketch buckets retract via "
+    "subtract_sketches (the delete direction of merge_sketches, with "
+    "a loud over-retraction guard) — no rescan of history.  min/max "
+    "are NOT invertible (retracting the minimum needs the runner-up), "
+    "the classic deletable-aggregate gap: they re-derive with ONE "
+    "bounded re-aggregation over the SURVIVING rows of exactly the "
+    "touched groups (broadcast semi-join; at 100 TB the scan "
+    "partition-prunes to the touched groups' dates).  Groups emptied "
+    "by the retraction vanish.  The oracle is the full recompute "
+    "over surviving events: the hash match proves subtract-plus-"
+    "bounded-rederive == recompute, exactly.",
+)
+def q_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("_mils", F.floor(F.col("value") * 1000).cast("long"))
+    )
+    cut = F.lit(_ROLLBACK_TS).cast("timestamp")
+    removed = ev.filter(F.col("ts") >= cut)
+    # exact complement: NULL ts never matches ts >= cut, so it SURVIVES
+    # (the incremental_rollup_merge NULL-routing lesson, mirrored)
+    surviving = ev.filter((F.col("ts") < cut) | F.col("ts").isNull())
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_mils").alias("s"),
+            F.min("_mils").alias("mn"),
+            F.max("_mils").alias("mx"),
+        )
+
+    # the full-corpus state is the in-query stand-in for the persisted
+    # rollup artifact (the incremental_rollup_merge convention)
+    state = _state(ev)
+    rstate = _state(removed).select(
+        "event_type",
+        F.col("cnt").alias("_rc"),
+        F.col("s").alias("_rs"),
+    )
+    scal = (
+        state.join(rstate, "event_type", "left")
+        .select(
+            "event_type",
+            (F.col("cnt") - F.coalesce("_rc", F.lit(0))).alias("n_events"),
+            (F.col("s") - F.coalesce("_rs", F.lit(0))).alias("sum_mils"),
+            "mn",
+            "mx",
+            F.col("_rc").isNotNull().alias("_touched"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    # min/max re-derive over the surviving rows of TOUCHED groups only
+    touched = rstate.select("event_type")
+    mm = (
+        surviving.join(F.broadcast(touched), "event_type")
+        .groupBy("event_type")
+        .agg(F.min("_mils").alias("_nmn"), F.max("_mils").alias("_nmx"))
+    )
+    scal = scal.join(mm, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "sum_mils",
+        F.when(F.col("_touched"), F.col("_nmn"))
+        .otherwise(F.col("mn"))
+        .alias("min_mils"),
+        F.when(F.col("_touched"), F.col("_nmx"))
+        .otherwise(F.col("mx"))
+        .alias("max_mils"),
+    )
+    mk = ("event_type",)
+    sk = qa.subtract_sketches(
+        qa.quantile_sketch(ev, F.col("_mils"), m=_QSK_M, group_cols=mk),
+        qa.quantile_sketch(
+            removed, F.col("_mils"), m=_QSK_M, group_cols=mk
+        ),
+        group_cols=mk,
+    )
+    p50 = qa.sketch_quantiles(sk, [50], m=_QSK_M, group_cols=mk).select(
+        "event_type", F.col("sketch_cents").alias("p50_sketch_mils")
+    )
+    return scal.join(p50, "event_type")
+
+
 def _sketch_rollup_oracle() -> str:
     e_x, sub_x = qa.log_bucket_sql("c", _QSK_M)
     rep = qa.bucket_rep_sql("e", "sub", _QSK_M)

@@ -189,6 +189,10 @@ _R16_ROTATION: dict[str, int] = {
     # in-window stale fill) into the r17 overflow, per the documented
     # displacement protocol
     "streaming_dedup_maintenance": 24,
+    # third r16 batch: the rollup-state delete side (subtract_sketches
+    # + bounded min/max re-derive) — displaced hamming_topk
+    # (alphabetically last in-window stale fill) into the r17 overflow
+    "rollup_retraction": 24,
     # three-round-stale cohort (last driver row r13) — first 18
     # of 47, alphabetical
     "bpe_token_counts": 25,
@@ -207,7 +211,6 @@ _R16_ROTATION: dict[str, int] = {
     "event_share": 25,
     "fuzzy_part_names": 25,
     "genre_distribution": 25,
-    "hamming_topk": 25,
 }
 
 
@@ -216,7 +219,7 @@ _R16_ROTATION: dict[str, int] = {
 #:   split of the 47-name stale cohort (last driver row r13) — they
 #:   are four-rounds-stale by r17 (hard_negative_pairs joined the
 #:   overflow when the second r16 registration displaced it):
-#:     hard_negative_pairs,
+#:     hard_negative_pairs, hamming_topk,
 #:     histogram_event_values, interval_event_counts, intra_doc_dedup,
 #:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
 #:     key_skew_orders, logreg_quality_scores, minhash_dedup_pairs,

@@ -3719,10 +3719,12 @@ def test_r16_rotation_window():
         "ann_filtered_search",
         "streaming_index_upsert",
         "streaming_dedup_maintenance",
+        "rollup_retraction",
     ):
         assert _R16_ROTATION[name] == 24, name
     # the itemized r17 overflow is OUT of the window
     for name in (
+        "hamming_topk",
         "hard_negative_pairs",
         "histogram_event_values",
         "interval_event_counts",

@@ -548,3 +548,46 @@ def test_exact_banded_adaptive_refinement_bound(spark):
 
     with _pytest.raises(ValueError, match="max_band_rows"):
         qa.exact_quantiles_banded(df, F.col("v"), qs, max_band_rows=1)
+
+def test_subtract_sketches_retracts_exactly(spark):
+    """r16 (the delete direction of merge_sketches): subtracting a
+    removed slice's sketch equals the sketch of the surviving rows,
+    bit-for-bit (bucket counts are an abelian group); zero-count
+    buckets drop; over-retraction (a slice not contained in the
+    state) fails LOUDLY instead of silently corrupting cuts."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(v, g) for v in (3, 17, 17, 900, 900, 4096) for g in ("a", "b")],
+        "c long, g string",
+    )
+    removed = df.filter("c IN (17, 4096)")
+    surviving = df.filter("c NOT IN (17, 4096)")
+    mk = ("g",)
+    got = {
+        (r["g"], r["e"], r["sub"], r["cnt"])
+        for r in qa.subtract_sketches(
+            qa.quantile_sketch(df, F.col("c"), group_cols=mk),
+            qa.quantile_sketch(removed, F.col("c"), group_cols=mk),
+            group_cols=mk,
+        ).collect()
+    }
+    want = {
+        (r["g"], r["e"], r["sub"], r["cnt"])
+        for r in qa.quantile_sketch(
+            surviving, F.col("c"), group_cols=mk
+        ).collect()
+    }
+    assert got == want  # zero buckets dropped, counts exact
+    # over-retraction: remove the 17s TWICE -> a bucket goes negative
+    twice = qa.merge_sketches(
+        qa.quantile_sketch(removed, F.col("c"), group_cols=mk),
+        qa.quantile_sketch(removed, F.col("c"), group_cols=mk),
+        group_cols=mk,
+    )
+    with _pytest.raises(Exception, match="over-retraction"):
+        qa.subtract_sketches(
+            qa.quantile_sketch(df, F.col("c"), group_cols=mk),
+            twice,
+            group_cols=mk,
+        ).collect()
