@@ -190,6 +190,13 @@ WHITELIST: dict[tuple[str, str], str] = {
         "totals (1 x |event_types|=5 rows); all other joins equi and "
         "state-frame-bounded (the mergeable-rollup shape)"
     ),
+    ("rollup_retraction", "BroadcastNestedLoopJoin"): (
+        "same shape as incremental_rollup_merge (the delete "
+        "direction): the p50 target frame crossJoins the broadcast "
+        "per-type totals (1 x |event_types|=5 rows); the subtraction "
+        "and min/max-rederive joins are equi on the group key and "
+        "state-frame-bounded"
+    ),
     ("sketch_rollup_daily", "BroadcastNestedLoopJoin"): (
         "the p50/p95 target frame crossJoins the broadcast per-day "
         "totals (2 x |days|=O(30) rows); the rollup merge and the "

@@ -174,6 +174,10 @@ PROBES = [
     # (data terms = the store build + the touched-cell rewrites; the
     # probes stay partition-pruned and query-bounded)
     "index_tombstone_delete",
+    # round-16: the rollup delete side — exact sketch subtraction +
+    # bounded touched-group min/max re-derive (data terms = the
+    # full-state scans that are persisted artifacts in a deployment)
+    "rollup_retraction",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -261,6 +265,7 @@ PROBE_TABLES = {
     "doclen_quantiles_weighted": {"documents"},
     "dedup_retraction": {"documents"},
     "index_tombstone_delete": {"embeddings"},
+    "rollup_retraction": {"events"},
 }
 
 
