@@ -1004,6 +1004,7 @@ def retract_components(
     removed: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int | None = 1000,
+    broadcast_survivors: bool = True,
     **cc_kwargs,
 ) -> DataFrame:
     """RETRACT documents from an existing near-dup closure without
@@ -1046,15 +1047,16 @@ def retract_components(
     last duplicate partner drops out of the labels entirely (the
     docs-with-duplicates output convention).
 
-    Cost at 100 TB: the removed set and the touched-component frames
-    are delta-bounded broadcasts; the band table and label table are
-    each scanned once, shuffle-free; the only closure runs over the
-    touched survivors.  The broadcast bound is the touched components'
-    MEMBER count — a pathological giant component (a boilerplate
-    cluster holding millions of docs) should be retracted with the
-    full :func:`connected_components` path instead (pass
-    ``local_threshold=0`` and drop the broadcast by pre-persisting
-    survivors), the same escape hatch the relabel broadcast documents.
+    Cost at 100 TB: the removed set and the touched-component-ID
+    frames are delta-bounded broadcasts; the band table and label
+    table are each scanned once, shuffle-free; the only closure runs
+    over the touched survivors.  The SURVIVOR broadcast is bounded by
+    the touched components' MEMBER count — for a pathological giant
+    component (a boilerplate cluster holding millions of docs) pass
+    ``broadcast_survivors=False``: the survivor semi-join against the
+    band table then plans as a shuffled join the planner sizes itself
+    (identical output, pytest-pinned), and the closure's own
+    ``local_threshold=0`` escape hatch forces its distributed path.
     """
     rm = removed.select(F.col(id_col).alias("doc_id")).distinct()
     touched = (
@@ -1066,7 +1068,9 @@ def retract_components(
     survivors = members.join(F.broadcast(rm), "doc_id", "left_anti").select(
         "doc_id"
     )
-    surv_bands = band_table.join(F.broadcast(survivors), "doc_id")
+    if broadcast_survivors:
+        survivors = F.broadcast(survivors)
+    surv_bands = band_table.join(survivors, "doc_id")
     re_labels = connected_components(
         banded_candidate_pairs(surv_bands, max_bucket), **cc_kwargs
     )

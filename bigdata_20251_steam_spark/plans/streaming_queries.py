@@ -2344,7 +2344,10 @@ _MAINT_REMOVED = (1, 9, 17)
     "incremental_components — remove-BEFORE-add within a batch, so "
     "an add never pairs with a doc removed in the same batch.  After "
     "the run the band state PURGES (retract_band_table) and compacts "
-    "(compact_state_dir), the lifecycle's compaction step.  The "
+    "(compact_state_dir), the lifecycle's compaction step — a live "
+    "deployment runs the same compact_state_dir on the MARKER dir "
+    "every N batches too (markers are tiny but accrete one file per "
+    "remove-bearing batch).  The "
     "oracle is the FULL recursive-CTE closure over the final "
     "surviving corpus (base minus all removes plus all adds): the "
     "hash match proves the streamed add+remove maintenance converges "

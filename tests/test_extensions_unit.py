@@ -4377,6 +4377,15 @@ def test_retract_components_hand_graph(spark):
         (r["doc_id"], r["band_id"], r["band_sig"])
         for r in surv_bands.collect()
     } == {t for t in rows if t[0] not in (3, 20, 30, 99)}
+    # the giant-component escape hatch (broadcast_survivors=False:
+    # the survivor semi-join plans as a shuffled join) is
+    # output-identical
+    assert {
+        (r["doc_id"], r["component_id"])
+        for r in retract_components(
+            labels, bands, removed, broadcast_survivors=False
+        ).collect()
+    } == got
 
 
 def test_retract_components_on_documents(spark):
