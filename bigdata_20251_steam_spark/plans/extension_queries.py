@@ -1938,6 +1938,85 @@ def q_incremental_dedup_components(
     return dd.incremental_components(base_labels, new_edges)
 
 
+@register(
+    "incremental_dedup_bucketed",
+    oracle=_MINHASH_CTE.replace("WITH params", "WITH RECURSIVE params", 1)
+    + """,
+    banded AS (
+      SELECT doc_id, h_idx // 4 AS band_id,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM mh GROUP BY 1, 2),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION SELECT doc_b, doc_a FROM prs),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    """,
+    priority=80,  # enters via the r16 rotation (new registration tier)
+    doc="Incremental near-dup closure over a BUCKETED band state "
+    "(r16 — incremental_dedup_components' probe re-expressed against "
+    "a band table persisted with write_bucketed on (band_id, "
+    "band_sig), making the 'each batch touches only the buckets its "
+    "delta bands hash to' claim executable and driver-checked).  The "
+    "state is NEVER exchanged: the delta-touched restriction is a "
+    "broadcast semi-join, the per-bucket stats aggregate reuses the "
+    "at-rest bucketing with zero shuffle, and the delta x state pair "
+    "join sort-merges against the pre-sorted bucket files with only "
+    "the (tiny) delta shuffling to meet them — plan claims "
+    "pytest-pinned (test_incremental_pairs_bucketed: stats aggregate "
+    "exchange-free; probe plan exactly one shuffle fewer than over a "
+    "plain parquet copy of the same state; state scanned once).  "
+    "Oracle: the FULL-corpus recursive-CTE closure, identical to "
+    "incremental_dedup_components — the hash match proves the "
+    "bucketed probe's edge set and merged labels equal the unbucketed "
+    "path's exactly.  The per-run catalog table is dropped (and its "
+    "warehouse dir removed) after the bounded label set materializes.",
+)
+def q_incremental_dedup_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sinks.bucketing import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _IDC_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % _IDC_DELTA_MOD == 0)
+    tbl = f"band_state_{uuid.uuid4().hex[:8]}"
+    write_bucketed(
+        dd.band_signatures(dd.minhash_signatures(base)),
+        tbl,
+        ["band_id", "band_sig"],
+        16,
+    )
+    try:
+        base_labels = dd.connected_components(
+            dd.banded_candidate_pairs(spark.table(tbl))
+        )
+        edges = dd.incremental_minhash_pairs_bucketed(
+            spark, tbl, dd.minhash_signatures(delta)
+        )
+        # materialize the bounded label set BEFORE the catalog table
+        # drops (O(docs-with-duplicates) rows)
+        return dd.incremental_components(base_labels, edges).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+
 #: Pinned removal cut for the retraction IVM proof: docs with
 #: ``doc_id % 7 == 0`` (~14%) arrive as the "takedown batch"; at
 #: sf0.01 that retracts 8 of the 51 labeled docs across 8 components,

@@ -193,6 +193,10 @@ _R16_ROTATION: dict[str, int] = {
     # + bounded min/max re-derive) — displaced hamming_topk
     # (alphabetically last in-window stale fill) into the r17 overflow
     "rollup_retraction": 24,
+    # fourth r16 batch: the bucketed band-state probe — displaced
+    # genre_distribution (alphabetically last in-window stale fill)
+    # into the r17 overflow
+    "incremental_dedup_bucketed": 24,
     # three-round-stale cohort (last driver row r13) — first 18
     # of 47, alphabetical
     "bpe_token_counts": 25,
@@ -210,7 +214,6 @@ _R16_ROTATION: dict[str, int] = {
     "epoch_shuffle_order": 25,
     "event_share": 25,
     "fuzzy_part_names": 25,
-    "genre_distribution": 25,
 }
 
 
@@ -219,7 +222,7 @@ _R16_ROTATION: dict[str, int] = {
 #:   split of the 47-name stale cohort (last driver row r13) — they
 #:   are four-rounds-stale by r17 (hard_negative_pairs joined the
 #:   overflow when the second r16 registration displaced it):
-#:     hard_negative_pairs, hamming_topk,
+#:     hard_negative_pairs, hamming_topk, genre_distribution,
 #:     histogram_event_values, interval_event_counts, intra_doc_dedup,
 #:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
 #:     key_skew_orders, logreg_quality_scores, minhash_dedup_pairs,

@@ -178,6 +178,10 @@ PROBES = [
     # bounded touched-group min/max re-derive (data terms = the
     # full-state scans that are persisted artifacts in a deployment)
     "rollup_retraction",
+    # round-16: the bucketed band-state probe (state-side
+    # exchange-free; data terms = the base banding + bucketed write,
+    # which are the persisted state in a deployment)
+    "incremental_dedup_bucketed",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -266,6 +270,7 @@ PROBE_TABLES = {
     "dedup_retraction": {"documents"},
     "index_tombstone_delete": {"embeddings"},
     "rollup_retraction": {"events"},
+    "incremental_dedup_bucketed": {"documents"},
 }
 
 

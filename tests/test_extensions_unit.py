@@ -3720,10 +3720,12 @@ def test_r16_rotation_window():
         "streaming_index_upsert",
         "streaming_dedup_maintenance",
         "rollup_retraction",
+        "incremental_dedup_bucketed",
     ):
         assert _R16_ROTATION[name] == 24, name
     # the itemized r17 overflow is OUT of the window
     for name in (
+        "genre_distribution",
         "hamming_topk",
         "hard_negative_pairs",
         "histogram_event_values",
@@ -4484,3 +4486,118 @@ def test_maintenance_fold_order_independent(spark):
         ).collect()
     }
     assert fwd == full and rev == full
+
+def test_incremental_pairs_bucketed(spark, tmp_path):
+    """r16: the bucketed band-state probe — edge set IDENTICAL to
+    incremental_minhash_pairs, and the state side of both the stats
+    aggregate and the delta x state join reuses the table's at-rest
+    bucketing (exactly two fewer Exchange nodes than the same plan
+    over a plain parquet copy of the state)."""
+    import uuid
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_bucketed,
+        minhash_signatures,
+    )
+    from bigdata_20251_steam_spark.sinks.bucketing import write_bucketed
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter("doc_id % 8 != 0")
+    delta = docs.filter("doc_id % 8 = 0")
+    bands = band_signatures(minhash_signatures(base)).localCheckpoint()
+    sigs = minhash_signatures(delta).localCheckpoint()
+
+    tag = uuid.uuid4().hex[:8]
+    tbl = f"band_state_{tag}"
+    write_bucketed(bands, tbl, ["band_id", "band_sig"], 8)
+    plain_dir = str(tmp_path / "plain_bands")
+    bands.write.parquet(plain_dir)
+    plain_tbl = f"band_plain_{tag}"
+    spark.read.parquet(plain_dir).createOrReplaceTempView(plain_tbl)
+
+    # small tables broadcast at sf0.001, which hides the exchange story
+    # bucketing exists for — pin the at-scale (sort-merge) regime
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in old:
+        spark.conf.set(k, "-1")
+    try:
+        got_df = incremental_minhash_pairs_bucketed(spark, tbl, sigs)
+        got = {(r["doc_a"], r["doc_b"]) for r in got_df.collect()}
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in incremental_minhash_pairs(sigs, bands).collect()
+        }
+        assert got == want and got
+        # claim 1: the delta-touched per-bucket stats aggregate runs
+        # over the native bucketing — ZERO Exchange (the plain copy
+        # needs one to hash-partition the state for the groupBy)
+        key = ["band_id", "band_sig"]
+        dkeys = sigs  # any delta-bounded key frame works for the shape
+        # checkpoint the (tiny) key frame so ITS distinct-shuffle does
+        # not appear in the plan under inspection — the claim is about
+        # the STATE side
+        dk = band_signatures(sigs).select(*key).distinct().localCheckpoint()
+
+        def stats_plan(table):
+            return (
+                spark.table(table)
+                .join(F.broadcast(dk), key, "semi")
+                .groupBy(*key)
+                .agg(F.count("*").alias("n"))
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+
+        def final_plan(plan):
+            # AQE prints the current plan AND an "Initial Plan"
+            # section — count nodes in the executed one only
+            return plan.split("Initial Plan")[0]
+
+        def n_shuffles(plan):
+            # "Exchange" alone also matches BroadcastExchange (tiny
+            # build sides) and ReusedExchange back-references (which
+            # quote their target mid-line) — count real SHUFFLE nodes:
+            # tree-prefixed "- Exchange <partitioning>"
+            return final_plan(plan).count("- Exchange ")
+
+        assert n_shuffles(stats_plan(tbl)) == 0
+        assert n_shuffles(stats_plan(plain_tbl)) >= 1
+        # claim 2: the probe's final plan has exactly ONE fewer
+        # Exchange over the bucketed state (the pair join's state side
+        # elides its shuffle; the delta side still meets it), and the
+        # state is scanned exactly once (the checkpointed bounded
+        # frames cut every other reference)
+        n_bucketed = n_shuffles(
+            got_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert final_plan(
+            got_df._jdf.queryExecution().executedPlan().toString()
+        ).count("FileScan") == 1
+        plain_df = incremental_minhash_pairs_bucketed(
+            spark, plain_tbl, sigs
+        )
+        assert {
+            (r["doc_a"], r["doc_b"]) for r in plain_df.collect()
+        } == want
+        n_plain = n_shuffles(
+            plain_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        import os as _os
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            _os.path.join(wh.replace("file:", ""), tbl), ignore_errors=True
+        )
