@@ -1986,7 +1986,20 @@ def upsert_ivfadc_index(
     append-maintenance is provably equivalent to a full rebuild
     (asserted by pytest: upserted store == rebuilt store row-for-row,
     and a probe over the upserted store matches ivfadc_search over
-    the full corpus bit-for-bit)."""
+    the full corpus bit-for-bit).
+
+    Repairs interrupted compact/retrain swaps FIRST (r17, ADVICE r16):
+    the append CREATES the live ``cluster=N`` dir it lands in, so an
+    upsert into a cell whose swap crashed between the two renames
+    would otherwise recreate the live dir with only the batch's rows
+    — and the next maintenance pass's live-sibling heuristic would
+    then discard ``cluster=N._old``, the cell's only pre-crash copy.
+    With upserts repairing first, that heuristic stays sound (same
+    contract as ``sinks.storage.repair_state_dir``)."""
+    from ..sinks.storage import _HFS
+
+    spark = new_vectors.sparkSession
+    _recover_interrupted_swaps(_HFS(spark, path), path)
     coded = ivfadc_encode(
         new_vectors, coarse_cents, codebooks, scale, id_col, vec_col
     )
@@ -2034,6 +2047,15 @@ def streaming_upsert_ivfadc_index(
     semantics (the A6 orchestration contract)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..sinks.storage import _HFS
+
+        # r17 (ADVICE r16): the dynamic overwrite below creates live
+        # cluster=N dirs — repair any interrupted compact/retrain swap
+        # first so a crashed cell's ._old (its only copy) renames back
+        # instead of being shadowed then discarded
+        _recover_interrupted_swaps(
+            _HFS(batch_df.sparkSession, index_dir), index_dir
+        )
         coded = ivfadc_encode(
             batch_df, coarse_cents, codebooks, scale, id_col, vec_col
         )
@@ -2286,7 +2308,9 @@ def _recover_interrupted_swaps(fs, index_path: str) -> list[str]:
     ``rename(tmp, cdir)`` leaves a cell's data ONLY in
     ``cluster=N._old`` — and the r15 cell listings filtered any
     ``._``-bearing name, so the cell silently vanished from the store.
-    Every maintenance entry point now repairs first: an orphaned
+    Every maintenance entry point — compact, retrain, and (r17, ADVICE
+    r16) both upsert paths, whose appends CREATE live cell dirs and
+    would otherwise shadow an orphaned ``._old`` — repairs first: an orphaned
     ``._old`` with NO live sibling renames BACK (the swap never
     completed — the old data is the only copy and is still
     consistent); an ``._old`` WITH a live sibling is a crash after the
@@ -2427,8 +2451,17 @@ def compact_ivfadc_index(
     # purges nothing new and clears the marker.  A cell whose every
     # row was marked keeps an empty directory (zero files) — probes
     # prune it like any other non-matching partition.
-    ts = read_ivfadc_tombstones(spark, index_path)
-    if ts is not None:
+    #
+    # SNAPSHOT-SCOPED clear (r17, ADVICE r16): the purge reads the
+    # marker FILES listed here and at the end deletes exactly those
+    # files — deleting the whole _tombstones dir raced a concurrent
+    # delete_from_ivfadc_index append landing between the touched-cell
+    # scan and the clear; that marker was dropped unpurged and its
+    # vectors silently resurfaced in probes.  A file landing after the
+    # snapshot survives for the next compaction.
+    ts_files = fs.list_files(_tombstone_path(index_path))
+    if ts_files:
+        ts = spark.read.parquet(*ts_files).select("vec_id").distinct()
         tsb = F.broadcast(ts)
         keep_schema = ", ".join(
             f.strip()
@@ -2467,8 +2500,23 @@ def compact_ivfadc_index(
             max_workers=max(1, max_concurrent_cells)
         ) as ex:
             list(ex.map(_purge_cell, touched))
-        fs.delete(_tombstone_path(index_path))
+        _clear_tombstone_markers(fs, _tombstone_path(index_path), ts_files)
     return dict(r for r in results if r is not None)
+
+
+def _clear_tombstone_markers(
+    fs, ts_path: str, snapshot_files: list[str]
+) -> None:
+    """Clear exactly the marker files a purge pass READ (r17, ADVICE
+    r16).  Marker files that landed AFTER the snapshot survive for the
+    next compaction; the ``_tombstones`` dir itself (plus _SUCCESS
+    droppings) is removed only when no newer marker file remains, so a
+    racing :func:`delete_from_ivfadc_index` append is never dropped
+    unpurged."""
+    for f in snapshot_files:
+        fs.delete(f)
+    if not fs.list_files(ts_path):
+        fs.delete(ts_path)
 
 
 def _cell_codebook_view(

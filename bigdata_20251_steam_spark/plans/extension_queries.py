@@ -6278,30 +6278,38 @@ def q_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="idx_tombstone_")
-    store = os.path.join(work, "index")
-    sim.write_ivfadc_index(
-        sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
-    )
-    sim.delete_from_ivfadc_index(
-        spark,
-        store,
-        emb.filter(F.col("vec_id") % _TOMB_MOD == _TOMB_REM).select("vec_id"),
-    )
-    kw = dict(
-        query_ids=_QUERY_IDS, k=5, nprobe=_IVFADC_NPROBE,
-        shortlist=_PQ_SHORTLIST,
-    )
-    probe = sim.ivfadc_search_pruned(
-        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
-    )
-    # materialize BEFORE the compaction mutates the store (lazy frames
-    # would otherwise re-probe the purged layout); bounded |queries|*k
-    tombstoned = probe.collect()
-    sim.compact_ivfadc_index(spark, store)
-    purged = sim.ivfadc_search_pruned(
-        spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
-    ).collect()
-    shutil.rmtree(work, ignore_errors=True)
+    # try/finally (r17, ADVICE r16): a probe/compaction failure must
+    # not leak the per-run store dir (the incremental_dedup_bucketed
+    # cleanup convention)
+    try:
+        store = os.path.join(work, "index")
+        sim.write_ivfadc_index(
+            sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+        )
+        sim.delete_from_ivfadc_index(
+            spark,
+            store,
+            emb.filter(
+                F.col("vec_id") % _TOMB_MOD == _TOMB_REM
+            ).select("vec_id"),
+        )
+        kw = dict(
+            query_ids=_QUERY_IDS, k=5, nprobe=_IVFADC_NPROBE,
+            shortlist=_PQ_SHORTLIST,
+        )
+        probe = sim.ivfadc_search_pruned(
+            spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+        )
+        # materialize BEFORE the compaction mutates the store (lazy
+        # frames would otherwise re-probe the purged layout); bounded
+        # |queries|*k
+        tombstoned = probe.collect()
+        sim.compact_ivfadc_index(spark, store)
+        purged = sim.ivfadc_search_pruned(
+            spark, store, emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS, **kw
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     schema = T.StructType(
         [T.StructField("phase", T.StringType())] + list(probe.schema.fields)
     )

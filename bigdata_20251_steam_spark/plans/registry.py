@@ -142,13 +142,16 @@ def oracle_map() -> dict[str, str]:
 #:       streaming_index_upsert — ivfadc_search_pruned gained the
 #:       tombstone existence check (plan byte-identical for
 #:       tombstone-free stores; the driver row re-proves that);
-#: - 25: 18 of the 47-name three-round-stale cohort (last GREEN driver
+#: - 25: 15 of the 47-name three-round-stale cohort (last GREEN driver
 #:   row r13, no r14/r15 slot; recomputed from the committed JSONs).
-#:   50 slots minus 23 must-enters minus 9 changed/new leaves 18;
-#:   ties all at age r13, broken ALPHABETICALLY; the 29 overflow names
-#:   are itemized in the r17 note below, with
-#:   CORRECTNESS_FULL_r16.json (all queries) as the compensating
-#:   evidence meanwhile.
+#:   50 slots minus 23 must-enters minus 9 changed/new left 18 at the
+#:   initial split; the three late-r16 registrations each displaced
+#:   the alphabetically-last fill, leaving the 15 below; ties all at
+#:   age r13, broken ALPHABETICALLY; the 32 overflow names (29 from
+#:   the split plus the 3 displaced fills) are itemized in the r17
+#:   note below, with CORRECTNESS_FULL_r16.json (all queries) as the
+#:   compensating evidence meanwhile.  (Counts corrected r17, ADVICE
+#:   r16 — the dict itself was always the executed source of truth.)
 _R16_ROTATION: dict[str, int] = {
     # r15-note must-enters (four-rounds-stale otherwise)
     "leakage_safe_split": 23,
@@ -218,10 +221,11 @@ _R16_ROTATION: dict[str, int] = {
 
 
 #: r17 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 29 overflow names from the r16 alphabetical
-#:   split of the 47-name stale cohort (last driver row r13) — they
-#:   are four-rounds-stale by r17 (hard_negative_pairs joined the
-#:   overflow when the second r16 registration displaced it):
+#: - MUST-ENTER first: the 32 overflow names — 29 from the r16
+#:   alphabetical split of the 47-name stale cohort (last driver row
+#:   r13) plus the 3 fills the late-r16 registrations displaced
+#:   (hard_negative_pairs, hamming_topk, genre_distribution) — all
+#:   four-rounds-stale by r17 (counts corrected r17, ADVICE r16):
 #:     hard_negative_pairs, hamming_topk, genre_distribution,
 #:     histogram_event_values, interval_event_counts, intra_doc_dedup,
 #:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
@@ -234,11 +238,10 @@ _R16_ROTATION: dict[str, int] = {
 #:     streaming_running_totals, streaming_token_budget,
 #:     supplier_nation_stats, top_genres, top_spenders,
 #:     user_value_quartiles, winnow_fingerprints
-#:   (29 itemized at split time; plus any fills displaced late in
-#:   r16 — re-read the final committed dict, it is the source of
-#:   truth) — full-sweep coverage (CORRECTNESS_FULL_r16.json) is the
-#:   compensating evidence until their r17 driver row lands.  29
-#:   must-enters leave ~21 slots: changed-code re-proves and new r17
+#:   (32 itemized — re-read the final committed dict, it is the
+#:   source of truth) — full-sweep coverage (CORRECTNESS_FULL_r16.json)
+#:   is the compensating evidence until their r17 driver row lands.  32
+#:   must-enters leave 18 slots: changed-code re-proves and new r17
 #:   registrations next, then fills from the three-round-stale-by-r17
 #:   cohort (last GREEN driver row r14, no r15/r16 slot — recompute
 #:   from CORRECTNESS_r0{14,15,16}.json, split oldest-first,

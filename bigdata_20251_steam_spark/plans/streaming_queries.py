@@ -2229,6 +2229,7 @@ def q_streaming_incremental_dedup(
     import shutil
 
     from ..operators import dedup as dd
+    from ..sinks.storage import compact_state_dir, repair_state_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
@@ -2276,6 +2277,11 @@ def q_streaming_incremental_dedup(
         nxt = os.path.join(state_dir, f"v{len(versions)}")
         merged.write.mode("overwrite").parquet(nxt)
         versions.append(nxt)
+        # repair-before-append (r17, ADVICE r16): an append after a
+        # crashed compact_state_dir swap would recreate band_dir with
+        # only this batch's file and the next compaction would discard
+        # ._old holding the whole pre-crash band state
+        repair_state_dir(spark, band_dir)
         bands.write.mode("append").parquet(band_dir)
 
     stream = file_stream(
@@ -2293,8 +2299,6 @@ def q_streaming_incremental_dedup(
     # the per-batch appends compact into size-targeted files — here
     # once after the bounded availableNow run; a live deployment runs
     # it every N micro-batches, same op
-    from ..sinks.storage import compact_state_dir
-
     compact_state_dir(spark, band_dir)
     final = spark.read.parquet(versions[-1]).select(
         "doc_id", "component_id"
@@ -2363,7 +2367,7 @@ def q_streaming_dedup_maintenance(
     import shutil
 
     from ..operators import dedup as dd
-    from ..sinks.storage import compact_state_dir
+    from ..sinks.storage import compact_state_dir, repair_state_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
@@ -2430,6 +2434,9 @@ def q_streaming_dedup_maintenance(
         adds = batch_df.filter(F.col("op") == "add").drop("op")
         labels = spark.read.parquet(versions[-1])
         # (1) removes -> band tombstones; (2) retract touched components
+        # (repair-before-append, r17 ADVICE r16 — see the sibling
+        # incremental-dedup loop; applies to BOTH state dirs here)
+        repair_state_dir(spark, ts_dir)
         rm.write.mode("append").parquet(ts_dir)
         eff = _eff_bands()
         labels = dd.retract_components(labels, eff, rm)
@@ -2440,6 +2447,7 @@ def q_streaming_dedup_maintenance(
         nxt = os.path.join(state_dir, f"v{len(versions)}")
         merged.write.mode("overwrite").parquet(nxt)
         versions.append(nxt)
+        repair_state_dir(spark, band_dir)
         dd.band_signatures(sigs).write.mode("append").parquet(band_dir)
 
     stream = file_stream(

@@ -2,6 +2,7 @@ from .bucketing import bucketed_join, write_bucketed
 from .storage import (
     compact_state_dir,
     compact_table,
+    repair_state_dir,
     retention_vacuum,
     upsert_snapshot,
     write_clustered,
@@ -13,6 +14,7 @@ __all__ = [
     "write_bucketed",
     "compact_state_dir",
     "compact_table",
+    "repair_state_dir",
     "retention_vacuum",
     "upsert_snapshot",
     "write_clustered",

@@ -74,6 +74,19 @@ class _HFS:
             key=lambda p: p.rsplit("/", 1)[1],
         )
 
+    def list_files(self, dir_path: str, suffix: str = ".parquet") -> list[str]:
+        """Scheme-qualified URIs of files DIRECTLY under ``dir_path``
+        (non-recursive), name-sorted; ``[]`` when the dir is absent.
+        The snapshot primitive for marker-file-scoped clears (r17)."""
+        jp = self._jpath(dir_path)
+        if not self._fs.exists(jp):
+            return []
+        return sorted(
+            str(st.getPath().toString())
+            for st in self._fs.listStatus(jp)
+            if st.isFile() and st.getPath().getName().endswith(suffix)
+        )
+
     def file_sizes(self, dir_path: str, suffix: str = ".parquet") -> list[int]:
         return [
             st.getLen()
@@ -163,6 +176,36 @@ def compact_table(
     return out
 
 
+def repair_state_dir(spark: SparkSession, path: str) -> bool:
+    """Repair an interrupted :func:`compact_state_dir` swap; returns
+    whether a repair happened (r17, ADVICE r16).
+
+    MUST run before any APPEND-side write to a compacted state dir:
+    an append landing after a crash between the swap's two renames
+    would recreate ``path`` holding only that batch's file, and the
+    next compaction's live-sibling heuristic would then discard
+    ``._old`` — the entire pre-crash state.  With every appender
+    repairing first, a live sibling of ``._old`` can only mean a
+    crash after the SECOND rename (the live dir is the complete
+    compacted state), so deleting the leftover is sound.  The
+    maintenance-loop appends in ``plans/streaming_queries.py`` follow
+    this contract; driver-side metadata ops only, O(1) per batch.
+    """
+    fs = _HFS(spark, path)
+    old = path.rstrip("/") + "._old"
+    if not fs.exists(old):
+        return False
+    if fs.exists(path):
+        # crash after the second rename but before cleanup — the live
+        # dir is complete (appenders repair-first, so it cannot be a
+        # post-crash append recreation)
+        fs.delete(old)
+    else:
+        # crash between the two renames — ``._old`` is the only copy
+        fs.rename(old, path)
+    return True
+
+
 def compact_state_dir(
     spark: SparkSession,
     path: str,
@@ -187,17 +230,18 @@ def compact_state_dir(
     FileSystem of ``path``'s scheme (``file://``/``hdfs://``/
     ``s3a://``; on object stores rename is copy+delete — the usual
     manifest caveat applies).
+
+    CONCURRENT-APPEND CONTRACT (r17, ADVICE r16): every append-side
+    writer to a dir this op compacts must call
+    :func:`repair_state_dir` before its write — an append that lands
+    after a crashed swap would otherwise recreate ``path`` with only
+    the batch's file and this op's live-sibling repair would discard
+    ``._old`` holding the whole pre-crash state.
     """
     fs = _HFS(spark, path)
     old = path.rstrip("/") + "._old"
-    live = fs.exists(path)
-    if fs.exists(old):
-        if live:
-            fs.delete(old)
-        else:
-            fs.rename(old, path)
-            live = True
-    if not live:
+    repair_state_dir(spark, path)
+    if not fs.exists(path):
         raise FileNotFoundError(f"compact_state_dir: no such dir {path}")
     sizes = fs.file_sizes(path)
     n_target = max(1, math.ceil(sum(sizes) / target_file_bytes))

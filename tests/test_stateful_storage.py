@@ -1419,3 +1419,187 @@ def test_compact_state_dir(spark, tmp_path):
     os.rename(d, d + "._old")
     assert compact_state_dir(spark, d, target_file_bytes=1 << 30) == 1
     assert {tuple(r) for r in spark.read.parquet(d).collect()} == before_rows
+
+
+def test_upsert_repairs_interrupted_swap(spark, tmp_path):
+    """r17 (ADVICE r16 medium): the upsert entry points repair
+    interrupted compact/retrain swaps BEFORE their append.  Without
+    the repair, an upsert landing in a cell whose swap crashed between
+    the two renames recreates the live cluster=N dir with only the
+    batch's rows, and the next maintenance pass deletes ._old — the
+    cell's only pre-crash copy — silently losing it."""
+    import os
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "index")
+    sim.write_ivfadc_index(
+        sim.ivfadc_encode(old, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+    )
+    # crash between the swap's two renames: one cell lives ONLY in ._old
+    cells = sorted(d for d in os.listdir(store) if d.startswith("cluster="))
+    crashed = os.path.join(store, cells[0])
+    os.rename(crashed, crashed + "._old")
+
+    sim.upsert_ivfadc_index(new, store, _IVFADC_CENTS, _IVFADC_CODEBOOKS)
+    # the repair ran before the append: no ._old residue, and a follow-up
+    # compaction (which deletes ._old next to any live sibling) loses
+    # nothing — the store equals a fresh encode of the full corpus
+    assert f"{cells[0]}._old" not in set(os.listdir(store))
+    sim.compact_ivfadc_index(spark, store)
+    live = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.parquet(store).collect()
+    }
+    rebuilt = {
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in sim.ivfadc_encode(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+        ).collect()
+    }
+    assert live == rebuilt
+
+
+def test_streaming_upsert_repairs_interrupted_swap(spark, tmp_path):
+    """r17 (ADVICE r16 medium): the foreachBatch ingest repairs crashed
+    swaps at the start of every micro-batch, before its dynamic
+    partition overwrite can shadow an orphaned ._old cell."""
+    import os
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.plans.extension_queries import (
+        _IVFADC_CENTS,
+        _IVFADC_CODEBOOKS,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "index")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _ingest(df, tag):
+        # one source dir + ONE checkpoint across ingests, so the delta
+        # lands as epoch=1 (a fresh checkpoint would reuse epoch=0 and
+        # the dynamic overwrite would clobber the base cells)
+        stage = str(tmp_path / f"_stage_{tag}")
+        df.repartition(1).write.parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(stage, part), os.path.join(src, f"{tag}.parquet"))
+        q = sim.streaming_upsert_ivfadc_index(
+            file_stream(spark, src, df.schema),
+            store,
+            str(tmp_path / "ckpt"),
+            _IVFADC_CENTS,
+            _IVFADC_CODEBOOKS,
+        )
+        q.awaitTermination()
+
+    # base store lands via the same streaming path (uniform
+    # cluster=N/epoch=M layout; a bare/segmented mix would break
+    # partition inference regardless of the repair under test)
+    _ingest(old, "base")
+    cells = sorted(d for d in os.listdir(store) if d.startswith("cluster="))
+    crashed = os.path.join(store, cells[0])
+    os.rename(crashed, crashed + "._old")
+
+    _ingest(new, "delta")
+    assert f"{cells[0]}._old" not in set(os.listdir(store))
+    schema = "vec_id bigint, codes array<int>, epoch int"
+    live = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.schema(schema).parquet(store).collect()
+    }
+    rebuilt = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.ivfadc_encode(
+            emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS
+        ).collect()
+    }
+    assert live == rebuilt
+
+
+def test_repair_state_dir_before_append(spark, tmp_path):
+    """r17 (ADVICE r16): append-side writers to a compacted state dir
+    repair first — an append after a crashed compact_state_dir swap
+    must not recreate the dir and doom ._old (the whole pre-crash
+    state) to the next compaction's live-sibling delete."""
+    import os
+
+    from bigdata_20251_steam_spark.sinks import (
+        compact_state_dir,
+        repair_state_dir,
+    )
+
+    d = str(tmp_path / "bands")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 16).alias("band_id")
+    )
+    batch = spark.range(1000, 1100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 16).alias("band_id")
+    )
+    base.write.parquet(d)
+    expected = {tuple(r) for r in base.collect()} | {
+        tuple(r) for r in batch.collect()
+    }
+    # crash between the two swap renames: the state lives ONLY in ._old
+    os.rename(d, d + "._old")
+    # the maintenance loops' contract: repair, then append
+    assert repair_state_dir(spark, d) is True
+    batch.write.mode("append").parquet(d)
+    compact_state_dir(spark, d)
+    assert not os.path.exists(d + "._old")
+    assert {tuple(r) for r in spark.read.parquet(d).collect()} == expected
+    # no-op when there is nothing to repair
+    assert repair_state_dir(spark, d) is False
+    # crash AFTER the second rename: live dir complete, ._old stale
+    import shutil
+
+    shutil.copytree(d, d + "._old")
+    assert repair_state_dir(spark, d) is True
+    assert not os.path.exists(d + "._old")
+    assert {tuple(r) for r in spark.read.parquet(d).collect()} == expected
+
+
+def test_clear_tombstone_markers_snapshot_scoped(spark, tmp_path):
+    """r17 (ADVICE r16): compaction clears exactly the marker files it
+    read — a delete_from_ivfadc_index append racing between the
+    touched-cell scan and the clear survives for the NEXT compaction
+    instead of being dropped unpurged (its vectors would silently
+    resurface in probes)."""
+    import os
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+    from bigdata_20251_steam_spark.sinks.storage import _HFS
+
+    store = str(tmp_path / "index")
+    os.makedirs(store)
+    ts_path = store + "/_tombstones"
+    one = spark.range(0, 5).select(F.col("id").alias("vec_id"))
+    two = spark.range(5, 9).select(F.col("id").alias("vec_id"))
+    late = spark.range(9, 12).select(F.col("id").alias("vec_id"))
+    one.write.mode("append").parquet(ts_path)
+    two.write.mode("append").parquet(ts_path)
+    fs = _HFS(spark, store)
+    snapshot = fs.list_files(ts_path)
+    # a concurrent delete lands AFTER the snapshot
+    late.write.mode("append").parquet(ts_path)
+    sim._clear_tombstone_markers(fs, ts_path, snapshot)
+    # the late marker survives, readable, and the dir remains
+    assert os.path.isdir(ts_path)
+    left = {r["vec_id"] for r in spark.read.parquet(ts_path).collect()}
+    assert left == {9, 10, 11}
+    # next pass (no race): snapshot covers everything -> dir removed
+    sim._clear_tombstone_markers(fs, ts_path, fs.list_files(ts_path))
+    assert not os.path.exists(ts_path)
