@@ -7968,3 +7968,309 @@ def q_sketch_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qa.sketch_quantiles(
         daily, [50, 95], m=_QSK_M, group_cols=("day",)
     ).select("day", "q_pct", F.col("sketch_cents").alias("sketch_mils"))
+
+
+# ---------------------------------------------------------------------------
+# r17: takedown capstone — the delete story composed across all four
+# state families (r16 verdict #2)
+# ---------------------------------------------------------------------------
+
+from .registry import QUERIES  # noqa: E402
+
+#: The takedown event's user-side cut: user_id % 9 == 4 erases 17 of
+#: the 150 sf0.01 users (1088 event rows, all 5 event types) and —
+#: probed against the testdata before pinning, the r16 convention —
+#: removes a per-type group extremum, so the rollup family exercises
+#: its bounded min/max re-derive, not just the invertible subtracts.
+#: The doc-side cut reuses _RETRACT_MOD (doc_id % 7 == 0): r16 probed
+#: it to retract 8 of the 51 labeled sf0.01 docs including 2 component
+#: minima (the relabel path) — so both content and activity erasure
+#: hit their hard paths.
+_TD_USER_MOD, _TD_USER_REM = 9, 4
+
+#: The unified takedown output frame: one row set per state family,
+#: family-specific columns, typed NULLs elsewhere (name, spark_type,
+#: duckdb_type).  Both engines build the SAME wide schema so the
+#: driver's sorted-column value hash covers every family at once.
+_TD_COLS: list[tuple[str, str, str]] = [
+    ("doc_id", "bigint", "BIGINT"),
+    ("component_id", "bigint", "BIGINT"),
+    ("query_id", "bigint", "BIGINT"),
+    ("vec_id", "bigint", "BIGINT"),
+    ("sqdist", "bigint", "BIGINT"),
+    ("rank", "int", "INTEGER"),
+    ("event_type", "string", "VARCHAR"),
+    ("n_events", "bigint", "BIGINT"),
+    ("sum_mils", "bigint", "BIGINT"),
+    ("min_mils", "bigint", "BIGINT"),
+    ("max_mils", "bigint", "BIGINT"),
+    ("p50_sketch_mils", "bigint", "BIGINT"),
+    ("user_id", "bigint", "BIGINT"),
+    ("valid_from", "timestamp", "TIMESTAMP"),
+    ("valid_to", "timestamp", "TIMESTAMP"),
+    ("is_current", "boolean", "BOOLEAN"),
+    ("n_obs", "bigint", "BIGINT"),
+]
+
+
+def _td_pad(df: DataFrame, family: str) -> DataFrame:
+    """Project ``df`` onto the wide takedown schema: present columns
+    keep their values (numerics cast to the pinned type), absent ones
+    become typed NULLs."""
+    cols = [F.lit(family).alias("family")]
+    for name, styp, _ in _TD_COLS:
+        if name in df.columns:
+            c = F.col(name)
+            if styp not in ("timestamp", "boolean"):
+                c = c.cast(styp)
+            cols.append(c.alias(name))
+        else:
+            cols.append(F.lit(None).cast(styp).alias(name))
+    return df.select(*cols)
+
+
+def _takedown_oracle() -> str:
+    user_cut = (
+        f"user_id % {_TD_USER_MOD} <> {_TD_USER_REM} OR user_id IS NULL"
+    )
+    branches = [
+        (
+            "dedup",
+            QUERIES["dedup_retraction"].oracle,
+            {"doc_id": "t.doc_id", "component_id": "t.component_id"},
+        ),
+        (
+            "index",
+            _ivfadc_oracle(
+                k=5, cand_filter=f" AND b.vec_id % {_RETRACT_MOD} <> 0"
+            ),
+            {
+                "query_id": "t.query_id",
+                "vec_id": "t.vec_id",
+                "sqdist": "t.sqdist",
+                "rank": "t.rank",
+            },
+        ),
+        (
+            "rollup",
+            _incremental_rollup_oracle().replace(
+                "WHERE value IS NOT NULL",
+                f"WHERE value IS NOT NULL AND ({user_cut})",
+                1,
+            ),
+            {
+                "event_type": "t.event_type",
+                "n_events": "t.n_events",
+                "sum_mils": "t.sum_mils",
+                "min_mils": "t.min_mils",
+                "max_mils": "t.max_mils",
+                "p50_sketch_mils": "t.p50_sketch_mils",
+            },
+        ),
+        (
+            "scd2",
+            QUERIES["scd2_event_history"].oracle.replace(
+                "FROM events", f"FROM events WHERE {user_cut}", 1
+            ),
+            {
+                "user_id": "t.user_id",
+                "event_type": "t.event_type",
+                "valid_from": "t.valid_from",
+                "valid_to": "t.valid_to",
+                "is_current": "t.is_current",
+                "n_obs": "t.n_obs",
+            },
+        ),
+    ]
+    selects = []
+    for family, subq, present in branches:
+        exprs = [f"'{family}' AS family"]
+        for name, _, dtyp in _TD_COLS:
+            exprs.append(
+                f"{present.get(name, f'CAST(NULL AS {dtyp})')} AS {name}"
+            )
+        selects.append(
+            "SELECT " + ", ".join(exprs) + f" FROM ( {subq} ) t"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "takedown_end_to_end",
+    oracle=_takedown_oracle(),
+    priority=80,  # enters via the r17 rotation (new registration tier)
+    doc="TAKEDOWN CAPSTONE (r17, r16 verdict #2): ONE erasure event — "
+    f"content (doc_id % {_RETRACT_MOD} == 0) and activity (user_id % "
+    f"{_TD_USER_MOD} == {_TD_USER_REM}) — flows through the DELETE "
+    "primitive of every persisted state family the engine maintains, "
+    "in one registered query: (1) DEDUP — the band/label closure "
+    "retracts via retract_components (touched components re-close "
+    "over survivors only; 2 component minima removed, exercising the "
+    "relabel path); (2) INDEX — the removed vec_ids land as LSM "
+    "tombstones (delete_from_ivfadc_index), compaction PURGES exactly "
+    "the touched cells, and the pruned probe runs over the bare "
+    "survivors; (3) ROLLUP — per-type count/sum subtract exactly, "
+    "sketch buckets retract via subtract_sketches, and the "
+    "non-invertible min/max re-derive over surviving rows of touched "
+    "groups only (the user cut was probed to remove a group extremum, "
+    "so the re-derive actually fires); (4) SCD2 — the erased users' "
+    "interval histories close out of the dimension state via one "
+    "broadcast anti-join.  Every family's output lands in one wide "
+    "frame (typed NULLs off-family), and the oracle is the UNION of "
+    "each family's FULL RECOMPUTE over the surviving corpus: the hash "
+    "match proves the four delete paths COMPOSE — one GDPR/TTL batch, "
+    "four state families, zero full rebuilds.  Per-family costs are "
+    "the delta-bounded terms their standalone siblings anchor "
+    "(dedup_retraction / index_tombstone_delete / rollup_retraction "
+    "SCALING.md entries); at 100 TB the only full scans are the ones "
+    "a fresh state build would pay anyway, and each family's "
+    "maintenance is O(delta)-bounded.",
+)
+def q_takedown_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    removed_docs = docs.filter(
+        F.col("doc_id") % _RETRACT_MOD == 0
+    ).select("doc_id")
+
+    # (1) dedup: persisted band/label state, retracted (the
+    # dedup_retraction body — the capstone composes, not re-derives)
+    banded = dd.band_signatures(
+        dd.minhash_signatures(docs)
+    ).localCheckpoint()
+    labels = dd.connected_components(dd.banded_candidate_pairs(banded))
+    fam_dedup = dd.retract_components(labels, banded, removed_docs)
+
+    # (2) index: tombstone -> purge -> probe over the bare survivors
+    work = tempfile.mkdtemp(prefix="takedown_idx_")
+    try:
+        store = os.path.join(work, "index")
+        sim.write_ivfadc_index(
+            sim.ivfadc_encode(emb, _IVFADC_CENTS, _IVFADC_CODEBOOKS), store
+        )
+        sim.delete_from_ivfadc_index(
+            spark,
+            store,
+            emb.filter(F.col("vec_id") % _RETRACT_MOD == 0).select("vec_id"),
+        )
+        sim.compact_ivfadc_index(spark, store)
+        probe = sim.ivfadc_search_pruned(
+            spark,
+            store,
+            emb,
+            _IVFADC_CENTS,
+            _IVFADC_CODEBOOKS,
+            query_ids=_QUERY_IDS,
+            k=5,
+            nprobe=_IVFADC_NPROBE,
+            shortlist=_PQ_SHORTLIST,
+        )
+        idx_rows = probe.collect()  # bounded: |queries| x k
+        idx_schema = probe.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    fam_index = spark.createDataFrame(idx_rows, idx_schema)
+
+    # (3) rollup: subtract + bounded re-derive (the rollup_retraction
+    # body under the user cut)
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("_mils", F.floor(F.col("value") * 1000).cast("long"))
+    )
+    user_removed = F.col("user_id") % _TD_USER_MOD == _TD_USER_REM
+    removed_ev = vals.filter(user_removed)
+    surviving_ev = vals.filter(~user_removed | F.col("user_id").isNull())
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("_mils").alias("s"),
+            F.min("_mils").alias("mn"),
+            F.max("_mils").alias("mx"),
+        )
+
+    state = _state(vals)
+    rstate = _state(removed_ev).select(
+        "event_type",
+        F.col("cnt").alias("_rc"),
+        F.col("s").alias("_rs"),
+    )
+    scal = (
+        state.join(rstate, "event_type", "left")
+        .select(
+            "event_type",
+            (F.col("cnt") - F.coalesce("_rc", F.lit(0))).alias("n_events"),
+            (F.col("s") - F.coalesce("_rs", F.lit(0))).alias("sum_mils"),
+            "mn",
+            "mx",
+            F.col("_rc").isNotNull().alias("_touched"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    touched = rstate.select("event_type")
+    mm_ = (
+        surviving_ev.join(F.broadcast(touched), "event_type")
+        .groupBy("event_type")
+        .agg(F.min("_mils").alias("_nmn"), F.max("_mils").alias("_nmx"))
+    )
+    scal = scal.join(mm_, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "sum_mils",
+        F.when(F.col("_touched"), F.col("_nmn"))
+        .otherwise(F.col("mn"))
+        .alias("min_mils"),
+        F.when(F.col("_touched"), F.col("_nmx"))
+        .otherwise(F.col("mx"))
+        .alias("max_mils"),
+    )
+    mk = ("event_type",)
+    sk = qa.subtract_sketches(
+        qa.quantile_sketch(vals, F.col("_mils"), m=_QSK_M, group_cols=mk),
+        qa.quantile_sketch(
+            removed_ev, F.col("_mils"), m=_QSK_M, group_cols=mk
+        ),
+        group_cols=mk,
+    )
+    p50 = qa.sketch_quantiles(sk, [50], m=_QSK_M, group_cols=mk).select(
+        "event_type", F.col("sketch_cents").alias("p50_sketch_mils")
+    )
+    fam_rollup = scal.join(p50, "event_type")
+
+    # (4) scd2: interval close-out — the persisted dimension history
+    # drops the erased users via one broadcast anti-join (per-user
+    # islands are independent, so key-level delete == recompute on
+    # survivors; the oracle proves it)
+    hist = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    rm_users = (
+        ev.filter(user_removed)
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    fam_scd2 = (
+        hist.join(F.broadcast(rm_users), "key", "left_anti")
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("attr").alias("event_type"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_obs",
+        )
+    )
+
+    out = _td_pad(fam_dedup, "dedup")
+    for fam, df in [
+        ("index", fam_index),
+        ("rollup", fam_rollup),
+        ("scd2", fam_scd2),
+    ]:
+        out = out.unionByName(_td_pad(df, fam))
+    return out

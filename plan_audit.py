@@ -203,6 +203,14 @@ WHITELIST: dict[tuple[str, str], str] = {
         "bucket-locate are equi on the day key — every frame bounded "
         "at |days| x sketch, never the corpus"
     ),
+    ("takedown_end_to_end", "BroadcastNestedLoopJoin"): (
+        "the rollup family's p50 target frame crossJoins the broadcast "
+        "per-type totals (1 x |event_types|=5 rows — exactly "
+        "rollup_retraction's whitelisted shape, unioned into the wide "
+        "takedown frame); the index family's probe BNLJ executes "
+        "inside the body and returns as a bounded local relation; all "
+        "other joins are equi and delta-/state-frame-bounded"
+    ),
     ("hybrid_rrf_search", "BroadcastNestedLoopJoin"): (
         "broadcast of the 3-row query-vector frame onto the dense "
         "cosine scan (vec_id <> query_id non-equi — the embed_topk "
@@ -220,7 +228,17 @@ PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 SCAN_BOUND = 8
 
 #: query -> reason for a documented scan count above SCAN_BOUND.
-SCAN_WHITELIST: dict[str, str] = {}
+SCAN_WHITELIST: dict[str, str] = {
+    "takedown_end_to_end": (
+        "11 scans = the SUM of the four unioned families' pinned "
+        "standalone shapes (dedup retraction over the checkpointed "
+        "band state + docs; rollup subtraction's state/removed-state/"
+        "bounded-rederive/two-sketch events scans; scd2's single "
+        "events scan; the index family returns a bounded local "
+        "relation, zero scans) — a fixed union of independent "
+        "delete paths, not a per-iteration lineage re-expansion"
+    ),
+}
 
 
 def count_real_scans(jnode, _seen_subqueries=None) -> int:

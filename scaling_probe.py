@@ -182,6 +182,11 @@ PROBES = [
     # exchange-free; data terms = the base banding + bucketed write,
     # which are the persisted state in a deployment)
     "incremental_dedup_bucketed",
+    # round-17: the takedown capstone — one erasure batch through all
+    # four state families' delete primitives (data terms = the four
+    # state builds; every per-family maintenance term is the
+    # delta-bounded shape its standalone sibling anchors)
+    "takedown_end_to_end",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -271,6 +276,7 @@ PROBE_TABLES = {
     "index_tombstone_delete": {"embeddings"},
     "rollup_retraction": {"events"},
     "incremental_dedup_bucketed": {"documents"},
+    "takedown_end_to_end": {"documents", "embeddings", "events"},
 }
 
 
