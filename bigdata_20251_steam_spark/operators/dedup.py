@@ -905,6 +905,7 @@ def incremental_minhash_pairs_bucketed(
     delta_signatures: DataFrame,
     rows_per_band: int = 4,
     max_bucket: int | None = 1000,
+    removed: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_minhash_pairs` against a band state persisted
     as a BUCKETED table (r16 — the claim the streaming dedup docstring
@@ -935,6 +936,12 @@ def incremental_minhash_pairs_bucketed(
     bounded-frame convention -- so the downstream references replay
     O(delta) rows instead of re-running the state aggregate per
     branch.
+
+    ``removed`` (r17): a marker frame of tombstoned doc_ids — the
+    maintenance loop's delete side.  Applied as a broadcast anti-join
+    on the delta-touched state slice (partitioning-preserving, so
+    every exchange-free claim above survives; pytest-pinned by
+    ``test_incremental_pairs_bucketed_with_removed``).
     """
     state = spark.table(state_table)
     db = band_signatures(delta_signatures, rows_per_band).localCheckpoint()
@@ -946,6 +953,14 @@ def incremental_minhash_pairs_bucketed(
     # child's distribution)
     dkeys = db.select(*key).distinct()
     tstate = state.join(F.broadcast(dkeys), key, "semi")
+    if removed is not None:
+        # tombstone-aware probe (r17, r16 verdict #3): the maintenance
+        # loop's band state is append-only with a marker set for
+        # deletes — the effective state is bands anti-join markers.
+        # A broadcast anti-join PRESERVES the scan's bucketed
+        # partitioning (like the semi-join above), so the stats
+        # aggregate and the pair join keep their exchange-free shape.
+        tstate = retract_band_table(tstate, removed)
     if max_bucket is None:
         ds = db.alias("d").join(tstate.alias("u"), key).filter(
             F.col("d.doc_id") != F.col("u.doc_id")

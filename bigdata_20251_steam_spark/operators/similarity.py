@@ -1995,7 +1995,17 @@ def upsert_ivfadc_index(
     — and the next maintenance pass's live-sibling heuristic would
     then discard ``cluster=N._old``, the cell's only pre-crash copy.
     With upserts repairing first, that heuristic stays sound (same
-    contract as ``sinks.storage.repair_state_dir``)."""
+    contract as ``sinks.storage.repair_state_dir``).
+
+    RE-INSERT guard (r17, r16 verdict #4): upserting an id that is
+    currently TOMBSTONED fails loudly instead of silently staying
+    invisible to probes until the next purge — the marker wins over
+    the new row, so a delete→re-add that skipped the purge would
+    otherwise converge to "deleted" with no signal.  One driver-side
+    existence check when the store has no tombstones (the common
+    case); otherwise a broadcast left-join + ``assert_true`` folded
+    into the written ``vec_id`` (the scd2_merge_delta convention —
+    the optimizer cannot prune it)."""
     from ..sinks.storage import _HFS
 
     spark = new_vectors.sparkSession
@@ -2003,7 +2013,44 @@ def upsert_ivfadc_index(
     coded = ivfadc_encode(
         new_vectors, coarse_cents, codebooks, scale, id_col, vec_col
     )
+    coded = _guard_tombstoned_upsert(spark, path, coded, "upsert_ivfadc_index")
     coded.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def _guard_tombstoned_upsert(
+    spark, index_path: str, coded: DataFrame, op_name: str
+) -> DataFrame:
+    """Fold the re-insert guard into an encoded upsert batch: any
+    ``vec_id`` present in the store's pending-delete marker set throws
+    at write time (r17, r16 verdict #4).  Tombstone-free stores pay
+    one FileSystem existence check and keep the plan byte-identical."""
+    ts = read_ivfadc_tombstones(spark, index_path)
+    if ts is None:
+        return coded
+    dead = ts.select(F.col("vec_id").alias("_dead_id"))
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_dead_id").isNull(),
+            F.concat(
+                F.lit(f"{op_name}: vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(
+                    " is tombstoned — run compact_ivfadc_index (purge) "
+                    "before re-inserting it"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        coded.join(
+            F.broadcast(dead),
+            coded["vec_id"] == F.col("_dead_id"),
+            "left",
+        )
+        .withColumn("vec_id", F.col("vec_id") + guard)
+        .drop("_dead_id")
+    )
 
 
 def streaming_upsert_ivfadc_index(
@@ -2058,6 +2105,15 @@ def streaming_upsert_ivfadc_index(
         )
         coded = ivfadc_encode(
             batch_df, coarse_cents, codebooks, scale, id_col, vec_col
+        )
+        # re-insert guard (r17, r16 verdict #4): a streamed id that is
+        # currently tombstoned fails the batch loudly — see
+        # upsert_ivfadc_index
+        coded = _guard_tombstoned_upsert(
+            batch_df.sparkSession,
+            index_dir,
+            coded,
+            "streaming_upsert_ivfadc_index",
         )
         if meta_cols:
             meta = batch_df.select(
@@ -2275,12 +2331,14 @@ def delete_from_ivfadc_index(
     metadata-sized operation until the next compaction pays the
     rewrite for exactly the cells that contain marked rows.
 
-    RE-INSERT semantics (documented contract): a tombstone marks the
-    id dead for the WHOLE store — re-upserting a marked id stays
-    invisible to probes until a compaction purges the marker (purge
-    removes the stored rows AND the marker; upsert again afterwards).
-    Run :func:`compact_ivfadc_index` between a delete and a re-insert
-    of the same id.
+    RE-INSERT semantics (enforced contract, r17 — r16 verdict #4
+    closed the silent window): a tombstone marks the id dead for the
+    WHOLE store, so BOTH upsert entry points now REJECT a marked id
+    loudly (broadcast check + ``assert_true`` at write time) instead
+    of letting the new row sit invisible to probes until the next
+    purge.  Run :func:`compact_ivfadc_index` (which purges rows AND
+    markers) between a delete and a re-insert of the same id; the
+    ordering is now machine-checked, not a docstring plea.
     """
     (
         removed.select(F.col(id_col).cast("long").alias("vec_id"))

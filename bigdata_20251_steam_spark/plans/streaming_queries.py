@@ -2484,3 +2484,216 @@ def q_streaming_dedup_maintenance(
     final.write.mode("overwrite").parquet(silver)
     shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(silver)
+
+
+@register(
+    "streaming_dedup_maintenance_bucketed",
+    oracle=QUERIES["dedup_components"].oracle.replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id % 24 NOT IN "
+        f"{_MAINT_REMOVED}", 1,
+    ),
+    priority=80,  # enters via the r17 rotation (new registration tier)
+    doc="STREAMING dedup maintenance over a BUCKETED band state (r17, "
+    "r16 verdict #3 — the wiring the two r16 pieces were built for: "
+    "streaming_dedup_maintenance proved the add+remove fold, "
+    "incremental_dedup_bucketed proved the exchange-free bucketed "
+    "probe; this query runs the fold WITH the bucketed state).  The "
+    "base band table persists via write_bucketed (sorted buckets on "
+    "(band_id, band_sig)); per micro-batch the foreachBatch (1) "
+    "appends the batch's takedown doc_ids to the marker set "
+    "(repair-before-append), (2) retracts touched components against "
+    "the EFFECTIVE state (bucketed scan anti-join markers — broadcast, "
+    "partitioning-preserving), (3) probes the adds via "
+    "incremental_minhash_pairs_bucketed(removed=markers) — the state "
+    "side exchange-free (sort-merge regime pytest) and scanned exactly "
+    "ONCE (asserted IN-LOOP on the executed plan, every batch), then "
+    "merges via incremental_components, (4) appends the adds' bands "
+    "to the bucketed table (same bucket spec — the organization cost "
+    "is per-delta, amortized exactly like the index store's epoch "
+    "segments), and (5) runs the RETENTION duties in-loop: the marker "
+    "dir compacts every N batches (compact_state_dir) and only the "
+    "last K label versions survive (older snapshot dirs delete — the "
+    "keep-last-K history a live deployment bounds its state dir by).  "
+    "After the bounded run the band state PURGES (bucketed rewrite "
+    "minus markers) and the markers clear.  The oracle is the FULL "
+    "closure over the final surviving corpus — identical to the "
+    "unbucketed sibling's, so the hash match proves the bucketed "
+    "state path converges to the same labels.  At 100 TB each batch "
+    "touches only the bucket files its delta bands hash to; the one "
+    "state-side shuffle the r16 verdict flagged in the unbucketed "
+    "loop is GONE (the at-rest bucketing absorbs it).",
+)
+def q_streaming_dedup_maintenance_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    marker_compact_every: int = 2,
+    label_keep: int = 3,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    import shutil
+    import uuid
+
+    from ..operators import dedup as dd
+    from ..sinks.bucketing import write_bucketed
+    from ..sinks.storage import compact_state_dir, repair_state_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 8 != 0)
+
+    work = tempfile.mkdtemp(prefix="dedup_maint_bkt_")
+    ts_dir = os.path.join(work, "band_tombstones")
+    state_dir = os.path.join(work, "labels")
+    tbl = f"band_maint_{uuid.uuid4().hex[:8]}"
+    write_bucketed(
+        dd.band_signatures(dd.minhash_signatures(base)),
+        tbl,
+        ["band_id", "band_sig"],
+        16,
+    )
+    try:
+        dd.connected_components(
+            dd.banded_candidate_pairs(spark.table(tbl))
+        ).write.parquet(os.path.join(state_dir, "v0"))
+        versions = [os.path.join(state_dir, "v0")]
+        vnext = [1]
+        nbatch = [0]
+
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        batch_schema = StructType(
+            [StructField("op", StringType(), True)]
+            + list(DOCS_STREAM_SCHEMA.fields)
+        )
+        for i in range(3):
+            adds = docs.filter(F.col("doc_id") % 24 == 8 * i).select(
+                F.lit("add").alias("op"), "doc_id", "lang", "source", "text"
+            )
+            rms = docs.filter(
+                F.col("doc_id") % 24 == _MAINT_REMOVED[i]
+            ).select(
+                F.lit("del").alias("op"),
+                "doc_id",
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("string").alias("text"),
+            )
+            tmp = os.path.join(work, f"_tmp{i}")
+            adds.unionByName(rms).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(src, f"batch_{i}.parquet"),
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        def _marker_files() -> list[str]:
+            if not os.path.isdir(ts_dir):
+                return []
+            return [f for f in os.listdir(ts_dir) if f.endswith(".parquet")]
+
+        def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+            nbatch[0] += 1
+            rm = batch_df.filter(F.col("op") == "del").select("doc_id")
+            adds = batch_df.filter(F.col("op") == "add").drop("op")
+            labels = spark.read.parquet(versions[-1])
+            repair_state_dir(spark, ts_dir)
+            rm.coalesce(1).write.mode("append").parquet(ts_dir)
+            markers = spark.read.parquet(ts_dir)
+            eff = dd.retract_band_table(spark.table(tbl), markers)
+            labels = dd.retract_components(labels, eff, rm)
+            sigs = dd.minhash_signatures(adds)
+            edges = dd.incremental_minhash_pairs_bucketed(
+                spark, tbl, sigs, removed=markers
+            )
+            # IN-LOOP plan pin (r16 verdict #3): the bucketed state is
+            # scanned exactly ONCE in the probe's executed plan — the
+            # localCheckpoint decomposition guarantee, checked on every
+            # live batch, not just in the sort-merge-regime pytest
+            plan = (
+                edges._jdf.queryExecution().executedPlan().toString()
+            )
+            state_scans = sum(
+                1
+                for line in plan.splitlines()
+                if "FileScan" in line and tbl in line
+            )
+            if state_scans != 1:
+                raise ValueError(
+                    f"bucketed maintenance: state table scanned "
+                    f"{state_scans}x in the probe plan (want exactly 1)"
+                )
+            merged = dd.incremental_components(labels, edges)
+            nxt = os.path.join(state_dir, f"v{vnext[0]}")
+            vnext[0] += 1
+            merged.write.mode("overwrite").parquet(nxt)
+            versions.append(nxt)
+            # label RETENTION: keep-last-K snapshot dirs
+            while len(versions) > label_keep:
+                shutil.rmtree(versions.pop(0), ignore_errors=True)
+            write_bucketed(
+                dd.band_signatures(sigs),
+                tbl,
+                ["band_id", "band_sig"],
+                16,
+                mode="append",
+            )
+            # MARKER compaction every N batches (r16 verdict watch:
+            # markers accrete one file per remove-bearing batch)
+            if nbatch[0] % marker_compact_every == 0 and os.path.isdir(
+                ts_dir
+            ):
+                compact_state_dir(spark, ts_dir)
+            if telemetry is not None:
+                telemetry.setdefault("marker_files", []).append(
+                    len(_marker_files())
+                )
+                telemetry.setdefault("label_dirs", []).append(
+                    len(os.listdir(state_dir))
+                )
+
+        stream = file_stream(
+            spark, src, batch_schema, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(_merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # lifecycle compaction: purge the tombstoned band rows from the
+        # bucketed state (rewrite minus markers, same bucket spec) and
+        # clear the markers — the band state is bare again
+        purged = dd.retract_band_table(
+            spark.table(tbl), spark.read.parquet(ts_dir)
+        ).localCheckpoint()
+        write_bucketed(purged, tbl, ["band_id", "band_sig"], 16)
+        shutil.rmtree(ts_dir, ignore_errors=True)
+
+        final = spark.read.parquet(versions[-1]).select(
+            "doc_id", "component_id"
+        )
+        tag = sf_dir.strip("/").replace("/", "_")
+        fp = _fingerprint(docs, "doc_id", F.length("text"))
+        silver = os.path.join(
+            tempfile.gettempdir(), f"dedup_maint_bkt_silver_{tag}_{fp}"
+        )
+        _evict_stale("dedup_maint_bkt_silver_", os.path.basename(silver))
+        final.write.mode("overwrite").parquet(silver)
+        return spark.read.parquet(silver)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)

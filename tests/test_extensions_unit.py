@@ -3663,67 +3663,24 @@ def test_mmr_diversify_semantics(spark):
         mmr_diversify(df, k=0)
 
 
-def test_r16_rotation_window():
-    """The r16 driver-window invariant, validated by EXECUTING the
+def test_r17_rotation_window():
+    """The r17 driver-window invariant, validated by EXECUTING the
     rotation dict (the r10 lesson: never trust comment arithmetic):
     exactly 50 names, and they are exactly the first 50 of
-    ordered_queries() — the 23 r15-note must-enters ahead of
-    everything, then the changed-code re-proves + new r16
+    ordered_queries() — the 32 r16-note must-enters ahead of
+    everything, then the changed-code re-proves + new r17
     registrations, then the three-round-stale cohort under the
     documented alphabetical split (the 29 overflow names are itemized
-    in the registry's r17 note and must NOT hold a window slot)."""
+    in the registry's r18 note and must NOT hold a window slot)."""
     from bigdata_20251_steam_spark.plans.registry import (
-        _R16_ROTATION,
+        _R17_ROTATION,
         ordered_queries,
     )
 
-    assert len(_R16_ROTATION) == 50
+    assert len(_R17_ROTATION) == 50
     first50 = {q.name for q in ordered_queries()[:50]}
-    assert first50 == set(_R16_ROTATION)
-    # the 23 four-rounds-stale must-enters lead the window
-    for name in (
-        "leakage_safe_split",
-        "lsh_recall_vs_exact",
-        "mmr_diverse_topk",
-        "moving_avg_daily",
-        "multimodal_frames",
-        "normalize_text",
-        "packed_sequences",
-        "packing_assignments",
-        "peak_activity",
-        "pivot_event_matrix",
-        "profile_documents",
-        "props_json",
-        "q14_promo_share",
-        "q3_top_revenue",
-        "q6_revenue_delta",
-        "quality_quantile_filter",
-        "quality_threshold_filter",
-        "sentiment_hourly",
-        "set_ops_users",
-        "stratified_sample_counts",
-        "streaming_curation_bounded_state",
-        "streaming_curation_pipeline",
-        "streaming_doc_chunks",
-    ):
-        assert _R16_ROTATION[name] == 23, name
-    # changed-executed-path re-proves + the new registrations enter next
-    for name in (
-        "dedup_retraction",
-        "index_tombstone_delete",
-        "doclen_quantiles_weighted",
-        "streaming_scd2_merge",
-        "streaming_incremental_dedup",
-        "index_lifecycle_end_to_end",
-        "ivfadc_pruned_search",
-        "ann_filtered_search",
-        "streaming_index_upsert",
-        "streaming_dedup_maintenance",
-        "rollup_retraction",
-        "incremental_dedup_bucketed",
-    ):
-        assert _R16_ROTATION[name] == 24, name
-    # the itemized r17 overflow is OUT of the window
+    assert first50 == set(_R17_ROTATION)
+    # the 32 four-rounds-stale must-enters lead the window
     for name in (
         "genre_distribution",
         "hamming_topk",
@@ -3758,7 +3715,53 @@ def test_r16_rotation_window():
         "user_value_quartiles",
         "winnow_fingerprints",
     ):
-        assert name not in _R16_ROTATION, name
+        assert _R17_ROTATION[name] == 23, name
+    # changed-executed-path re-proves + the new registrations enter next
+    for name in (
+        "takedown_end_to_end",
+        "streaming_dedup_maintenance_bucketed",
+        "index_tombstone_delete",
+        "index_lifecycle_end_to_end",
+        "streaming_index_upsert",
+        "streaming_incremental_dedup",
+        "streaming_dedup_maintenance",
+        "incremental_dedup_bucketed",
+        "multimodal_features",
+    ):
+        assert _R17_ROTATION[name] == 24, name
+    # the itemized r18 overflow is OUT of the window
+    for name in (
+        "doc_chunks",
+        "embed_topk_lsh",
+        "gopher_quality_filter",
+        "hash_split_assignments",
+        "hll_user_rollup",
+        "hybrid_rrf_search",
+        "incremental_dedup_status",
+        "kmeans_clusters",
+        "minhash_dedup_resolve",
+        "nb_classifier_scores",
+        "nb_threshold_sweep",
+        "pii_redaction",
+        "player_windows",
+        "q1_pricing_summary",
+        "q5_region_revenue",
+        "session_windows",
+        "simhash_signatures",
+        "sliding_windows",
+        "streaming_bloom_decontaminate",
+        "streaming_dsir_gate",
+        "streaming_hll_windows",
+        "streaming_player_windows",
+        "streaming_segment_dedup",
+        "streaming_stream_join",
+        "temperature_mix_sample",
+        "token_budget_sample",
+        "token_counts",
+        "udtf_sentences",
+        "unigram_lm_scores",
+    ):
+        assert name not in _R17_ROTATION, name
         assert name not in first50, name
 
 
@@ -4601,3 +4604,103 @@ def test_incremental_pairs_bucketed(spark, tmp_path):
         shutil.rmtree(
             _os.path.join(wh.replace("file:", ""), tbl), ignore_errors=True
         )
+
+
+def test_incremental_pairs_bucketed_with_removed(spark, tmp_path):
+    """r17 (r16 verdict #3): the tombstone-aware bucketed probe — edge
+    set identical to the unbucketed probe over the RETRACTED band
+    table, and the broadcast anti-join preserves the at-rest bucketing
+    (the delta-touched stats aggregate still runs with ZERO shuffle)."""
+    import uuid
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_bucketed,
+        minhash_signatures,
+        retract_band_table,
+    )
+    from bigdata_20251_steam_spark.sinks.bucketing import write_bucketed
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = docs.filter("doc_id % 8 != 0")
+    delta = docs.filter("doc_id % 8 = 0")
+    bands = band_signatures(minhash_signatures(base)).localCheckpoint()
+    sigs = minhash_signatures(delta).localCheckpoint()
+    # remove a STATE doc that actually partners a delta edge, so the
+    # retraction is never vacuous at this sf (self-selecting fixture)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_minhash_pairs(sigs, bands).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    victim = next(
+        d for pair in sorted(full) for d in pair if d not in delta_ids
+    )
+    removed = spark.createDataFrame([(victim,)], "doc_id long")
+
+    tbl = f"band_rm_{uuid.uuid4().hex[:8]}"
+    write_bucketed(bands, tbl, ["band_id", "band_sig"], 8)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    for k in old:
+        spark.conf.set(k, "-1")
+    try:
+        got_df = incremental_minhash_pairs_bucketed(
+            spark, tbl, sigs, removed=removed
+        )
+        got = {(r["doc_a"], r["doc_b"]) for r in got_df.collect()}
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in incremental_minhash_pairs(
+                sigs, retract_band_table(bands, removed)
+            ).collect()
+        }
+        assert got == want and got
+        # the retracted set differs from the unretracted one (the
+        # victim was chosen FROM the edge set, so this never goes
+        # vacuous as the testdata evolves)
+        assert got != full
+        # the broadcast anti-join PRESERVES the state's bucketing: the
+        # stats aggregate over the bucketed state needs exactly ONE
+        # shuffle fewer than over a plain parquet copy (the remaining
+        # Exchange in both plans is the tiny marker frame's distinct —
+        # delta-bounded, not the state side)
+        key = ["band_id", "band_sig"]
+        dk = band_signatures(sigs).select(*key).distinct().localCheckpoint()
+        plain_dir = str(tmp_path / "plain_bands_rm")
+        bands.write.parquet(plain_dir)
+        plain_tbl = f"band_plain_rm_{tbl.rsplit('_', 1)[1]}"
+        spark.read.parquet(plain_dir).createOrReplaceTempView(plain_tbl)
+
+        def stats_shuffles(table):
+            plan = (
+                retract_band_table(
+                    spark.table(table).join(F.broadcast(dk), key, "semi"),
+                    removed,
+                )
+                .groupBy(*key)
+                .agg(F.count("*").alias("n"))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            return plan.split("Initial Plan")[0].count("- Exchange ")
+
+        assert stats_shuffles(tbl) == stats_shuffles(plain_tbl) - 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        import os as _os
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        shutil.rmtree(_os.path.join(wh, tbl), ignore_errors=True)
