@@ -102,30 +102,125 @@ def _make_pixel_decoder():
     uncompressed) — no codec library involved.
     """
 
+    import math as _math
+
+    # zigzag index -> natural (row-major) index; shared by the baseline
+    # and progressive JPEG paths (hoisted r17)
+    _JZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+        28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+        37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+        54, 47, 55, 62, 63,
+    ]
+    # separable float IDCT basis, built once per decoder instance
+    _JC = [
+        [
+            (_math.sqrt(0.5) if u == 0 else 1.0)
+            * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    def _jpeg_idct8x8(coef: list[float]) -> list[int]:
+        tmp = [0.0] * 64
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    s += _JC[u][x] * coef[y * 8 + u]
+                tmp[y * 8 + x] = s * 0.5
+        out = [0] * 64
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    s += _JC[v][y] * tmp[v * 8 + x]
+                val = int(round(s * 0.5)) + 128
+                out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+        return out
+
+    def _jpeg_assemble_pixels(
+        h: int, w: int, comps: list[dict], planes: dict, hmax: int, vmax: int
+    ) -> tuple[int, int, list[tuple[int, int, int]]]:
+        """Shared baseline/progressive tail: nearest-neighbour chroma
+        upsample + JFIF YCbCr->RGB (or grayscale), clamped."""
+        px: list[tuple[int, int, int]] = []
+        if len(comps) == 1:
+            plane = planes[comps[0]["id"]]
+            for y in range(h):
+                row = plane[y]
+                for x in range(w):
+                    g = row[x]
+                    px.append((g, g, g))
+            return w, h, px
+        if len(comps) != 3:
+            raise ValueError("JPEG component count unsupported")
+        # channels are keyed by COMPONENT ID, not SOF position: JFIF
+        # assigns 1=Y, 2=Cb, 3=Cr, and T.81 permits any listing order.
+        # Non-JFIF id schemes (e.g. Adobe 'R','G','B') fall back.
+        by_id = {c["id"]: c for c in comps}
+        if sorted(by_id) != [1, 2, 3]:
+            raise ValueError("non-JFIF JPEG component ids")
+        sy_, sb, sr = by_id[1], by_id[2], by_id[3]
+        cy, cb, cr = planes[1], planes[2], planes[3]
+        for y in range(h):
+            for x in range(w):
+                Y = cy[y * sy_["vs"] // vmax][x * sy_["hs"] // hmax]
+                Cb = cb[y * sb["vs"] // vmax][x * sb["hs"] // hmax] - 128
+                Cr = cr[y * sr["vs"] // vmax][x * sr["hs"] // hmax] - 128
+                r = int(round(Y + 1.402 * Cr))
+                g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
+                bl = int(round(Y + 1.772 * Cb))
+                px.append(
+                    (
+                        0 if r < 0 else (255 if r > 255 else r),
+                        0 if g < 0 else (255 if g > 255 else g),
+                        0 if bl < 0 else (255 if bl > 255 else bl),
+                    )
+                )
+        return w, h, px
+
+    class _ProgressiveJPEG(Exception):
+        """Internal routing signal: the stream is SOF2 (progressive,
+        Huffman) — decodable by the progressive path (r17, r16 verdict
+        #8).  Other non-baseline SOFs keep the ValueError fallback."""
+
     def _decode_jpeg(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-        """Baseline-sequential JFIF decoder, pure stdlib (r9, r8 verdict
-        #5 — the dominant real-world image format made first-class).
+        """Baseline-sequential + progressive JFIF decoder, pure stdlib
+        (r9, r8 verdict #5 — the dominant real-world image format made
+        first-class; progressive scans added r17, r16 verdict #8).
 
         Implements ITU-T T.81 baseline: DQT/DHT/SOF0(+SOF1)/DRI/SOS
         parsing, byte-stuffed entropy stream with RSTn handling,
         Huffman DC/AC block decode with run-length + EOB, dequantize,
         float separable 8x8 IDCT, nearest-neighbour chroma upsampling
         for any (h,v) sampling (4:4:4/4:2:2/4:2:0), and JFIF
-        YCbCr->RGB (or grayscale) with clamping.  Progressive (SOF2),
-        arithmetic coding, and 12-bit precision raise ValueError —
-        the router falls back to the fake decoder.  Float IDCT means
-        pixels can differ from libjpeg's fixed-point path by ~1 code
-        value; tests therefore assert against the SAME image's
-        lossless twin within a quantization tolerance, not
-        bit-exactness.  Truncated or corrupt streams are normalized to
-        ValueError here regardless of which internal error the parser
-        hits (struct.error / IndexError / KeyError), so the routing
-        contract holds for malformed payloads too.
+        YCbCr->RGB (or grayscale) with clamping.  Progressive (SOF2)
+        streams route to the multi-scan decoder (spectral selection +
+        successive approximation per T.81 annex G: interleaved DC
+        first/refinement scans, single-component AC first/refinement
+        scans with EOB-run coding and the correction-bit algorithm;
+        coefficients accumulate across scans, dequantize + IDCT once
+        at the end).  Arithmetic coding, hierarchical, lossless and
+        12-bit precision raise ValueError — the router falls back to
+        the fake decoder.  Float IDCT means pixels can differ from
+        libjpeg's fixed-point path by ~1 code value; tests therefore
+        assert against the SAME image's lossless twin within a
+        quantization tolerance, not bit-exactness.  Truncated or
+        corrupt streams are normalized to ValueError here regardless
+        of which internal error the parser hits (struct.error /
+        IndexError / KeyError), so the routing contract holds for
+        malformed payloads too.
         """
         import struct as _struct
 
         try:
-            return _decode_jpeg_inner(b)
+            try:
+                return _decode_jpeg_inner(b)
+            except _ProgressiveJPEG:
+                return _decode_jpeg_progressive_inner(b)
         except (_struct.error, IndexError, KeyError) as e:
             # truncated/corrupt streams surface as struct/index/key
             # errors from the parser internals; normalize to the
@@ -133,17 +228,9 @@ def _make_pixel_decoder():
             raise ValueError(f"corrupt JPEG: {type(e).__name__}") from e
 
     def _decode_jpeg_inner(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-        import math
         import struct
 
-        # zigzag index -> natural (row-major) index
-        ZZ = [
-            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
-            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
-            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
-            54, 47, 55, 62, 63,
-        ]
+        ZZ = _JZZ
         qt: dict[int, list[int]] = {}
         huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         frame = None
@@ -212,9 +299,12 @@ def _make_pixel_decoder():
                         }
                     )
                 frame = (h, w, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif m == 0xC2:
+                # progressive (Huffman): decodable since r17 — reroute
+                raise _ProgressiveJPEG()
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
-                raise ValueError("non-baseline JPEG (progressive/etc)")
+                raise ValueError("non-baseline JPEG (lossless/arith/etc)")
             elif m == 0xC4:  # DHT
                 p = 0
                 while p < len(seg):
@@ -292,34 +382,7 @@ def _make_pixel_decoder():
                 v -= (1 << s) - 1
             return v
 
-        # separable float IDCT, precomputed basis
-        C = [
-            [
-                (math.sqrt(0.5) if u == 0 else 1.0)
-                * math.cos((2 * x + 1) * u * math.pi / 16.0)
-                for x in range(8)
-            ]
-            for u in range(8)
-        ]
-
-        def idct8x8(coef: list[float]) -> list[int]:
-            tmp = [0.0] * 64
-            for y in range(8):
-                for x in range(8):
-                    s = 0.0
-                    for u in range(8):
-                        s += C[u][x] * coef[y * 8 + u]
-                    tmp[y * 8 + x] = s * 0.5
-            out = [0] * 64
-            for y in range(8):
-                for x in range(8):
-                    s = 0.0
-                    for v in range(8):
-                        s += C[v][y] * tmp[v * 8 + x]
-                    val = int(round(s * 0.5)) + 128
-                    out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
-            return out
-
+        idct8x8 = _jpeg_idct8x8
         hmax = max(c["hs"] for c in comps)
         vmax = max(c["vs"] for c in comps)
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -387,41 +450,387 @@ def _make_pixel_decoder():
                                     row[x0 + xx] = blk[yy * 8 + xx]
                 mcu_count += 1
 
-        px: list[tuple[int, int, int]] = []
-        if len(comps) == 1:
-            plane = planes[comps[0]["id"]]
-            for y in range(h):
-                row = plane[y]
-                for x in range(w):
-                    g = row[x]
-                    px.append((g, g, g))
-            return w, h, px
-        if len(comps) != 3:
-            raise ValueError("JPEG component count unsupported")
-        # channels are keyed by COMPONENT ID, not SOF position: JFIF
-        # assigns 1=Y, 2=Cb, 3=Cr, and T.81 permits any listing order.
-        # Non-JFIF id schemes (e.g. Adobe 'R','G','B') fall back.
-        by_id = {c["id"]: c for c in comps}
-        if sorted(by_id) != [1, 2, 3]:
-            raise ValueError("non-JFIF JPEG component ids")
-        sy_, sb, sr = by_id[1], by_id[2], by_id[3]
-        cy, cb, cr = planes[1], planes[2], planes[3]
-        for y in range(h):
-            for x in range(w):
-                Y = cy[y * sy_["vs"] // vmax][x * sy_["hs"] // hmax]
-                Cb = cb[y * sb["vs"] // vmax][x * sb["hs"] // hmax] - 128
-                Cr = cr[y * sr["vs"] // vmax][x * sr["hs"] // hmax] - 128
-                r = int(round(Y + 1.402 * Cr))
-                g = int(round(Y - 0.344136 * Cb - 0.714136 * Cr))
-                bl = int(round(Y + 1.772 * Cb))
-                px.append(
-                    (
-                        0 if r < 0 else (255 if r > 255 else r),
-                        0 if g < 0 else (255 if g > 255 else g),
-                        0 if bl < 0 else (255 if bl > 255 else bl),
+        return _jpeg_assemble_pixels(h, w, comps, planes, hmax, vmax)
+
+    def _decode_jpeg_progressive_inner(
+        b: bytes,
+    ) -> tuple[int, int, list[tuple[int, int, int]]]:
+        """Progressive (SOF2, Huffman) decoder per ITU-T T.81 annex G
+        (r17, r16 verdict #8 — progressive is the default output of
+        many web encoders, so scraped corpora are full of it).
+
+        Coefficients accumulate in per-component block buffers across
+        an arbitrary scan sequence: interleaved or single-component DC
+        first scans (diff-coded, scaled by the successive-approximation
+        shift Al) and DC refinement scans (one bit per block);
+        single-component AC first scans over a spectral band [Ss, Se]
+        with EOB-run coding; AC refinement scans via the G.1.2.3
+        correction-bit algorithm (history-bearing coefficients absorb
+        a correction bit wherever the band is traversed).  Restart
+        markers byte-align and reset DC predictors + the EOB run.
+        Dequantize + IDCT happen ONCE, after all scans — mid-stream
+        scans must stay in coefficient space or refinement bits would
+        land on dequantized values.  Shares the quantizer/Huffman/SOF
+        guards, bit reader idioms, IDCT and the upsample/color tail
+        with the baseline path."""
+        import struct
+
+        ZZ = _JZZ
+        qt: dict[int, list[int]] = {}
+        huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None
+        restart = 0
+        comps: list[dict] = []
+        coefs: dict[int, list[list[int]]] = {}
+        pred: dict[int, int] = {}
+        nbw_pad: dict[int, int] = {}
+        ni_grid: dict[int, tuple[int, int]] = {}
+        hmax = vmax = 1
+        mcux = mcuy = 0
+        n_scans = 0
+
+        pos = 0
+        bitbuf = 0
+        bitcnt = 0
+        eobrun = 0
+
+        def read_bit() -> int:
+            nonlocal pos, bitbuf, bitcnt
+            if bitcnt == 0:
+                if pos >= len(b):
+                    raise ValueError("truncated JPEG entropy data")
+                byte = b[pos]
+                pos += 1
+                if byte == 0xFF:
+                    if pos < len(b) and b[pos] == 0x00:
+                        pos += 1
+                    else:
+                        raise ValueError("marker inside entropy data")
+                bitbuf = byte
+                bitcnt = 8
+            bitcnt -= 1
+            return (bitbuf >> bitcnt) & 1
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_huff(lut: dict[tuple[int, int], int]) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = lut.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("bad JPEG huffman code")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = read_bits(s)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            return v
+
+        def restart_check(count: int) -> None:
+            nonlocal bitcnt, pos, eobrun
+            if restart and count and count % restart == 0:
+                bitcnt = 0
+                while (
+                    pos + 1 < len(b)
+                    and b[pos] == 0xFF
+                    and b[pos + 1] == 0xFF
+                ):
+                    pos += 1
+                if (
+                    pos + 1 < len(b)
+                    and b[pos] == 0xFF
+                    and 0xD0 <= b[pos + 1] <= 0xD7
+                ):
+                    pos += 2
+                for cid in pred:
+                    pred[cid] = 0
+                eobrun = 0
+
+        def _decode_scan(smap, Ss, Se, Ah, Al) -> None:
+            nonlocal eobrun
+            by_id = {c["id"]: c for c in comps}
+            try:
+                scomps = [by_id[cs] for cs, _td, _ta in smap]
+            except KeyError:
+                raise ValueError("JPEG scan references unknown component")
+            tsel = {cs: (td, ta) for cs, td, ta in smap}
+            if Ss == 0 and Se != 0:
+                raise ValueError("bad progressive DC scan band")
+            if Ss > 0 and (len(smap) != 1 or not Ss <= Se <= 63):
+                raise ValueError("bad progressive AC scan band")
+            eobrun = 0
+
+            def dc_first(c: dict, blk: list[int]) -> None:
+                td, _ = tsel[c["id"]]
+                t = decode_huff(huffs[(0, td)])
+                pred[c["id"]] += receive_extend(t)
+                blk[0] = pred[c["id"]] << Al
+
+            def dc_refine(blk: list[int]) -> None:
+                if read_bit():
+                    blk[0] |= 1 << Al
+
+            def ac_first(c: dict, blk: list[int]) -> None:
+                nonlocal eobrun
+                if eobrun > 0:
+                    eobrun -= 1
+                    return
+                lut = huffs[(1, tsel[c["id"]][1])]
+                k = Ss
+                while k <= Se:
+                    rs = decode_huff(lut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += read_bits(r)
+                            return
+                        k += 16
+                        continue
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG AC run past spectral end")
+                    blk[ZZ[k]] = receive_extend(s) << Al
+                    k += 1
+
+            def ac_refine(c: dict, blk: list[int]) -> None:
+                nonlocal eobrun
+                lut = huffs[(1, tsel[c["id"]][1])]
+                p1 = 1 << Al
+                m1 = -1 << Al
+
+                def correct_tail(k: int) -> None:
+                    # correction bits for every nonzero-history
+                    # coefficient from k to the band end
+                    while k <= Se:
+                        z = ZZ[k]
+                        k += 1
+                        if blk[z] != 0:
+                            if read_bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] > 0 else m1
+
+                k = Ss
+                if eobrun > 0:
+                    # block COVERED by a pending EOB run: correction
+                    # bits only (the run's "+1" was the block that
+                    # decoded the EOBn symbol — it does not decrement)
+                    eobrun -= 1
+                    correct_tail(k)
+                    return
+                while k <= Se:
+                    rs = decode_huff(lut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad JPEG AC refinement magnitude"
+                            )
+                        val = p1 if read_bit() else m1
+                    while k <= Se:
+                        z = ZZ[k]
+                        k += 1
+                        if blk[z] != 0:
+                            if read_bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] > 0 else m1
+                        else:
+                            if r == 0:
+                                if s != 0:
+                                    blk[z] = val
+                                break
+                            r -= 1
+                correct_tail(k)
+
+            if Ss == 0 and len(smap) > 1:
+                # interleaved DC scan: MCU traversal, baseline geometry
+                cnt = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        restart_check(cnt)
+                        for c in scomps:
+                            bw = nbw_pad[c["id"]]
+                            for by in range(c["vs"]):
+                                for bx in range(c["hs"]):
+                                    bi = (my * c["vs"] + by) * bw + (
+                                        mx * c["hs"] + bx
+                                    )
+                                    blk = coefs[c["id"]][bi]
+                                    if Ah == 0:
+                                        dc_first(c, blk)
+                                    else:
+                                        dc_refine(blk)
+                        cnt += 1
+            else:
+                # non-interleaved scan: the component's own block grid
+                # (NOT MCU-padded — T.81 A.2.2)
+                (c,) = scomps
+                nbw, nbh = ni_grid[c["id"]]
+                bw = nbw_pad[c["id"]]
+                cnt = 0
+                for byy in range(nbh):
+                    for bxx in range(nbw):
+                        restart_check(cnt)
+                        blk = coefs[c["id"]][byy * bw + bxx]
+                        if Ss == 0:
+                            if Ah == 0:
+                                dc_first(c, blk)
+                            else:
+                                dc_refine(blk)
+                        elif Ah == 0:
+                            ac_first(c, blk)
+                        else:
+                            ac_refine(c, blk)
+                        cnt += 1
+
+        i = 2
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            m = b[i + 1]
+            if m == 0xD9:  # EOI
+                break
+            ln = struct.unpack_from(">H", b, i + 2)[0]
+            seg = b[i + 4 : i + 2 + ln]
+            if m == 0xDB:  # DQT (same parse as baseline)
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    if pq == 0:
+                        vals = list(seg[p : p + 64])
+                        p += 64
+                    else:
+                        vals = list(struct.unpack_from(">64H", seg, p))
+                        p += 128
+                    tbl = [0] * 64
+                    for z, nat in enumerate(ZZ):
+                        tbl[nat] = vals[z]
+                    qt[tq] = tbl
+            elif m == 0xC2:  # SOF2 (same guards as the baseline SOF)
+                if frame is not None:
+                    raise ValueError("multiple JPEG frames")
+                if seg[0] != 8:
+                    raise ValueError("only 8-bit JPEG precision supported")
+                h, w = struct.unpack_from(">HH", seg, 1)
+                if h * w > 4_194_304:
+                    raise ValueError(
+                        "JPEG declares >4M pixels — too large for the "
+                        "stdlib decode tier"
                     )
+                nc = seg[5]
+                for k in range(nc):
+                    hv = seg[7 + 3 * k]
+                    if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                        raise ValueError(
+                            f"bad JPEG sampling factor 0x{hv:02x}"
+                        )
+                    comps.append(
+                        {
+                            "id": seg[6 + 3 * k],
+                            "hs": hv >> 4,
+                            "vs": hv & 15,
+                            "tq": seg[8 + 3 * k],
+                        }
+                    )
+                frame = (h, w)
+                if w <= 0 or h <= 0:
+                    raise ValueError("bad JPEG dimensions")
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    bw, bh = mcux * c["hs"], mcuy * c["vs"]
+                    nbw_pad[c["id"]] = bw
+                    coefs[c["id"]] = [[0] * 64 for _ in range(bw * bh)]
+                    cw = (w * c["hs"] + hmax - 1) // hmax
+                    ch = (h * c["vs"] + vmax - 1) // vmax
+                    ni_grid[c["id"]] = ((cw + 7) // 8, (ch + 7) // 8)
+                    pred[c["id"]] = 0
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                       0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("mixed-frame JPEG unsupported")
+            elif m == 0xC4:  # DHT (same parse as baseline)
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    p += 1
+                    counts = seg[p : p + 16]
+                    p += 16
+                    lut: dict[tuple[int, int], int] = {}
+                    code = 0
+                    for ln_ in range(1, 17):
+                        for _ in range(counts[ln_ - 1]):
+                            lut[(ln_, code)] = seg[p]
+                            p += 1
+                            code += 1
+                        code <<= 1
+                    huffs[(tc, th)] = lut
+            elif m == 0xDD:  # DRI
+                restart = struct.unpack_from(">H", seg, 0)[0]
+            elif m == 0xDA:  # SOS: decode this scan's entropy data
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                ns = seg[0]
+                smap = []
+                for k in range(ns):
+                    t = seg[2 + 2 * k]
+                    smap.append((seg[1 + 2 * k], t >> 4, t & 15))
+                Ss, Se, A = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = i + 2 + ln
+                bitbuf = 0
+                bitcnt = 0
+                _decode_scan(smap, Ss, Se, A >> 4, A & 15)
+                n_scans += 1
+                # skip to the next non-stuffing, non-restart marker
+                j = pos
+                while j + 1 < len(b) and not (
+                    b[j] == 0xFF
+                    and b[j + 1] != 0x00
+                    and not (0xD0 <= b[j + 1] <= 0xD7)
+                ):
+                    j += 1
+                i = j
+                continue
+            i += 2 + ln
+        if frame is None or n_scans == 0:
+            raise ValueError("truncated JPEG (no SOF/SOS)")
+        h, w = frame
+
+        planes: dict[int, list[bytearray]] = {}
+        for c in comps:
+            q = qt[c["tq"]]
+            bw = nbw_pad[c["id"]]
+            bh = len(coefs[c["id"]]) // bw
+            plane = [bytearray(bw * 8) for _ in range(bh * 8)]
+            for bi, coef in enumerate(coefs[c["id"]]):
+                pix = _jpeg_idct8x8(
+                    [float(coef[z] * q[z]) for z in range(64)]
                 )
-        return w, h, px
+                y0, x0 = (bi // bw) * 8, (bi % bw) * 8
+                for yy in range(8):
+                    row = plane[y0 + yy]
+                    for xx in range(8):
+                        row[x0 + xx] = pix[yy * 8 + xx]
+            planes[c["id"]] = plane
+        return _jpeg_assemble_pixels(h, w, comps, planes, hmax, vmax)
 
     def decode_image(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         """bytes -> (width, height, row-major top-down [(r,g,b), ...]).
@@ -433,9 +842,11 @@ def _make_pixel_decoder():
         2 and 6, non-interlaced — the overwhelmingly common encoder
         output) via stdlib ``zlib`` inflate + the five scanline filters
         (None/Sub/Up/Average/Paeth) per the PNG spec (RGBA alpha is
-        dropped — straight RGB channels); and baseline-sequential JFIF
-        JPEG (``_decode_jpeg`` — Huffman + IDCT from the T.81 spec,
-        any chroma sampling, grayscale or YCbCr; progressive raises).
+        dropped — straight RGB channels); and JFIF JPEG
+        (``_decode_jpeg`` — Huffman + IDCT from the T.81 spec, any
+        chroma sampling, grayscale or YCbCr; BOTH baseline-sequential
+        and progressive SOF2 decode since r17 — arithmetic/lossless/
+        12-bit raise).
         Chunk CRCs are not verified — this is a decoder, not an
         integrity checker.  Raises ValueError on anything else — the
         router falls back to the fake decoder.
@@ -632,7 +1043,7 @@ def _make_wav_decoder():
     statistics.  Compressed formats (MP3-in-RIFF, ADPCM, extensible
     with non-PCM subformat, ...) raise ``ValueError`` so the feature
     router falls back to the deterministic fake — the same contract as
-    a progressive JPEG.
+    an arithmetic-coded JPEG.
 
     Feature layout (FEATURE_DIM=8):
     [n_frames, n_channels, sample_rate, duration_sec,
@@ -728,7 +1139,7 @@ def _make_mp4_parser():
     split.  64-bit ``largesize`` and size-0 (to-EOF) boxes are
     handled; malformed sizes, a missing ``moov``/``mvhd`` or a zero
     timescale raise ``ValueError`` so the feature router falls back to
-    the deterministic fake — the progressive-JPEG / non-PCM-WAV
+    the deterministic fake — the arithmetic-JPEG / non-PCM-WAV
     contract.  This is exactly the metadata a training pipeline
     filters on BEFORE paying for a codec (duration, track mix,
     resolution); fourcc-level codec identification and frame decode
