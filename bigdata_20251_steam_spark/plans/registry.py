@@ -112,140 +112,130 @@ def oracle_map() -> dict[str, str]:
 #:      then the oldest-driver-green cohort, then fills preferring
 #:      operators with no in-window sibling.
 #:
-#: Round-16 window rotation (r15 verdict #1).  Cohorts computed from
-#: the committed CORRECTNESS_r0{13,14,15}.json artifacts (last GREEN
+#: Round-17 window rotation (r16 verdict #1).  Cohorts computed from
+#: the committed CORRECTNESS_r0{14,15,16}.json artifacts (last GREEN
 #: driver row per query) and validated by EXECUTING the dict
-#: (test_r16_rotation_window).
+#: (test_r17_rotation_window).  The r16 dict this replaces is in git
+#: history (commit 0bf0e15 and earlier).
 #:
-#: - 23: the 23 MUST-ENTER overflow names itemized by the r15 note —
-#:   four-rounds driver-stale by r16 (last green driver row r12;
-#:   recomputed from the artifacts, matches the itemized list
-#:   exactly), so they enter ahead of everything;
-#: - 24: code whose EXECUTED path changed in r16, re-prove, plus the
-#:   two new registrations (the re-prove criterion is the executed
-#:   code path, not merely the containing file — e.g. the r16
-#:   negative-weight guard lives in the WEIGHTED branch of
-#:   quantiles.py, so the unweighted quantile queries' plans are
-#:   byte-identical and keep their r15 rows):
-#:     dedup_retraction / index_tombstone_delete — NEW (retraction
-#:       closure + tombstone lifecycle);
-#:     doclen_quantiles_weighted — _guarded_weight rides its weighted
-#:       scan, and the adaptive max_band_rows path now executes;
-#:     streaming_scd2_merge — the scd2_merge_delta monotone-log guard
+#: - 23: the 32 MUST-ENTER overflow names itemized by the r16 note —
+#:   four-rounds driver-stale by r17 (last green driver row r13;
+#:   recomputed from the artifacts, matches the itemized list exactly:
+#:   29 from the alphabetical split + the 3 displaced fills
+#:   hard_negative_pairs / hamming_topk / genre_distribution);
+#: - 24: code whose EXECUTED path changed in r17, re-prove, plus the
+#:   two new registrations:
+#:     takedown_end_to_end — NEW (the delete-story capstone across all
+#:       four state families);
+#:     streaming_dedup_maintenance_bucketed — NEW (the bucketed
+#:       band-state maintenance loop with in-loop retention);
+#:     index_tombstone_delete — compact_ivfadc_index's tombstone clear
+#:       is now snapshot-scoped and the query body gained try/finally
+#:       (both execute);
+#:     index_lifecycle_end_to_end — the streaming upsert now repairs
+#:       interrupted swaps + runs the re-insert guard per batch, and
+#:       compact executes the snapshot-scoped clear;
+#:     streaming_index_upsert — same upsert-side repair + guard
 #:       executes inside its foreachBatch;
-#:     streaming_incremental_dedup — band-state compaction + the
-#:       silver-dir return path;
-#:     index_lifecycle_end_to_end — compact/retrain changed (swap
-#:       crash-repair entry, dense-slot batched trainer, tombstone
-#:       purge hook) and both execute inside the capstone;
-#:     ivfadc_pruned_search / ann_filtered_search /
-#:       streaming_index_upsert — ivfadc_search_pruned gained the
-#:       tombstone existence check (plan byte-identical for
-#:       tombstone-free stores; the driver row re-proves that);
-#: - 25: 15 of the 47-name three-round-stale cohort (last GREEN driver
-#:   row r13, no r14/r15 slot; recomputed from the committed JSONs).
-#:   50 slots minus 23 must-enters minus 9 changed/new left 18 at the
-#:   initial split; the three late-r16 registrations each displaced
-#:   the alphabetically-last fill, leaving the 15 below; ties all at
-#:   age r13, broken ALPHABETICALLY; the 32 overflow names (29 from
-#:   the split plus the 3 displaced fills) are itemized in the r17
-#:   note below, with CORRECTNESS_FULL_r16.json (all queries) as the
-#:   compensating evidence meanwhile.  (Counts corrected r17, ADVICE
-#:   r16 — the dict itself was always the executed source of truth.)
-_R16_ROTATION: dict[str, int] = {
-    # r15-note must-enters (four-rounds-stale otherwise)
-    "leakage_safe_split": 23,
-    "lsh_recall_vs_exact": 23,
-    "mmr_diverse_topk": 23,
-    "moving_avg_daily": 23,
-    "multimodal_frames": 23,
-    "normalize_text": 23,
-    "packed_sequences": 23,
-    "packing_assignments": 23,
-    "peak_activity": 23,
-    "pivot_event_matrix": 23,
-    "profile_documents": 23,
-    "props_json": 23,
-    "q14_promo_share": 23,
-    "q3_top_revenue": 23,
-    "q6_revenue_delta": 23,
-    "quality_quantile_filter": 23,
-    "quality_threshold_filter": 23,
-    "sentiment_hourly": 23,
-    "set_ops_users": 23,
-    "stratified_sample_counts": 23,
-    "streaming_curation_bounded_state": 23,
-    "streaming_curation_pipeline": 23,
-    "streaming_doc_chunks": 23,
-    # r16 changed-code re-proves + new registrations
-    "dedup_retraction": 24,
+#:     streaming_incremental_dedup / streaming_dedup_maintenance —
+#:       their _merge closures now call repair_state_dir before every
+#:       state append (executed per batch);
+#:     incremental_dedup_bucketed — incremental_minhash_pairs_bucketed
+#:       gained the removed= branch; the None-default check executes
+#:       on its path (plan byte-identical — the driver row proves it);
+#:     multimodal_features — the pixel-decoder factory was
+#:       restructured (hoisted IDCT/assembly + the progressive path);
+#:       the factory body executes at query build;
+#: - 25: 9 of the 39-name three-round-stale cohort (last GREEN driver
+#:   row r14, no r15/r16 slot; recomputed from the committed JSONs;
+#:   multimodal_features belongs to it but enters at 24 above).
+#:   50 slots minus 32 must-enters minus 9 changed/new leaves 9;
+#:   ties all at age r14, broken ALPHABETICALLY; the 29 overflow
+#:   names are itemized in the r18 note below, with
+#:   CORRECTNESS_FULL_r17.json (all queries) as the compensating
+#:   evidence meanwhile.
+_R17_ROTATION: dict[str, int] = {
+    # r16-note must-enters (four-rounds-stale otherwise)
+    "genre_distribution": 23,
+    "hamming_topk": 23,
+    "hard_negative_pairs": 23,
+    "histogram_event_values": 23,
+    "interval_event_counts": 23,
+    "intra_doc_dedup": 23,
+    "ivfadc_distortion_report": 23,
+    "ivfadc_nprobe_sweep": 23,
+    "ivfadc_search": 23,
+    "key_skew_orders": 23,
+    "logreg_quality_scores": 23,
+    "minhash_dedup_pairs": 23,
+    "minhash_signatures": 23,
+    "multimodal_audio_roundtrip": 23,
+    "multimodal_meta": 23,
+    "multimodal_video_meta_roundtrip": 23,
+    "nb_calibration_report": 23,
+    "ngram_jaccard_pairs": 23,
+    "pq_search_rerank": 23,
+    "qbc_disagreement": 23,
+    "quality_scores": 23,
+    "review_bomb": 23,
+    "streaming_genre_counts": 23,
+    "streaming_pq_adjudicate": 23,
+    "streaming_pq_probe": 23,
+    "streaming_running_totals": 23,
+    "streaming_token_budget": 23,
+    "supplier_nation_stats": 23,
+    "top_genres": 23,
+    "top_spenders": 23,
+    "user_value_quartiles": 23,
+    "winnow_fingerprints": 23,
+    # r17 changed-code re-proves + new registrations
+    "takedown_end_to_end": 24,
+    "streaming_dedup_maintenance_bucketed": 24,
     "index_tombstone_delete": 24,
-    "doclen_quantiles_weighted": 24,
-    "streaming_scd2_merge": 24,
-    "streaming_incremental_dedup": 24,
     "index_lifecycle_end_to_end": 24,
-    "ivfadc_pruned_search": 24,
-    "ann_filtered_search": 24,
     "streaming_index_upsert": 24,
-    # second r16 batch: the mixed add+remove streaming maintenance
-    # loop — displaced hard_negative_pairs (alphabetically last
-    # in-window stale fill) into the r17 overflow, per the documented
-    # displacement protocol
+    "streaming_incremental_dedup": 24,
     "streaming_dedup_maintenance": 24,
-    # third r16 batch: the rollup-state delete side (subtract_sketches
-    # + bounded min/max re-derive) — displaced hamming_topk
-    # (alphabetically last in-window stale fill) into the r17 overflow
-    "rollup_retraction": 24,
-    # fourth r16 batch: the bucketed band-state probe — displaced
-    # genre_distribution (alphabetically last in-window stale fill)
-    # into the r17 overflow
     "incremental_dedup_bucketed": 24,
-    # three-round-stale cohort (last driver row r13) — first 18
-    # of 47, alphabetical
-    "bpe_token_counts": 25,
-    "clean_html_roundtrip": 25,
-    "cms_word_frequencies": 25,
-    "curation_pipeline_end_to_end": 25,
-    "dedup_edit_verify": 25,
-    "dedup_pipeline_end_to_end": 25,
-    "dedup_quality_report": 25,
-    "doc_fingerprints": 25,
-    "dsir_selection": 25,
-    "embed_near_dup_pairs": 25,
-    "embed_topk_bruteforce": 25,
-    "embed_topk_ivf": 25,
-    "epoch_shuffle_order": 25,
-    "event_share": 25,
-    "fuzzy_part_names": 25,
+    "multimodal_features": 24,
+    # three-round-stale cohort (last driver row r14) — first 9
+    # of 39, alphabetical
+    "api_source_reviews": 25,
+    "asof_join_nearest": 25,
+    "blocklist_filter": 25,
+    "bpe_packed_sequences": 25,
+    "cross_split_contamination": 25,
+    "daily_user_rank": 25,
+    "dataset_card": 25,
+    "dedup_canonical_by_pagerank": 25,
+    "dedup_graph_pagerank": 25,
 }
 
 
-#: r17 ROTATION NOTE (for the next session):
-#: - MUST-ENTER first: the 32 overflow names — 29 from the r16
-#:   alphabetical split of the 47-name stale cohort (last driver row
-#:   r13) plus the 3 fills the late-r16 registrations displaced
-#:   (hard_negative_pairs, hamming_topk, genre_distribution) — all
-#:   four-rounds-stale by r17 (counts corrected r17, ADVICE r16):
-#:     hard_negative_pairs, hamming_topk, genre_distribution,
-#:     histogram_event_values, interval_event_counts, intra_doc_dedup,
-#:     ivfadc_distortion_report, ivfadc_nprobe_sweep, ivfadc_search,
-#:     key_skew_orders, logreg_quality_scores, minhash_dedup_pairs,
-#:     minhash_signatures, multimodal_audio_roundtrip, multimodal_meta,
-#:     multimodal_video_meta_roundtrip, nb_calibration_report,
-#:     ngram_jaccard_pairs, pq_search_rerank, qbc_disagreement,
-#:     quality_scores, review_bomb, streaming_genre_counts,
-#:     streaming_pq_adjudicate, streaming_pq_probe,
-#:     streaming_running_totals, streaming_token_budget,
-#:     supplier_nation_stats, top_genres, top_spenders,
-#:     user_value_quartiles, winnow_fingerprints
-#:   (32 itemized — re-read the final committed dict, it is the
-#:   source of truth) — full-sweep coverage (CORRECTNESS_FULL_r16.json)
-#:   is the compensating evidence until their r17 driver row lands.  32
-#:   must-enters leave 18 slots: changed-code re-proves and new r17
-#:   registrations next, then fills from the three-round-stale-by-r17
-#:   cohort (last GREEN driver row r14, no r15/r16 slot — recompute
-#:   from CORRECTNESS_r0{14,15,16}.json, split oldest-first,
-#:   alphabetical on ties, itemize the remainder for r18);
+#: r18 ROTATION NOTE (for the next session):
+#: - MUST-ENTER first: the 29 overflow names from the r17 alphabetical
+#:   split of the 39-name stale cohort (last driver row r14) — they
+#:   are four-rounds-stale by r18:
+#:     doc_chunks, embed_topk_lsh, gopher_quality_filter,
+#:     hash_split_assignments, hll_user_rollup, hybrid_rrf_search,
+#:     incremental_dedup_status, kmeans_clusters, minhash_dedup_resolve,
+#:     nb_classifier_scores, nb_threshold_sweep, pii_redaction,
+#:     player_windows, q1_pricing_summary, q5_region_revenue,
+#:     session_windows, simhash_signatures, sliding_windows,
+#:     streaming_bloom_decontaminate, streaming_dsir_gate,
+#:     streaming_hll_windows, streaming_player_windows,
+#:     streaming_segment_dedup, streaming_stream_join,
+#:     temperature_mix_sample, token_budget_sample, token_counts,
+#:     udtf_sentences, unigram_lm_scores
+#:   (29 itemized; plus any fills displaced by late-r17 registrations —
+#:   re-read the final committed dict, it is the source of truth) —
+#:   full-sweep coverage (CORRECTNESS_FULL_r17.json) is the
+#:   compensating evidence until their r18 driver row lands.  29
+#:   must-enters leave ~21 slots: changed-code re-proves and new r18
+#:   registrations next, then fills from the three-round-stale-by-r18
+#:   cohort (last GREEN driver row r15, no r16/r17 slot — recompute
+#:   from CORRECTNESS_r0{15,16,17}.json, split oldest-first,
+#:   alphabetical on ties, itemize the remainder for r19);
 #: - validate by executing the dict, never by comment arithmetic.
 
 def _load_all() -> None:
@@ -264,7 +254,7 @@ def _load_all() -> None:
     import dataclasses
 
     for name, q in QUERIES.items():
-        prio = _R16_ROTATION.get(name, 80)
+        prio = _R17_ROTATION.get(name, 80)
         if q.priority != prio:
             QUERIES[name] = dataclasses.replace(q, priority=prio)
 

@@ -27,7 +27,10 @@ installs are disallowed.  r15 attempt (2026-08-16): fetching
 ``curl: (6) Could not resolve host: repo1.maven.org`` — the container
 has no outbound network, so ``spark.jars.packages`` resolution would
 fail identically.  r16 re-probe (2026-08-16, same session family):
-identical ``(6) Could not resolve host`` failure.  A1 therefore stays done-modulo-broker: the full
+identical ``(6) Could not resolve host`` failure.  r17 re-probe
+(2026-08-16): unchanged — ``curl -sI https://repo1.maven.org/maven2/``
+exits 6 (DNS unresolvable), no outbound network.
+A1 therefore stays done-modulo-broker: the full
 option surface is asserted in the resolved plan and a broker-shaped
 Python DataSource executes a micro-batch (``tests/test_kafka_plan.py``).
 """

@@ -105,7 +105,8 @@ def running_totals_tws(
     ``ModuleNotFoundError: No module named 'google'`` — the package is
     absent outright, and installs are disallowed in this environment;
     r16 re-probe 2026-08-16: unchanged, still ``No module named
-    'google'``);
+    'google'``; r17 re-probe 2026-08-16: unchanged — flip the
+    env-gated test the day ``import google.protobuf`` succeeds);
     on a normally-provisioned cluster the same code runs as-is.  The
     applyInPandasWithState form above is the executed tier in this repo.
 
