@@ -1125,6 +1125,44 @@ def incremental_components(
     return rebased.unionByName(fresh)
 
 
+def guard_not_retracted(
+    df: DataFrame,
+    markers: DataFrame,
+    id_col: str = "doc_id",
+    op_name: str = "dedup maintenance",
+) -> DataFrame:
+    """Fold the band-state RE-ADD guard into a frame about to be
+    written (r17, r16 verdict watch #1 — the band-marker twin of the
+    index store's ``_guard_tombstoned_upsert``): a doc_id present in
+    the tombstone marker set throws loudly at write time.  Without
+    it, re-adding a previously removed doc was a silent no-op — the
+    effective state anti-joins by doc_id, so the re-add's fresh band
+    rows vanished with the stale ones.  Broadcast left-join +
+    ``assert_true`` folded into the id column (the scd2_merge_delta
+    convention — the optimizer cannot prune it); zero extra jobs."""
+    dead = markers.select(F.col(id_col).alias("_dead_id")).distinct()
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_dead_id").isNull(),
+            F.concat(
+                F.lit(f"{op_name}: doc_id "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " is tombstoned in the band state — purge the "
+                    "markers (retract_band_table + compact) before "
+                    "re-adding it"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.join(F.broadcast(dead), df[id_col] == F.col("_dead_id"), "left")
+        .withColumn(id_col, F.col(id_col) + guard)
+        .drop("_dead_id")
+    )
+
+
 def retract_band_table(
     band_table: DataFrame, removed: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4704,3 +4704,35 @@ def test_incremental_pairs_bucketed_with_removed(spark, tmp_path):
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).replace("file:", "")
         shutil.rmtree(_os.path.join(wh, tbl), ignore_errors=True)
+
+
+def test_guard_not_retracted_blocks_readd(spark):
+    """r17 (r16 verdict watch #1): re-adding a doc whose id is in the
+    band tombstone set fails LOUDLY at the band append — without the
+    guard the effective-state anti-join silently swallowed the
+    re-add's fresh band rows (the doc never paired again).  Unmarked
+    docs flow through the guard join unchanged."""
+    import pytest as _pytest
+
+    from bigdata_20251_steam_spark.operators.dedup import (
+        band_signatures,
+        guard_not_retracted,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    bands = band_signatures(minhash_signatures(docs))
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    markers = spark.createDataFrame(
+        [(ids[0],)], "doc_id long"
+    )
+    # a marked id in the frame -> loud failure at materialization
+    with _pytest.raises(Exception, match="tombstoned in the band state"):
+        guard_not_retracted(bands, markers).collect()
+    # disjoint marker set -> rows unchanged
+    clean = guard_not_retracted(
+        bands, spark.createDataFrame([(-12345,)], "doc_id long")
+    )
+    assert {tuple(r) for r in clean.collect()} == {
+        tuple(r) for r in bands.collect()
+    }
