@@ -1032,27 +1032,107 @@ decode_image = _make_pixel_decoder()
 
 
 def _make_wav_decoder():
-    """Factory for the pure-stdlib WAV/PCM audio decoder (REAL audio
+    """Factory for the pure-stdlib WAV audio decoder (REAL audio
     evidence, same tier as the PPM/BMP/PNG/JPEG pixel decoders).
 
-    Parses the RIFF container and PCM frames directly (``struct``
-    only — no codec library): chunk walk to ``fmt `` + ``data``,
-    sample extraction for integer PCM 8/16/24/32-bit (format code 1)
-    and IEEE float32/64 (format code 3), any channel count.  8-bit PCM
-    is unsigned per the WAV spec and is centered (-128) before
-    statistics.  Compressed formats (MP3-in-RIFF, ADPCM, extensible
-    with non-PCM subformat, ...) raise ``ValueError`` so the feature
-    router falls back to the deterministic fake — the same contract as
-    an arithmetic-coded JPEG.
+    Parses the RIFF container and sample frames directly (``struct``
+    only — no codec library): chunk walk to ``fmt `` + ``data``, then
+    sample extraction for
+
+    - integer PCM 8/16/24/32-bit (format code 1; 8-bit is unsigned
+      per the WAV spec and is centered (-128) before statistics) and
+      IEEE float32/64 (format code 3) — codec tag ``"pcm"``;
+    - **r17 compressed tiers** (the r16-verdict "compressed audio"
+      fallback, now decoded for real): ITU-T G.711 A-law (format
+      code 6, tag ``"g711a"``) and mu-law (code 7, tag ``"g711u"``)
+      via the exact integer expansion (Sun ``g711.c`` formulation,
+      byte-for-byte equal to CPython's ``audioop`` over the full
+      0..255 domain — pinned in ``tests/test_multimodal.py``), and
+      mono IMA/DVI ADPCM (format code 0x11, tag ``"ima-adpcm"``):
+      per-block ``[pred:int16][index:u8][rsvd:u8]`` headers, low
+      nibble first, the standard 89-entry step table with predictor
+      clamping — each block header RESETS the recurrence, so a
+      corrupt block cannot poison the rest of the stream.
+
+    Formats still outside the stdlib tier (MP3-in-RIFF, extensible
+    with non-PCM subformat, multi-channel ADPCM word-interleave, ...)
+    raise ``ValueError`` so the feature router falls back to the
+    deterministic fake — the same contract as an arithmetic-coded
+    JPEG.
 
     Feature layout (FEATURE_DIM=8):
     [n_frames, n_channels, sample_rate, duration_sec,
      mean_sample, rms_sample, min_sample, max_sample]
     with sample statistics over ALL channels interleaved, in raw
-    (centered) sample units.
+    (centered / expanded-to-int16) sample units.
+
+    Returns ``(decode_wav, decode_wav_ex)``: the ``_ex`` form also
+    reports the codec tag so ``decode_features`` can surface
+    per-codec provenance (``wav-pcm`` / ``wav-g711u`` / ...).
     """
 
-    def decode_wav(payload: bytes) -> list[float]:
+    _ADPCM_STEP = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+        3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+        8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+        20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+    _ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+    def _ulaw2lin(b: int) -> int:
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def _alaw2lin(b: int) -> int:
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    def _ima_adpcm(data: bytes, balign: int, spb: int) -> list[int]:
+        if balign < 5:
+            raise ValueError("IMA ADPCM block align < 5")
+        samples: list[int] = []
+        for base in range(0, max(len(data) - 4, 0), balign):
+            blk = data[base : base + balign]
+            if len(blk) < 5:
+                break
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = min(88, blk[2])
+            samples.append(pred)
+            emitted = 1
+            for byte in blk[4:]:
+                for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                    if emitted >= spb:
+                        break
+                    step = _ADPCM_STEP[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if (nib & 8) else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _ADPCM_IDX[nib]))
+                    samples.append(pred)
+                    emitted += 1
+        return samples
+
+    def decode_wav_ex(payload: bytes) -> tuple[list[float], str]:
         import math
         import struct
 
@@ -1073,11 +1153,12 @@ def _make_wav_decoder():
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None or len(fmt) < 16:
             raise ValueError("missing fmt/data chunk")
-        code, n_ch, rate, _brate, _balign, bits = struct.unpack_from(
+        code, n_ch, rate, _brate, balign, bits = struct.unpack_from(
             "<HHIIHH", fmt, 0
         )
         if n_ch < 1 or rate < 1:
             raise ValueError("degenerate WAV header")
+        codec = "pcm"
         if code == 1 and bits in (8, 16, 24, 32):
             width = bits // 8
             n = len(data) // width
@@ -1098,10 +1179,31 @@ def _make_wav_decoder():
             n = len(data) // width
             fmt_ch = "<%d%s" % (n, "f" if bits == 32 else "d")
             samples = list(struct.unpack(fmt_ch, data[: n * width]))
+        elif code == 6 and bits == 8:
+            samples = [_alaw2lin(v) for v in data]
+            codec = "g711a"
+        elif code == 7 and bits == 8:
+            samples = [_ulaw2lin(v) for v in data]
+            codec = "g711u"
+        elif code == 0x11 and bits == 4:
+            if n_ch != 1:
+                raise ValueError(
+                    "multi-channel IMA ADPCM word-interleave needs a "
+                    "heavyweight codec"
+                )
+            spb = (balign - 4) * 2 + 1
+            if len(fmt) >= 20:
+                (cb,) = struct.unpack_from("<H", fmt, 16)
+                if cb >= 2 and len(fmt) >= 20:
+                    (spb,) = struct.unpack_from("<H", fmt, 18)
+            if spb < 1:
+                raise ValueError("degenerate ADPCM samples-per-block")
+            samples = _ima_adpcm(data, balign, spb)
+            codec = "ima-adpcm"
         else:
             raise ValueError(
-                f"non-PCM WAV (format code {code}, {bits}-bit) needs a "
-                "heavyweight codec"
+                f"unsupported WAV (format code {code}, {bits}-bit) "
+                "needs a heavyweight codec"
             )
         if not samples:
             raise ValueError("empty data chunk")
@@ -1117,13 +1219,364 @@ def _make_wav_decoder():
             float(rms),
             float(min(samples)),
             float(max(samples)),
+        ], codec
+
+    def decode_wav(payload: bytes) -> list[float]:
+        return decode_wav_ex(payload)[0]
+
+    return decode_wav, decode_wav_ex
+
+
+#: Pure-stdlib WAV audio decoders — REAL decode evidence for audio.
+#: The ``_ex`` form additionally reports the codec tag (pcm / g711u /
+#: g711a / ima-adpcm) for the decode_features provenance column.
+decode_wav, decode_wav_ex = _make_wav_decoder()
+
+
+def _make_flac_decoder():
+    """Factory for the pure-stdlib FLAC decoder (r17 — the "compressed
+    audio" heavyweight-codec fallback of the r16 verdict, now a REAL
+    decode tier like PNG/JPEG/WAV; format per the public FLAC spec /
+    RFC 9639, no reference to any codec library).
+
+    Implements the full lossless path: ``fLaC`` magic, metadata-block
+    walk to the mandatory STREAMINFO (sample rate / channels / bits
+    per sample / total samples), then per-frame decode —
+
+    - frame header: 14-bit sync, blocking strategy, coded block-size /
+      sample-rate / channel-assignment / sample-size fields, the
+      UTF-8-style coded frame number, and the **CRC-8 check** (poly
+      0x07) over the header bytes;
+    - subframes: CONSTANT, VERBATIM, FIXED orders 0-4 and LPC orders
+      1-32 (quantized coefficients, signed shift), wasted-bits
+      unpacking;
+    - residuals: partitioned Rice coding, both 4-bit (method 0) and
+      5-bit (method 1) parameters, including the escape code to raw
+      binary partitions;
+    - stereo decorrelation: left/side, right/side and mid/side (side
+      channel carries bps+1 bits), plus independent channels 1-8;
+    - frame footer **CRC-16** (poly 0x8005) over the whole frame.
+
+    Any non-conformance — bad sync, CRC mismatch, reserved codes,
+    truncated bitstream — raises ``ValueError`` so the feature router
+    falls back to the deterministic fake (the progressive-JPEG
+    contract).  Because FLAC is lossless, the roundtrip oracle
+    (``multimodal_flac_roundtrip``) never needs to model the codec:
+    encode(samples) -> decode == samples bit-for-bit, proven against
+    a DuckDB recompute of the feature statistics from the raw sample
+    derivation.
+
+    Feature layout (FEATURE_DIM=8, the WAV audio layout):
+    [n_frames, n_channels, sample_rate, duration_sec,
+     mean_sample, rms_sample, min_sample, max_sample].
+    """
+
+    _BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+    _RATES = {
+        1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+        7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+    }
+    _SSIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+    def _crc8(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc ^= byte
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        return crc
+
+    def _crc16(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc ^= byte << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    class _Bits:
+        __slots__ = ("b", "pos", "bit")
+
+        def __init__(self, b: bytes, pos: int):
+            self.b = b
+            self.pos = pos
+            self.bit = 0
+
+        def read(self, n: int) -> int:
+            v = 0
+            while n:
+                if self.pos >= len(self.b):
+                    raise ValueError("truncated FLAC bitstream")
+                take = min(n, 8 - self.bit)
+                cur = self.b[self.pos]
+                v = (v << take) | (
+                    (cur >> (8 - self.bit - take)) & ((1 << take) - 1)
+                )
+                self.bit += take
+                n -= take
+                if self.bit == 8:
+                    self.pos += 1
+                    self.bit = 0
+            return v
+
+        def read_signed(self, n: int) -> int:
+            v = self.read(n)
+            return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+        def read_unary(self) -> int:
+            q = 0
+            while True:
+                if self.read(1):
+                    return q
+                q += 1
+                if q > 1 << 20:
+                    raise ValueError("runaway unary code")
+
+        def align(self) -> None:
+            if self.bit:
+                self.pos += 1
+                self.bit = 0
+
+    def decode_flac(payload: bytes) -> list[float]:
+        import math
+
+        b = bytes(payload)
+        if len(b) < 42 or b[:4] != b"fLaC":
+            raise ValueError("not a FLAC stream")
+        pos = 4
+        streaminfo = None
+        last = False
+        while not last:
+            if pos + 4 > len(b):
+                raise ValueError("truncated metadata block header")
+            hdr = b[pos]
+            last = bool(hdr & 0x80)
+            btype = hdr & 0x7F
+            size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+            if pos + 4 + size > len(b):
+                raise ValueError("truncated metadata block")
+            if btype == 0:
+                streaminfo = b[pos + 4 : pos + 4 + size]
+            elif btype == 127:
+                raise ValueError("invalid metadata block type 127")
+            pos += 4 + size
+        if streaminfo is None or len(streaminfo) < 34:
+            raise ValueError("missing/short STREAMINFO")
+        sr = (
+            (streaminfo[10] << 12)
+            | (streaminfo[11] << 4)
+            | (streaminfo[12] >> 4)
+        )
+        n_ch = ((streaminfo[12] >> 1) & 0x07) + 1
+        bps_si = (
+            ((streaminfo[12] & 0x01) << 4) | (streaminfo[13] >> 4)
+        ) + 1
+        total = ((streaminfo[13] & 0x0F) << 32) | int.from_bytes(
+            streaminfo[14:18], "big"
+        )
+        if sr == 0:
+            raise ValueError("STREAMINFO sample rate 0")
+
+        R = _Bits(b, pos)
+        samples: list[int] = []
+        got = 0
+
+        def read_residual(bsize: int, order: int) -> list[int]:
+            method = R.read(2)
+            if method > 1:
+                raise ValueError("reserved residual method")
+            po = R.read(4)
+            if bsize >> po << po != bsize:
+                raise ValueError("partition does not divide block size")
+            pbits = 4 + method
+            escape = (1 << pbits) - 1
+            out: list[int] = []
+            for p in range(1 << po):
+                n = (bsize >> po) - (order if p == 0 else 0)
+                if n < 0:
+                    raise ValueError("partition shorter than order")
+                param = R.read(pbits)
+                if param == escape:
+                    raw = R.read(5)
+                    for _ in range(n):
+                        out.append(R.read_signed(raw) if raw else 0)
+                else:
+                    for _ in range(n):
+                        q = R.read_unary()
+                        u = (q << param) | (R.read(param) if param else 0)
+                        out.append((u >> 1) ^ -(u & 1))
+            return out
+
+        def read_subframe(bsize: int, bits: int) -> list[int]:
+            if R.read(1):
+                raise ValueError("subframe padding bit set")
+            t = R.read(6)
+            wasted = 0
+            if R.read(1):
+                wasted = 1 + R.read_unary()
+            eff = bits - wasted
+            if eff <= 0:
+                raise ValueError("wasted bits exceed sample size")
+            if t == 0:
+                out = [R.read_signed(eff)] * bsize
+            elif t == 1:
+                out = [R.read_signed(eff) for _ in range(bsize)]
+            elif 8 <= t <= 12:
+                order = t - 8
+                out = [R.read_signed(eff) for _ in range(order)]
+                res = read_residual(bsize, order)
+                for i, e in enumerate(res):
+                    k = order + i
+                    if order == 0:
+                        s = e
+                    elif order == 1:
+                        s = e + out[k - 1]
+                    elif order == 2:
+                        s = e + 2 * out[k - 1] - out[k - 2]
+                    elif order == 3:
+                        s = (
+                            e + 3 * out[k - 1] - 3 * out[k - 2]
+                            + out[k - 3]
+                        )
+                    else:
+                        s = (
+                            e + 4 * out[k - 1] - 6 * out[k - 2]
+                            + 4 * out[k - 3] - out[k - 4]
+                        )
+                    out.append(s)
+            elif t >= 32:
+                order = (t & 0x1F) + 1
+                out = [R.read_signed(eff) for _ in range(order)]
+                prec = R.read(4)
+                if prec == 0x0F:
+                    raise ValueError("invalid LPC precision code")
+                prec += 1
+                shift = R.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative LPC shift")
+                coefs = [R.read_signed(prec) for _ in range(order)]
+                res = read_residual(bsize, order)
+                for e in res:
+                    k = len(out)
+                    acc = 0
+                    for j, c in enumerate(coefs):
+                        acc += c * out[k - 1 - j]
+                    out.append(e + (acc >> shift))
+            else:
+                raise ValueError(f"reserved subframe type {t}")
+            if wasted:
+                out = [s << wasted for s in out]
+            return out
+
+        while (total == 0 or got < total) and R.pos < len(b):
+            start = R.pos
+            if R.read(14) != 0x3FFE:
+                raise ValueError("bad frame sync")
+            if R.read(1):
+                raise ValueError("reserved frame header bit set")
+            R.read(1)  # blocking strategy
+            bs_code = R.read(4)
+            sr_code = R.read(4)
+            chan = R.read(4)
+            ss_code = R.read(3)
+            if R.read(1):
+                raise ValueError("reserved frame header bit set")
+            first = R.read(8)
+            if first >= 0x80:
+                ones = 0
+                while first & (0x80 >> ones):
+                    ones += 1
+                if ones < 2 or ones > 7:
+                    raise ValueError("bad coded frame number")
+                for _ in range(ones - 1):
+                    if R.read(8) >> 6 != 0b10:
+                        raise ValueError("bad coded-number continuation")
+            if bs_code == 0:
+                raise ValueError("reserved block size code")
+            elif bs_code == 6:
+                bsize = R.read(8) + 1
+            elif bs_code == 7:
+                bsize = R.read(16) + 1
+            elif bs_code in _BLOCKSIZE:
+                bsize = _BLOCKSIZE[bs_code]
+            else:
+                bsize = 256 << (bs_code - 8)
+            if sr_code == 12:
+                R.read(8)
+            elif sr_code == 13 or sr_code == 14:
+                R.read(16)
+            elif sr_code == 15:
+                raise ValueError("invalid sample rate code")
+            if _crc8(b[start : R.pos]) != R.read(8):
+                raise ValueError("frame header CRC-8 mismatch")
+            if ss_code == 0:
+                bps = bps_si
+            elif ss_code in _SSIZE:
+                bps = _SSIZE[ss_code]
+            else:
+                raise ValueError("reserved sample size code")
+            if chan <= 7:
+                chans = [
+                    read_subframe(bsize, bps) for _ in range(chan + 1)
+                ]
+            elif chan in (8, 9, 10):
+                extra0 = 1 if chan == 9 else 0
+                extra1 = 1 if chan in (8, 10) else 0
+                c0 = read_subframe(bsize, bps + extra0)
+                c1 = read_subframe(bsize, bps + extra1)
+                if chan == 8:  # left/side
+                    chans = [c0, [left - s for left, s in zip(c0, c1)]]
+                elif chan == 9:  # side/right
+                    chans = [[r + s for s, r in zip(c0, c1)], c1]
+                else:  # mid/side
+                    left = [
+                        ((m << 1 | (s & 1)) + s) >> 1
+                        for m, s in zip(c0, c1)
+                    ]
+                    chans = [
+                        left,
+                        [lv - s for lv, s in zip(left, c1)],
+                    ]
+            else:
+                raise ValueError("reserved channel assignment")
+            if len(chans) != n_ch:
+                raise ValueError("frame channel count != STREAMINFO")
+            R.align()
+            crc_calc = _crc16(b[start : R.pos])
+            if crc_calc != R.read(16):
+                raise ValueError("frame footer CRC-16 mismatch")
+            for i in range(bsize):
+                for ch in chans:
+                    samples.append(ch[i])
+            got += bsize
+
+        if not samples:
+            raise ValueError("no audio frames decoded")
+        if total and got != total:
+            raise ValueError("decoded sample count != STREAMINFO total")
+        n_frames = len(samples) // n_ch
+        mean = sum(samples) / len(samples)
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+        return [
+            float(n_frames),
+            float(n_ch),
+            float(sr),
+            float(n_frames) / float(sr),
+            float(mean),
+            float(rms),
+            float(min(samples)),
+            float(max(samples)),
         ]
 
-    return decode_wav
+    return decode_flac
 
 
-#: Pure-stdlib WAV/PCM audio decoder — REAL decode evidence for audio.
-decode_wav = _make_wav_decoder()
+#: Pure-stdlib FLAC decoder — REAL compressed-audio decode evidence.
+decode_flac = _make_flac_decoder()
 
 
 def _make_mp4_parser():
@@ -1465,11 +1918,20 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
         try:
             return decode_wav(payload)
         except ValueError as ex:
-            # compressed / malformed WAV: this IS the heavyweight-codec
-            # integration point, so surface it as such
+            # MP3-in-RIFF / malformed WAV: this IS the heavyweight-codec
+            # integration point, so surface it as such (PCM, G.711 and
+            # mono IMA ADPCM decode natively above)
             raise NotImplementedError(
                 f"WAV payload not natively decodable ({ex}); wire "
-                "ffmpeg/torchaudio here for compressed audio"
+                "ffmpeg/torchaudio here for the remaining codecs"
+            ) from ex
+    if raw8[:4] == b"fLaC":
+        try:
+            return decode_flac(payload)
+        except ValueError as ex:
+            raise NotImplementedError(
+                f"FLAC payload not natively decodable ({ex}); wire "
+                "ffmpeg/libFLAC here for non-conformant streams"
             ) from ex
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         try:
@@ -1617,6 +2079,140 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, fake: bool = True)
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+#: Output schema of per-frame feature decode: sample_frames' identity
+#: and container columns plus decode_features' provenance + features.
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("dts", LongType(), False),
+        StructField("size", IntegerType(), False),
+        StructField("sampler", StringType(), False),
+        StructField("decoder", StringType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def decode_frame_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-FRAME pixel decode: the r17 composition that moves video
+    FRAME decode off ``fake-moments`` for self-describing sample
+    payloads (r16 verdict "What's missing #4", the video half).
+
+    One Arrow pass per payload — sample_frames' real stbl derivation
+    (ISO 14496-12 sample slicing, ``sampler='mp4-stbl'``) fused with
+    decode_features' magic routing over each sliced frame, so the 1:N
+    fan-out and the per-frame decode never materialize an intermediate
+    frame table or pay a shuffle.  For an MJPEG-flavored track (video
+    samples that are whole JPEG/PNG/BMP images — the archival/webcam
+    format family) every frame decodes FOR REAL through the stdlib
+    pixel tier and carries pixel-statistics features; codec-packed
+    tracks (H.264 NAL units, ...) have no image magic per sample and
+    fall to the deterministic fake (``decoder='fake-moments'``) or
+    raise under ``fake=False`` — the decode_features provenance
+    contract applied per frame.  Non-BMFF payloads take sample_frames'
+    fake byte-grid (``sampler='fake-grid'``).
+
+    Scale shape: stateless mapInPandas, frame bytes stay inside the
+    Arrow batch, output is (doc_id, frame_idx)-keyed so downstream
+    joins co-partition with the frame table.
+    """
+    stbl_parse = parse_mp4_samples  # factory-made => cloudpickled by value
+    pixel_decode = decode_image  # likewise by value
+    dim = FEATURE_DIM
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_feats(raw: bytes) -> list[float]:
+            if not raw:
+                return [0.0] * dim
+            n = len(raw)
+            return [
+                float(n), float(raw[0]), float(raw[-1]),
+                float(sum(raw) % 997), float(min(raw)),
+                float(max(raw)), float(raw[n // 2]), float(n % 251),
+            ]
+
+        def pixel_feats(raw: bytes) -> list[float]:
+            w, h, px = pixel_decode(raw)
+            n = len(px)
+            lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px]
+            return [
+                float(w), float(h), float(n),
+                float(sum(p[0] for p in px)) / n,
+                float(sum(p[1] for p in px)) / n,
+                float(sum(p[2] for p in px)) / n,
+                float(min(lumas)), float(max(lumas)),
+            ]
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "dts": [], "size": [],
+                "sampler": [], "decoder": [], "feature": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                frames: list[tuple[int, int, bytes, str]] = []
+                if len(b) >= 12 and b[4:8] == b"ftyp":
+                    try:
+                        frames = [
+                            (si, dts, b[off : off + size], "mp4-stbl")
+                            for si, dts, size, off in stbl_parse(b)
+                        ]
+                    except ValueError:
+                        if not fake:
+                            raise NotImplementedError(
+                                "ISO BMFF payload without a parsable "
+                                "stbl; frame decode needs ffmpeg wired "
+                                "here"
+                            ) from None
+                elif not fake:
+                    raise NotImplementedError(
+                        "real frame sampling needs ffmpeg; not in this "
+                        "container"
+                    )
+                if not frames:
+                    frames = [
+                        (i, i, b[off : off + 16], "fake-grid")
+                        for i, off in enumerate(range(0, len(b), 256))
+                    ]
+                for idx, dts, frame, sampler in frames:
+                    if frame[:3] == b"\xff\xd8\xff" or frame[:2] in (
+                        b"P6", b"P3", b"BM",
+                    ) or frame[:8] == b"\x89PNG\r\n\x1a\n":
+                        try:
+                            feat = pixel_feats(frame)
+                            name = "jpeg-pixel" if frame[0] == 0xFF else (
+                                "png-pixel" if frame[0] == 0x89
+                                else "ppm-bmp-pixel"
+                            )
+                        except ValueError:
+                            if not fake:
+                                raise NotImplementedError(
+                                    "frame with image magic but no "
+                                    "stdlib decode (progressive/"
+                                    "arithmetic); wire PIL here"
+                                ) from None
+                            feat, name = fake_feats(frame), "fake-moments"
+                    elif fake:
+                        feat, name = fake_feats(frame), "fake-moments"
+                    else:
+                        raise NotImplementedError(
+                            "codec-packed frame (no per-sample image "
+                            "magic); wire ffmpeg at this integration "
+                            "point"
+                        )
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["dts"].append(dts)
+                    rows["size"].append(len(frame))
+                    rows["sampler"].append(sampler)
+                    rows["decoder"].append(name)
+                    rows["feature"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+
+
 def decode_features(
     media: DataFrame, fake: bool = True, route_magic: bool = True
 ) -> DataFrame:
@@ -1664,7 +2260,8 @@ def decode_features(
 
     dim = FEATURE_DIM
     pixel_decode = decode_image  # factory-made => cloudpickled by VALUE
-    wav_decode = decode_wav  # likewise by value
+    wav_decode_ex = decode_wav_ex  # likewise by value
+    flac_decode = decode_flac  # likewise by value
     mp4_parse = parse_mp4  # likewise by value
 
     # The closure must be SELF-CONTAINED: cloudpickle serializes nested
@@ -1737,16 +2334,33 @@ def decode_features(
                     and raw[8:12] == b"WAVE"
                 ):
                     try:
-                        feats.append(wav_decode(raw))
-                        names.append("wav-pcm")
+                        f, codec = wav_decode_ex(raw)
+                        feats.append(f)
+                        names.append(f"wav-{codec}")
                     except ValueError:
-                        # compressed/exotic WAV: same contract as a
-                        # progressive JPEG — fall to the fake
+                        # MP3-in-RIFF/exotic WAV: same contract as a
+                        # progressive JPEG — fall to the fake (PCM,
+                        # G.711 and mono IMA ADPCM decode for real)
                         if not fake:
                             raise NotImplementedError(
-                                "non-PCM WAV needs a heavyweight codec "
-                                "wired at the decode_real integration "
-                                "point"
+                                "non-stdlib WAV codec needs a "
+                                "heavyweight codec wired at the "
+                                "decode_real integration point"
+                            ) from None
+                        feats.append(fake_decode(raw))
+                        names.append("fake-moments")
+                elif route_magic and raw[:4] == b"fLaC":
+                    try:
+                        feats.append(flac_decode(raw))
+                        names.append("flac-pcm")
+                    except ValueError:
+                        # non-conformant stream / CRC mismatch: same
+                        # contract as a progressive JPEG
+                        if not fake:
+                            raise NotImplementedError(
+                                "undecodable FLAC stream; wire "
+                                "ffmpeg/libFLAC at the decode_real "
+                                "integration point"
                             ) from None
                         feats.append(fake_decode(raw))
                         names.append("fake-moments")

@@ -1731,3 +1731,530 @@ def test_decode_features_routes_progressive_jpeg(spark):
     assert rows[1]["decoder"] == "jpeg-pixel"
     assert rows[2]["decoder"] == "jpeg-pixel"
     assert list(rows[1]["feature"]) == list(rows[2]["feature"])
+
+
+# ---------------------------------------------------------------------------
+# r17: compressed-audio tiers — G.711, IMA ADPCM, FLAC (r16 verdict
+# "What's missing #4": these formats decoded via fake-moments before)
+# ---------------------------------------------------------------------------
+
+
+def _wav_raw(code, bits, data, n_ch=1, rate=8000, balign=1, extra=b""):
+    """RIFF wrapper around pre-encoded codec bytes (independent of the
+    decoder's own chunk walker)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", code, n_ch, rate, rate * balign, balign, bits)
+    fmt += extra
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    body += b"\0" if len(data) & 1 else b""
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_g711_matches_audioop():
+    """The G.711 expansion is byte-for-byte CPython's audioop over the
+    FULL 0..255 domain, for both laws — the strongest possible golden
+    source (an independent C implementation of the same ITU tables)."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+    every = bytes(range(256))
+    for code, conv, tag in (
+        (7, audioop.ulaw2lin, "g711u"),
+        (6, audioop.alaw2lin, "g711a"),
+    ):
+        ref = struct.unpack("<256h", conv(every, 2))
+        feats, got_tag = mm.decode_wav_ex(_wav_raw(code, 8, every))
+        assert got_tag == tag
+        assert feats[0] == 256.0 and feats[2] == 8000.0
+        assert feats[4] == sum(ref) / 256
+        assert feats[6] == min(ref) and feats[7] == max(ref)
+
+
+def test_decode_wav_ima_adpcm_golden():
+    """Mono IMA ADPCM: the nibble recurrence matches audioop's DVI
+    decoder, and a second block header RESETS predictor/index (the
+    block-boundary contract a corrupt block relies on)."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+    import random
+
+    rng = random.Random(17)
+    nibs = [rng.randrange(16) for _ in range(16)]
+    # audioop packs HIGH nibble first; WAV packs LOW nibble first
+    audio_packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, 16, 2)
+    )
+    ref = list(struct.unpack("<16h", audioop.adpcm2lin(audio_packed, 2, None)[0]))
+    wav_packed = bytes((nibs[i + 1] << 4) | nibs[i] for i in range(0, 16, 2))
+    blk = struct.pack("<hBB", 0, 0, 0) + wav_packed
+    feats, tag = mm.decode_wav_ex(
+        _wav_raw(0x11, 4, blk, balign=len(blk), extra=struct.pack("<HH", 2, 17))
+    )
+    assert tag == "ima-adpcm"
+    want = [0] + ref  # header predictor emits as the first sample
+    assert feats[0] == 17.0
+    assert feats[6] == float(min(want)) and feats[7] == float(max(want))
+    assert feats[4] == sum(want) / len(want)
+    # two blocks: the second header resets state to (pred=1000, idx=30)
+    blk2 = struct.pack("<hBB", 1000, 30, 0) + wav_packed
+    feats2, _ = mm.decode_wav_ex(
+        _wav_raw(
+            0x11, 4, blk + blk2, balign=len(blk),
+            extra=struct.pack("<HH", 2, 17),
+        )
+    )
+    assert feats2[0] == 34.0  # both blocks decoded
+    # stereo ADPCM interleave is out of the stdlib tier -> loud fallback
+    with pytest.raises(ValueError, match="multi-channel IMA ADPCM"):
+        mm.decode_wav(_wav_raw(0x11, 4, blk, n_ch=2, balign=len(blk)))
+
+
+def _flac_crc8(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacW:
+    """MSB-first bit writer for the test encoder."""
+
+    def __init__(self):
+        self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+    def write(self, val, n):
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nb += n
+        while self.nb >= 8:
+            self.nb -= 8
+            self.buf.append((self.acc >> self.nb) & 0xFF)
+        self.acc &= (1 << self.nb) - 1
+
+    def align(self):
+        if self.nb:
+            self.write(0, 8 - self.nb)
+
+    def bytes(self):
+        assert self.nb == 0
+        return bytes(self.buf)
+
+
+def _flac_rice(w, resid, po, bsize, order, method=0, escape_raw=None):
+    w.write(method, 2)
+    w.write(po, 4)
+    pbits = 4 + method
+    idx = 0
+    for p in range(1 << po):
+        n = (bsize >> po) - (order if p == 0 else 0)
+        part = resid[idx : idx + n]
+        idx += n
+        if escape_raw is not None:
+            w.write((1 << pbits) - 1, pbits)
+            w.write(escape_raw, 5)
+            for e in part:
+                w.write(e, escape_raw)
+            continue
+        zig = [(e << 1) if e >= 0 else ((-e) << 1) - 1 for e in part]
+        mx = max(zig, default=0)
+        param = 0
+        while (mx >> param) > 30 and param < (1 << pbits) - 2:
+            param += 1
+        w.write(param, pbits)
+        for u in zig:
+            for _ in range(u >> param):
+                w.write(0, 1)
+            w.write(1, 1)
+            if param:
+                w.write(u, param)
+
+
+def _flac_subframe(w, s, bits, kind, po=0, method=0, escape_raw=None, wasted=0):
+    w.write(0, 1)
+    if wasted:
+        s = [v >> wasted for v in s]
+    eff = bits - wasted
+    bsize = len(s)
+    t = {"constant": 0, "verbatim": 1, "lpc1": 32}.get(kind)
+    if t is None:
+        t = 8 + int(kind[5:])
+    w.write(t, 6)
+    if wasted:
+        w.write(1, 1)
+        for _ in range(wasted - 1):
+            w.write(0, 1)
+        w.write(1, 1)
+    else:
+        w.write(0, 1)
+    if kind == "constant":
+        w.write(s[0], eff)
+        return
+    if kind == "verbatim":
+        for v in s:
+            w.write(v, eff)
+        return
+    if kind == "lpc1":
+        w.write(s[0], eff)
+        w.write(1, 4)  # precision 2
+        w.write(0, 5)  # shift 0
+        w.write(1, 2)  # qcoef [1]
+        _flac_rice(
+            w, [s[i] - s[i - 1] for i in range(1, bsize)],
+            po, bsize, 1, method, escape_raw,
+        )
+        return
+    order = int(kind[5:])
+    for v in s[:order]:
+        w.write(v, eff)
+    coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    resid = [
+        s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coef))
+        for i in range(order, bsize)
+    ]
+    _flac_rice(w, resid, po, bsize, order, method, escape_raw)
+
+
+def _flac_encode(
+    chans, sr=8000, bps=16, kind="fixed2", stereo=None,
+    po=0, method=0, escape_raw=None, wasted=0,
+):
+    """Minimal independent FLAC encoder: one frame, 16-bit samples.
+
+    Covers every decoder branch: CONSTANT/VERBATIM/FIXED0-4/LPC,
+    partition orders, the 5-bit rice2 method, the raw-binary escape,
+    wasted bits and the three stereo decorrelation modes."""
+    n_ch, bsize = len(chans), len(chans[0])
+    si = _FlacW()
+    si.write(bsize, 16)
+    si.write(bsize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sr, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(bsize, 36)
+    body = si.bytes() + b"\x00" * 16
+    out = bytearray(b"fLaC") + b"\x80" + len(body).to_bytes(3, "big") + body
+    w = _FlacW()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)  # 16-bit blocksize field follows the header
+    w.write(0, 4)  # sample rate from STREAMINFO
+    assign = (
+        0 if n_ch == 1
+        else {None: 1, "left_side": 8, "right_side": 9, "mid_side": 10}[stereo]
+    )
+    w.write(assign, 4)
+    w.write(4, 3)  # 16-bit samples
+    w.write(0, 1)
+    w.write(0, 8)  # frame number 0
+    w.write(bsize - 1, 16)
+    hdr = w.bytes()
+    frame = bytearray(hdr + bytes([_flac_crc8(hdr)]))
+    w3 = _FlacW()
+    if assign in (0, 1):
+        for c in chans:
+            _flac_subframe(w3, c, bps, kind, po, method, escape_raw, wasted)
+    else:
+        left, right = chans
+        side = [a - b for a, b in zip(left, right)]
+        if assign == 8:
+            _flac_subframe(w3, left, bps, kind, po, method, escape_raw)
+            _flac_subframe(w3, side, bps + 1, kind, po, method, escape_raw)
+        elif assign == 9:
+            _flac_subframe(w3, side, bps + 1, kind, po, method, escape_raw)
+            _flac_subframe(w3, right, bps, kind, po, method, escape_raw)
+        else:
+            mid = [(a + b) >> 1 for a, b in zip(left, right)]
+            _flac_subframe(w3, mid, bps, kind, po, method, escape_raw)
+            _flac_subframe(w3, side, bps + 1, kind, po, method, escape_raw)
+    w3.align()
+    frame += w3.bytes()
+    crc = _flac_crc16(bytes(frame))
+    return bytes(out + frame + bytes([crc >> 8, crc & 0xFF]))
+
+
+def _audio_feats(chans, sr=8000):
+    import math
+
+    n = len(chans[0])
+    inter = [chans[j][i] for i in range(n) for j in range(len(chans))]
+    return [
+        float(n), float(len(chans)), float(sr), n / sr,
+        sum(inter) / len(inter),
+        math.sqrt(sum(s * s for s in inter) / len(inter)),
+        float(min(inter)), float(max(inter)),
+    ]
+
+
+_FLAC_MONO = [((i * 2654435761) % 40001) - 20000 for i in range(48)]
+_FLAC_L = [((i * 40503) % 30001) - 15000 for i in range(32)]
+_FLAC_R = [((i * 69069) % 30001) - 15000 for i in range(32)]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"kind": "fixed0"}, {"kind": "fixed1"}, {"kind": "fixed2"},
+        {"kind": "fixed3"}, {"kind": "fixed4"}, {"kind": "verbatim"},
+        {"kind": "lpc1"}, {"po": 2}, {"method": 1},
+        {"escape_raw": 18}, {"wasted": 2},
+    ],
+)
+def test_decode_flac_mono_roundtrip(kw):
+    """FLAC is lossless: every subframe/residual coding variant decodes
+    back to the exact source samples (feature stats recomputed from the
+    raw samples by an independent formula)."""
+    src = (
+        [v & ~3 for v in _FLAC_MONO] if kw.get("wasted") else _FLAC_MONO
+    )
+    got = mm.decode_flac(_flac_encode([src], **kw))
+    want = _audio_feats([src])
+    assert got == pytest.approx(want, abs=0, rel=0)
+
+
+def test_decode_flac_constant_subframe():
+    got = mm.decode_flac(_flac_encode([[777] * 48], kind="constant"))
+    assert got == pytest.approx(_audio_feats([[777] * 48]))
+
+
+@pytest.mark.parametrize("stereo", [None, "left_side", "right_side", "mid_side"])
+def test_decode_flac_stereo_decorrelation(stereo):
+    """All four channel assignments reconstruct the exact L/R signals
+    (the side channel carries bps+1 bits)."""
+    got = mm.decode_flac(_flac_encode([_FLAC_L, _FLAC_R], stereo=stereo))
+    assert got == pytest.approx(_audio_feats([_FLAC_L, _FLAC_R]), abs=0, rel=0)
+
+
+def test_decode_flac_rejects_corruption():
+    """CRC-8, CRC-16, sync and truncation all fail loudly (ValueError),
+    which is what routes a damaged stream to the fake-moments tier."""
+    good = _flac_encode([_FLAC_MONO])
+    cases = {
+        "frame footer CRC-16": lambda p: p[:-1] + bytes([p[-1] ^ 0xFF]),
+        "frame header CRC-8": lambda p: p[:44] + bytes([p[44] ^ 1]) + p[45:],
+        "bad frame sync": lambda p: p[:42] + b"\x00" + p[43:],
+        "truncated": lambda p: p[:60],
+    }
+    for what, mangle in cases.items():
+        with pytest.raises(ValueError):
+            mm.decode_flac(mangle(good))
+
+
+def test_decode_features_routes_compressed_audio(spark):
+    """The mapInPandas router: per-codec provenance for every audio
+    tier (wav-pcm / wav-g711u / wav-g711a / wav-ima-adpcm / flac-pcm),
+    and MP3-in-RIFF still falls to fake-moments."""
+    import struct
+
+    blk = struct.pack("<hBB", 0, 0, 0) + bytes(8)
+    rows = [
+        (1, bytearray(_wav_pcm([0, 100, -100])), "audio/wav"),
+        (2, bytearray(_wav_raw(7, 8, bytes(range(64)))), "audio/wav"),
+        (3, bytearray(_wav_raw(6, 8, bytes(range(64)))), "audio/wav"),
+        (
+            4,
+            bytearray(
+                _wav_raw(
+                    0x11, 4, blk, balign=len(blk),
+                    extra=struct.pack("<HH", 2, 17),
+                )
+            ),
+            "audio/wav",
+        ),
+        (5, bytearray(_flac_encode([_FLAC_MONO])), "audio/flac"),
+        (6, bytearray(_wav_raw(85, 16, bytes(16))), "audio/mpeg"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: r["decoder"]
+        for r in mm.decode_features(media, fake=True).collect()
+    }
+    assert got == {
+        1: "wav-pcm",
+        2: "wav-g711u",
+        3: "wav-g711a",
+        4: "wav-ima-adpcm",
+        5: "flac-pcm",
+        6: "fake-moments",
+    }
+
+
+# ---------------------------------------------------------------------------
+# r17: per-frame pixel decode (video half of r16 verdict "missing #4")
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_dc(dc8):
+    """Grayscale 8x8 DC-only baseline JPEG: every decoded pixel is
+    exactly 128+dc8 (Q00=8, F00=8*dc8 -> flat IDCT block, no rounding
+    ambiguity).  Independent of the decoder under test."""
+    import struct
+
+    q = bytes([8] + [1] * 63)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 8, 8) + b"\x01" + b"\x01\x11\x00"
+    )
+    counts = [0] * 16
+    counts[3] = 12  # DC cats 0..11, all 4-bit codes
+    dht_dc = (
+        b"\xff\xc4" + struct.pack(">H", 31) + b"\x00"
+        + bytes(counts) + bytes(range(12))
+    )
+    counts2 = [0] * 16
+    counts2[1] = 1  # AC: lone EOB symbol, 2-bit code
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 20) + b"\x10"
+        + bytes(counts2) + b"\x00"
+    )
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00"
+        + b"\x00\x3f\x00"
+    )
+    s = abs(dc8).bit_length()
+    bits = [(s, 4)]
+    if s:
+        bits.append((dc8 if dc8 >= 0 else dc8 + (1 << s) - 1, s))
+    bits.append((0, 2))
+    acc, nb, out = 0, 0, bytearray()
+    for v, n in bits:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nb += n
+        while nb >= 8:
+            nb -= 8
+            byte = (acc >> nb) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    if nb:
+        pad = 8 - nb
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(out) + b"\xff\xd9"
+
+
+def _mp4_track(samples_bytes, timescale=1000, delta=100):
+    """Single-track ISO BMFF container whose mdat holds the given
+    sample payloads, with a full stts/stsc/stsz/stco set."""
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = box(b"mdat", b"".join(samples_bytes))
+    base = len(ftyp) + 8
+    n = len(samples_bytes)
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n, delta))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, n, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", len(j)) for j in samples_bytes),
+    )
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", base))
+    stbl = box(b"stbl", stts + stsc + stsz + stco)
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"mj\x00")
+    mdia = box(b"mdia", hdlr + box(b"minf", stbl))
+    tkhd = box(b"tkhd", bytes(80) + struct.pack(">II", 8 << 16, 8 << 16))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">IIII", 0, 0, timescale, n * delta) + bytes(80),
+    )
+    return ftyp + mdat + box(b"moov", mvhd + trak)
+
+
+def test_decode_frame_features_mjpeg(spark):
+    """MJPEG-flavored track: every stbl-sliced frame decodes FOR REAL
+    through the stdlib JPEG tier — per-frame provenance mp4-stbl +
+    jpeg-pixel, pixel stats exactly 128+dc8."""
+    dcs = [-5, 100, 0, 127, -128]
+    mp4 = _mp4_track([_jpeg_dc(d) for d in dcs])
+    media = spark.createDataFrame(
+        [(7, bytearray(mp4), "video/mp4")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = sorted(
+        mm.decode_frame_features(media, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == len(dcs)
+    for r, dc in zip(rows, dcs):
+        assert r["sampler"] == "mp4-stbl" and r["decoder"] == "jpeg-pixel"
+        assert r["dts"] == r["frame_idx"] * 100
+        f = r["feature"]
+        want = float(128 + dc)
+        assert f[0] == 8.0 and f[1] == 8.0 and f[2] == 64.0
+        assert f[3] == want and f[4] == want and f[5] == want
+        assert f[6] == want and f[7] == want
+
+
+def test_decode_frame_features_codec_packed_contract(spark):
+    """Frames without image magic: fake-moments under fake=True, loud
+    NotImplementedError under fake=False (the provenance contract
+    applied per frame); non-BMFF payloads take the fake grid."""
+    mp4 = _mp4_track([b"\x00\x00\x00\x01NAL0", b"\x00\x00\x00\x01NAL1"])
+    media = spark.createDataFrame(
+        [(1, bytearray(mp4), "video/mp4"), (2, bytearray(b"Z" * 300), "bin")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = mm.decode_frame_features(media, fake=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(r["decoder"] == "fake-moments" for r in rows)
+    assert {r["sampler"] for r in by_doc[1]} == {"mp4-stbl"}
+    assert {r["sampler"] for r in by_doc[2]} == {"fake-grid"}
+    assert len(by_doc[2]) == 2  # 300 bytes / 256-byte grid
+    with pytest.raises(Exception, match="codec-packed frame"):
+        mm.decode_frame_features(
+            media.filter(F.col("doc_id") == 1), fake=False
+        ).collect()
+
+
+def test_decode_frame_features_mixed_image_magics(spark):
+    """A track mixing JPEG and BMP samples routes each frame by its
+    own magic — per-frame, not per-payload, provenance."""
+    jpeg = _jpeg_dc(10)
+    bmp = _bmp24(2, 1, [GOLD_PX[0], GOLD_PX[1]])
+    mp4 = _mp4_track([jpeg, bmp])
+    media = spark.createDataFrame(
+        [(3, bytearray(mp4), "video/mp4")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = sorted(
+        mm.decode_frame_features(media, fake=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["decoder"] for r in rows] == ["jpeg-pixel", "ppm-bmp-pixel"]
+    assert rows[1]["feature"][2] == 2.0  # 2x1 BMP: n_pixels
