@@ -832,6 +832,160 @@ def _make_pixel_decoder():
             planes[c["id"]] = plane
         return _jpeg_assemble_pixels(h, w, comps, planes, hmax, vmax)
 
+    def _gif_lzw(data: bytes, min_code: int, max_px: int) -> list[int]:
+        """GIF-variant LZW decode: LSB-first variable-width codes
+        (min_code+1 .. 12 bits), clear/end codes, the deferred-clear
+        quirk (width caps at 12 and decoding continues).  Returns the
+        palette-index stream; ValueError on any malformed stream."""
+        clear = 1 << min_code
+        end = clear + 1
+        acc = nb = posi = 0
+        width = min_code + 1
+        base = {i: (i,) for i in range(clear)}
+        table = dict(base)
+        next_code = end + 1
+        prev: tuple[int, ...] | None = None
+        out: list[int] = []
+        while True:
+            while nb < width:
+                if posi >= len(data):
+                    raise ValueError("LZW stream truncated (no end code)")
+                acc |= data[posi] << nb
+                nb += 8
+                posi += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nb -= width
+            if code == clear:
+                table = dict(base)
+                next_code = end + 1
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("first LZW code not a literal")
+                entry = table[code]
+            elif code < next_code and code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("LZW code out of sequence")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            prev = entry
+            if len(out) > max_px:
+                raise ValueError("LZW overrun past image dimensions")
+        return out
+
+    def _decode_gif(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+        """GIF87a/89a decode (r17): logical screen + color tables,
+        extension-block skip, LZW image data, 4-pass interlace.  For
+        an animated GIF the FIRST image is the decode (the standard
+        thumbnail/training-corpus convention); later frames would need
+        disposal/composition semantics that belong to a video tier."""
+        import struct
+
+        if len(b) < 13:
+            raise ValueError("truncated GIF header")
+        _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = b[pos : pos + 3 * n]
+            if len(gct) < 3 * n:
+                raise ValueError("truncated global color table")
+            pos += 3 * n
+        while pos < len(b):
+            blk = b[pos]
+            pos += 1
+            if blk == 0x3B:  # trailer
+                break
+            if blk == 0x21:  # extension: label + data sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(b):
+                        raise ValueError("truncated extension sub-blocks")
+                    sz = b[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                continue
+            if blk != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{blk:02x}")
+            if pos + 9 > len(b):
+                raise ValueError("truncated image descriptor")
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            if w <= 0 or h <= 0 or w * h > 1 << 26:
+                # 64M-pixel cap: a crafted descriptor must not become
+                # an allocation bomb (the PNG IHDR convention)
+                raise ValueError("bad/oversized GIF dimensions")
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = b[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            if pos >= len(b):
+                raise ValueError("truncated LZW header")
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad LZW minimum code size")
+            data = bytearray()
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated image data sub-blocks")
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if len(b) - pos < sz:
+                    raise ValueError("truncated image data sub-block")
+                data += b[pos : pos + sz]
+                pos += sz
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("LZW underrun: fewer indices than pixels")
+            idx = idx[: w * h]
+            ncol = len(table) // 3
+            px = []
+            for i in idx:
+                if i >= ncol:
+                    raise ValueError("palette index out of range")
+                px.append(
+                    (table[3 * i], table[3 * i + 1], table[3 * i + 2])
+                )
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                rows = [px[r * w : (r + 1) * w] for r in range(h)]
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out_rows: list[list[tuple[int, int, int]] | None] = (
+                    [None] * h
+                )
+                for src_r, dst_r in enumerate(order):
+                    out_rows[dst_r] = rows[src_r]
+                px = [p for row in out_rows for p in row]  # type: ignore[union-attr]
+            return w, h, px
+        raise ValueError("no image data in GIF")
+
     def decode_image(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         """bytes -> (width, height, row-major top-down [(r,g,b), ...]).
 
@@ -842,11 +996,14 @@ def _make_pixel_decoder():
         2 and 6, non-interlaced — the overwhelmingly common encoder
         output) via stdlib ``zlib`` inflate + the five scanline filters
         (None/Sub/Up/Average/Paeth) per the PNG spec (RGBA alpha is
-        dropped — straight RGB channels); and JFIF JPEG
+        dropped — straight RGB channels); JFIF JPEG
         (``_decode_jpeg`` — Huffman + IDCT from the T.81 spec, any
         chroma sampling, grayscale or YCbCr; BOTH baseline-sequential
         and progressive SOF2 decode since r17 — arithmetic/lossless/
-        12-bit raise).
+        12-bit raise); and GIF87a/89a (``_decode_gif``, r17 —
+        global/local color tables, extension-block skip, variable-
+        width LZW with the deferred-clear quirk, 4-pass interlace;
+        animated GIFs decode their FIRST image).
         Chunk CRCs are not verified — this is a decoder, not an
         integrity checker.  Raises ValueError on anything else — the
         router falls back to the fake decoder.
@@ -857,6 +1014,8 @@ def _make_pixel_decoder():
         b = bytes(payload)
         if b[:3] == b"\xff\xd8\xff":
             return _decode_jpeg(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(b)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             pos = 8
             w = h = color_type = None
@@ -1900,6 +2059,7 @@ def decode_real(payload: bytes, media_type: str) -> list[float]:
         raw8[:2] in (b"P6", b"P3", b"BM")
         or raw8 == b"\x89PNG\r\n\x1a\n"
         or raw8[:3] == b"\xff\xd8\xff"
+        or raw8[:6] in (b"GIF87a", b"GIF89a")
     ):
         w, h, px = decode_image(payload)
         n = len(px)
@@ -2178,11 +2338,14 @@ def decode_frame_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 for idx, dts, frame, sampler in frames:
                     if frame[:3] == b"\xff\xd8\xff" or frame[:2] in (
                         b"P6", b"P3", b"BM",
-                    ) or frame[:8] == b"\x89PNG\r\n\x1a\n":
+                    ) or frame[:8] == b"\x89PNG\r\n\x1a\n" or frame[:6] in (
+                        b"GIF87a", b"GIF89a",
+                    ):
                         try:
                             feat = pixel_feats(frame)
                             name = "jpeg-pixel" if frame[0] == 0xFF else (
                                 "png-pixel" if frame[0] == 0x89
+                                else "gif-pixel" if frame[0] == 0x47
                                 else "ppm-bmp-pixel"
                             )
                         except ValueError:
@@ -2225,29 +2388,36 @@ def decode_features(
     Routing: payloads carrying a PPM/BMP magic are decoded FOR REAL
     (pure-Python ``decode_image`` → pixel-statistics features, decoder
     column ``"ppm-bmp-pixel"``), PNG payloads likewise through the
-    stdlib-zlib PNG branch (decoder ``"png-pixel"``), and baseline
+    stdlib-zlib PNG branch (decoder ``"png-pixel"``), GIF87a/89a
+    through the r17 LZW branch (decoder ``"gif-pixel"``; malformed
+    streams fall through to the fake), and baseline
     JPEG through the stdlib Huffman+IDCT branch (decoder
     ``"jpeg-pixel"``; a progressive/arithmetic JPEG falls through to
     the fake — decode raises ValueError and the router treats it like
-    any other undecodable payload), and RIFF/WAVE payloads through the
-    stdlib PCM parser (decoder ``"wav-pcm"``, audio features
-    [n_frames, n_channels, sample_rate, duration_sec, mean, rms, min,
-    max]; compressed WAV falls through to the fake); everything else
+    any other undecodable payload), RIFF/WAVE payloads through the
+    stdlib WAV tier with per-codec provenance (``"wav-pcm"``,
+    r17: ``"wav-g711u"`` / ``"wav-g711a"`` / ``"wav-ima-adpcm"``;
+    audio features [n_frames, n_channels, sample_rate, duration_sec,
+    mean, rms, min, max]; MP3-in-RIFF and other non-stdlib codecs
+    fall through to the fake), and FLAC streams through the r17
+    pure-stdlib FLAC decoder (``"flac-pcm"``, same audio layout;
+    non-conformant/CRC-failing streams fall through); everything else
     uses the deterministic fake (``fake=True``, decoder
     ``"fake-moments"``) or raises (``fake=False``) at the
     heavyweight-codec integration point.
 
     **Consumer contract — the ``decoder`` column IS the provenance
     signal.**  Rows whose features came from a real codec carry a
-    ``*-pixel`` / ``wav-pcm`` decoder name; rows that fell back carry
-    ``"fake-moments"``, INCLUDING payloads that LOOK like a supported
-    format but aren't decodable here (progressive/arithmetic JPEG,
-    ADPCM/MP3-in-RIFF WAV).  A training pipeline selecting on real
-    features must filter ``decoder != 'fake-moments'`` — filtering on
-    the magic bytes or media_type instead would silently admit
-    fake-featured rows (feature poisoning).  Pinned by
-    ``tests/test_multimodal.py`` (a progressive-marker JPEG and a
-    non-PCM WAV both route to ``"fake-moments"``).
+    ``*-pixel`` / ``wav-*`` / ``flac-pcm`` decoder name; rows that
+    fell back carry ``"fake-moments"``, INCLUDING payloads that LOOK
+    like a supported format but aren't decodable here
+    (progressive/arithmetic JPEG, MP3-in-RIFF WAV, damaged FLAC).  A
+    training pipeline selecting on real features must filter
+    ``decoder != 'fake-moments'`` — filtering on the magic bytes or
+    media_type instead would silently admit fake-featured rows
+    (feature poisoning).  Pinned by ``tests/test_multimodal.py`` (a
+    progressive-marker JPEG and an MP3-in-RIFF WAV both route to
+    ``"fake-moments"``).
 
     ``route_magic=False`` disables magic-byte dispatch entirely and runs
     the fake byte-statistics decoder on every payload.  Use it when the
@@ -2328,6 +2498,20 @@ def decode_features(
                 elif route_magic and raw[:2] in (b"P6", b"P3", b"BM"):
                     feats.append(pixel_features(raw))
                     names.append("ppm-bmp-pixel")
+                elif route_magic and raw[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        feats.append(pixel_features(raw))
+                        names.append("gif-pixel")
+                    except ValueError:
+                        # malformed LZW/tables: the progressive-JPEG
+                        # contract — fall to the fake visibly
+                        if not fake:
+                            raise NotImplementedError(
+                                "undecodable GIF; wire PIL at the "
+                                "decode_real integration point"
+                            ) from None
+                        feats.append(fake_decode(raw))
+                        names.append("fake-moments")
                 elif (
                     route_magic
                     and raw[:4] == b"RIFF"

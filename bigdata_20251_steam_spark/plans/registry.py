@@ -146,10 +146,10 @@ def oracle_map() -> dict[str, str]:
 #:     multimodal_features — the pixel-decoder factory was
 #:       restructured (hoisted IDCT/assembly + the progressive path);
 #:       the factory body executes at query build;
-#: - 25: 9 of the 39-name three-round-stale cohort (last GREEN driver
+#: - 25: 5 of the 39-name three-round-stale cohort (last GREEN driver
 #:   row r14, no r15/r16 slot; recomputed from the committed JSONs;
 #:   multimodal_features belongs to it but enters at 24 above).
-#:   50 slots minus 32 must-enters minus 9 changed/new leaves 9;
+#:   50 slots minus 32 must-enters minus 14 changed/new leaves 4;
 #:   ties all at age r14, broken ALPHABETICALLY; the 29 overflow
 #:   names are itemized in the r18 note below, with
 #:   CORRECTNESS_FULL_r17.json (all queries) as the compensating
@@ -198,17 +198,22 @@ _R17_ROTATION: dict[str, int] = {
     "streaming_dedup_maintenance": 24,
     "incremental_dedup_bucketed": 24,
     "multimodal_features": 24,
-    # three-round-stale cohort (last driver row r14) — first 9
-    # of 39, alphabetical
+    # late-r17 NEW registrations (compressed-audio + video-frame
+    # decode roundtrips — each displaces one prio-25 fill below)
+    "multimodal_g711_roundtrip": 24,
+    "multimodal_adpcm_roundtrip": 24,
+    "multimodal_flac_roundtrip": 24,
+    "video_frame_decode": 24,
+    "multimodal_gif_roundtrip": 24,
+    # three-round-stale cohort (last driver row r14) — first 4
+    # of 39, alphabetical (was 9; cross_split_contamination /
+    # daily_user_rank / dataset_card / dedup_canonical_by_pagerank /
+    # dedup_graph_pagerank displaced by the five late registrations
+    # above, itemized in the r18 note)
     "api_source_reviews": 25,
     "asof_join_nearest": 25,
     "blocklist_filter": 25,
     "bpe_packed_sequences": 25,
-    "cross_split_contamination": 25,
-    "daily_user_rank": 25,
-    "dataset_card": 25,
-    "dedup_canonical_by_pagerank": 25,
-    "dedup_graph_pagerank": 25,
 }
 
 
@@ -227,8 +232,12 @@ _R17_ROTATION: dict[str, int] = {
 #:     streaming_segment_dedup, streaming_stream_join,
 #:     temperature_mix_sample, token_budget_sample, token_counts,
 #:     udtf_sentences, unigram_lm_scores
-#:   (29 itemized; plus any fills displaced by late-r17 registrations —
-#:   re-read the final committed dict, it is the source of truth) —
+#:   plus the FIVE fills the late-r17 registrations displaced
+#:   (cross_split_contamination, daily_user_rank, dataset_card,
+#:   dedup_canonical_by_pagerank, dedup_graph_pagerank — still
+#:   last-green r14)
+#:   (34 itemized; re-read the final committed dict, it is the
+#:   source of truth) —
 #:   full-sweep coverage (CORRECTNESS_FULL_r17.json) is the
 #:   compensating evidence until their r18 driver row lands.  29
 #:   must-enters leave ~21 slots: changed-code re-proves and new r18

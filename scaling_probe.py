@@ -187,6 +187,15 @@ PROBES = [
     # state builds; every per-family maintenance term is the
     # delta-bounded shape its standalone sibling anchors)
     "takedown_end_to_end",
+    # round-17 additions: the compressed-audio / video-frame decode
+    # roundtrips — per-user bounded Arrow encode+decode passes; the
+    # anchor question is whether the Python codec tier stays linear
+    # and shuffle-free as users multiply
+    "multimodal_g711_roundtrip",
+    "multimodal_adpcm_roundtrip",
+    "multimodal_flac_roundtrip",
+    "video_frame_decode",
+    "multimodal_gif_roundtrip",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -277,6 +286,11 @@ PROBE_TABLES = {
     "rollup_retraction": {"events"},
     "incremental_dedup_bucketed": {"documents"},
     "takedown_end_to_end": {"documents", "embeddings", "events"},
+    "multimodal_g711_roundtrip": {"events"},
+    "multimodal_adpcm_roundtrip": {"events"},
+    "multimodal_flac_roundtrip": {"events"},
+    "video_frame_decode": {"events"},
+    "multimodal_gif_roundtrip": {"events"},
 }
 
 

@@ -3727,10 +3727,23 @@ def test_r17_rotation_window():
         "streaming_dedup_maintenance",
         "incremental_dedup_bucketed",
         "multimodal_features",
+        # late-r17 registrations (compressed-audio + video-frame
+        # decode roundtrips)
+        "multimodal_g711_roundtrip",
+        "multimodal_adpcm_roundtrip",
+        "multimodal_flac_roundtrip",
+        "video_frame_decode",
+        "multimodal_gif_roundtrip",
     ):
         assert _R17_ROTATION[name] == 24, name
-    # the itemized r18 overflow is OUT of the window
+    # the itemized r18 overflow is OUT of the window (including the
+    # four fills the late-r17 registrations displaced)
     for name in (
+        "cross_split_contamination",
+        "daily_user_rank",
+        "dataset_card",
+        "dedup_canonical_by_pagerank",
+        "dedup_graph_pagerank",
         "doc_chunks",
         "embed_topk_lsh",
         "gopher_quality_filter",

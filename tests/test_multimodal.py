@@ -2258,3 +2258,212 @@ def test_decode_frame_features_mixed_image_magics(spark):
     )
     assert [r["decoder"] for r in rows] == ["jpeg-pixel", "ppm-bmp-pixel"]
     assert rows[1]["feature"][2] == 2.0  # 2x1 BMP: n_pixels
+
+
+# ---------------------------------------------------------------------------
+# r17: GIF decode tier (LZW) — independent encoder fixtures
+# ---------------------------------------------------------------------------
+
+
+def _gif_encode(
+    w, h, px, interlaced=False, use_89=True, with_ext=False,
+    local_table=False,
+):
+    """Independent GIF encoder (not the decoder's code): palette from
+    unique colors, clear-code-heavy LZW so the code width never grows
+    — a valid stream per the spec's deferred-clear rules."""
+    import struct
+
+    pal, pidx = [], {}
+    for p in px:
+        if p not in pidx:
+            pidx[p] = len(pal)
+            pal.append(p)
+    assert len(pal) <= 256
+    min_code = max(2, (len(pal) - 1).bit_length())
+    ncolors = 1 << min_code
+    table = b"".join(bytes(p) for p in pal)
+    table += b"\x00\x00\x00" * (ncolors - len(pal))
+    out = bytearray(
+        (b"GIF89a" if use_89 else b"GIF87a")
+        + struct.pack("<HHBBB", w, h, 0x80 | ((min_code - 1) & 7), 0, 0)
+        + table
+    )
+    if with_ext:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE
+        out += b"\x21\xfe\x05hello\x00"  # comment extension
+    iflags = 0x40 if interlaced else 0
+    if local_table:
+        iflags |= 0x80 | ((min_code - 1) & 7)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_table:
+        out += table
+    out.append(min_code)
+    rows = [px[r * w : (r + 1) * w] for r in range(h)]
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = [rows[r] for r in order]
+    seq = [pidx[p] for row in rows for p in row]
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes, cnt = [clear], 0
+    for s in seq:
+        if cnt >= (1 << min_code) - 2:
+            codes.append(clear)
+            cnt = 0
+        codes.append(s)
+        cnt += 1
+    codes.append(end)
+    acc = nb = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"interlaced": True},
+        {"use_89": False},
+        {"with_ext": True},
+        {"local_table": True},
+    ],
+)
+def test_decode_gif_roundtrip(kw):
+    """Every container variant (87a/89a, global/local table,
+    extension blocks, interlace) decodes back to the exact pixels."""
+    px = GOLD_PX * 4  # 24 px, 6 colors
+    got = mm.decode_image(_gif_encode(6, 4, px, **kw))
+    assert got == (6, 4, px)
+
+
+def test_decode_gif_interlace_all_passes():
+    """16 rows exercise all four interlace passes (8/8+4/4+2/2+1)."""
+    px = [((i * 37) % 256,) * 3 for i in range(8 * 16)]
+    assert mm.decode_image(_gif_encode(8, 16, px, interlaced=True)) == (
+        8, 16, px,
+    )
+
+
+def test_decode_gif_real_lzw_compression():
+    """A stream with GROWING code widths (no mid-stream clears): a
+    run-heavy image makes the encoder dictionary build real entries.
+    Encoder here is a faithful LZW compressor, so the decoder's
+    dictionary reconstruction (incl. the code==next_code case) runs."""
+    # independent real LZW compressor (encode side of the same spec).
+    # The width grows when next_code EXCEEDS 2^width — one entry LATER
+    # than the encoder's table fills — because the decoder's table
+    # lags the encoder's by exactly one entry (the giflib
+    # `RunningCode > MaxCode1` rule).
+    def lzw_compress(seq, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        acc = nb = 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal acc, nb
+            acc |= c << nb
+            nb += width
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        emit(clear)
+        buf = ()
+        for s in seq:
+            cand = buf + (s,)
+            if cand in table:
+                buf = cand
+                continue
+            emit(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                if next_code > (1 << width) and width < 12:
+                    width += 1
+            buf = (s,)
+        if buf:
+            emit(table[buf])
+        emit(end)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    import struct
+
+    w, h = 32, 8
+    seq = []
+    for i in range(w * h):  # aba ab abab... repetition-heavy
+        seq.append((i // 7) % 4)
+    px = [(v * 60, v * 60, v * 60) for v in seq]
+    table = b"".join(bytes((v * 60,) * 3) for v in range(4))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + table
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(2)  # min code size 2
+    data = lzw_compress(seq, 2)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    assert mm.decode_image(bytes(out)) == (w, h, px)
+
+
+def test_decode_gif_rejects_malformed():
+    good = _gif_encode(6, 4, GOLD_PX * 4)
+    with pytest.raises(ValueError):
+        mm.decode_image(good[:-12])  # truncated data sub-blocks
+    bad = bytearray(good)
+    # image separator -> unknown block id
+    sep = bad.index(0x2C, 13)
+    bad[sep] = 0x99
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        mm.decode_image(bytes(bad))
+    # oversized dims cap
+    import struct
+
+    bomb = bytearray(good)
+    struct.pack_into("<HH", bomb, sep + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="oversized"):
+        mm.decode_image(bytes(bomb))
+
+
+def test_decode_features_routes_gif(spark):
+    """Router provenance: valid GIF -> 'gif-pixel'; damaged GIF ->
+    fake-moments under fake=True."""
+    good = _gif_encode(6, 4, GOLD_PX * 4)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good), "image/gif"),
+            (2, bytearray(good[:-12]), "image/gif"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {
+        r["doc_id"]: r["decoder"]
+        for r in mm.decode_features(media, fake=True).collect()
+    }
+    assert got == {1: "gif-pixel", 2: "fake-moments"}
