@@ -1291,8 +1291,11 @@ def _make_wav_decoder():
                     emitted += 1
         return samples
 
-    def decode_wav_ex(payload: bytes) -> tuple[list[float], str]:
-        import math
+    def decode_wav_samples(
+        payload: bytes,
+    ) -> tuple[list, int, int, str]:
+        """bytes -> (interleaved samples, n_channels, rate, codec tag)
+        — the sample-level form the r17 resample operator consumes."""
         import struct
 
         b = bytes(payload)
@@ -1366,6 +1369,12 @@ def _make_wav_decoder():
             )
         if not samples:
             raise ValueError("empty data chunk")
+        return samples, n_ch, rate, codec
+
+    def decode_wav_ex(payload: bytes) -> tuple[list[float], str]:
+        import math
+
+        samples, n_ch, rate, codec = decode_wav_samples(payload)
         n_frames = len(samples) // n_ch
         mean = sum(samples) / len(samples)
         rms = math.sqrt(sum(s * s for s in samples) / len(samples))
@@ -1383,13 +1392,14 @@ def _make_wav_decoder():
     def decode_wav(payload: bytes) -> list[float]:
         return decode_wav_ex(payload)[0]
 
-    return decode_wav, decode_wav_ex
+    return decode_wav, decode_wav_ex, decode_wav_samples
 
 
 #: Pure-stdlib WAV audio decoders — REAL decode evidence for audio.
 #: The ``_ex`` form additionally reports the codec tag (pcm / g711u /
-#: g711a / ima-adpcm) for the decode_features provenance column.
-decode_wav, decode_wav_ex = _make_wav_decoder()
+#: g711a / ima-adpcm) for the decode_features provenance column; the
+#: ``_samples`` form returns the interleaved sample train itself.
+decode_wav, decode_wav_ex, decode_wav_samples = _make_wav_decoder()
 
 
 def _make_flac_decoder():
@@ -2143,19 +2153,59 @@ def resize_media(
 ) -> DataFrame:
     """Payload -> resized payload (image resize / audio resample shape).
 
-    mapInPandas keeps payload bytes in Arrow buffers end to end; the fake
-    transform truncates/pads to width*height bytes so schema, batching and
-    row-count semantics (1:1) are real.  Wire PIL's ``Image.resize`` at the
-    marked point for real images.
+    mapInPandas keeps payload bytes in Arrow buffers end to end.
+    ``fake=True`` (default, back-compat) truncates/pads to
+    width*height bytes so schema, batching and row-count semantics
+    (1:1) are real without decoding anything.
+
+    ``fake=False`` (r17) is a REAL image resize for every payload the
+    stdlib pixel tier decodes (PPM/BMP/PNG/GIF/baseline+progressive
+    JPEG): decode -> nearest-neighbor resample -> re-encode as binary
+    PPM P6 (the transcode leg — downstream consumers read one uniform
+    format regardless of the source codec).  The sampling convention
+    is the SQL-replayable floor map ``src = (dst * src_dim) //
+    dst_dim`` (up- and down-scale both well-defined; the
+    ``multimodal_resize_roundtrip`` oracle replays it relationally).
+    An undecodable payload raises — the decode_features ``fake=False``
+    contract; PIL/ffmpeg remain the integration point only for codecs
+    outside the stdlib tier.
     """
+    pixel_decode = decode_image  # factory-made => cloudpickled by value
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real image resize needs PIL; not in this container"
+                out = []
+                for p in pdf["payload"]:
+                    raw = bytes(p)
+                    try:
+                        w0, h0, px = pixel_decode(raw)
+                    except ValueError as ex:
+                        raise NotImplementedError(
+                            f"payload not decodable by the stdlib "
+                            f"pixel tier ({ex}); wire PIL here for "
+                            "other image codecs"
+                        ) from None
+                    body = bytearray()
+                    for y in range(height):
+                        base = ((y * h0) // height) * w0
+                        for x in range(width):
+                            body += bytes(px[base + (x * w0) // width])
+                    out.append(
+                        b"P6\n%d %d\n255\n" % (width, height)
+                        + bytes(body)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": out,
+                        "media_type": "image/x-portable-pixmap",
+                        "width": width,
+                        "height": height,
+                    }
                 )
+                continue
             out = [
                 (bytes(p)[:target]).ljust(target, b"\0") for p in pdf["payload"]
             ]
@@ -2170,6 +2220,99 @@ def resize_media(
             )
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+#: Output schema of audio resampling: payload -> payload with the new
+#: rate and frame count surfaced.
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample (r17 — the audio sibling of the real image
+    resize): decode any stdlib-tier WAV (PCM int/float, G.711,
+    mono IMA ADPCM), nearest-neighbor resample the frame train to
+    ``target_rate``, re-encode as PCM16 WAV — the transcode leg:
+    downstream consumers read one uniform codec regardless of the
+    source's.
+
+    The frame map is the same SQL-replayable floor convention as the
+    image resize: output frame ``i`` (of ``n_out = (n_in *
+    target_rate) // src_rate``) copies input frame ``(i * n_in) //
+    n_out``, all channels.  Nearest-neighbor is the honest stdlib
+    tier — band-limited (sinc/polyphase) resampling is the
+    scipy/ffmpeg integration point, and the operator says so instead
+    of faking it.  Samples are clamped to int16 on re-encode (exact
+    for every compressed tier, which expands to <= +-32767 by
+    construction; float PCM is rounded).  Undecodable payloads raise
+    — the ``fake=False`` contract of the pixel tier applied to audio.
+    """
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+    wav_samples = decode_wav_samples  # cloudpickled by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def encode_pcm16(frames: list, n_ch: int, rate: int) -> bytes:
+            flat = []
+            for fr in frames:
+                for s in fr:
+                    v = int(round(s))
+                    flat.append(max(-32768, min(32767, v)))
+            data = struct.pack("<%dh" % len(flat), *flat)
+            fmt = struct.pack(
+                "<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16
+            )
+            body = (
+                b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b"")
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            payloads, rates, nframes = [], [], []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                try:
+                    samples, n_ch, rate, _codec = wav_samples(raw)
+                except ValueError as ex:
+                    raise NotImplementedError(
+                        f"payload not decodable by the stdlib WAV "
+                        f"tier ({ex}); wire ffmpeg/scipy here for "
+                        "other audio codecs"
+                    ) from None
+                n_in = len(samples) // n_ch
+                n_out = max(1, (n_in * target_rate) // rate)
+                frames = [
+                    samples[
+                        ((i * n_in) // n_out) * n_ch :
+                        ((i * n_in) // n_out) * n_ch + n_ch
+                    ]
+                    for i in range(n_out)
+                ]
+                payloads.append(encode_pcm16(frames, n_ch, target_rate))
+                rates.append(target_rate)
+                nframes.append(n_out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "sample_rate": rates,
+                    "n_frames": nframes,
+                }
+            )
+
+    return media.mapInPandas(run, RESAMPLE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, fake: bool = True) -> DataFrame:

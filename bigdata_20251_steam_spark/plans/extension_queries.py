@@ -9077,3 +9077,236 @@ def q_multimodal_gif_roundtrip(
             for i in range(8)
         ],
     )
+
+
+@register(
+    "multimodal_resize_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 256 + 256) % 256) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events),
+    arr AS (
+      SELECT user_id, list(v ORDER BY rn) AS vs, count(*) AS n
+      FROM s WHERE rn <= 24 GROUP BY user_id),
+    px AS (
+      SELECT user_id, vs[((xs.x * n) // 5) + 1] AS pv
+      FROM arr, (SELECT unnest(generate_series(0, 4)) AS x) xs),
+    agg AS (
+      SELECT user_id, sum(pv) AS sm, min(pv) AS mn, max(pv) AS mx
+      FROM px GROUP BY user_id)
+    SELECT user_id AS doc_id,
+           'ppm-bmp-pixel' AS decoder,
+           CAST(CAST(5 AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(3 AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(15 AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(5 AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f3,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(5 AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f4,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(5 AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f5,
+           CAST(CAST(mn AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(mx AS REAL) AS DOUBLE) AS f7
+    FROM agg
+    """,
+    doc="Roundtrip proof for the r17 REAL image resize (the last fake "
+    "in the brief's decode/feature/resize/frame-sample quartet): per "
+    "user, derive up to 24 grayscale levels, encode an n-x-1 P6, run "
+    "resize_media(fake=False) to 5x3 — decode, nearest-neighbor "
+    "resample with the floor map src=(dst*src_dim)//dst_dim, "
+    "re-encode P6 — then decode_features the RESIZED payload and "
+    "emit its pixel stats.  The oracle replays the resample "
+    "RELATIONALLY: a 5-element lateral picks vs[(x*n)//5] per target "
+    "column (the 3 rows all map to source row 0, so the mean is "
+    "sum/5 and min/max are over the 5 sampled levels) — a hash match "
+    "proves decode -> index-arithmetic resample -> P6 re-encode -> "
+    "re-decode end to end.  Golden pytest pins both-axis mapping and "
+    "the GIF==PPM transcode identity.  Scale shape: bounded per-user "
+    "aggregate, three narrow Arrow passes, no collect.",
+)
+def q_multimodal_resize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.pmod(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(256)
+        ).alias("v"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("event_id", "v"))),
+                1,
+                24,
+            ),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+
+    def encode(batches):
+        def p6(levels):
+            return (
+                b"P6\n%d 1\n255\n" % len(levels)
+                + bytes(c for v in levels for c in (v, v, v))
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["user_id"],
+                    "payload": [
+                        p6([int(v) for v in vs]) for vs in pdf["vs"]
+                    ],
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    media = per_user.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+    resized = mm.resize_media(media, width=5, height=3, fake=False)
+    feats = mm.decode_features(
+        resized.select("doc_id", "payload", "media_type"),
+        fake=False,
+        route_magic=True,
+    )
+    return feats.select(
+        "doc_id",
+        "decoder",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+@register(
+    "multimodal_resample_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 256 + 256) % 256) AS b,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events),
+    arr AS (
+      SELECT user_id, list(b ORDER BY rn) AS bs, count(*) AS n,
+             GREATEST(1, (count(*) * 3000) // 8000) AS n2
+      FROM s WHERE rn <= 32 GROUP BY user_id),
+    idx AS (
+      SELECT user_id, n, n2, bs,
+             unnest(generate_series(0, n2 - 1)) AS i
+      FROM arr),
+    v AS (
+      SELECT user_id, n2,
+             CASE WHEN (255 - b) >= 128
+                  THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                              * (1 << (((255 - b) // 16) % 8)))
+                  ELSE ((((255 - b) % 16) * 8 + 132)
+                        * (1 << (((255 - b) // 16) % 8))) - 132
+             END AS smp
+      FROM (SELECT user_id, n2, bs[((i * n) // n2) + 1] AS b FROM idx)),
+    agg AS (
+      SELECT user_id, count(*) AS n, sum(smp) AS sm,
+             sum(smp * smp) AS s2, min(smp) AS mn, max(smp) AS mx
+      FROM v GROUP BY user_id)
+    SELECT user_id AS doc_id,
+           'wav-pcm' AS decoder,
+           CAST(CAST(n AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(1 AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(3000 AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(CAST(n AS DOUBLE) / CAST(3000 AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f3,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f4,
+           CAST(CAST(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS REAL)
+                AS DOUBLE) AS f5,
+           CAST(CAST(mn AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(mx AS REAL) AS DOUBLE) AS f7
+    FROM agg
+    """,
+    doc="Roundtrip proof for the r17 REAL audio resample: per user, "
+    "derive up to 32 mu-law bytes, wrap them as a G.711 WAV at 8 kHz, "
+    "run resample_audio(target_rate=3000) — decode (G.711 integer "
+    "expansion), nearest-neighbor frame map n2=(n*3000)//8000 with "
+    "src=(i*n)//n2, re-encode PCM16 — then decode_features the "
+    "RESAMPLED payload (provenance flips to wav-pcm: the transcode "
+    "leg is part of the proof) and emit its audio stats.  The oracle "
+    "replays BOTH codec stages relationally: the index map as a "
+    "correlated generate_series lateral over the byte list, the "
+    "expansion as the ITU integer formula — a hash match proves "
+    "decode -> resample -> PCM16 re-encode -> re-decode end to end.  "
+    "Scale shape: bounded per-user aggregate, three narrow Arrow "
+    "passes, no collect.",
+)
+def q_multimodal_resample_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.pmod(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(256)
+        ).alias("b"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("event_id", "b"))),
+                1,
+                32,
+            ),
+            lambda x: x["b"],
+        ).alias("bs")
+    )
+
+    def encode(batches):
+        import struct as _struct
+
+        def wav(data):
+            fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            body = (
+                b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b"")
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["user_id"],
+                    "payload": [
+                        wav(bytes(int(v) for v in bs))
+                        for bs in pdf["bs"]
+                    ],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    media = per_user.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+    resampled = mm.resample_audio(media, target_rate=3000)
+    feats = mm.decode_features(
+        resampled.select("doc_id", "payload", "media_type"),
+        fake=False,
+        route_magic=True,
+    )
+    return feats.select(
+        "doc_id",
+        "decoder",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )

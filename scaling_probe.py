@@ -196,6 +196,8 @@ PROBES = [
     "multimodal_flac_roundtrip",
     "video_frame_decode",
     "multimodal_gif_roundtrip",
+    "multimodal_resize_roundtrip",
+    "multimodal_resample_roundtrip",
 ]
 
 #: id columns to shift per table so multiplied rows stay unique/joinable.
@@ -291,6 +293,8 @@ PROBE_TABLES = {
     "multimodal_flac_roundtrip": {"events"},
     "video_frame_decode": {"events"},
     "multimodal_gif_roundtrip": {"events"},
+    "multimodal_resize_roundtrip": {"events"},
+    "multimodal_resample_roundtrip": {"events"},
 }
 
 

@@ -3734,11 +3734,15 @@ def test_r17_rotation_window():
         "multimodal_flac_roundtrip",
         "video_frame_decode",
         "multimodal_gif_roundtrip",
+        "multimodal_resize_roundtrip",
+        "multimodal_resample_roundtrip",
     ):
         assert _R17_ROTATION[name] == 24, name
     # the itemized r18 overflow is OUT of the window (including the
     # four fills the late-r17 registrations displaced)
     for name in (
+        "blocklist_filter",
+        "bpe_packed_sequences",
         "cross_split_contamination",
         "daily_user_rank",
         "dataset_card",

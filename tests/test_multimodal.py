@@ -2467,3 +2467,140 @@ def test_decode_features_routes_gif(spark):
         for r in mm.decode_features(media, fake=True).collect()
     }
     assert got == {1: "gif-pixel", 2: "fake-moments"}
+
+
+# ---------------------------------------------------------------------------
+# r17: REAL image resize (decode -> nearest-neighbor -> P6 transcode)
+# ---------------------------------------------------------------------------
+
+
+def _p6(w, h, px):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(c for p in px for c in p)
+
+
+def test_resize_media_real_golden(spark):
+    """Exact nearest-neighbor mapping: src = (dst * src_dim) //
+    dst_dim, both axes, up- and down-scale in one call (4x3 -> 6x2)."""
+    src = [(i, 2 * i, 255 - i) for i in range(12)]
+    media = spark.createDataFrame(
+        [(1, bytearray(_p6(4, 3, src)), "image/x-portable-pixmap")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = mm.resize_media(media, width=6, height=2, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (6, 2)
+    assert r["media_type"] == "image/x-portable-pixmap"
+    want = []
+    for y in range(2):
+        base = ((y * 3) // 2) * 4
+        for x in range(6):
+            want.append(src[base + (x * 4) // 6])
+    assert mm.decode_image(bytes(r["payload"])) == (6, 2, want)
+
+
+def test_resize_media_real_transcodes_any_decodable(spark):
+    """The transcode leg: a GIF source comes OUT as P6 with the same
+    resampled pixels a PPM source of the same image produces."""
+    px = GOLD_PX * 4  # 6x4
+    gif = _gif_encode(6, 4, px)
+    ppm = _p6(6, 4, px)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(gif), "image/gif"),
+            (2, bytearray(ppm), "image/x-portable-pixmap"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.resize_media(
+            media, width=3, height=2, fake=False
+        ).collect()
+    }
+    assert rows[1] == rows[2]  # format-independent resample
+    assert rows[1].startswith(b"P6\n3 2\n255\n")
+
+
+def test_resize_media_real_undecodable_raises(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not an image at all"), "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="stdlib pixel tier"):
+        mm.resize_media(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# r17: REAL audio resample (decode -> index-map -> PCM16 transcode)
+# ---------------------------------------------------------------------------
+
+
+def test_resample_audio_golden(spark):
+    """Exact nearest-neighbor frame map at 8000 -> 3000 Hz: output
+    frame i copies input frame (i*n_in)//n_out, all channels."""
+    import struct
+
+    samples = list(range(-8, 8))  # 8 stereo frames
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm(samples, n_ch=2, rate=8000)), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = mm.resample_audio(media, target_rate=3000).collect()
+    r = rows[0]
+    n_out = (8 * 3000) // 8000  # 3
+    assert (r["sample_rate"], r["n_frames"]) == (3000, n_out)
+    got, n_ch, rate, codec = mm.decode_wav_samples(bytes(r["payload"]))
+    assert (n_ch, rate, codec) == (2, 3000, "pcm")
+    want = []
+    for i in range(n_out):
+        src = (i * 8) // n_out
+        want += samples[2 * src : 2 * src + 2]
+    assert got == want
+
+
+def test_resample_audio_transcodes_g711(spark):
+    """The transcode leg: a mu-law source resamples to the same PCM16
+    train as a pre-expanded PCM source of the same signal."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        audioop = pytest.importorskip("audioop")
+    raw = bytes(range(0, 256, 3))
+    expanded = list(
+        struct.unpack("<%dh" % len(raw), audioop.ulaw2lin(raw, 2))
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_raw(7, 8, raw)), "audio/wav"),
+            (2, bytearray(_wav_pcm(expanded)), "audio/wav"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.resample_audio(media, target_rate=5000).collect()
+    }
+    assert rows[1] == rows[2]  # codec-independent resample
+    _s, _c, rate, codec = mm.decode_wav_samples(rows[1])
+    assert (rate, codec) == (5000, "pcm")
+
+
+def test_resample_audio_upsample_and_reject(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm([100, -100], rate=1000)), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    r = mm.resample_audio(media, target_rate=4000).collect()[0]
+    got, _c, _r, _k = mm.decode_wav_samples(bytes(r["payload"]))
+    assert r["n_frames"] == 8 and got == [100] * 4 + [-100] * 4
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not audio"), "text/plain")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="stdlib WAV tier"):
+        mm.resample_audio(bad, target_rate=4000).collect()
+    with pytest.raises(ValueError, match="target_rate"):
+        mm.resample_audio(media, target_rate=0)
