@@ -149,7 +149,7 @@ def oracle_map() -> dict[str, str]:
 #: - 25: 5 of the 39-name three-round-stale cohort (last GREEN driver
 #:   row r14, no r15/r16 slot; recomputed from the committed JSONs;
 #:   multimodal_features belongs to it but enters at 24 above).
-#:   50 slots minus 32 must-enters minus 16 changed/new leaves 2;
+#:   50 slots minus 32 must-enters minus 17 changed/new leaves 1;
 #:   ties all at age r14, broken ALPHABETICALLY; the 29 overflow
 #:   names are itemized in the r18 note below, with
 #:   CORRECTNESS_FULL_r17.json (all queries) as the compensating
@@ -207,14 +207,14 @@ _R17_ROTATION: dict[str, int] = {
     "multimodal_gif_roundtrip": 24,
     "multimodal_resize_roundtrip": 24,
     "multimodal_resample_roundtrip": 24,
-    # three-round-stale cohort (last driver row r14) — first 2
-    # of 39, alphabetical (was 9; blocklist_filter /
-    # bpe_packed_sequences / cross_split_contamination /
-    # daily_user_rank / dataset_card / dedup_canonical_by_pagerank /
-    # dedup_graph_pagerank displaced by the seven late registrations
-    # above, itemized in the r18 note)
+    "streaming_media_decode": 24,
+    # three-round-stale cohort (last driver row r14) — first 1
+    # of 39, alphabetical (was 9; asof_join_nearest /
+    # blocklist_filter / bpe_packed_sequences /
+    # cross_split_contamination / daily_user_rank / dataset_card /
+    # dedup_canonical_by_pagerank / dedup_graph_pagerank displaced by
+    # the eight late registrations above, itemized in the r18 note)
     "api_source_reviews": 25,
-    "asof_join_nearest": 25,
 }
 
 
@@ -233,12 +233,12 @@ _R17_ROTATION: dict[str, int] = {
 #:     streaming_segment_dedup, streaming_stream_join,
 #:     temperature_mix_sample, token_budget_sample, token_counts,
 #:     udtf_sentences, unigram_lm_scores
-#:   plus the SEVEN fills the late-r17 registrations displaced
-#:   (blocklist_filter, bpe_packed_sequences,
+#:   plus the EIGHT fills the late-r17 registrations displaced
+#:   (asof_join_nearest, blocklist_filter, bpe_packed_sequences,
 #:   cross_split_contamination, daily_user_rank, dataset_card,
 #:   dedup_canonical_by_pagerank, dedup_graph_pagerank — still
 #:   last-green r14)
-#:   (36 itemized; re-read the final committed dict, it is the
+#:   (37 itemized; re-read the final committed dict, it is the
 #:   source of truth) —
 #:   full-sweep coverage (CORRECTNESS_FULL_r17.json) is the
 #:   compensating evidence until their r18 driver row lands.  29

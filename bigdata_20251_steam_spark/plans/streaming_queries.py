@@ -2729,3 +2729,437 @@ def q_streaming_dedup_maintenance_bucketed(
         ).replace("file:", "")
         shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_media_decode",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events),
+    -- family 0 (user_id % 4 = 0): mu-law WAV, first 48 bytes
+    g711_t AS (
+      SELECT user_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 256 + 256) % 256)
+               AS b
+      FROM s WHERE rn <= 48 AND user_id % 4 = 0),
+    g711_v AS (
+      SELECT user_id,
+             CASE WHEN (255 - b) >= 128
+                  THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                              * (1 << (((255 - b) // 16) % 8)))
+                  ELSE ((((255 - b) % 16) * 8 + 132)
+                        * (1 << (((255 - b) // 16) % 8))) - 132
+             END AS v
+      FROM g711_t),
+    g711 AS (
+      SELECT user_id, 'wav-g711u' AS decoder, count(*) AS n,
+             CAST(1 AS BIGINT) AS d0, CAST(8000 AS BIGINT) AS d1,
+             sum(v) AS sm, sum(v * v) AS s2, min(v) AS mn, max(v) AS mx,
+             TRUE AS audio
+      FROM g711_v GROUP BY user_id),
+    -- family 1 (user_id % 4 = 1): mono IMA ADPCM, first 32 nibbles
+    nib AS (
+      SELECT user_id, rn2 AS rn, nv FROM (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS rn2,
+               ((CAST(FLOOR(value * 1000) AS BIGINT) % 16 + 16) % 16)
+                 AS nv
+        FROM events WHERE user_id % 4 = 1)
+      WHERE rn2 <= 32),
+    dec AS (
+      SELECT user_id, 0 AS rn, 0 AS pred, 0 AS idx
+      FROM (SELECT DISTINCT user_id FROM nib)
+      UNION ALL
+      SELECT user_id, rn,
+             GREATEST(-32768, LEAST(32767,
+                 pred0 + CASE WHEN nv >= 8 THEN -df ELSE df END)) AS pred,
+             GREATEST(0, LEAST(88, idx0
+                 + [-1,-1,-1,-1,2,4,6,8,
+                    -1,-1,-1,-1,2,4,6,8][nv + 1])) AS idx
+      FROM (
+        SELECT user_id, rn, nv, pred0, idx0,
+               (step // 8)
+               + CASE WHEN nv % 2 = 1 THEN step // 4 ELSE 0 END
+               + CASE WHEN (nv // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+               + CASE WHEN (nv // 4) % 2 = 1 THEN step ELSE 0 END AS df
+        FROM (
+          SELECT d.user_id, n.rn, n.nv, d.pred AS pred0, d.idx AS idx0,
+                 [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                  41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                  173,190,209,230,253,279,307,337,371,408,449,494,544,
+                  598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                  1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                  4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                  11487,12635,13899,15289,16818,18500,20350,22385,
+                  24623,27086,29794,32767][d.idx + 1] AS step
+          FROM dec d JOIN nib n
+            ON n.user_id = d.user_id AND n.rn = d.rn + 1
+        ) inner_step
+      ) with_diff),
+    adpcm AS (
+      SELECT user_id, 'wav-ima-adpcm' AS decoder, count(*) AS n,
+             CAST(1 AS BIGINT) AS d0, CAST(8000 AS BIGINT) AS d1,
+             sum(pred) AS sm, sum(pred * pred) AS s2,
+             min(pred) AS mn, max(pred) AS mx, TRUE AS audio
+      FROM dec GROUP BY user_id),
+    -- family 2 (user_id % 4 = 2): FLAC, first 40 int16 samples
+    flac_t AS (
+      SELECT user_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 28000 + 28000)
+               % 28000) - 14000 AS smp
+      FROM s WHERE rn <= 40 AND user_id % 4 = 2),
+    flac AS (
+      SELECT user_id, 'flac-pcm' AS decoder, count(*) AS n,
+             CAST(1 AS BIGINT) AS d0, CAST(8000 AS BIGINT) AS d1,
+             sum(smp) AS sm, sum(smp * smp) AS s2,
+             min(smp) AS mn, max(smp) AS mx, TRUE AS audio
+      FROM flac_t GROUP BY user_id),
+    -- family 3 (user_id % 4 = 3): n x 1 grayscale GIF, first 24 levels
+    gif_t AS (
+      SELECT user_id,
+             ((CAST(FLOOR(value * 1000) AS BIGINT) % 256 + 256) % 256)
+               AS v
+      FROM s WHERE rn <= 24 AND user_id % 4 = 3),
+    gif AS (
+      SELECT user_id, 'gif-pixel' AS decoder, count(*) AS n,
+             count(*) AS d0, CAST(0 AS BIGINT) AS d1,
+             sum(v) AS sm, CAST(0 AS BIGINT) AS s2,
+             min(v) AS mn, max(v) AS mx, FALSE AS audio
+      FROM gif_t GROUP BY user_id),
+    allfam AS (
+      SELECT * FROM g711 UNION ALL SELECT * FROM adpcm
+      UNION ALL SELECT * FROM flac UNION ALL SELECT * FROM gif)
+    SELECT user_id AS doc_id, decoder,
+           -- audio layout: [n_frames, n_ch, rate, dur, mean, rms, mn, mx]
+           -- pixel layout: [w, h, n_px, mean_r, mean_g, mean_b, mn, mx]
+           CAST(CAST(CASE WHEN audio THEN n ELSE d0 END AS REAL)
+                AS DOUBLE) AS f0,
+           CAST(CAST(1 AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(CASE WHEN audio THEN d1 ELSE n END AS REAL)
+                AS DOUBLE) AS f2,
+           CAST(CAST(CASE WHEN audio
+                THEN CAST(CAST(n AS DOUBLE) / CAST(d1 AS DOUBLE) AS REAL)
+                ELSE CAST(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+                END AS REAL) AS DOUBLE) AS f3,
+           CAST(CAST(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+                AS DOUBLE) AS f4,
+           CAST(CAST(CASE WHEN audio
+                THEN CAST(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          AS REAL)
+                ELSE CAST(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+                END AS REAL) AS DOUBLE) AS f5,
+           CAST(CAST(mn AS REAL) AS DOUBLE) AS f6,
+           CAST(CAST(mx AS REAL) AS DOUBLE) AS f7
+    FROM allfam
+    """,
+    priority=80,
+    doc="The r17 codec tier run OPERATIONALLY (the streaming "
+    "composition of the round's growth theme): a heterogeneous media "
+    "stream — each user's payload codec chosen by user_id % 4 "
+    "(mu-law WAV / mono IMA ADPCM / FLAC / grayscale GIF), all four "
+    "encoded in ONE Arrow pass from per-user event derivations — "
+    "lands in an epoch-keyed bronze store via the EXACTLY-ONCE "
+    "foreachBatch append (idempotent_epoch_append, 4-file source = 4 "
+    "micro-batches), and decode_features(fake=False) then routes "
+    "every reconstructed payload by its own magic bytes: one stream, "
+    "four real decoders, per-row provenance.  The oracle is the "
+    "UNION of the four standalone roundtrip oracles (each restricted "
+    "to its user slice — including the full ADPCM recursive-CTE "
+    "replay), so the hash match proves stream ingest reconstructs "
+    "payload bytes losslessly AND the per-magic router picks the "
+    "right real decoder for every row of a mixed stream.  Scale "
+    "shape: one bounded per-user aggregate fans into the encode "
+    "pass; the decode is stateless per row; the only exchange is the "
+    "per-user groupBy.",
+)
+def q_streaming_media_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+    from ..streaming.engine import idempotent_epoch_append
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.pmod(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(256)
+        ).alias("b"),
+        F.pmod(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(16)
+        ).alias("nv"),
+        (
+            F.pmod(
+                F.floor(F.col("value") * 1000).cast("long"),
+                F.lit(28000),
+            )
+            - 14000
+        ).alias("smp"),
+    )
+
+    def arr(col, k):
+        return F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("event_id", col))),
+                1,
+                k,
+            ),
+            lambda x: x[col],
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        arr("b", 48).alias("bs"),
+        arr("nv", 32).alias("nibs"),
+        arr("smp", 40).alias("samples"),
+        arr("b", 24).alias("levels"),
+    )
+
+    def encode(batches):
+        import struct as _struct
+
+        def wav_wrap(fmt, data):
+            body = (
+                b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data
+                + (b"\0" if len(data) & 1 else b"")
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        def ulaw_wav(bs):
+            return wav_wrap(
+                _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8),
+                bytes(bs),
+            )
+
+        def adpcm_wav(nibs):
+            packed = bytearray()
+            for i in range(0, len(nibs), 2):
+                lo = nibs[i]
+                hi = nibs[i + 1] if i + 1 < len(nibs) else 0
+                packed.append((hi << 4) | lo)
+            data = _struct.pack("<hBB", 0, 0, 0) + bytes(packed)
+            fmt = _struct.pack(
+                "<HHIIHHHH",
+                0x11, 1, 8000, 4055, len(data), 4, 2, len(nibs) + 1,
+            )
+            return wav_wrap(fmt, data)
+
+        def crc8(data):
+            c = 0
+            for byte in data:
+                c ^= byte
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x07) & 0xFF
+                        if c & 0x80
+                        else (c << 1) & 0xFF
+                    )
+            return c
+
+        def crc16(data):
+            c = 0
+            for byte in data:
+                c ^= byte << 8
+                for _ in range(8):
+                    c = (
+                        ((c << 1) ^ 0x8005) & 0xFFFF
+                        if c & 0x8000
+                        else (c << 1) & 0xFFFF
+                    )
+            return c
+
+        class W:
+            def __init__(self):
+                self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+            def w(self, val, n):
+                self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+                self.nb += n
+                while self.nb >= 8:
+                    self.nb -= 8
+                    self.buf.append((self.acc >> self.nb) & 0xFF)
+                self.acc &= (1 << self.nb) - 1
+
+            def align(self):
+                if self.nb:
+                    self.w(0, 8 - self.nb)
+
+        def flac(samples):
+            n = len(samples)
+            si = W()
+            si.w(n, 16)
+            si.w(n, 16)
+            si.w(0, 24)
+            si.w(0, 24)
+            si.w(8000, 20)
+            si.w(0, 3)
+            si.w(15, 5)
+            si.w(n, 36)
+            si.align()
+            body = bytes(si.buf) + b"\x00" * 16
+            out = bytearray(b"fLaC")
+            out += b"\x80" + len(body).to_bytes(3, "big") + body
+            w = W()
+            w.w(0x3FFE, 14)
+            w.w(0, 2)
+            w.w(7, 4)
+            w.w(0, 4)
+            w.w(0, 4)
+            w.w(4, 3)
+            w.w(0, 1)
+            w.w(0, 8)
+            w.w(n - 1, 16)
+            w.align()
+            hdr = bytes(w.buf)
+            frame = bytearray(hdr + bytes([crc8(hdr)]))
+            w2 = W()
+            w2.w(0, 1)
+            if n >= 3:
+                w2.w(10, 6)  # FIXED order 2
+                w2.w(0, 1)
+                w2.w(samples[0], 16)
+                w2.w(samples[1], 16)
+                resid = [
+                    samples[i] - 2 * samples[i - 1] + samples[i - 2]
+                    for i in range(2, n)
+                ]
+                w2.w(0, 2)
+                w2.w(0, 4)
+                zig = [
+                    (e << 1) if e >= 0 else ((-e) << 1) - 1
+                    for e in resid
+                ]
+                mx = max(zig, default=0)
+                param = 0
+                while (mx >> param) > 30 and param < 14:
+                    param += 1
+                w2.w(param, 4)
+                for u in zig:
+                    for _ in range(u >> param):
+                        w2.w(0, 1)
+                    w2.w(1, 1)
+                    if param:
+                        w2.w(u, param)
+            else:
+                w2.w(1, 6)  # VERBATIM
+                w2.w(0, 1)
+                for v in samples:
+                    w2.w(v, 16)
+            w2.align()
+            frame += bytes(w2.buf)
+            c = crc16(bytes(frame))
+            return bytes(out + frame + bytes([c >> 8, c & 0xFF]))
+
+        def gif(levels):
+            n = len(levels)
+            table = bytes(c for v in range(256) for c in (v, v, v))
+            out = bytearray(
+                b"GIF89a"
+                + _struct.pack("<HHBBB", n, 1, 0x87, 0, 0)
+                + table
+            )
+            out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, n, 1, 0)
+            out.append(8)
+            codes, cnt = [256], 0
+            for v in levels:
+                if cnt >= 254:
+                    codes.append(256)
+                    cnt = 0
+                codes.append(v)
+                cnt += 1
+            codes.append(257)
+            acc = nb = 0
+            data = bytearray()
+            for c in codes:
+                acc |= c << nb
+                nb += 9
+                while nb >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                data.append(acc & 0xFF)
+            for i in range(0, len(data), 255):
+                chunk = data[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out += b"\x00\x3b"
+            return bytes(out)
+
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": [], "media_type": []}
+            for uid, bs, nibs, samples, levels in zip(
+                pdf["user_id"], pdf["bs"], pdf["nibs"],
+                pdf["samples"], pdf["levels"],
+            ):
+                fam = int(uid) % 4
+                if fam == 0:
+                    p, mt = ulaw_wav([int(v) for v in bs]), "audio/wav"
+                elif fam == 1:
+                    p, mt = (
+                        adpcm_wav([int(v) for v in nibs]),
+                        "audio/wav",
+                    )
+                elif fam == 2:
+                    p, mt = (
+                        flac([int(v) for v in samples]),
+                        "audio/flac",
+                    )
+                else:
+                    p, mt = gif([int(v) for v in levels]), "image/gif"
+                rows["doc_id"].append(uid)
+                rows["payload"].append(p)
+                rows["media_type"].append(mt)
+            yield pd.DataFrame(rows)
+
+    media = per_user.mapInPandas(
+        encode, "doc_id bigint, payload binary, media_type string"
+    )
+
+    work = tempfile.mkdtemp(prefix="media_stream_")
+    src = os.path.join(work, "src")
+    media.repartition(4).write.mode("overwrite").parquet(src)
+    stream = file_stream(
+        spark,
+        src,
+        "doc_id bigint, payload binary, media_type string",
+        max_files_per_trigger=1,
+    )
+    bronze = os.path.join(work, "bronze")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: idempotent_epoch_append(
+                batch_df, bronze, epoch_id
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(bronze).select(
+        "doc_id", "payload", "media_type"
+    )
+    feats = mm.decode_features(corpus, fake=False, route_magic=True)
+    out = feats.select(
+        "doc_id",
+        "decoder",
+        *[
+            F.col("feature")[i].cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+    # materialize the bounded per-user result so the work dir (staged
+    # source + bronze + checkpoint, unique per run) can be deleted NOW
+    # (the ADVICE r5 staging-dir lesson); the stream + decode executed
+    # for real above
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

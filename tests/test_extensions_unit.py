@@ -3736,11 +3736,13 @@ def test_r17_rotation_window():
         "multimodal_gif_roundtrip",
         "multimodal_resize_roundtrip",
         "multimodal_resample_roundtrip",
+        "streaming_media_decode",
     ):
         assert _R17_ROTATION[name] == 24, name
     # the itemized r18 overflow is OUT of the window (including the
     # four fills the late-r17 registrations displaced)
     for name in (
+        "asof_join_nearest",
         "blocklist_filter",
         "bpe_packed_sequences",
         "cross_split_contamination",
