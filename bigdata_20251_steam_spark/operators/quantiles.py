@@ -349,6 +349,7 @@ def sketch_quantiles(
     qs: list[int],
     m: int = 16,
     group_cols: tuple[str, ...] = (),
+    materialize: bool = True,
 ) -> DataFrame:
     """Estimate discrete quantiles from a sketch →
     ``(*group_cols, q_pct, sketch_cents)``.
@@ -357,7 +358,25 @@ def sketch_quantiles(
     cumulative count reaches the target rank.  Joins are against the
     bounded cum-bucket frame — broadcast (grouped: equi on the group
     keys + the non-equi rank residual), never the corpus.
+
+    ``materialize`` (optimization r17, guide §2.4 "remove shuffles
+    outright"): the sketch subtree is referenced TWICE below (the
+    cum-bucket frame and the rank targets), and Spark plans each
+    reference as an independent subtree — when the sketch is built
+    from a corpus aggregate (or a merge/subtract of two of them), the
+    corpus was scanned and aggregated once PER REFERENCE.  The sketch
+    is bounded at ``(MAX_EXP+1)*m + 1`` rows per group by
+    construction, so one eager ``localCheckpoint`` pins it (identical
+    values — the checkpoint only cuts lineage) and every downstream
+    reference reads the tiny materialized frame instead of re-running
+    the corpus aggregate.  Measured on ``value_quantile_sketch`` /
+    the rollup queries: FileScan count drops from 8/6 to 2.  Pass
+    ``materialize=False`` when the caller has ALREADY materialized
+    the sketch (e.g. it shares one checkpointed sketch with
+    :func:`exact_quantiles_banded`).
     """
+    if materialize:
+        sketch = sketch.localCheckpoint()
     cum = _cum_buckets(sketch, group_cols)
     targets = _rank_targets(sketch, qs, group_cols)
     cond = F.col("cum") >= F.col("r")
@@ -391,6 +410,8 @@ def exact_quantiles_banded(
     max_band_rows: int | None = None,
     max_refine_levels: int = 8,
     telemetry: list | None = None,
+    sketch: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT discrete quantiles via sketch-bucket pruning → no global sort.
 
@@ -443,6 +464,26 @@ def exact_quantiles_banded(
     must be non-negative integers (NULL-weight rows drop; a negative
     weight fails loudly at scan time — :func:`_guarded_weight`, r16
     ADVICE).
+
+    ``sketch`` / ``materialize`` (optimization r17, guide §2.4): the
+    lazy form re-planned the sketch aggregate subtree at every
+    reference (cum buckets, rank targets, chosen buckets) and the
+    in-band histogram at both its references (slice totals and the
+    final pick) — multiplying out to SIX corpus scans in the
+    registered ``value_quantile_sketch`` plan (plan-audit
+    ``n_scans=8`` including the estimate branch).  With
+    ``materialize=True`` (default) the two BOUNDED intermediates pin
+    via eager ``localCheckpoint``: the sketch (``<= (MAX_EXP+1)*m + 1``
+    rows per group) and the per-value histogram of the chosen buckets
+    (``vals`` — distinct values inside ``<= |qs|`` buckets per group,
+    the same frame the adaptive path already checkpoints per level).
+    The corpus is then scanned exactly TWICE — once for the sketch,
+    once for the in-band read-back — the prune-and-pick minimum.
+    Values are unchanged (checkpointing only cuts lineage).  Pass a
+    precomputed ``sketch`` (MUST be ``quantile_sketch(df, cents_col,
+    m, group_cols, weight_col)`` of the SAME arguments — e.g. one
+    checkpointed sketch shared with :func:`sketch_quantiles`) to
+    drop the sketch-build scan from this call entirely.
     """
     if weight_col is not None:
         rows = (
@@ -458,9 +499,12 @@ def exact_quantiles_banded(
             *group_cols, "e", "sub", "c"
         )
         cnt_of = lambda: F.count(F.lit(1))  # noqa: E731
-    sketch = rows.groupBy(*group_cols, "e", "sub").agg(
-        cnt_of().alias("cnt")
-    )
+    if sketch is None:
+        sketch = rows.groupBy(*group_cols, "e", "sub").agg(
+            cnt_of().alias("cnt")
+        )
+        if materialize:
+            sketch = sketch.localCheckpoint()
     cum = _cum_buckets(sketch, group_cols)
     targets = _rank_targets(sketch, qs, group_cols)
     cond = F.col("cum") >= F.col("r")
@@ -489,6 +533,12 @@ def exact_quantiles_banded(
     vals = in_band.groupBy(
         *group_cols, "q_pct", "local_r", "e", "sub", "c"
     ).agg(cnt_of().alias("vn"))
+    if materialize:
+        # bounded per the module's skew story (distinct values inside
+        # the <= |qs| chosen buckets, map-side collapsed); referenced
+        # twice below (slice totals + the final pick), so pin it to
+        # keep the in-band corpus read-back at ONE scan
+        vals = vals.localCheckpoint()
     # (3) one uniform sub-band split of the bucket's value range:
     # the bucket covers [rep(e, sub), rep(e, sub+1)) — lower edges
     # from bucket_rep_cents (rep(e, m) = 2^(e+1), the next octave);

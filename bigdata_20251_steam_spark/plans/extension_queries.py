@@ -7256,9 +7256,15 @@ def _value_quantile_sketch_oracle() -> str:
 def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     mils = F.floor(F.col("value") * 1000).cast("long")
-    sk = qa.quantile_sketch(ev, mils, m=_QSK_M)
-    est = qa.sketch_quantiles(sk, _QSK_QS, m=_QSK_M)
-    exact = qa.exact_quantiles_banded(ev, mils, _QSK_QS, m=_QSK_M)
+    # ONE checkpointed sketch (bounded <= (48+1)*16+1 rows) feeds both
+    # the estimate branch and the exact prune-and-pick — the corpus is
+    # scanned twice total (sketch + in-band read-back) instead of 8x
+    # (optimization r17, guide §2.4; before/after plans in plans/r17/)
+    sk = qa.quantile_sketch(ev, mils, m=_QSK_M).localCheckpoint()
+    est = qa.sketch_quantiles(sk, _QSK_QS, m=_QSK_M, materialize=False)
+    exact = qa.exact_quantiles_banded(
+        ev, mils, _QSK_QS, m=_QSK_M, sketch=sk
+    )
     return exact.join(est, "q_pct").select(
         "q_pct",
         F.col("exact_cents").alias("exact_mils"),
@@ -7577,12 +7583,15 @@ def q_doclen_quantiles_by_source(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chars = F.col("n_chars").cast("long")
-    sk = qa.quantile_sketch(docs, chars, m=_QSK_M, group_cols=("source",))
+    # one checkpointed sketch shared by both branches (r17, guide §2.4)
+    sk = qa.quantile_sketch(
+        docs, chars, m=_QSK_M, group_cols=("source",)
+    ).localCheckpoint()
     est = qa.sketch_quantiles(
-        sk, _DQS_QS, m=_QSK_M, group_cols=("source",)
+        sk, _DQS_QS, m=_QSK_M, group_cols=("source",), materialize=False
     )
     exact = qa.exact_quantiles_banded(
-        docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",)
+        docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",), sketch=sk
     )
     return exact.join(est, ["source", "q_pct"]).select(
         "source",
@@ -7670,15 +7679,17 @@ def q_doclen_quantiles_weighted(
     )
     chars = F.col("n_chars").cast("long")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long")
+    # one checkpointed weighted sketch shared by both branches (r17,
+    # guide §2.4 — same weight/NULL conventions on both paths)
     sk = qa.quantile_sketch(
         docs, chars, m=_QSK_M, group_cols=("source",), weight_col=toks
-    )
+    ).localCheckpoint()
     est = qa.sketch_quantiles(
-        sk, _DQS_QS, m=_QSK_M, group_cols=("source",)
+        sk, _DQS_QS, m=_QSK_M, group_cols=("source",), materialize=False
     )
     exact = qa.exact_quantiles_banded(
         docs, chars, _DQS_QS, m=_QSK_M, group_cols=("source",),
-        weight_col=toks, max_band_rows=4096,
+        weight_col=toks, max_band_rows=4096, sketch=sk,
     )
     return exact.join(est, ["source", "q_pct"]).select(
         "source",
@@ -7854,11 +7865,14 @@ def q_rollup_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-corpus state is the in-query stand-in for the persisted
     # rollup artifact (the incremental_rollup_merge convention)
     state = _state(ev)
+    # bounded (<= |event_type| rows) and referenced twice (the scalar
+    # subtraction AND the touched-group semi-join) — checkpoint so the
+    # removed-slice scan runs once (r17, guide §2.4)
     rstate = _state(removed).select(
         "event_type",
         F.col("cnt").alias("_rc"),
         F.col("s").alias("_rs"),
-    )
+    ).localCheckpoint()
     scal = (
         state.join(rstate, "event_type", "left")
         .select(
