@@ -225,12 +225,14 @@ def minhash_candidate_pairs(
     it before loosening the cap.  ``max_bucket=None`` disables the guard.
     """
     return banded_candidate_pairs(
-        band_signatures(signatures, rows_per_band), max_bucket
+        band_signatures(signatures, rows_per_band), max_bucket,
+        materialize=True,
     )
 
 
 def banded_candidate_pairs(
-    banded: DataFrame, max_bucket: int | None = 1000
+    banded: DataFrame, max_bucket: int | None = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """:func:`minhash_candidate_pairs`' pair-enumeration half over an
     already-built :func:`band_signatures` table — factored out (r15)
@@ -238,7 +240,26 @@ def banded_candidate_pairs(
     incremental-closure query feeds it to
     :func:`incremental_minhash_pairs`) materializes the banding once
     instead of re-running the signature pipeline per consumer.
-    Identical semantics and mega-bucket star policy."""
+    Identical semantics and mega-bucket star policy.
+
+    ``materialize`` (optimization r17, guide §2.4/§8): the mega-bucket
+    guard references ``banded`` from FOUR subtrees (the stats
+    aggregate plus the stats join, each under both the small-bucket
+    and star branches), and Spark plans every reference independently
+    — measured at sf0.1, the pair plan held EIGHT parquet scans of the
+    corpus, i.e. the whole shingle→md5→minhash-fold pipeline ran 4x.
+    ``materialize=True`` pins the band table once (eager
+    ``localCheckpoint``; values unchanged — it only cuts lineage), so
+    the corpus text is read ONCE and every branch replays the compact
+    ``(doc_id, band_id, band_sig)`` proxy — the guide-§8 shape
+    (decide on fingerprints, not payloads).  Callers whose ``banded``
+    is already a cheap at-rest scan (a parquet/bucketed STATE table)
+    keep the default ``False``: re-scanning small state files beats a
+    checkpoint, and checkpointing a BUCKETED scan would discard the
+    at-rest partitioning that makes the incremental probes
+    exchange-free."""
+    if materialize:
+        banded = banded.localCheckpoint()
     if max_bucket is None:
         small = banded.groupBy("band_id", "band_sig").agg(
             F.array_sort(F.collect_list("doc_id")).alias("ids")
@@ -1251,8 +1272,13 @@ def retract_components(
     if broadcast_survivors:
         survivors = F.broadcast(survivors)
     surv_bands = band_table.join(survivors, "doc_id")
+    # materialize=True: surv_bands is delta-bounded (touched
+    # components' members only) and the pair enumeration references
+    # it from four subtrees — pin it so the band state is scanned
+    # once, not 4x (optimization r17, guide §2.4)
     re_labels = connected_components(
-        banded_candidate_pairs(surv_bands, max_bucket), **cc_kwargs
+        banded_candidate_pairs(surv_bands, max_bucket, materialize=True),
+        **cc_kwargs,
     )
     untouched = base_labels.join(
         F.broadcast(touched), "component_id", "left_anti"

@@ -1111,6 +1111,54 @@ def _codes_col(cb: Column, qcol: Column, subdim: int) -> Column:
     )
 
 
+def _ivfadc_lut_col(cb: Column, qres: Column, subdim: int) -> Column:
+    """Per-(query, cell) ADC lookup table over the codebook COLUMN
+    (optimization r17, guide §1.2 "per-task work" — Jégou §V's actual
+    ADC formulation): ``lut[s][c]`` = integer squared L2 between the
+    query-residual's subspace-``s`` slice and codeword ``c``.
+
+    Because ``||qres − recon(codes)||² = Σ_s ||qres_sub[s] −
+    cb[s][codes[s]]||²`` regroups exactly (int64 addition is
+    associative), scoring a candidate becomes ``m`` table lookups
+    (:func:`_lut_adc_col`) instead of a 64-element zip_with/aggregate
+    per pair — and the candidate side no longer needs the decoded
+    reconstruction at all, eliminating the per-corpus-row
+    :func:`_recon_col` pass.  Spark evaluates higher-order-function
+    lambdas INTERPRETED (no codegen), so moving the O(dim) arithmetic
+    from per-candidate rows onto the bounded (query × probed-cell)
+    frame is the dominant term in the measured ivfadc headline cost.
+    Same integers, same tie rules — bit-identical results (the
+    registered oracles replay both formulations)."""
+    return F.transform(
+        cb,
+        lambda cbs, s: F.transform(
+            cbs,
+            lambda w: _sqdist_cols(
+                F.slice(qres, s * F.lit(subdim) + F.lit(1), F.lit(subdim)),
+                w,
+            ),
+        ),
+    )
+
+
+def _lut_adc_col(lut: Column, codes: Column) -> Column:
+    """ADC distance from a per-(query, cell) LUT (:func:`_ivfadc_lut_col`)
+    and an m-code column: ``Σ_s lut[s][codes[s]]`` — m element_at
+    lookups + m adds per candidate, shape-agnostic in k_sub (per-cell
+    retrained codebooks keep their own inner length)."""
+    return F.aggregate(
+        F.transform(
+            codes,
+            lambda code, s: F.element_at(
+                F.element_at(lut, (s + F.lit(1)).cast("int")),
+                (code + F.lit(1)).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _ivf_residuals(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Assign each grid vector to its nearest coarse cell and subtract
     that centroid: ``(vec_id, cluster, q)`` with ``q`` the integer
@@ -1349,14 +1397,17 @@ def ivfadc_search(
         raise ValueError("ivfadc_search: k must be <= shortlist")
     if not (1 <= nprobe <= K):
         raise ValueError(f"ivfadc_search: nprobe must be in [1, {K}]")
+    spark = embeddings.sparkSession
     grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    # (vec_id, cluster, r): the decoded residual reconstruction — at
-    # scale this is the materialized inverted-list read; here the
-    # decode fuses into the same scan as the encode.
-    decoded = ivfadc_decode_snapshot(
+    # (vec_id, cluster, codes): the stored-index frame — the corpus
+    # pass is encode ONLY (optimization r17): the decoded
+    # reconstruction is never materialized, because ADC scoring runs
+    # against the per-(query, cell) LUT below (same integers — see
+    # :func:`_ivfadc_lut_col`).
+    enc = ivfadc_encode(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
-    cm = _pinned_scalar(_cmat_view(embeddings.sparkSession, coarse_cents))
+    cm = _pinned_scalar(_cmat_view(spark, coarse_cents))
     q = (
         grid.filter(F.col("vec_id").isin(query_ids))
         .withColumn("_cm", cm)
@@ -1366,51 +1417,71 @@ def ivfadc_search(
             _probes_of(F.col("q"), F.col("_cm"), nprobe).alias("probes"),
         )
     )
-    cand = decoded.join(
-        F.broadcast(q),
-        F.array_contains(F.col("probes"), F.col("cluster"))
-        & (F.col("vec_id") != F.col("query_id")),
+    subdim = len(codebooks[0][0])
+    cbv = _pinned_scalar(_cb_view(spark, codebooks))
+    # bounded (<= |query_ids| * nprobe rows): per probed cell, the
+    # query residual and its ADC LUT — the O(dim * k_sub) arithmetic
+    # runs HERE, on the tiny pruned-scan frame, not per candidate row.
+    # No eager pin: this frame only feeds BROADCAST build sides, which
+    # evaluate inside the main job anyway (a localCheckpoint here
+    # measured as a net LOSS — two extra sequential job barriers
+    # against a sub-second duplicated pruned scan).
+    qlut = (
+        q.select("query_id", "qq", F.explode("probes").alias("cluster"))
+        .withColumn("_cm", cm)
+        .withColumn("_cb", cbv)
+        .withColumn(
+            "_qres",
+            F.zip_with(
+                F.col("qq"),
+                F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+                lambda x, y: x - y,
+            ),
+        )
+        .select(
+            "query_id",
+            "cluster",
+            _ivfadc_lut_col(F.col("_cb"), F.col("_qres"), subdim).alias(
+                "lut"
+            ),
+        )
     )
-    qf = grid.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    # probe routing as a broadcast EQUI join on the cell id (the
+    # exploded (query, cell) pairs ARE the array_contains(probes,
+    # cluster) set) — replaces the BroadcastNestedLoopJoin, so every
+    # corpus row hash-probes one bounded table instead of evaluating
+    # the routing predicate against every query row
+    cand = enc.join(F.broadcast(qlut), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    return _ivfadc_adc_rerank(grid, cand, coarse_cents, qf, k, shortlist)
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
+    )
+    return _ivfadc_shortlist_rerank(
+        grid, scored, q.select("query_id", "qq"), k, shortlist
+    )
 
 
-def _ivfadc_adc_rerank(
+def _ivfadc_shortlist_rerank(
     grid: DataFrame,
-    cand: DataFrame,
-    coarse_cents: list[list[int]],
+    scored: DataFrame,
     qf: DataFrame,
     k: int,
     shortlist: int,
 ) -> DataFrame:
-    """Shared IVFADC tail (r12 factoring): residual ADC over the
-    candidate frame, salted shortlist cut, exact integer re-rank.
+    """Shared IVFADC tail (r12 factoring; r17 — scoring moved to the
+    callers' LUT form): salted shortlist cut over the ADC-scored
+    candidates, then exact integer re-rank.
 
-    ``cand`` must carry ``(query_id, vec_id, cluster, qq, r)`` —
-    query grid vector, candidate cell and decoded residual
-    reconstruction; ``qf`` the BOUNDED ``(query_id, qq)`` re-rank
-    frame (broadcast).  The query residual is recomputed per candidate
-    row from the pinned centroid matrix, hoisted as a scalar-subquery
-    column (r13 — same integers as the literal form, so
+    ``scored`` must carry ``(query_id, vec_id, adc_sqdist)``; ``qf``
+    the BOUNDED ``(query_id, qq)`` re-rank frame (broadcast).  Both
+    top-k cuts are the salted two-stage rank, and the re-rank reads
+    the corpus grid through a broadcast of the |queries| x shortlist
+    survivors — identical tie rules to the r12 form, so
     :func:`ivfadc_search` and :func:`ivfadc_search_pruned` replay the
-    same oracle bit-for-bit)."""
-    cm = _pinned_scalar(_cmat_view(cand.sparkSession, coarse_cents))
-    qres = F.zip_with(
-        F.col("qq"),
-        F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
-        lambda x, y: x - y,
-    )
-    scored = cand.withColumn("_cm", cm).select(
-        "query_id",
-        "vec_id",
-        F.aggregate(
-            F.zip_with(qres, F.col("r"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("adc_sqdist"),
-    )
+    same oracle bit-for-bit."""
     sl = _topk_per_query(scored, shortlist, "adc_sqdist", ascending=True)
     cand2 = grid.join(F.broadcast(sl.select("query_id", "vec_id")), "vec_id")
     scored2 = cand2.join(F.broadcast(qf), "query_id").select(
@@ -1541,42 +1612,61 @@ def ivfadc_search_pruned(
     ts = read_ivfadc_tombstones(spark, index_path)
     if ts is not None:
         idx = idx.join(F.broadcast(ts), "vec_id", "left_anti")
-    if cell_codebooks:
-        cb4 = _pinned_scalar(
-            _cell_codebook_view(spark, K, codebooks, cell_codebooks)
-        )
-        decoded = idx.withColumn("_cb4", cb4).select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            _recon_col(
-                F.element_at(
-                    F.col("_cb4"), (F.col("cluster") + 1).cast("int")
-                ),
-                F.col("codes"),
-            ).alias("r"),
-        )
-    else:
-        decoded = idx.withColumn(
-            "_cb", _pinned_scalar(_cb_view(spark, codebooks))
-        ).select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
-        )
-    qdf = spark.createDataFrame(
+    # The query batch is already a driver-side literal, so the ADC LUT
+    # (optimization r17 — see :func:`_ivfadc_lut_col`) is computed in
+    # driver integer arithmetic per (query, probed cell): the store is
+    # never decoded (no per-row _recon_col pass), candidates score via
+    # m lookups, and the codebook artifact never enters the plan at
+    # all.  Per-cell codebook OVERRIDES route here exactly as decode
+    # did: the LUT for an overridden cell is built from ITS codebook.
+    subdim = len(codebooks[0][0])
+
+    def _lut_for(qv: list[int], cluster: int) -> list[list[int]]:
+        cb = codebooks
+        if cell_codebooks and cluster in cell_codebooks:
+            cb = cell_codebooks[cluster]
+        cent = coarse_cents[cluster]
+        qres = [int(a) - int(b) for a, b in zip(qv, cent)]
+        return [
+            [
+                sum(
+                    (x - int(y)) ** 2
+                    for x, y in zip(
+                        qres[s * subdim : (s + 1) * subdim], w
+                    )
+                )
+                for w in cbs
+            ]
+            for s, cbs in enumerate(cb)
+        ]
+
+    lutdf = spark.createDataFrame(
         [
-            (int(r["vec_id"]), [int(x) for x in r["q"]], probes_by_q[int(r["vec_id"])])
+            (int(r["vec_id"]), int(c), _lut_for([int(x) for x in r["q"]], int(c)))
             for r in qrows
+            for c in probes_by_q[int(r["vec_id"])]
         ],
-        "query_id long, qq array<bigint>, probes array<int>",
+        "query_id long, cluster int, lut array<array<bigint>>",
     )
-    cand = decoded.join(
-        F.broadcast(qdf),
-        F.array_contains(F.col("probes"), F.col("cluster"))
-        & (F.col("vec_id") != F.col("query_id")),
+    codesrc = idx.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "codes"
     )
-    qf = qdf.select("query_id", "qq")
-    return _ivfadc_adc_rerank(grid, cand, coarse_cents, qf, k, shortlist)
+    # probe routing as a broadcast EQUI join on the cell id (replaces
+    # the r12 BroadcastNestedLoopJoin over array_contains — same
+    # candidate set: the LUT rows ARE the (query, probed-cell) pairs)
+    cand = codesrc.join(F.broadcast(lutdf), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
+    )
+    qf = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["q"]]) for r in qrows],
+        "query_id long, qq array<bigint>",
+    )
+    return _ivfadc_shortlist_rerank(grid, scored, qf, k, shortlist)
 
 
 def ivfadc_topk_frame(
@@ -1620,10 +1710,19 @@ def ivfadc_topk_frame(
     if not (1 <= nprobe <= K):
         raise ValueError(f"ivfadc_topk_frame: nprobe must be in [1, {K}]")
     grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    decoded = ivfadc_decode_snapshot(
+    # corpus pass is encode ONLY (optimization r17): candidates score
+    # via the per-(query, cell) ADC LUT computed on the exploded probe
+    # frame — same integers as decoding the snapshot per row (see
+    # :func:`_ivfadc_lut_col`), but the O(dim) arithmetic runs on
+    # |flagged| x nprobe rows instead of every candidate pair, and the
+    # per-corpus-row _recon_col pass disappears.
+    enc = ivfadc_encode(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )
-    cm = _pinned_scalar(_cmat_view(embeddings.sparkSession, coarse_cents))
+    spark = embeddings.sparkSession
+    cm = _pinned_scalar(_cmat_view(spark, coarse_cents))
+    cbv = _pinned_scalar(_cb_view(spark, codebooks))
+    subdim = len(codebooks[0][0])
     q = grid.join(
         query_ids_frame.select(F.col("vec_id")).distinct(), "vec_id"
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
@@ -1637,29 +1736,30 @@ def ivfadc_topk_frame(
                 _probes_of(F.col("qq"), F.col("_cm"), nprobe)
             ).alias("cell"),
         )
+        .withColumn("_cb", cbv)
         .select(
             "query_id",
             "cell",
-            F.zip_with(
-                F.col("qq"),
-                F.element_at(F.col("_cm"), (F.col("cell") + 1).cast("int")),
-                lambda x, y: x - y,
-            ).alias("qr"),
+            _ivfadc_lut_col(
+                F.col("_cb"),
+                F.zip_with(
+                    F.col("qq"),
+                    F.element_at(
+                        F.col("_cm"), (F.col("cell") + 1).cast("int")
+                    ),
+                    lambda x, y: x - y,
+                ),
+                subdim,
+            ).alias("lut"),
         )
     )
-    cand = decoded.join(qp, decoded["cluster"] == qp["cell"]).filter(
+    cand = enc.join(qp, enc["cluster"] == qp["cell"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qr"), F.col("r"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("adc_sqdist"),
+        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
     )
     sl = _topk_per_query(scored, shortlist, "adc_sqdist", ascending=True)
     cand2 = grid.join(sl.select("query_id", "vec_id"), "vec_id")
@@ -2575,29 +2675,6 @@ def _clear_tombstone_markers(
         fs.delete(f)
     if not fs.list_files(ts_path):
         fs.delete(ts_path)
-
-
-def _cell_codebook_view(
-    spark,
-    n_cells: int,
-    codebooks: list[list[list[int]]],
-    overrides: dict[int, list[list[list[int]]]],
-) -> str:
-    """Pinned per-cell codebook artifact: a K-entry array whose slot c
-    holds cell c's codebooks (the override where one exists, the
-    global books elsewhere) — one scalar-subquery reference decodes
-    every cell under its own quantizer (r13: retrain-on-drift produces
-    PER-CELL codebooks, so the stored-index decode routes by cell)."""
-    value = [
-        [
-            [[int(v) for v in w] for w in book]
-            for book in overrides.get(c, codebooks)
-        ]
-        for c in range(n_cells)
-    ]
-    return _pinned_view(
-        spark, "cb4", value, "array<array<array<array<bigint>>>>"
-    )
 
 
 def _pq_train_grid_cells(
