@@ -470,6 +470,7 @@ def kmeans_exact(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Integer-exact Lloyd's k-means — bit-identical on any engine (r9).
 
@@ -502,8 +503,22 @@ def kmeans_exact(
     k x dim integer centroid matrix reaches the driver per iteration
     (loud cap below).  Output ``(vec_id, cluster, sqdist)`` from the
     final assignment — all integers.
+
+    ``materialize`` (optimization r17, guide §2.4/§5): Lloyd's replays
+    its input once per pass — init scan + ``iters`` assignment passes
+    + the final assignment = ``iters + 2`` corpus scans, each paying
+    the parquet read and the quantize projection again.
+    ``materialize=True`` (default) pins the narrow integer grid
+    ``(vec_id, q)`` once with an eager ``localCheckpoint`` — the
+    standard cache-the-training-set posture, on the compact proxy
+    frame rather than the raw embeddings (guide §8).  Values
+    unchanged (lineage cut only).  Pass ``False`` when the corpus
+    grid exceeds cluster memory — the re-scan form is the
+    spill-free fallback.
     """
     base = _pq_quantized(embeddings, scale, id_col, vec_col)
+    if materialize:
+        base = base.localCheckpoint()
     cents = kmeans_train_grid(base, k=k, iters=iters)
     return _int_assign(base, cents).select("vec_id", "cluster", "sqdist")
 
@@ -623,13 +638,30 @@ def _pq_quantized(
 ) -> DataFrame:
     """(vec_id, q) on the COMMON integer grid round(x * scale) — the
     kmeans_exact quantization, shared so codes/ADC are cross-engine
-    exact."""
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(
-            _as_double(F.col(vec_col)),
-            lambda x: F.round(x * F.lit(float(scale))).cast("long"),
-        ).alias("q"),
+    exact.
+
+    Spread-partitioned (optimization r17, guide §2.5 input skew): every
+    consumer of this frame (kmeans assign, PQ/IVFADC encode, ADC
+    scoring, Hamming fold) runs O(dim × k_sub) INTERPRETED
+    higher-order-function arithmetic per row with no shuffle of its
+    own, so its parallelism equals the scan's partition count — a
+    single-row-group parquet input pins the entire encode to one core
+    while the rest of the machine idles (measured: 3.7 s vs 0.4 s for
+    the sf0.1 encode pass).  The round-robin exchange ships only the
+    narrow (vec_id, q) grid and fires ONLY when the scan is narrower
+    than the session's parallelism — at 100 TB the input has ≫ cores
+    row groups and this is a no-op (the dedup/text families already
+    run this guard; see :func:`..dedup.spread_partitions`)."""
+    from .dedup import spread_partitions
+
+    return spread_partitions(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                _as_double(F.col(vec_col)),
+                lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+            ).alias("q"),
+        )
     )
 
 
@@ -992,14 +1024,38 @@ def _pinned_view(spark, tag: str, value, sql_type: str) -> str:
     re-registration is an idempotent replace, distinct artifacts never
     collide within a session, and regenerated artifacts can never be
     served stale.
+
+    Optimization r17 (guide §1.1 empirical loop): the view body is
+    built as ``range(1).select(lit(value).cast(type))`` — a pure-JVM
+    one-row relation — instead of ``createDataFrame([(value,)])``,
+    whose Python-pickled RDD made EVERY scalar-subquery evaluation
+    spin Python workers to deserialize the artifact.  Spark plans one
+    subquery job per (post-CollapseProject) reference — the sf0.1
+    encode pass ran NINE such jobs sequentially, 0.25-0.6 s each,
+    before the main stage (REST stage table); the JVM literal makes
+    each a single in-process task.  ``lit`` on the nested Python list
+    is ONE ``Literal`` node (Spark >= 3.4), so this does not
+    reintroduce the r12 CreateArray-tree compile cost; the cast to
+    ``sql_type`` keeps the bigint element types and the subquery
+    column's schema byte-identical, so results are unchanged
+    (parity-checked; measured encode med 3.5 s -> 1.9 s interleaved).
+
+    Registration is SKIPPED when the view already exists: names are
+    content-addressed, so an existing view IS the requested artifact,
+    and the ``lit`` conversion of a ~1k-element nested list is pure
+    py4j chatter (it dominated the per-build driver cost when every
+    query construction re-registered).  This memoizes only the
+    side-effect of registering a code-literal plan artifact — never
+    data derived from inputs.
     """
     import hashlib
 
     key = hashlib.md5(repr(value).encode()).hexdigest()[:16]
     view = f"_pinned_{tag}_{key}"
-    spark.createDataFrame([(value,)], f"v {sql_type}").createOrReplaceTempView(
-        view
-    )
+    if not spark.catalog.tableExists(view):
+        spark.range(1).select(
+            F.lit(value).cast(sql_type).alias("v")
+        ).createOrReplaceTempView(view)
     return view
 
 
@@ -2995,7 +3051,17 @@ def ivfadc_distortion_report(
     aggregate (map-side partials, K = number of cells) — the
     CMS/HLL bounded-shuffle posture.  Runs identically over the
     stored index (read codes, decode, join the grid) when the corpus
-    scan is the expensive part."""
+    scan is the expensive part.
+
+    Optimization r17, examined and kept as-is: an alternative that
+    folds the decode + second distance pass into a per-subspace
+    ``array_min`` of plain distances (mathematically identical —
+    ``err = Σ_s min_c ||qr_sub[s] − cb[s][c]||²``) measured SLOWER
+    (interleaved min-of-5 at sf0.1: 3.01 s vs 2.36 s) — the removed
+    work is only ~6% of the row's arithmetic (the m×k_sub×subdim
+    argmin search dominates and is shared by both forms), and the
+    deeper nested-HOF tree interprets worse than the split
+    codes→recon→zip projections."""
     work = _ivfadc_working(
         embeddings, coarse_cents, codebooks, scale, id_col, vec_col
     )

@@ -689,9 +689,12 @@ def test_dsir_selection_banded_not_global(spark):
 
 def test_pq_encode_shuffle_free(spark):
     """pq_encode (r10): the codebooks ride as literals, so encoding is
-    a single-scan, zero-exchange narrow projection — the NB/BM25/DSIR
-    scoring contract (this is the pass that runs over the whole 100 TB
-    corpus at write time)."""
+    a single-scan narrow projection — the NB/BM25/DSIR scoring
+    contract (this is the pass that runs over the whole 100 TB corpus
+    at write time).  r17: the only allowed Exchange is
+    spread_partitions' parallelism-floor round-robin (fires only when
+    the scan is narrower than the session's cores; a no-op at real
+    scale) — no hash exchange, no key shuffle."""
     import re
 
     from bigdata_20251_steam_spark.operators.similarity import pq_encode
@@ -703,7 +706,10 @@ def test_pq_encode_shuffle_free(spark):
     df = pq_encode(load_table(spark, SF_SMOKE, "embeddings"), _PQ_CODEBOOKS)
     plan = _final_plan(df)
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
-    assert "Exchange" not in plan, f"PQ encode shuffles:\n{plan}"
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert all("REPARTITION_BY_NUM" in e for e in exchanges), (
+        f"PQ encode shuffles beyond the parallelism floor:\n{plan}"
+    )
 
 
 def test_pq_search_corpus_never_shuffles(spark):
@@ -969,7 +975,10 @@ def test_hamming_topk_corpus_never_shuffles(spark):
 def test_ivfadc_distortion_report_scan_fused(spark):
     """ivfadc_distortion_report (r12): assign+encode+decode+error must
     fuse into ONE scan projection — no join anywhere, exactly one
-    parquet scan, and the only exchange is the K-key aggregate's."""
+    parquet scan, and the only exchanges are the K-key aggregate's and
+    (r17) spread_partitions' parallelism-floor round-robin (fires only
+    when the scan is narrower than the session's cores; no-op at real
+    scale)."""
     import re
 
     df = QUERIES["ivfadc_distortion_report"].fn(spark, SF_SMOKE)
@@ -977,7 +986,10 @@ def test_ivfadc_distortion_report_scan_fused(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     exchanges = re.findall(r"Exchange [^\n]*", plan)
-    assert all("hashpartitioning(cluster" in e for e in exchanges), plan
+    assert all(
+        "hashpartitioning(cluster" in e or "REPARTITION_BY_NUM" in e
+        for e in exchanges
+    ), plan
 
 
 def test_ann_filtered_search_filter_pushed_to_scan(spark):
