@@ -111,6 +111,11 @@ def cosine_topk(
     # Norms are precomputed per vector (corpus once, queries once in the
     # broadcast) so the per-pair work is a single dot product — computing
     # cosine() per pair would redo both norms |queries| times.
+    # (optimization r17, examined and left alone: spread_partitions here
+    # measured a LOSS — interleaved med 0.94 vs 0.73 s at sf0.1 — the
+    # float dot-product pass is too light for the extra exchange; unlike
+    # the integer-grid family, whose per-row HOF arithmetic is ~10x
+    # heavier and wins from the spread in `_pq_quantized`.)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", _norm(F.col("v")))
