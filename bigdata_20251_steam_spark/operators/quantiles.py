@@ -112,10 +112,16 @@ def with_log_bucket(
             f"{sorted(reserved)}; rename them first (e/sub are the "
             "bucketing outputs)"
         )
+    # the exponent ladder is built as ONE SQL string parsed JVM-side
+    # (exp2_floor_sql — the oracle twin, same descending CASE ladder)
+    # instead of 48 nested F.when() Column ops: the Column form costs
+    # ~150 py4j round-trips per call site on the driver (optimization
+    # r17, guide §4 — construction cost, data-size independent; values
+    # bit-identical, pinned by test_exp2_floor_sql_twin_parity)
     step = (
         df.filter(cents_col.isNotNull())
         .withColumn("c", cents_col.cast("long"))
-        .withColumn("_e0", exp2_floor(F.col("c")))
+        .withColumn("_e0", F.expr(exp2_floor_sql("c")))
         .withColumn("_lo", F.call_function("shiftleft", F.lit(1).cast("long"), F.col("_e0")))
     )
     return (

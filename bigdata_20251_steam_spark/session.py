@@ -48,6 +48,19 @@ _DEFAULTS = {
     "spark.driver.maxResultSize": "4g",
     # --- python interop ----------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging instrumentation wraps every
+    # decorated DataFrame/Column API call with a Python call-site
+    # capture plus THREE py4j round-trips (conf.get +
+    # PySparkCurrentOrigin.set/clear) purely to enrich error messages
+    # with the Python line number.  That is per-EXPRESSION driver
+    # overhead on every query construction — measured ~25-40% of the
+    # construct cost of the expression-heavy queries (optimization
+    # r17, guide §4 "eliminate the JVM<->Python boundary"; interleaved
+    # A/B in OPTIMIZATION_r17.md).  Scale-independent: construction
+    # happens on the driver regardless of data size.  Errors still
+    # carry the full JVM context; only the Python-side line decoration
+    # is dropped.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # parquet scans: vectorized reader + pushdown are on by default in
     # Spark 4 but we pin them so a misconfigured base image can't
     # silently disable them.

@@ -31,6 +31,24 @@ def test_exp2_floor_ladder(spark):
         assert got[v] == int(math.floor(math.log2(v))), v
 
 
+def test_exp2_floor_sql_twin_parity(spark):
+    """The SQL CASE ladder (exp2_floor_sql — what with_log_bucket now
+    parses JVM-side, optimization r17) is bit-identical to the Column
+    when-ladder across every octave edge, zero, and negatives (both
+    forms fall through to the ELSE 0 arm below 2; with_log_bucket's
+    c <= 0 guard owns those)."""
+    vals = [0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 255, 256, 257]
+    vals += [2**20 - 1, 2**20, 2**20 + 1, 2**47, 2**48 - 1, -1, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    rows = df.select(
+        "c",
+        qa.exp2_floor(F.col("c")).alias("e_col"),
+        F.expr(qa.exp2_floor_sql("c")).alias("e_sql"),
+    ).collect()
+    for r in rows:
+        assert r["e_col"] == r["e_sql"], r["c"]
+
+
 def test_log_bucket_zero_and_sub_ranges(spark):
     """c=0 maps to (-1, 0); sub splits each octave into m integer
     sub-ranges with the DIV floor convention."""
