@@ -267,7 +267,7 @@ def ivf_topk(
         F.col("vn").alias("qn"),
         probes.alias("probes"),
     )
-    cand = assigned.join(
+    cand = _nn_join_cluster(assigned).join(
         F.broadcast(q),
         F.array_contains(F.col("probes"), F.col("cluster"))
         & (F.col("vec_id") != F.col("query_id")),
@@ -1220,6 +1220,33 @@ def _lut_adc_col(lut: Column, codes: Column) -> Column:
     )
 
 
+def _nn_join_cluster(df: DataFrame) -> DataFrame:
+    """Make a DERIVED ``cluster`` column non-nullable before it joins:
+    ``coalesce(cluster, -1)`` (optimization r17, guide §4.4 "stop the
+    optimizer duplicating expensive work").
+
+    A join keyed on (or filtered by ``array_contains`` against)
+    ``cluster`` makes Catalyst infer ``IsNotNull(cluster)``; because a
+    derived ``cluster`` is a PROJECTED argmin over the centroid
+    literals rather than a stored column, the inferred predicate
+    substitutes the ENTIRE coarse-assignment expression and pushes it
+    below the parallelism-floor repartition — re-running the most
+    expensive arithmetic in the query per corpus row INSIDE the
+    single-row-group scan stage (one task), then computing it again
+    post-exchange.  Measured on ``ivfadc_search`` at sf0.1: the pushed
+    filter alone was a 2.0 s single-task WholeStageCodegen (the whole
+    query's wall was ~4 s).  ``coalesce`` with a non-null literal makes
+    the key non-nullable, so the inferred ``IsNotNull`` constant-folds
+    to ``true`` and nothing is pushed or duplicated.  Join semantics
+    are IDENTICAL: a null cluster never equi-matches and is never in a
+    probe list, and ``-1`` is not a valid cell id.  Rows that survive
+    the join always carried a real (>= 0) cell, so downstream
+    ``element_at(_cm, cluster + 1)`` reads are untouched."""
+    return df.withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.lit(-1))
+    )
+
+
 def _ivf_residuals(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Assign each grid vector to its nearest coarse cell and subtract
     that centroid: ``(vec_id, cluster, q)`` with ``q`` the integer
@@ -1512,7 +1539,7 @@ def ivfadc_search(
     # cluster) set) — replaces the BroadcastNestedLoopJoin, so every
     # corpus row hash-probes one bounded table instead of evaluating
     # the routing predicate against every query row
-    cand = enc.join(F.broadcast(qlut), "cluster").filter(
+    cand = _nn_join_cluster(enc).join(F.broadcast(qlut), "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
@@ -1814,7 +1841,8 @@ def ivfadc_topk_frame(
             ).alias("lut"),
         )
     )
-    cand = enc.join(qp, enc["cluster"] == qp["cell"]).filter(
+    encj = _nn_join_cluster(enc)
+    cand = encj.join(qp, encj["cluster"] == qp["cell"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.select(
@@ -2389,7 +2417,7 @@ def ivfadc_nprobe_sweep(
             F.slice(F.col("cells"), 1, F.col("nprobe")).alias("probes"),
         )
     )
-    cand = decoded.join(
+    cand = _nn_join_cluster(decoded).join(
         F.broadcast(qt),
         F.array_contains(F.col("probes"), F.col("cluster"))
         & (F.col("vec_id") != F.col("query_id")),

@@ -891,6 +891,34 @@ def test_ivfadc_topk_frame_equi_only(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_derived_cluster_join_no_inferred_heavy_filter(spark):
+    """Optimization r17 (section 11): a join keyed on a DERIVED
+    ``cluster`` column makes Catalyst infer ``IsNotNull(cluster)``
+    and push the substituted coarse-assignment expression below the
+    parallelism-floor repartition — re-running the heaviest per-row
+    arithmetic serially in the scan stage AND again post-exchange.
+    ``_nn_join_cluster`` (coalesce to -1) makes the key non-nullable
+    so the inferred predicate constant-folds away.  Pin the shape: on
+    the CORPUS side (any Filter without the query frame's bounded
+    ``vec_id IN (...)`` pushdown), no Filter may contain the
+    assignment chain (an ``array_min(transform`` /
+    ``array_sort(transform`` over the centroid subquery).  The
+    query-frame scan keeps its chain legally: its ``IN`` conjunct
+    evaluates first, so the arithmetic touches |queries| rows."""
+    for name in ("ivfadc_search", "ivfadc_nprobe_sweep",
+                 "ivf_recall_vs_exact"):
+        plan = _final_plan(QUERIES[name].fn(spark, SF_SMOKE))
+        for line in plan.splitlines():
+            if "Filter" not in line or " IN (" in line:
+                continue
+            assert "array_min(transform" not in line and (
+                "array_sort(transform" not in line
+            ), (
+                f"{name}: heavy assignment re-evaluated inside a "
+                f"corpus-side Filter:\n{line[:300]}"
+            )
+
+
 def test_edit_verify_levenshtein_exchange_pinned(spark):
     """dedup_edit_verify (r12 pin for the r11 snapshot fix,
     operators/dedup.py): the Levenshtein pass costs O(max_chars^2) CPU
