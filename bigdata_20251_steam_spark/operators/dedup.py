@@ -727,9 +727,25 @@ def connected_components(
         for node in parent:
             root = find(node)
             comp_min[root] = min(comp_min.get(root, node), node)
-        out = [(node, comp_min[find(node)]) for node in parent]
+        # Return through the ARROW createDataFrame path (pandas input),
+        # not a Python tuple list (optimization r17, guide §4): the
+        # pickled-list relation re-launches 32 Python workers on EVERY
+        # downstream action just to deserialize rows (measured ~7 s of
+        # task time per evaluation at 60k labels; the Arrow relation
+        # evaluates JVM-side).  Values and schema are identical.
+        import pandas as pd
+
+        nodes = list(parent)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(nodes, dtype="int64"),
+                "component_id": pd.array(
+                    [comp_min[find(n)] for n in nodes], dtype="int64"
+                ),
+            }
+        )
         return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, component_id long"
+            pdf, "doc_id long, component_id long"
         )
 
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
