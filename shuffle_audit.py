@@ -57,7 +57,35 @@ GROWTH_ABS_BYTES = 256 * 1024
 
 #: query -> reason for an ACCEPTED shuffle growth this round (cleared
 #: each round once the baseline artifact absorbs the new volume).
-SHUFFLE_WHITELIST: dict[str, str] = {}
+#:
+#: r17 optimization round: the similarity family's shared integer grid
+#: (`_pq_quantized`) now routes through the parallelism-floor
+#: REPARTITION_BY_NUM (`spread_partitions`, OPTIMIZATION_r17.md §4) —
+#: every sf0.1 input table is ONE parquet row-group, so the O(dim ×
+#: k_sub) INTERPRETED higher-order-function encode previously ran on 1
+#: core of 32.  The repartition ships the narrow (vec_id, q) grid once
+#: (~0.5-0.8 MB at sf0.1 per query below) to buy 32x parallelism on
+#: the dominant arithmetic: measured med 5.50 -> 3.69 s for
+#: ivfadc_search with the spread alone (§4/§8 A/B), and the guard
+#: condition (`input partitions < defaultParallelism`) makes the
+#: exchange a NO-OP at 100 TB where scans already have >= cores
+#: splits.  Plan-pinned in test_pq_encode_shuffle_free /
+#: test_ivfadc_distortion_report_scan_fused (the only allowed
+#: non-aggregate exchange is this REPARTITION_BY_NUM).
+_SPREAD_REASON = (
+    "r17 §4 parallelism-floor REPARTITION_BY_NUM of the shared "
+    "_pq_quantized grid: +grid bytes once, 32x parallel interpreted "
+    "encode; no-op at scale (guarded on partitions < cores); "
+    "plan-pinned in test_pq_encode_shuffle_free"
+)
+SHUFFLE_WHITELIST: dict[str, str] = {
+    "ivfadc_search": _SPREAD_REASON,
+    "ivfadc_pruned_search": _SPREAD_REASON,
+    "ann_filtered_search": _SPREAD_REASON,
+    "hamming_topk": _SPREAD_REASON,
+    "kmeans_clusters": _SPREAD_REASON,
+    "ivfadc_distortion_report": _SPREAD_REASON,
+}
 
 
 def diff_vs_previous(
