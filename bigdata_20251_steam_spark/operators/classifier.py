@@ -126,9 +126,11 @@ def nb_score_column(
     one map lookup, summed by a left-to-right array ``aggregate`` in
     exact integer arithmetic.
     """
+    # one Literal node per array (not one py4j call per element) — same
+    # values/types, ~2·n_buckets fewer driver round-trips per construct
     wmap = F.map_from_arrays(
-        F.array(*[F.lit(b) for b, _ in weights]),
-        F.array(*[F.lit(w).cast("long") for _, w in weights]),
+        F.lit([b for b, _ in weights]).cast("array<int>"),
+        F.lit([w for _, w in weights]).cast("array<long>"),
     )
     words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), F.lit(0))
     n_words = F.coalesce(F.size(words), F.lit(0))
@@ -221,9 +223,9 @@ def _lr_z_column(
     """z in micro-nats under a fixed weights table — the NB scoring
     shape (map literal + integer array aggregate, zero-shuffle)."""
     wmap = F.map_from_arrays(
-        F.array(*[F.lit(b) for b in range(n_buckets)]),
-        F.array(
-            *[F.lit(weights.get(b, 0)).cast("long") for b in range(n_buckets)]
+        F.lit(list(range(n_buckets))).cast("array<int>"),
+        F.lit([weights.get(b, 0) for b in range(n_buckets)]).cast(
+            "array<long>"
         ),
     )
     words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), F.lit(0))
@@ -243,7 +245,10 @@ def _sigmoid_lookup(z_micro: Column, table: list[int]) -> Column:
     c = F.lit(SIGMOID_CLAMP_MICRO)
     zc = F.greatest(-c, F.least(c, z_micro))
     idx = F.floor((zc + c) / F.lit(SIGMOID_STEP_MICRO)).cast("int")
-    arr = F.array(*[F.lit(v).cast("long") for v in table])
+    # single Literal node: the 1025-entry table as ONE lit, not 1025
+    # py4j calls (this column is built per training iteration AND per
+    # scoring pass — the per-element form dominated construct time)
+    arr = F.lit(list(table)).cast("array<long>")
     return F.element_at(arr, idx + 1)
 
 
@@ -284,9 +289,11 @@ def train_logreg(
     quality needs thousands of docs per bucket, not the corpus.
 
     Eager-job contract (documented like the kmeans seeds / hot-group
-    counts): this function runs ``2·iters`` Spark jobs at call time —
-    training IS execution.  The lazy path is :func:`logreg_scores`
-    under precomputed/pinned weights.
+    counts): this function runs ``iters`` Spark jobs at call time —
+    training IS execution (one job per iteration: the gradient buckets
+    and the bias/count ride the same aggregate via a sentinel bucket).
+    The lazy path is :func:`logreg_scores` under precomputed/pinned
+    weights.
     """
     if not 1 <= n_buckets <= MAX_BUCKETS:
         raise ValueError(
@@ -313,17 +320,29 @@ def train_logreg(
         words = F.regexp_extract_all(
             F.lower(F.col("_t")), F.lit("[a-z]+"), F.lit(0)
         )
-        grad_rows = (
-            scored.select(F.col("_e"), F.explode(words).alias("_w"))
-            .select("_e", F.pmod(md5_long(F.col("_w")), F.lit(n_buckets)).alias("_b"))
+        # ONE job per iteration (r17 opt; was two): each word occurrence
+        # emits its gradient bucket, and every doc additionally emits
+        # sentinel bucket -1 carrying the bias gradient and the doc
+        # count — pmod buckets are >= 0, so -1 never collides.  Same
+        # integer sums over the same rows (order-free long arithmetic),
+        # but the corpus scan + the z/sigmoid per-row arithmetic — the
+        # expensive term — now runs once per iteration, not twice.
+        buckets = F.transform(
+            words, lambda w: F.pmod(md5_long(w), F.lit(n_buckets))
+        )
+        rows = (
+            scored.select(
+                F.col("_e"),
+                F.explode(
+                    F.concat(buckets, F.array(F.lit(-1).cast("long")))
+                ).alias("_b"),
+            )
             .groupBy("_b")
-            .agg(F.sum("_e").alias("_g"))
+            .agg(F.sum("_e").alias("_g"), F.count(F.lit(1)).alias("_c"))
             .collect()
         )
-        bias_n = scored.agg(
-            F.sum("_e").alias("_g0"), F.count(F.lit(1)).alias("_n")
-        ).collect()[0]
-        n = int(bias_n["_n"])
+        sent = next((r for r in rows if int(r["_b"]) == -1), None)
+        n = int(sent["_c"]) if sent is not None else 0
         if n == 0:
             raise ValueError("train_logreg: no labeled non-null docs")
         den = lr_den * n
@@ -333,11 +352,13 @@ def train_logreg(
             q = abs(a) // b
             return q if a >= 0 else -q
 
-        for r in grad_rows:
-            g = int(r["_g"])
+        for r in rows:
             b = int(r["_b"])
+            if b < 0:
+                continue
+            g = int(r["_g"])
             weights[b] = weights.get(b, 0) - _trunc_div(lr_num * g, den)
-        g0 = int(bias_n["_g0"])
+        g0 = int(sent["_g"])
         bias = bias - _trunc_div(lr_num * g0, den)
     return weights, bias
 

@@ -136,7 +136,8 @@ def cosine_topk(
 
 
 def _sqdist_to(vec: Column, center: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in center])
+    # one Literal node per centroid, not one py4j call per component
+    c = F.lit([float(x) for x in center]).cast("array<double>")
     return F.aggregate(
         F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -530,7 +531,7 @@ def kmeans_exact(
 
 def _int_sqdist(qcol: Column, c: list[int]) -> Column:
     """Integer squared L2 between a grid vector column and a literal."""
-    arr = F.array(*[F.lit(v).cast("long") for v in c])
+    arr = F.lit([int(v) for v in c]).cast("array<long>")
     return F.aggregate(
         F.zip_with(qcol, arr, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -679,7 +680,7 @@ def _pq_sub_assign(codebook: list[list[int]], sub: Column) -> Column:
                 F.aggregate(
                     F.zip_with(
                         sub,
-                        F.array(*[F.lit(v).cast("long") for v in c]),
+                        F.lit([int(v) for v in c]).cast("array<long>"),
                         lambda x, y: (x - y) * (x - y),
                     ),
                     F.lit(0).cast("long"),
@@ -994,8 +995,10 @@ def hard_negative_topk(
 
 def _centroid_matrix(cents: list[list[int]]) -> Column:
     """Literal k x dim integer centroid matrix (array<array<long>>)."""
-    return F.array(
-        *[F.array(*[F.lit(v).cast("long") for v in c]) for c in cents]
+    # ONE Literal node (Spark >= 3.4 folds a nested Python list in a
+    # single lit), not k*dim py4j calls — the _pinned_view precedent
+    return F.lit([[int(v) for v in c] for c in cents]).cast(
+        "array<array<long>>"
     )
 
 
@@ -1323,12 +1326,9 @@ def _ivfadc_recon(codebooks: list[list[list[int]]], codes: Column) -> Column:
         F.array(
             *[
                 F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(v).cast("long") for v in c])
-                            for c in codebooks[s]
-                        ]
-                    ),
+                    F.lit(
+                        [[int(v) for v in c] for c in codebooks[s]]
+                    ).cast("array<array<long>>"),
                     (codes.getItem(s) + 1).cast("int"),
                 )
                 for s in range(m)

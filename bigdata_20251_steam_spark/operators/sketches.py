@@ -274,11 +274,12 @@ def cms_estimate(
     (``depth`` broadcast joins on ``(d, col)``).
     """
     rows = sketch_df.collect()
+    # one Literal node per array, not one py4j call per counter
     counters = F.map_from_arrays(
-        F.array(
-            *[F.lit(r["d"] * width + r["col"]).cast("long") for r in rows]
+        F.lit([int(r["d"]) * width + int(r["col"]) for r in rows]).cast(
+            "array<long>"
         ),
-        F.array(*[F.lit(r["cnt"]).cast("long") for r in rows]),
+        F.lit([int(r["cnt"]) for r in rows]).cast("array<long>"),
     ) if rows else None
     ests = []
     for d in range(depth):
@@ -345,9 +346,10 @@ def bloom_might_contain(
                 F.when(F.col(value_col).isNull(), F.lit(None).cast("boolean"))
                 .otherwise(F.lit(False)),
             )
+        # one Literal node per array, not one py4j call per filter word
         words = F.map_from_arrays(
-            F.array(*[F.lit(r["word_idx"]).cast("long") for r in rows]),
-            F.array(*[F.lit(r["bits"]).cast("long") for r in rows]),
+            F.lit([int(r["word_idx"]) for r in rows]).cast("array<long>"),
+            F.lit([int(r["bits"]) for r in rows]).cast("array<long>"),
         )
         present = None
         for p in positions:

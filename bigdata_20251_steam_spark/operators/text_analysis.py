@@ -549,6 +549,13 @@ def cross_split_contamination(
         )
         .select(F.col(id_col), "split", md5_long(F.col("g")).alias("h"))
     )
+    # pin the gram fingerprints once (guide §2.4/§8: decide on hashes,
+    # not payloads): the train set, the contamination join's test side
+    # and the per-doc totals are THREE references to this frame, and
+    # Spark plans each independently — without the checkpoint the corpus
+    # text was shingled+hashed three times per call.  The pinned frame
+    # is the narrow (id, split, 8-byte hash) proxy; values unchanged.
+    grams = grams.localCheckpoint()
     train = grams.filter(F.col("split") == "train").select("h").distinct()
     test = grams.filter(F.col("split") == "test").select(id_col, "h")
     hits = (
@@ -624,6 +631,14 @@ def unigram_lm_scores(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # pin the word-count table once: the total and the top-V collect are
+    # two references to the same aggregate, and Spark plans each
+    # independently — without the checkpoint the corpus was tokenized
+    # TWICE per training call (guide §2.4; values unchanged, the
+    # checkpoint only cuts lineage).  The pinned frame is vocabulary-
+    # bounded (Heaps-law sub-linear), the same boundedness the two
+    # collects already relied on.
+    counts = counts.localCheckpoint()
     n_total = counts.agg(F.sum("c")).collect()[0][0]
     if not n_total:
         raise ValueError("unigram_lm_scores: corpus has no tokens")
@@ -1498,6 +1513,9 @@ def train_bigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # pin once — the total and the top-V collect would otherwise each
+    # re-run the corpus tokenize+count (see unigram_lm_scores)
+    counts = counts.localCheckpoint()
     n_total = counts.agg(F.sum("c")).collect()[0][0]
     if not n_total:
         raise ValueError("train_bigram_lm: corpus has no tokens")
