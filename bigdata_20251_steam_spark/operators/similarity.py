@@ -135,6 +135,20 @@ def cosine_topk(
     return _topk_per_query(scored, k)
 
 
+def _flt_arr_sql(c: list[float]) -> str:
+    """SQL literal text of a double array (``repr`` round-trips floats
+    exactly; the ``D`` suffix parses each as a DOUBLE literal)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+
+def _sqdist_to_sql(vec: str, center: list[float]) -> str:
+    """SQL twin of :func:`_sqdist_to` (optimization r18, guide §4)."""
+    return (
+        f"aggregate(zip_with({vec}, {_flt_arr_sql(center)}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _sqdist_to(vec: Column, center: list[float]) -> Column:
     # one Literal node per centroid, not one py4j call per component
     c = F.lit([float(x) for x in center]).cast("array<double>")
@@ -150,10 +164,18 @@ def _assign_clusters(base: DataFrame, centroids: list[list[float]]) -> DataFrame
 
     argmin via ``array_position(d, array_min(d))`` — first occurrence wins,
     so ties break deterministically toward the lower cluster id.
+    (SQL-string form, optimization r18: one JVM parse per assignment
+    instead of ``k x 2`` py4j lambda builds per Lloyd reference.)
     """
-    dists = F.array(*[_sqdist_to(F.col("v"), c) for c in centroids])
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return base.withColumn("cluster", cluster)
+    dists = "array(" + ",".join(
+        _sqdist_to_sql("v", c) for c in centroids
+    ) + ")"
+    return base.withColumn(
+        "cluster",
+        F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        ),
+    )
 
 
 def ivf_index(
@@ -253,14 +275,13 @@ def ivf_topk(
         train_fraction=train_fraction,
     )
     assigned = assigned.withColumn("vn", _norm(F.col("v")))
-    dist_structs = F.array(
-        *[
-            F.struct(_sqdist_to(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
-            for j, c in enumerate(cents)
-        ]
-    )
-    probes = F.slice(
-        F.transform(F.array_sort(dist_structs), lambda s: s["j"]), 1, nprobe
+    dist_structs = "array(" + ",".join(
+        f"named_struct('d', {_sqdist_to_sql('v', c)}, 'j', {j})"
+        for j, c in enumerate(cents)
+    ) + ")"
+    probes = F.expr(
+        f"slice(transform(array_sort({dist_structs}), s -> s.j), "
+        f"1, {int(nprobe)})"
     )
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -529,6 +550,11 @@ def kmeans_exact(
     return _int_assign(base, cents).select("vec_id", "cluster", "sqdist")
 
 
+def _int_arr_sql(c: list[int]) -> str:
+    """SQL literal text of an integer array (bigint elements)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+
+
 def _int_sqdist(qcol: Column, c: list[int]) -> Column:
     """Integer squared L2 between a grid vector column and a literal."""
     arr = F.lit([int(v) for v in c]).cast("array<long>")
@@ -539,16 +565,24 @@ def _int_sqdist(qcol: Column, c: list[int]) -> Column:
     )
 
 
+def _int_assign_sql(q: str, cents: list[list[int]]) -> str:
+    """SQL twin of :func:`_int_assign`'s argmin struct (optimization
+    r18, guide §4): one JVM parse instead of ``k x 2`` py4j lambda
+    builds per assignment expression.  The centroid literals render as
+    SQL ``array(...L)`` text — CreateArray of long literals, which
+    ConstantFolding collapses to the exact Literal the ``F.lit`` form
+    built.  Same struct-min tie rule (lowest cluster index)."""
+    pairs = ",".join(
+        f"named_struct('d', {_sq_sql(q, _int_arr_sql(c))}, 'c', {i})"
+        for i, c in enumerate(cents)
+    )
+    return f"array_min(array({pairs}))"
+
+
 def _int_assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Add integer argmin ``cluster`` + ``sqdist`` columns over literal
     centroids (ties to the lowest cluster index — struct min)."""
-    pairs = F.array(
-        *[
-            F.struct(_int_sqdist(F.col("q"), c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    best = F.array_min(pairs)
+    best = F.expr(_int_assign_sql("q", cents))
     return df.withColumn("cluster", best["c"]).withColumn("sqdist", best["d"])
 
 
@@ -660,15 +694,29 @@ def _pq_quantized(
     run this guard; see :func:`..dedup.spread_partitions`)."""
     from .dedup import spread_partitions
 
+    # one-F.expr quantize projection (optimization r18, guide §4): the
+    # lambda form cost several py4j round-trips per construct; the SQL
+    # string parses JVM-side in one and analyzes to the same operators
     return spread_partitions(
         embeddings.select(
             F.col(id_col).alias("vec_id"),
-            F.transform(
-                _as_double(F.col(vec_col)),
-                lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+            F.expr(
+                f"transform(CAST(`{vec_col}` AS ARRAY<DOUBLE>), "
+                f"x -> CAST(round(x * CAST({float(scale)} AS DOUBLE)) "
+                f"AS BIGINT))"
             ).alias("q"),
         )
     )
+
+
+def _pq_sub_assign_sql(codebook: list[list[int]], sub: str) -> str:
+    """SQL twin of :func:`_pq_sub_assign` (optimization r18, guide §4) —
+    same struct-min argmin, one JVM parse; parity pinned in tests."""
+    pairs = ",".join(
+        f"named_struct('d', {_sq_sql(sub, _int_arr_sql(c))}, 'c', {i})"
+        for i, c in enumerate(codebook)
+    )
+    return f"array_min(array({pairs})).c"
 
 
 def _pq_sub_assign(codebook: list[list[int]], sub: Column) -> Column:
@@ -756,19 +804,19 @@ def _pq_train_grid(
         for s in range(m)
     ]
     for _ in range(iters):
-        per_sub = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    _pq_sub_assign(
-                        books[s],
-                        F.slice(F.col("q"), s * subdim + 1, subdim),
-                    ).alias("c"),
-                    F.slice(F.col("q"), s * subdim + 1, subdim).alias("sq"),
-                )
-                for s in range(m)
-            ]
+        # one-F.expr assignment array (r18, guide §4): the Column form
+        # built m x k_sub literal lists + 2 lambdas each per iteration
+        entries = ",".join(
+            "named_struct('s', {s}, 'c', {c}, 'sq', {sq})".format(
+                s=s,
+                c=_pq_sub_assign_sql(
+                    books[s], f"slice(q, {s * subdim + 1}, {subdim})"
+                ),
+                sq=f"slice(q, {s * subdim + 1}, {subdim})",
+            )
+            for s in range(m)
         )
+        per_sub = F.expr(f"array({entries})")
         rows = (
             base.select(F.explode(per_sub).alias("e"))
             .select("e.s", "e.c", F.posexplode("e.sq").alias("pos", "x"))
@@ -808,7 +856,7 @@ def pq_encode(
         "_cb", cbv
     )
     return base.select(
-        "vec_id", _codes_col(F.col("_cb"), F.col("q"), subdim).alias("codes")
+        "vec_id", F.expr(_codes_sql("_cb", "q", subdim)).alias("codes")
     )
 
 
@@ -841,7 +889,7 @@ def pq_topk(
     coded = pq_encode(embeddings, codebooks, scale, id_col, vec_col)
     decoded = coded.withColumn(
         "_cb", _pinned_scalar(_cb_view(embeddings.sparkSession, codebooks))
-    ).select("vec_id", _recon_col(F.col("_cb"), F.col("codes")).alias("r"))
+    ).select("vec_id", F.expr(_recon_sql("_cb", "codes")).alias("r"))
     q = _pq_quantized(embeddings, scale, id_col, vec_col).filter(
         F.col("vec_id").isin(query_ids)
     ).select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
@@ -849,13 +897,7 @@ def pq_topk(
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qq"), F.col("r"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("adc_sqdist"),
+        F.expr(_sq_sql("qq", "r")).alias("adc_sqdist"),
     )
     out = _topk_per_query(scored, k, order_col="adc_sqdist", ascending=True)
     return out.select("query_id", "vec_id", "adc_sqdist", "rank")
@@ -914,13 +956,7 @@ def pq_search(
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     out = _topk_per_query(scored, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "sqdist", "rank")
@@ -1099,6 +1135,95 @@ def _sqdist_cols(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins of the HOF builders (optimization r18, guide §4/§7.3).
+#
+# Each Python lambda handed to F.transform/F.zip_with/F.aggregate is
+# converted driver-side via ``_create_lambda`` — several py4j round-trips
+# per lambda — and the ivfadc-family query builders stack dozens of them,
+# which measured as the dominant residual construct cost after r17
+# (~0.5 s per ivfadc query).  The same higher-order expressions written
+# as ONE SQL string parse JVM-side in a single round-trip and analyze to
+# the IDENTICAL Catalyst operators (same functions, same casts, same tie
+# rules), so results are bit-identical and plans differ only in lambda
+# variable names.  The Column forms above/below are kept as parity twins
+# (pinned by tests/test_extensions_unit.py::test_sql_twin_builders_parity).
+#
+# Composition hygiene: every twin's internal lambda variables are chosen
+# so nesting one twin inside another never shadows a variable the inner
+# expression references (inner sqdist uses x/y/acc; enclosing transforms
+# use c/i/j/s/w/ci/cbs/code).
+# ---------------------------------------------------------------------------
+
+
+def _sq_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`_sqdist_cols` over two array SQL expressions."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_cell_sql(q: str, cm: str) -> str:
+    """SQL twin of :func:`_argmin_cell` (struct min, ties to lowest cell)."""
+    return (
+        f"array_min(transform({cm}, (c, i) -> "
+        f"named_struct('d', {_sq_sql(q, 'c')}, 'c', i)))"
+    )
+
+
+def _probes_sql(q: str, cm: str, nprobe: int) -> str:
+    """SQL twin of :func:`_probes_of` (deterministic (d, j) argsort)."""
+    return (
+        f"slice(transform(array_sort(transform({cm}, (c, j) -> "
+        f"named_struct('d', {_sq_sql(q, 'c')}, 'j', j))), s -> s.j), "
+        f"1, {int(nprobe)})"
+    )
+
+
+def _residual_sql(q: str, cm: str, cell: str) -> str:
+    """SQL form of the coarse-residual ``q - centroid[cell]`` zip_with."""
+    return (
+        f"zip_with({q}, element_at({cm}, CAST({cell} + 1 AS INT)), "
+        f"(x, y) -> x - y)"
+    )
+
+
+def _recon_sql(cb: str, codes: str) -> str:
+    """SQL twin of :func:`_recon_col`."""
+    return (
+        f"flatten(transform({codes}, (code, s) -> "
+        f"element_at(element_at({cb}, s + 1), CAST(code + 1 AS INT))))"
+    )
+
+
+def _codes_sql(cb: str, q: str, subdim: int) -> str:
+    """SQL twin of :func:`_codes_col` (per-subspace argmin codes)."""
+    sub = f"slice({q}, s * {int(subdim)} + 1, {int(subdim)})"
+    return (
+        f"transform({cb}, (cbs, s) -> array_min(transform(cbs, (w, ci) -> "
+        f"named_struct('d', {_sq_sql(sub, 'w')}, 'c', ci))).c)"
+    )
+
+
+def _lut_sql(cb: str, qres: str, subdim: int) -> str:
+    """SQL twin of :func:`_ivfadc_lut_col` (per-(query, cell) ADC LUT)."""
+    sub = f"slice({qres}, s * {int(subdim)} + 1, {int(subdim)})"
+    return (
+        f"transform({cb}, (cbs, s) -> transform(cbs, w -> "
+        f"{_sq_sql(sub, 'w')}))"
+    )
+
+
+def _lut_adc_sql(lut: str, codes: str) -> str:
+    """SQL twin of :func:`_lut_adc_col` (``Σ_s lut[s][codes[s]]``)."""
+    return (
+        f"aggregate(transform({codes}, (code, s) -> "
+        f"element_at(element_at({lut}, CAST(s + 1 AS INT)), "
+        f"CAST(code + 1 AS INT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def _argmin_cell(qcol: Column, cmat: Column) -> Column:
     """Integer argmin ``struct(d, c)`` of ``qcol`` over the centroid
     MATRIX COLUMN — ties to the lowest index via struct min, the exact
@@ -1258,13 +1383,15 @@ def _ivf_residuals(grid: DataFrame, cents: list[list[int]]) -> DataFrame:
     already removed the cell mean).  Zero-shuffle scan-fused: argmin +
     element_at + zip_with over literals."""
     assigned = _int_assign(grid, cents)
-    cent = F.element_at(
-        _centroid_matrix(cents), (F.col("cluster") + 1).cast("int")
+    cmat = (
+        "CAST(array("
+        + ",".join(_int_arr_sql(c) for c in cents)
+        + ") AS ARRAY<ARRAY<BIGINT>>)"
     )
     return assigned.select(
         "vec_id",
         "cluster",
-        F.zip_with(F.col("q"), cent, lambda x, y: x - y).alias("q"),
+        F.expr(_residual_sql("q", cmat, "cluster")).alias("q"),
     )
 
 
@@ -1278,16 +1405,11 @@ def _ivf_residuals_hoisted(grid: DataFrame, cents: list[list[int]]) -> DataFrame
     queries' oracles)."""
     cm = _pinned_scalar(_cmat_view(grid.sparkSession, cents))
     g = grid.withColumn("_cm", cm)
-    best = _argmin_cell(F.col("q"), F.col("_cm"))
-    g = g.withColumn("cluster", best["c"])
+    g = g.withColumn("cluster", F.expr(_argmin_cell_sql("q", "_cm") + ".c"))
     return g.select(
         "vec_id",
         "cluster",
-        F.zip_with(
-            F.col("q"),
-            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
-            lambda x, y: x - y,
-        ).alias("q"),
+        F.expr(_residual_sql("q", "_cm", "cluster")).alias("q"),
     )
 
 
@@ -1382,20 +1504,18 @@ def _ivfadc_working(
         .withColumn("_cm", cm)
         .withColumn("_cb", cbv)
     )
-    best = _argmin_cell(F.col("q"), F.col("_cm"))
-    res = grid.withColumn("cluster", best["c"]).withColumn(
-        "qr",
-        F.zip_with(
-            F.col("q"),
-            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
-            lambda x, y: x - y,
-        ),
+    # SQL-string twins of the HOF builders (r18) — same Catalyst
+    # operators, one JVM parse instead of dozens of py4j lambda builds
+    res = grid.withColumn(
+        "cluster", F.expr(_argmin_cell_sql("q", "_cm") + ".c")
+    ).withColumn(
+        "qr", F.expr(_residual_sql("q", "_cm", "cluster"))
     )
     return res.select(
         "vec_id",
         "cluster",
         "qr",
-        _codes_col(F.col("_cb"), F.col("qr"), subdim).alias("codes"),
+        F.expr(_codes_sql("_cb", "qr", subdim)).alias("codes"),
         "_cb",
     )
 
@@ -1419,7 +1539,7 @@ def ivfadc_decode_snapshot(
     return coded.select(
         "vec_id",
         "cluster",
-        _recon_col(F.col("_cb"), F.col("codes")).alias("r"),
+        F.expr(_recon_sql("_cb", "codes")).alias("r"),
     )
 
 
@@ -1502,7 +1622,7 @@ def ivfadc_search(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            _probes_of(F.col("q"), F.col("_cm"), nprobe).alias("probes"),
+            F.expr(_probes_sql("q", "_cm", nprobe)).alias("probes"),
         )
     )
     subdim = len(codebooks[0][0])
@@ -1519,19 +1639,12 @@ def ivfadc_search(
         .withColumn("_cm", cm)
         .withColumn("_cb", cbv)
         .withColumn(
-            "_qres",
-            F.zip_with(
-                F.col("qq"),
-                F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
-                lambda x, y: x - y,
-            ),
+            "_qres", F.expr(_residual_sql("qq", "_cm", "cluster"))
         )
         .select(
             "query_id",
             "cluster",
-            _ivfadc_lut_col(F.col("_cb"), F.col("_qres"), subdim).alias(
-                "lut"
-            ),
+            F.expr(_lut_sql("_cb", "_qres", subdim)).alias("lut"),
         )
     )
     # probe routing as a broadcast EQUI join on the cell id (the
@@ -1545,7 +1658,7 @@ def ivfadc_search(
     scored = cand.select(
         "query_id",
         "vec_id",
-        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
+        F.expr(_lut_adc_sql("lut", "codes")).alias("adc_sqdist"),
     )
     return _ivfadc_shortlist_rerank(
         grid, scored, q.select("query_id", "qq"), k, shortlist
@@ -1575,13 +1688,7 @@ def _ivfadc_shortlist_rerank(
     scored2 = cand2.join(F.broadcast(qf), "query_id").select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     out = _topk_per_query(scored2, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "sqdist", "rank")
@@ -1748,7 +1855,7 @@ def ivfadc_search_pruned(
     scored = cand.select(
         "query_id",
         "vec_id",
-        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
+        F.expr(_lut_adc_sql("lut", "codes")).alias("adc_sqdist"),
     )
     qf = spark.createDataFrame(
         [(int(r["vec_id"]), [int(x) for x in r["q"]]) for r in qrows],
@@ -1821,23 +1928,17 @@ def ivfadc_topk_frame(
             "qq",
             "_cm",
             F.explode(
-                _probes_of(F.col("qq"), F.col("_cm"), nprobe)
+                F.expr(_probes_sql("qq", "_cm", nprobe))
             ).alias("cell"),
         )
         .withColumn("_cb", cbv)
         .select(
             "query_id",
             "cell",
-            _ivfadc_lut_col(
-                F.col("_cb"),
-                F.zip_with(
-                    F.col("qq"),
-                    F.element_at(
-                        F.col("_cm"), (F.col("cell") + 1).cast("int")
-                    ),
-                    lambda x, y: x - y,
-                ),
-                subdim,
+            F.expr(
+                _lut_sql(
+                    "_cb", _residual_sql("qq", "_cm", "cell"), subdim
+                )
             ).alias("lut"),
         )
     )
@@ -1848,20 +1949,14 @@ def ivfadc_topk_frame(
     scored = cand.select(
         "query_id",
         "vec_id",
-        _lut_adc_col(F.col("lut"), F.col("codes")).alias("adc_sqdist"),
+        F.expr(_lut_adc_sql("lut", "codes")).alias("adc_sqdist"),
     )
     sl = _topk_per_query(scored, shortlist, "adc_sqdist", ascending=True)
     cand2 = grid.join(sl.select("query_id", "vec_id"), "vec_id")
     scored2 = cand2.join(q, "query_id").select(
         "query_id",
         "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     out = _topk_per_query(scored2, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "sqdist", "rank")
@@ -2071,6 +2166,24 @@ def sign_signature(qcol: Column, dim: int = 64) -> list[Column]:
     return halves
 
 
+def _sign_signature_sql(q: str, dim: int = 64) -> list[str]:
+    """SQL twin of :func:`sign_signature` (optimization r18, guide §4):
+    same CASE-per-bit fold, one JVM parse per half instead of ~68 py4j
+    literal/lambda builds.  Parity pinned next to the other twins."""
+    if dim != 64:
+        raise ValueError("sign_signature: packs exactly 64 dims")
+    out = []
+    for h in range(2):
+        powers = ",".join(f"{1 << j}L" for j in range(32))
+        out.append(
+            f"aggregate(zip_with(slice({q}, {h * 32 + 1}, 32), "
+            f"array({powers}), (x, p) -> CASE WHEN x > 0 THEN p "
+            f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x)"
+        )
+    return out
+
+
 def hamming_topk_rerank(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -2104,9 +2217,9 @@ def hamming_topk_rerank(
     if k > shortlist:
         raise ValueError("hamming_topk_rerank: k must be <= shortlist")
     grid = _pq_quantized(embeddings, scale, id_col, vec_col)
-    lo, hi = sign_signature(F.col("q"))
+    lo, hi = _sign_signature_sql("q")
     sigs = grid.select(
-        "vec_id", "q", lo.alias("sig_lo"), hi.alias("sig_hi")
+        "vec_id", "q", F.expr(lo).alias("sig_lo"), F.expr(hi).alias("sig_hi")
     )
     # stage 0 carries ONLY (query_id, vec_id, hamming) into the salted
     # shortlist rank — the r12 form dragged the full 64-long q/qq
@@ -2141,13 +2254,7 @@ def hamming_topk_rerank(
         "query_id",
         "vec_id",
         "hamming",
-        F.aggregate(
-            F.zip_with(
-                F.col("qq"), F.col("q"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     out = _topk_per_query(rescored, k, order_col="sqdist", ascending=True)
     return out.select("query_id", "vec_id", "hamming", "sqdist", "rank")
@@ -2383,7 +2490,7 @@ def ivfadc_nprobe_sweep(
     ).select(
         "query_id",
         "vec_id",
-        _sqdist_cols(F.col("qq"), F.col("q")).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     exact = _topk_per_query(exact_scored, k, "sqdist", ascending=True).select(
         "query_id", "vec_id"
@@ -2400,7 +2507,7 @@ def ivfadc_nprobe_sweep(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            _probes_of(F.col("q"), F.col("_cm"), K).alias("cells"),
+            F.expr(_probes_sql("q", "_cm", K)).alias("cells"),
         )
         .select(
             "query_id",
@@ -2422,11 +2529,6 @@ def ivfadc_nprobe_sweep(
         F.array_contains(F.col("probes"), F.col("cluster"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    qres = F.zip_with(
-        F.col("qq"),
-        F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
-        lambda x, y: x - y,
-    )
     # combined (tier, query) rank key — _topk_per_query partitions by
     # "query_id", so the tier rides inside it (queries are ids, tiers
     # are <= K: the composition is collision-free for any real corpus)
@@ -2435,10 +2537,8 @@ def ivfadc_nprobe_sweep(
     scored = cand.withColumn("_cm", cm).select(
         ck.alias("query_id"),
         "vec_id",
-        F.aggregate(
-            F.zip_with(qres, F.col("r"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        F.expr(
+            _sq_sql(_residual_sql("qq", "_cm", "cluster"), "r")
         ).alias("adc_sqdist"),
     )
     sl = _topk_per_query(scored, shortlist, "adc_sqdist", ascending=True)
@@ -2454,7 +2554,7 @@ def ivfadc_nprobe_sweep(
     ).select(
         F.col("_ck").alias("query_id"),
         "vec_id",
-        _sqdist_cols(F.col("qq"), F.col("q")).alias("sqdist"),
+        F.expr(_sq_sql("qq", "q")).alias("sqdist"),
     )
     top = _topk_per_query(rescored, k, "sqdist", ascending=True).select(
         F.expr("query_id DIV 1000000000000").cast("int").alias("nprobe"),
@@ -3034,7 +3134,7 @@ def retrain_ivfadc_on_drift(
             .withColumn("_cb", _pinned_scalar(_cb_view(spark, books)))
             .select(
                 "vec_id",
-                _codes_col(F.col("_cb"), F.col("q"), subdim).alias("codes"),
+                F.expr(_codes_sql("_cb", "q", subdim)).alias("codes"),
             )
         )
         if meta_cols:
@@ -3100,15 +3200,7 @@ def ivfadc_distortion_report(
     )
     scored = work.select(
         "cluster",
-        F.aggregate(
-            F.zip_with(
-                F.col("qr"),
-                _recon_col(F.col("_cb"), F.col("codes")),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("err"),
+        F.expr(_sq_sql("qr", _recon_sql("_cb", "codes"))).alias("err"),
     )
     return scored.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),

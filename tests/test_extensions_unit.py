@@ -4755,3 +4755,120 @@ def test_guard_not_retracted_blocks_readd(spark):
     assert {tuple(r) for r in clean.collect()} == {
         tuple(r) for r in bands.collect()
     }
+
+
+def test_sql_twin_builders_parity(spark):
+    """Optimization r18 (guide §4): the SQL-string twins of the HOF
+    builders (_sq_sql/_argmin_cell_sql/_probes_sql/_residual_sql/
+    _recon_sql/_codes_sql/_lut_sql/_lut_adc_sql/_int_assign_sql/
+    _pq_sub_assign_sql/_sign_signature_sql/_sqdist_to_sql) must replay
+    the Column forms bit-for-bit — same integers, same struct-min tie
+    rules — on a frame that exercises ties and negatives.  The Column
+    forms stay in-module as the executable reference; the twins are
+    what the query builders construct (one JVM parse instead of dozens
+    of py4j lambda builds)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    cents = [[0, 0, 0, 0], [10, 0, 0, 0], [0, 10, 0, 0]]
+    books = [
+        [[0, 0], [5, 5], [9, 9]],
+        [[0, 0], [-5, -5]],
+    ]
+    subdim = 2
+    rows = [
+        (1, [1, 0, 0, 0]),
+        (2, [5, 0, 0, 0]),  # equidistant cells 0/1 -> tie to cell 0
+        (3, [0, 12, 3, -4]),
+        (4, [2, 2, 2, 2]),
+        (5, [-7, 3, 9, 9]),
+    ]
+    grid = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+    cmv = F.lit(cents).cast("array<array<bigint>>")
+    cbv = F.lit(books).cast("array<array<array<bigint>>>")
+    base = grid.withColumn("_cm", cmv).withColumn("_cb", cbv)
+
+    # built stepwise: the Column residual needs q/_cm still present
+    col_step = base.withColumn(
+        "best", sim._argmin_cell(F.col("q"), F.col("_cm"))
+    ).withColumn("cluster", F.col("best.c")).withColumn(
+        "qr",
+        F.zip_with(
+            F.col("q"),
+            F.element_at(F.col("_cm"), (F.col("cluster") + 1).cast("int")),
+            lambda x, y: x - y,
+        ),
+    )
+    col_out = col_step.select(
+        "vec_id",
+        "cluster",
+        "_cb",
+        "qr",
+        F.col("best.d").alias("sqdist"),
+        sim._probes_of(F.col("q"), F.col("_cm"), 2).alias("probes"),
+        sim._codes_col(F.col("_cb"), F.col("qr"), subdim).alias("codes"),
+        sim._ivfadc_lut_col(F.col("_cb"), F.col("qr"), subdim).alias("lut"),
+    ).withColumn(
+        "recon", sim._recon_col(F.col("_cb"), F.col("codes"))
+    ).withColumn(
+        "adc", sim._lut_adc_col(F.col("lut"), F.col("codes"))
+    ).withColumn("sig_lo", sim.sign_signature(
+        F.concat(F.col("qr"), F.expr("array_repeat(CAST(1 AS BIGINT), 60)"))
+    )[0]).drop("lut", "_cb", "qr")
+
+    sql_step = base.withColumn(
+        "cluster", F.expr(sim._argmin_cell_sql("q", "_cm") + ".c")
+    ).withColumn(
+        "sqdist", F.expr(sim._argmin_cell_sql("q", "_cm") + ".d")
+    ).withColumn("qr", F.expr(sim._residual_sql("q", "_cm", "cluster")))
+    sql_out = sql_step.select(
+        "vec_id",
+        "cluster",
+        "_cb",
+        "qr",
+        "sqdist",
+        F.expr(sim._probes_sql("q", "_cm", 2)).alias("probes"),
+        F.expr(sim._codes_sql("_cb", "qr", subdim)).alias("codes"),
+        F.expr(sim._lut_sql("_cb", "qr", subdim)).alias("lut"),
+    ).withColumn(
+        "recon", F.expr(sim._recon_sql("_cb", "codes"))
+    ).withColumn(
+        "adc", F.expr(sim._lut_adc_sql("lut", "codes"))
+    ).withColumn("sig_lo", F.expr(sim._sign_signature_sql(
+        "concat(qr, array_repeat(CAST(1 AS BIGINT), 60))"
+    )[0])).drop("lut", "_cb", "qr")
+
+    a = [tuple(r) for r in col_out.orderBy("vec_id").collect()]
+    b = [tuple(r) for r in sql_out.orderBy("vec_id").collect()]
+    assert a == b
+
+    # int-assign / pq-sub-assign twins on the same hand grid
+    lit_a = sim._int_assign(grid, cents).orderBy("vec_id").collect()
+    sql_a = grid.withColumn(
+        "_b", F.expr(sim._int_assign_sql("q", cents))
+    ).select(
+        "vec_id", "q", F.col("_b.c").alias("cluster"),
+        F.col("_b.d").alias("sqdist"),
+    ).orderBy("vec_id").collect()
+    assert [tuple(r) for r in lit_a] == [tuple(r) for r in sql_a]
+
+    sub_lit = grid.select(
+        "vec_id",
+        sim._pq_sub_assign(books[0], F.slice(F.col("q"), 1, 2)).alias("c"),
+    ).orderBy("vec_id").collect()
+    sub_sql = grid.select(
+        "vec_id",
+        F.expr(sim._pq_sub_assign_sql(books[0], "slice(q, 1, 2)")).alias("c"),
+    ).orderBy("vec_id").collect()
+    assert [tuple(r) for r in sub_lit] == [tuple(r) for r in sub_sql]
+
+    # float path: _sqdist_to twin (repr round-trip of doubles)
+    fl = spark.createDataFrame(
+        [(1, [0.1, -2.5, 3.25]), (2, [1e-7, 2.0, -0.125])],
+        "vec_id long, v array<double>",
+    )
+    ctr = [0.30000000000000004, -1.5, 2.0]
+    f_lit = fl.select(sim._sqdist_to(F.col("v"), ctr).alias("d")).collect()
+    f_sql = fl.select(F.expr(sim._sqdist_to_sql("v", ctr)).alias("d")).collect()
+    assert [r["d"] for r in f_lit] == [r["d"] for r in f_sql]
