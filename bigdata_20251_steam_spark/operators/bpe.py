@@ -168,6 +168,15 @@ def bpe_piece_counts(
     from pyspark.sql.pandas.functions import pandas_udf
 
     frozen = [(a, b) for a, b in merges]
+    # word -> piece-count memo (optimization r18, guide §4.2/§4.5):
+    # encode_word is a pure function of (word, frozen merges), and
+    # natural-language corpora repeat words heavily, so each Python
+    # worker encodes every DISTINCT word once instead of once per
+    # occurrence.  Living in the UDF CLOSURE, the dict is unpickled
+    # fresh per task and shared across that task's Arrow batches —
+    # bounded by the task's distinct words, never persisted across
+    # runs (each query construction builds a fresh UDF).
+    memo: dict[str, int] = {}
 
     @pandas_udf("long")
     def _pieces(s: pd.Series) -> pd.Series:
@@ -176,7 +185,11 @@ def bpe_piece_counts(
                 return 0
             total = 0
             for w in _WORD_RE.findall(t.lower()):
-                total += len(encode_word(w, frozen))
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, frozen))
+                    memo[w] = n
+                total += n
             return total
 
         return s.map(count)
@@ -213,6 +226,8 @@ def bpe_piece_count_column(
     from pyspark.sql.pandas.functions import pandas_udf
 
     frozen = [(a, b) for a, b in merges]
+    # per-task distinct-word memo — see bpe_piece_counts (r18)
+    memo: dict[str, int] = {}
 
     @pandas_udf("long")
     def _pieces(s: pd.Series) -> pd.Series:
@@ -221,7 +236,11 @@ def bpe_piece_count_column(
                 return 0
             total = 0
             for w in _WORD_RE.findall(t.lower()):
-                total += len(encode_word(w, frozen))
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, frozen))
+                    memo[w] = n
+                total += n
             return total
 
         return s.map(count)
