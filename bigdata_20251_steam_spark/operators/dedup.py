@@ -115,6 +115,28 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_sql(col: str, n: int = 3) -> str:
+    """SQL-string twin of :func:`word_shingles` (optimization r18,
+    guide §4): one JVM parse instead of ``n-1`` py4j lambda builds per
+    call site.  Same operators, same empty-array/short-doc semantics
+    (parity pinned by test_word_shingles_sql_twin_parity)."""
+    toks = f"split(trim({col}), '\\\\s+')"
+    grams = toks
+    for k in range(1, n):
+        shifted = f"slice({toks}, {k + 1}, greatest(size({toks}) - {k}, 0))"
+        grams = f"zip_with({grams}, {shifted}, (x, y) -> concat_ws(' ', x, y))"
+    full = f"slice({grams}, 1, greatest(size({toks}) - {n - 1}, 0))"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct({full}) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def _md5_long_sql(expr: str) -> str:
+    """Spark-SQL twin of :func:`~..functions.hashing.md5_long`."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
@@ -130,31 +152,34 @@ def minhash_signatures(
     |docs| * |shingles| * k rows and was ~50x slower at sf0.1.)
     Documents with < shingle_n tokens produce no rows (no shingles).
     """
-    params_arr = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
-            for _, a, b in MINHASH_PARAMS
-        ]
+    # the shingle/hash/fold pipeline as THREE F.expr strings
+    # (optimization r18, guide §4): the Column form paid ~8 py4j lambda
+    # builds + a 16-struct params array per construct — and this
+    # builder is constructed inside every dedup/curation/leakage/
+    # streaming query.  Identical operators, identical integers (the
+    # registered minhash_signatures oracle hash replays the whole
+    # pipeline).
+    shs = (
+        f"array_remove({word_shingles_sql(f'`{text_col}`', shingle_n)}, '')"
     )
     sh = spread_partitions(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.array_remove(word_shingles(F.col(text_col), shingle_n), "").alias("shs"),
+        F.expr(shs).alias("shs"),
     ).filter(F.size("shs") > 0)
     hashed = sh.select(
         "doc_id",
-        F.transform("shs", lambda s: md5_long(s) % HASH_PRIME).alias("hs"),
+        F.expr(
+            f"transform(shs, s -> {_md5_long_sql('s')} % {HASH_PRIME})"
+        ).alias("hs"),
     )
-    init = F.array_repeat(F.lit(HASH_PRIME).cast("long"), len(MINHASH_PARAMS))
-    sig = F.aggregate(
-        "hs",
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(params_arr, lambda p: (p["a"] * h + p["b"]) % HASH_PRIME),
-            lambda x, y: F.least(x, y),
-        ),
+    params = ",".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for _, a, b in MINHASH_PARAMS
+    )
+    sig = F.expr(
+        f"aggregate(hs, array_repeat(CAST({HASH_PRIME} AS BIGINT), "
+        f"{len(MINHASH_PARAMS)}), (acc, h) -> zip_with(acc, "
+        f"transform(array({params}), p -> (p.a * h + p.b) % {HASH_PRIME}), "
+        f"(x, y) -> least(x, y)))"
     )
     return hashed.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
 
@@ -534,8 +559,9 @@ def ngram_jaccard_pairs(
     sh = spread_partitions(docs, "doc_id").select(
         F.col("doc_id"),
         F.col(block_col).alias("blk"),
-        F.transform(
-            word_shingles(F.col("text"), shingle_n), lambda s: md5_long(s)
+        F.expr(
+            f"transform({word_shingles_sql('text', shingle_n)}, "
+            f"s -> {_md5_long_sql('s')})"
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
     postings = sh.select(
@@ -1597,8 +1623,9 @@ def dedup_quality_report(
     cand = minhash_candidate_pairs(sigs).localCheckpoint()
     sh = spread_partitions(docs, "doc_id").select(
         "doc_id",
-        F.transform(
-            word_shingles(F.col(text_col)), lambda s: md5_long(s)
+        F.expr(
+            f"transform({word_shingles_sql(f'`{text_col}`')}, "
+            f"s -> {_md5_long_sql('s')})"
         ).alias("sh"),
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -7405,41 +7405,36 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), toks.alias("_toks")
     ).filter(F.size("_toks") > 0)
     avgdl = float(_BM25_MODEL["avgdl_micro"]) / 1e6
-    dl = F.size(F.col("_toks")).cast("double")
-    norm = F.lit(_BM25_K1) * (
-        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * dl / F.lit(avgdl)
+    # the per-(query, term) score array as ONE SQL string (optimization
+    # r18, guide §4): the Column form built 9 F.filter lambdas + ~100
+    # arithmetic Column nodes per construct, each a py4j round-trip;
+    # the SQL text parses JVM-side in one call and analyzes to the same
+    # operators (double literals via repr — exact round-trip — so the
+    # float arithmetic order and values are bit-identical; parity held
+    # by the unchanged oracle hash).
+    dl_s = "CAST(size(_toks) AS DOUBLE)"
+    norm_s = (
+        f"{_BM25_K1!r}D * ({(1.0 - _BM25_B)!r}D + {_BM25_B!r}D "
+        f"* {dl_s} / {avgdl!r}D)"
     )
-    def _term_eq(term: str):
-        # NOT a default-arg lambda: a 2-param lambda would be treated
-        # by F.filter as (element, index) and shadow the bound term
-        def _pred(w):
-            return w == F.lit(term)
-
-        return _pred
-
     entries = []
     for qid, terms in sorted(_HYBRID_QUERIES.items()):
         score = None
         for t in terms:
-            tf = F.size(
-                F.filter(F.col("_toks"), _term_eq(t))
-            ).cast("double")
+            tf = f"CAST(size(filter(_toks, w -> w = {t!r})) AS DOUBLE)"
             part = (
-                F.lit(float(_HYBRID_IDF_MICRO[t]) / 1e6)
-                * (tf * F.lit(_BM25_K1 + 1.0))
-                / (tf + norm)
+                f"{float(_HYBRID_IDF_MICRO[t]) / 1e6!r}D"
+                f" * ({tf} * {_BM25_K1 + 1.0!r}D) / ({tf} + {norm_s})"
             )
-            score = part if score is None else score + part
+            score = part if score is None else f"{score} + {part}"
         entries.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                F.round(score, 6).alias("bm25"),
-            )
+            f"named_struct('query_id', {int(qid)}, "
+            f"'bm25', round({score}, 6))"
         )
     lex_scored = (
         base.select(
             F.col("doc_id").alias("vec_id"),
-            F.explode(F.array(*entries)).alias("_q"),
+            F.explode(F.expr("array(" + ",".join(entries) + ")")).alias("_q"),
         )
         .select(
             F.col("_q.query_id").alias("query_id"),

@@ -4872,3 +4872,37 @@ def test_sql_twin_builders_parity(spark):
     f_lit = fl.select(sim._sqdist_to(F.col("v"), ctr).alias("d")).collect()
     f_sql = fl.select(F.expr(sim._sqdist_to_sql("v", ctr)).alias("d")).collect()
     assert [r["d"] for r in f_lit] == [r["d"] for r in f_sql]
+
+
+def test_word_shingles_sql_twin_parity(spark):
+    """Optimization r18 (guide §4): word_shingles_sql / _md5_long_sql —
+    the SQL-string twins the minhash/fingerprint builders construct —
+    replay the Column forms exactly, including the short-doc empty
+    array, whitespace collapsing, and distinctness."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.functions.hashing import md5_long
+    from bigdata_20251_steam_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "  spaced   out\ttokens here  "),
+            (3, "short one"),
+            (4, ""),
+            (5, "a a a a a"),
+            (6, "Ünïcode tokens ünïcode tokens again"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        col_form = docs.select(
+            "doc_id", dd.word_shingles(F.col("text"), n).alias("g")
+        ).orderBy("doc_id").collect()
+        sql_form = docs.select(
+            "doc_id", F.expr(dd.word_shingles_sql("text", n)).alias("g")
+        ).orderBy("doc_id").collect()
+        assert [tuple(r) for r in col_form] == [tuple(r) for r in sql_form]
+    h_col = docs.select(md5_long(F.col("text")).alias("h")).collect()
+    h_sql = docs.select(F.expr(dd._md5_long_sql("text")).alias("h")).collect()
+    assert [r["h"] for r in h_col] == [r["h"] for r in h_sql]
