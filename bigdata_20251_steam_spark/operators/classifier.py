@@ -126,8 +126,11 @@ def nb_score_column(
     one map lookup, summed by a left-to-right array ``aggregate`` in
     exact integer arithmetic.
     """
-    # one Literal node per array (not one py4j call per element) — same
-    # values/types, ~2·n_buckets fewer driver round-trips per construct
+    # lit(list) instead of array(*[lit(x).cast(..)]) (ADVICE r17: in
+    # classic py4j mode lit(list) still issues one py4j call per
+    # element — the win is dropping the per-element .cast calls, ~2x
+    # fewer round-trips; ConstantFolding folds both forms to the same
+    # Literal, so values/types/plans are identical)
     wmap = F.map_from_arrays(
         F.lit([b for b, _ in weights]).cast("array<int>"),
         F.lit([w for _, w in weights]).cast("array<long>"),
@@ -245,9 +248,11 @@ def _sigmoid_lookup(z_micro: Column, table: list[int]) -> Column:
     c = F.lit(SIGMOID_CLAMP_MICRO)
     zc = F.greatest(-c, F.least(c, z_micro))
     idx = F.floor((zc + c) / F.lit(SIGMOID_STEP_MICRO)).cast("int")
-    # single Literal node: the 1025-entry table as ONE lit, not 1025
-    # py4j calls (this column is built per training iteration AND per
-    # scoring pass — the per-element form dominated construct time)
+    # lit(list) (ADVICE r17: in classic py4j mode this is still one
+    # py4j call per element — the saving vs the old form is the 1025
+    # dropped per-element .cast calls, ~2x; ConstantFolding folds both
+    # to the same Literal).  This column is built per training
+    # iteration AND per scoring pass, so the construct saving repeats.
     arr = F.lit(list(table)).cast("array<long>")
     return F.element_at(arr, idx + 1)
 

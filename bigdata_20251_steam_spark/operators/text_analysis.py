@@ -552,10 +552,18 @@ def cross_split_contamination(
     # pin the gram fingerprints once (guide §2.4/§8: decide on hashes,
     # not payloads): the train set, the contamination join's test side
     # and the per-doc totals are THREE references to this frame, and
-    # Spark plans each independently — without the checkpoint the corpus
+    # Spark plans each independently — without the pin the corpus
     # text was shingled+hashed three times per call.  The pinned frame
     # is the narrow (id, split, 8-byte hash) proxy; values unchanged.
-    grams = grams.localCheckpoint()
+    # The frame is INPUT-SIZED (one row per gram occurrence), so the
+    # pin routes through pin_frame (r18, ADVICE r17): localCheckpoint
+    # below the size gate, reliable checkpoint / DISK_ONLY persist
+    # above it — recoverable on executor loss at the 100 TB posture
+    # (the local A/B is a wash either way; the 3x -> 1x
+    # shingle+hash dedup is the structural term this pin buys).
+    from .dedup import pin_frame
+
+    grams = pin_frame(grams)
     train = grams.filter(F.col("split") == "train").select("h").distinct()
     test = grams.filter(F.col("split") == "test").select(id_col, "h")
     hits = (
@@ -637,7 +645,13 @@ def unigram_lm_scores(
     # TWICE per training call (guide §2.4; values unchanged, the
     # checkpoint only cuts lineage).  The pinned frame is vocabulary-
     # bounded (Heaps-law sub-linear), the same boundedness the two
-    # collects already relied on.
+    # collects already relied on.  The checkpointed blocks are released
+    # by driver GC via the ContextCleaner once this frame goes out of
+    # scope after the two collects (ADVICE r17 noted the lingering
+    # blocks; they are vocabulary-bounded — kilobytes — and a
+    # DataFrame-level unpersist cannot reach RDD-level localCheckpoint
+    # storage, so GC is the documented release path, matching the
+    # repo's other bounded pins).
     counts = counts.localCheckpoint()
     n_total = counts.agg(F.sum("c")).collect()[0][0]
     if not n_total:
@@ -1514,7 +1528,9 @@ def train_bigram_lm(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # pin once — the total and the top-V collect would otherwise each
-    # re-run the corpus tokenize+count (see unigram_lm_scores)
+    # re-run the corpus tokenize+count; blocks are vocabulary-bounded
+    # and released by driver GC after the collects (see
+    # unigram_lm_scores for the full note, ADVICE r17)
     counts = counts.localCheckpoint()
     n_total = counts.agg(F.sum("c")).collect()[0][0]
     if not n_total:
