@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 #: Highest supported exponent: values < 2^48 integer units.  48
@@ -327,6 +328,81 @@ def _cum_buckets(
     )
 
 
+#: Loud cap on the driver-side sketch collect of
+#: :func:`_locate_target_buckets` — the sketch is bounded at
+#: ``(MAX_EXP+1)*m + 1`` rows PER GROUP by construction, so this only
+#: trips when a caller groups by a high-cardinality key (which the
+#: module's contract already forbids for the grouped windows).
+SKETCH_COLLECT_CAP = 262_144
+
+
+def _check_qs(qs: list[int]) -> None:
+    if not qs:
+        raise ValueError("quantiles: qs must be non-empty")
+    if sorted(set(qs)) != sorted(qs) or not all(1 <= q <= 100 for q in qs):
+        raise ValueError("quantiles: qs must be unique ints in [1, 100]")
+
+
+def _bucket_rep_int(e: int, sub: int, m: int) -> int:
+    """Python-int twin of :func:`bucket_rep_cents` (exact: Python ints
+    are arbitrary precision, so the DECIMAL(38,0) division is just //)."""
+    if e < 0:
+        return 0
+    lo = 1 << e
+    prod = int(sub) * lo
+    frac = prod - (prod % m)
+    return lo + frac // m
+
+
+def _locate_target_buckets(
+    sketch: DataFrame, qs: list[int], group_cols: tuple[str, ...]
+) -> list[tuple]:
+    """Collect the BOUNDED sketch once and locate, per (group,
+    quantile), the bucket holding rank ``ceil(q*n/100)`` plus its rank
+    offset — driver-side exact integer arithmetic (optimization r18,
+    the ``ivfadc_search_pruned`` driver-LUT precedent; r17 verdict #5).
+
+    The distributed form chained FOUR sequential bounded-broadcast
+    jobs per consumer (cum-bucket window build, rank-target total,
+    locate join, chosen-bucket aggregate), each a 0.1-0.3 s scheduler
+    barrier locally and latency-serial on a cluster — on a frame the
+    caller had ALREADY pinned at ``<= (MAX_EXP+1)*m + 1`` rows per
+    group.  One collect of the pinned blocks replaces the chain; the
+    arithmetic is the same integers in the same order (cumulative
+    counts ascending in (e, sub); first bucket whose cum reaches the
+    target == the struct-min of the filtered join; ``local_r = r -
+    (cum - cnt)``), so results are bit-identical — the registered
+    oracles replay both formulations.
+
+    Returns ``[(group_values..., q_pct, e, sub, local_r), ...]``.
+    """
+    rows = sketch.collect()
+    if len(rows) > SKETCH_COLLECT_CAP:
+        raise ValueError(
+            f"quantiles: sketch collect ({len(rows)} rows) exceeds "
+            f"{SKETCH_COLLECT_CAP} — the sketch is bounded per group, "
+            "so this means a high-cardinality group key; use "
+            "lower-cardinality telemetry dimensions"
+        )
+    by_g: dict[tuple, list] = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        by_g.setdefault(key, []).append((r["e"], r["sub"], int(r["cnt"])))
+    out: list[tuple] = []
+    for key in sorted(by_g, key=lambda k: tuple(map(repr, k))):
+        brs = sorted(by_g[key])
+        n = sum(c for _, _, c in brs)
+        for q in qs:
+            r_t = (q * n + 99) // 100
+            cum = 0
+            for e, sub, c in brs:
+                cum += c
+                if cum >= r_t:
+                    out.append((*key, int(q), e, sub, r_t - (cum - c)))
+                    break
+    return out
+
+
 def _rank_targets(
     sketch: DataFrame, qs: list[int], group_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -383,6 +459,26 @@ def sketch_quantiles(
     """
     if materialize:
         sketch = sketch.localCheckpoint()
+    if not sketch.isStreaming:
+        # driver-side locate over the bounded (usually pinned) sketch
+        # (optimization r18, see _locate_target_buckets): the whole
+        # estimate is |groups| x |qs| integer arithmetic — the output
+        # frame is a LocalRelation, zero broadcast-chain jobs.  Exact
+        # same integers and tie rules as the join form below.
+        _check_qs(qs)
+        located = _locate_target_buckets(sketch, qs, group_cols)
+        fields = [sketch.schema[c] for c in group_cols] + [
+            T.StructField("q_pct", T.IntegerType(), nullable=False),
+            T.StructField("sketch_cents", T.LongType(), nullable=True),
+        ]
+        return sketch.sparkSession.createDataFrame(
+            [
+                (*r[: len(group_cols)], r[-4], _bucket_rep_int(r[-3], r[-2], m))
+                for r in located
+            ],
+            T.StructType(fields),
+        )
+    # streaming sketches cannot collect — keep the relational locate
     cum = _cum_buckets(sketch, group_cols)
     targets = _rank_targets(sketch, qs, group_cols)
     cond = F.col("cum") >= F.col("r")
@@ -511,28 +607,49 @@ def exact_quantiles_banded(
         )
         if materialize:
             sketch = sketch.localCheckpoint()
-    cum = _cum_buckets(sketch, group_cols)
-    targets = _rank_targets(sketch, qs, group_cols)
-    cond = F.col("cum") >= F.col("r")
-    if group_cols:
-        located = targets.join(F.broadcast(cum), on=[*group_cols]).filter(
-            cond
+    if not sketch.isStreaming and not rows.isStreaming:
+        # driver-side locate over the bounded (usually pinned) sketch
+        # (optimization r18, see _locate_target_buckets): the chosen
+        # buckets become a LocalRelation broadcast instead of a
+        # 4-job sequential cum/targets/locate/min chain.  Same
+        # integers, same tie rules; the in-band read-back below is
+        # unchanged (and stays distributed — the histogram is
+        # data-sized, never collected).
+        _check_qs(qs)
+        located_rows = _locate_target_buckets(sketch, qs, group_cols)
+        fields = [sketch.schema[c] for c in group_cols] + [
+            T.StructField("q_pct", T.IntegerType(), nullable=False),
+            sketch.schema["e"],
+            sketch.schema["sub"],
+            T.StructField("local_r", T.LongType(), nullable=True),
+        ]
+        chosen = rows.sparkSession.createDataFrame(
+            located_rows, T.StructType(fields)
         )
     else:
-        located = targets.join(F.broadcast(cum), cond)
-    chosen = (
-        located.groupBy(*group_cols, "q_pct", "r")
-        .agg(F.min(F.struct("e", "sub", "cum", "cnt")).alias("b"))
-        .select(
-            *group_cols,
-            "q_pct",
-            F.col("b.e").alias("e"),
-            F.col("b.sub").alias("sub"),
-            (F.col("r") - (F.col("b.cum") - F.col("b.cnt"))).alias(
-                "local_r"
-            ),
+        # streaming inputs cannot collect — keep the relational locate
+        cum = _cum_buckets(sketch, group_cols)
+        targets = _rank_targets(sketch, qs, group_cols)
+        cond = F.col("cum") >= F.col("r")
+        if group_cols:
+            located = targets.join(
+                F.broadcast(cum), on=[*group_cols]
+            ).filter(cond)
+        else:
+            located = targets.join(F.broadcast(cum), cond)
+        chosen = (
+            located.groupBy(*group_cols, "q_pct", "r")
+            .agg(F.min(F.struct("e", "sub", "cum", "cnt")).alias("b"))
+            .select(
+                *group_cols,
+                "q_pct",
+                F.col("b.e").alias("e"),
+                F.col("b.sub").alias("sub"),
+                (F.col("r") - (F.col("b.cum") - F.col("b.cnt"))).alias(
+                    "local_r"
+                ),
+            )
         )
-    )
     in_band = rows.join(F.broadcast(chosen), [*group_cols, "e", "sub"])
     # (2) per-value histogram of each chosen bucket (partial-agg
     # combine collapses heavy values map-side)
