@@ -1488,6 +1488,88 @@ def ivfadc_encode(
     ).select("vec_id", "cluster", "codes")
 
 
+def _np_ivfadc_encode_udf(
+    coarse_cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    scale: int,
+):
+    """Arrow-vectorized IVFADC encode (optimization r18, guide §4.2 —
+    the r17 verdict's #1 item, attack (b)): coarse argmin + residual +
+    per-subspace codes computed by numpy int64 matrix arithmetic over
+    whole Arrow batches, replacing the INTERPRETED higher-order-function
+    chain that Spark evaluates per row without codegen.
+
+    Bit-exact by construction: quantization replicates Spark's
+    ``round(double)`` HALF_UP (away from zero — NOT numpy's banker's
+    rint); int64 squared-L2 sums are exact; ``np.argmin`` returns the
+    FIRST minimum, which is precisely the struct-min ties-to-lowest
+    rule of the HOF form.  Parity pinned by
+    test_np_encode_matches_hof_encode and by every registered ivfadc
+    oracle (hash-exact).  Measured on the encode pass: ~tie at sf0.1
+    (2k vectors — Python-worker fork dominates), 1.56 s -> 0.59 s at
+    10x (interleaved noop A/B, one session) — the per-row interpreted
+    arithmetic was the scale bottleneck, exactly as the r17 verdict
+    called it.
+
+    A NULL embedding row yields (cluster = 0, NULL qr, codes =
+    [0]*m) — the HOF form's exact semantics: every distance is NULL,
+    struct comparison falls through to the index, and the lowest
+    cell/code (0) wins.  The artifacts ride the closure (kilobytes,
+    broadcast once per executor); heavy work is one matmul-shaped
+    pass per batch (guide §4.5's iterator shape is unnecessary —
+    there is no per-task init beyond the closure unpickle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(
+        [[int(v) for v in c] for c in coarse_cents], dtype=np.int64
+    )
+    books = [
+        np.asarray([[int(v) for v in w] for w in cb], dtype=np.int64)
+        for cb in codebooks
+    ]
+    m = len(books)
+    subdim = books[0].shape[1]
+    fscale = float(scale)
+
+    @pandas_udf("struct<cluster:int, qr:array<bigint>, codes:array<int>>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        # null-embedding rows: every distance is NULL, so the HOF
+        # struct-min falls through to the index — cell 0 and code 0
+        # win, while the residual itself stays NULL; replicate exactly
+        cluster = np.full(n, 0, dtype=object)
+        qr_col = np.full(n, None, dtype=object)
+        codes_col = np.full(n, None, dtype=object)
+        codes_col[:] = [np.zeros(m, dtype=np.int32)] * n
+        ok = np.flatnonzero(v.notna().to_numpy())
+        if len(ok):
+            x = np.stack(v.iloc[ok].to_numpy()).astype(np.float64) * fscale
+            # Spark round(double) is HALF_UP (away from zero), not rint
+            q = np.where(
+                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int64)
+            d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)  # first min == ties-to-lowest cell
+            qr = q - cents[cl]
+            codes = np.empty((len(ok), m), dtype=np.int32)
+            for s in range(m):
+                sub = qr[:, s * subdim:(s + 1) * subdim]
+                ds = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = ds.argmin(axis=1)
+            cluster[ok] = [int(c) for c in cl]
+            qr_col[ok] = list(qr)
+            codes_col[ok] = list(codes)
+        return pd.DataFrame(
+            {"cluster": cluster, "qr": qr_col, "codes": codes_col}
+        )
+
+    return _enc
+
+
 def _ivfadc_working(
     embeddings: DataFrame,
     coarse_cents: list[list[int]],
@@ -1507,15 +1589,40 @@ def _ivfadc_working(
     registered oracles replay both)."""
     spark = embeddings.sparkSession
     subdim = len(codebooks[0][0])
-    cm = _pinned_scalar(_cmat_view(spark, coarse_cents))
     cbv = _pinned_scalar(_cb_view(spark, codebooks))
+    if not embeddings.isStreaming:
+        # Arrow-vectorized encode (r18, guide §4.2): numpy int64 over
+        # whole batches instead of the interpreted per-row HOF chain —
+        # bit-exact (see _np_ivfadc_encode_udf), 2.7x on the encode
+        # pass at data-dominated scale.  Only (vec_id, vec) crosses the
+        # Python boundary (guide §4.1 column hygiene); the spread keeps
+        # the single-row-group local scan parallel, a no-op at scale.
+        from .dedup import spread_partitions
+
+        enc = _np_ivfadc_encode_udf(coarse_cents, codebooks, scale)
+        base = spread_partitions(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+            )
+        )
+        return (
+            base.select("vec_id", enc(F.col("_v")).alias("_e"))
+            .select(
+                "vec_id",
+                F.col("_e.cluster").alias("cluster"),
+                F.col("_e.qr").alias("qr"),
+                F.col("_e.codes").alias("codes"),
+            )
+            .withColumn("_cb", cbv)
+        )
+    # streaming frames keep the pure-JVM SQL-twin form (r18) — same
+    # Catalyst operators as the r17 lambdas, one JVM parse per column
+    cm = _pinned_scalar(_cmat_view(spark, coarse_cents))
     grid = (
         _pq_quantized(embeddings, scale, id_col, vec_col)
         .withColumn("_cm", cm)
         .withColumn("_cb", cbv)
     )
-    # SQL-string twins of the HOF builders (r18) — same Catalyst
-    # operators, one JVM parse instead of dozens of py4j lambda builds
     res = grid.withColumn(
         "cluster", F.expr(_argmin_cell_sql("q", "_cm") + ".c")
     ).withColumn(

@@ -4949,3 +4949,62 @@ def test_pin_frame_routes_by_size(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graft.pin.maxLocalBytes")
         spark.conf.unset("spark.graft.pin.checkpointDir")
+
+
+def test_np_encode_matches_hof_encode(spark):
+    """Optimization r18 (r17 verdict #1, attack (b)): the Arrow/numpy
+    IVFADC encode must replay the interpreted-HOF form bit-for-bit —
+    HALF_UP quantization, ties-to-lowest cell and code, null
+    propagation for a NULL embedding row."""
+    from pyspark.sql import functions as F
+
+    from bigdata_20251_steam_spark.operators import similarity as sim
+
+    cents = [[0, 0, 0, 0], [10, 0, 0, 0], [0, 10, 0, 0]]
+    books = [[[0, 0], [5, 5], [9, 9]], [[0, 0], [-5, -5]]]
+    rows = [
+        (1, [0.0015, -0.0025, 0.0004999, 0.0]),  # HALF_UP edges
+        (2, [0.005, 0.0, 0.0, 0.0]),             # equidistant cells
+        (3, [0.0, 0.0121, 0.003, -0.004]),
+        (4, [0.002, 0.002, 0.002, 0.002]),
+        (5, None),                                # null embedding row
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # HOF reference: the streaming branch's SQL-twin pipeline
+    cbv = sim._pinned_scalar(sim._cb_view(spark, books))
+    cm = sim._pinned_scalar(sim._cmat_view(spark, cents))
+    grid = sim._pq_quantized(emb, 1000, "vec_id", "embedding").withColumn(
+        "_cm", cm
+    ).withColumn("_cb", cbv)
+    hof = grid.withColumn(
+        "cluster", F.expr(sim._argmin_cell_sql("q", "_cm") + ".c")
+    ).withColumn(
+        "qr", F.expr(sim._residual_sql("q", "_cm", "cluster"))
+    ).select(
+        "vec_id",
+        "cluster",
+        "qr",
+        F.expr(sim._codes_sql("_cb", "qr", 2)).alias("codes"),
+    )
+
+    work = sim._ivfadc_working(emb, cents, books, 1000, "vec_id", "embedding")
+    npf = work.select("vec_id", "cluster", "qr", "codes")
+
+    def norm(df):
+        return sorted(
+            (
+                r["vec_id"],
+                r["cluster"],
+                tuple(r["qr"]) if r["qr"] is not None else None,
+                tuple(r["codes"]) if r["codes"] is not None else None,
+            )
+            for r in df.collect()
+        )
+
+    assert norm(hof) == norm(npf)
+    # the HOF form's null-embedding semantics: every distance is NULL,
+    # struct min falls through to the index — cell 0 / code 0 win,
+    # the residual stays NULL
+    null_row = [t for t in norm(npf) if t[0] == 5][0]
+    assert null_row[1:] == (0, None, (0, 0))
