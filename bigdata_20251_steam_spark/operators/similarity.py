@@ -115,7 +115,11 @@ def cosine_topk(
     # measured a LOSS — interleaved med 0.94 vs 0.73 s at sf0.1 — the
     # float dot-product pass is too light for the extra exchange; unlike
     # the integer-grid family, whose per-row HOF arithmetic is ~10x
-    # heavier and wins from the spread in `_pq_quantized`.)
+    # heavier and wins from the spread in `_pq_quantized`.  RE-TESTED
+    # at a 10x corpus per the r17 verdict #6 (r18, interleaved ABBA,
+    # 10-partition scan spread to 32): still a loss — 1.17/1.22 s
+    # spread vs 0.87/0.98 s without.  The rejection stands at
+    # data-dominated scale.)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("vn", _norm(F.col("v")))

@@ -1257,6 +1257,17 @@ def strip_cross_doc_spans(
             F.xxhash64(F.lit(1), F.col("_o.g")).alias("_h2"),
         )
     )
+    # NOT pinned — re-tested at data-dominated scale (optimization
+    # r18, r17 verdict #6): pinning this input-sized occurrence proxy
+    # (pin_frame, recoverable) was measured at a 10x corpus in an
+    # interleaved ABBA — cross_doc_span_dedup 3.00/4.82 s lazy vs
+    # 4.44/4.83 s pinned, curation_v2 4.99/5.09 vs 4.94/5.74 — the
+    # eager materialization write costs more than the second
+    # tokenize+explode+hash pass it saves (that pass is whole-stage
+    # codegen; the write is not), on top of the r9 rationale that the
+    # duplicate pass keeps both downstream exchanges AQE-skew-eligible
+    # with zero stored bytes.  The double pass stays the deliberate
+    # trade.
     # hot-gram guard (r9): per-gram first occurrence via an aggregate —
     # min over a struct orders lexicographically by (doc_id, p), the
     # same canonical order as the r8 row_number window, but map-side
